@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash column builders for the LLM-data-pipeline operators.
+  *
+  * Everything here is a codegen'd Spark built-in composition (no UDFs) and
+  * has an exact DuckDB equivalent, so dedup/similarity results hash-match
+  * the oracle:
+  *   - md5 produces identical lowercase hex in both engines;
+  *   - the 60-bit integer hash is `conv(substr(md5(x),1,15),16,10)` here and
+  *     `CAST('0x' || substr(md5(x),1,15) AS BIGINT)` in DuckDB;
+  *   - normalization is the same trim/lower/collapse-whitespace on both.
+  *
+  * At 100 TB one would swap md5 for xxhash64 (cheaper, also built-in); md5
+  * is kept because cross-engine reproducibility is part of the contract.
+  */
+object TextFns {
+
+  /** lower, trim, collapse runs of whitespace to single spaces. */
+  def normText(c: Column): Column =
+    regexp_replace(trim(lower(c)), "\\s+", " ")
+
+  /** Whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Deterministic 60-bit non-negative hash from the md5 hex prefix. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: independent-ish hash family for minhash permutations. */
+  def hash60Seeded(seed: Int, c: Column): Column =
+    hash60(concat(lit(s"$seed:"), c))
+
+  /** Word n-gram shingles (array of strings); empty array when there are
+    * fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+      .otherwise(array())
+
+  /** Value 0-15 of the `pos`-th (1-based) hex nibble of md5(c).
+    * DuckDB: CAST('0x' || substr(md5(c), pos, 1) AS BIGINT). */
+  def md5Nibble(c: Column, pos: Int): Column =
+    conv(substring(md5(c), pos, 1), 16, 10).cast("long")
+}

@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns with typed
+  * metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[fakeDecode]]); everything Spark-side
+  * is real and scale-shaped: binary columns stay opaque through the scan
+  * (no row-size surprises for Tungsten), per-batch processing runs through
+  * `mapPartitions` over an iterator (the Scala analogue of `mapInPandas` —
+  * one pass, no per-row JVM boundary), and the output schema is explicit.
+  * On a real cluster the decode body is the only thing to swap out.
+  */
+object Multimodal {
+
+  /** Output row of the feature-extraction stage. */
+  case class MediaFeatures(
+      doc_id: Long,
+      format: String,
+      n_bytes: Long,
+      features: Array[Float])
+
+  /** STUB — stands in for an image/audio decoder, which this container
+    * cannot ship. Deterministic: derives an 8-dim "embedding" from byte
+    * histogram moments so tests are reproducible. */
+  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
+    val hist = new Array[Long](8)
+    var i = 0
+    while (i < bytes.length) {
+      hist((bytes(i) & 0xff) >>> 5) += 1
+      i += 1
+    }
+    val n = math.max(bytes.length, 1).toFloat
+    hist.map(_ / n)
+  }
+
+  /** Wrap a text table as a fake media table: (doc_id, media binary, meta
+    * struct) — the schema/partitioning shape a real image corpus has. */
+  def asMediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("txt").as("format"),
+        length(col("text")).cast("long").as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  /** Batch feature extraction: one `mapPartitions` pass over the binary
+    * column (iterator-to-iterator, constant memory per partition). */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"), col("meta.format").as("format"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        MediaFeatures(id, fmt, bytes.length.toLong, fakeDecode(bytes))
+      })
+      .toDF()
+  }
+
+  /** "Frame sampling" for byte-stream media: take every k-th fixed-size
+    * chunk — the partition/batch shape of video frame extraction. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 32, every: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / frameBytes
+        (0 until nFrames by every).map { f =>
+          (id, f.toLong, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF("doc_id", "frame_no", "frame")
+  }
+
+  /** Rows-only query: media features (no SQL oracle — binary pipeline). */
+  def qm1Features(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(s, asMediaTable(Tables.documents(s, dir)))
+
+  /** Rows-only query: sampled frames with per-frame checksum. */
+  def qm2Frames(s: SparkSession, dir: String): DataFrame =
+    sampleFrames(s, asMediaTable(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("frame_no"), crc32(col("frame")).as("frame_crc"))
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("qm1_multimodal_features", qm1Features, None),
+    QueryDef("qm2_multimodal_frames", qm2Frames, None))
+}

@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators: exact (hash-groupBy), n-gram Jaccard,
+  * MinHash+LSH banding, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design: every variant is blocked so no O(n²) pair set is ever
+  * materialized globally —
+  *   - exact: one hash aggregate (map-side combine);
+  *   - Jaccard / MinHash: pairs only generated inside an inverted-index
+  *     bucket (shared shingle / shared LSH band), i.e., a shuffle on the
+  *     bucket key, never a cross join;
+  *   - SimHash: pairs only inside a 4-bit band block;
+  *   - embedding: pairs only inside a cluster-label block.
+  * At 100 TB the bucket key is the shuffle key, buckets are tiny, and AQE
+  * skew-split handles hot buckets (e.g. a very common shingle).
+  */
+object DedupOps {
+
+  private def docsNorm(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), normText(col("text")).as("norm"))
+
+  /** Distinct (doc_id, shingle) pairs over word 3-grams. */
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .select(col("doc_id"),
+        explode(shingles(split(col("norm"), " "), 3)).as("sh"))
+      .distinct()
+
+  /** Exact dedup: group by content fingerprint, keep the smallest id. */
+  def q34DedupExact(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir)
+      .groupBy(md5(col("norm")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  val q34Sql: String =
+    """SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents)
+      |GROUP BY md5(norm)""".stripMargin
+
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.6, candidate pairs from an
+    * inverted shingle index (never a cross join). The corpus is bimodal
+    * (planted near-dups ~0.98 vs background ~0.1) so the threshold is far
+    * from any data point; jaccard is a double division of exact ints. */
+  def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = a.join(b, Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.6)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  val q35Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+      |  WHERE len(w) >= 3),
+      |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6""".stripMargin
+
+  /** MinHash signatures (6 md5-seeded permutations) + LSH banding (2 bands
+    * of 3): candidate pairs agree on at least one full band. */
+  def q36MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(s, dir)
+    val mins = (1 to 6).map(i => min(hash60Seeded(i, col("sh"))).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val banded = sig.select(col("doc_id"),
+      explode(array(
+        struct(lit(1L).as("band"),
+          md5(concat_ws(",", col("m1"), col("m2"), col("m3"))).as("key")),
+        struct(lit(2L).as("band"),
+          md5(concat_ws(",", col("m4"), col("m5"), col("m6"))).as("key")))).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  val q36Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+      |  FROM (SELECT doc_id,
+      |          string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS w
+      |        FROM documents),
+      |       UNNEST(generate_series(1, len(w) - 2)) AS g(i)
+      |  WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id,
+      |    min(CAST('0x' || substr(md5('1:' || sh), 1, 15) AS BIGINT)) AS m1,
+      |    min(CAST('0x' || substr(md5('2:' || sh), 1, 15) AS BIGINT)) AS m2,
+      |    min(CAST('0x' || substr(md5('3:' || sh), 1, 15) AS BIGINT)) AS m3,
+      |    min(CAST('0x' || substr(md5('4:' || sh), 1, 15) AS BIGINT)) AS m4,
+      |    min(CAST('0x' || substr(md5('5:' || sh), 1, 15) AS BIGINT)) AS m5,
+      |    min(CAST('0x' || substr(md5('6:' || sh), 1, 15) AS BIGINT)) AS m6
+      |  FROM sh GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, 1 AS band, md5(m1 || ',' || m2 || ',' || m3) AS key FROM sig
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS band, md5(m4 || ',' || m5 || ',' || m6) AS key FROM sig)
+      |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |FROM banded x JOIN banded y
+      |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin
+
+  /** 16-bit SimHash from per-token md5 nibble votes; near-dup pairs are
+    * generated per 4-bit band block and kept when Hamming distance <= 3. */
+  def q37Simhash(s: SparkSession, dir: String): DataFrame = {
+    val toks = docsNorm(s, dir)
+      .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+    val votes = (1 to 16).map { b =>
+      sum(when(md5Nibble(col("tok"), b) >= 8, 1L).otherwise(-1L)).as(s"v$b")
+    }
+    val sim = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (1 to 16).map(b => when(col(s"v$b") > 0, 1L).otherwise(0L) * (1L << (b - 1)))
+          .reduce(_ + _).as("simhash"))
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k.toLong).as("band"),
+          shiftright(col("simhash"), k * 4).bitwiseAND(15L).as("key"))): _*)).as("b"))
+      .select(col("doc_id"), col("simhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  val q37Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS tok
+      |  FROM documents),
+      |sim AS (
+      |  SELECT doc_id,
+      |""".stripMargin +
+      (1 to 16).map { b =>
+        s"    sum(CASE WHEN CAST('0x' || substr(md5(tok), $b, 1) AS BIGINT) >= 8 THEN 1 ELSE -1 END)"
+      }.zipWithIndex.map { case (v, i) =>
+        s"(CASE WHEN $v > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("", " +\n", s" AS simhash\n") +
+      """  FROM toks GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, simhash, g.band, (simhash >> (g.band * 4)) & 15 AS key
+      |  FROM sim, UNNEST([0, 1, 2, 3]) AS g(band))
+      |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+      |FROM banded x JOIN banded y
+      |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+      |WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""".stripMargin
+
+  /** Embedding near-dup: cosine over 1e-3-quantized integer vectors inside
+    * cluster-label blocks. All arithmetic up to the final sqrt/division is
+    * exact integer math, so the cosine double is bit-identical to DuckDB
+    * and the 0.4 threshold is safe. */
+  def q38EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val a = e.select(col("label"), col("vec_id").as("vec_a"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("cos",
+        col("dot").cast("double") / sqrt((col("na2") * col("nb2")).cast("double")))
+      .filter(col("cos") >= 0.4)
+      .select("label", "vec_a", "vec_b", "cos")
+  }
+
+  val q38Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, q,
+      |    list_sum(list_transform(q, x -> x * x)) AS n2
+      |  FROM q)
+      |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+      |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+      |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
+    QueryDef("q35_ngram_jaccard", q35NgramJaccard, Some(q35Sql)),
+    QueryDef("q36_minhash_lsh", q36MinhashLsh, Some(q36Sql)),
+    QueryDef("q37_simhash", q37Simhash, Some(q37Sql)),
+    QueryDef("q38_embedding_neardup", q38EmbeddingNearDup, Some(q38Sql)))
+}

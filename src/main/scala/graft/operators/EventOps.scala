@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-time operators over the `events` table: tumbling/sliding windows,
+  * sessionization, calendar-field extraction (the reference's `time`
+  * dimension, SURVEY F1–F4, generalized), and a static pivot.
+  *
+  * These are the batch forms; `graft.streaming.StreamingOps` runs the same
+  * windowed aggregation as a Structured Streaming query.
+  *
+  * Determinism: event timestamps are parquet ns, truncated to µs
+  * identically by Spark and DuckDB; all elapsed-time math is done in exact
+  * integer microseconds (`unix_micros` / `epoch_us`); `value` sums go
+  * through exact decimals.
+  */
+object EventOps {
+
+  /** Tumbling 1-hour event-time window (Spark `window()` operator). */
+  def q24Tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ts_hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  val q24Sql: String =
+    """SELECT date_trunc('hour', ts) AS ts_hour, event_type, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Sliding 1-hour window, 30-minute slide: each event lands in exactly
+    * two windows (epoch-aligned starts). */
+  def q25Sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+
+  val q25Sql: String =
+    """SELECT ws, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+      |  UNION ALL
+      |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' AS ws, value
+      |  FROM events)
+      |GROUP BY ws""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap splits sessions; classic
+    * lag + cumulative-flag-sum, all in integer microseconds. */
+  def q26Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+  }
+
+  val q26Sql: String =
+    """SELECT user_id, session_no, count(*) AS n_events,
+      |  min(ts) AS session_start,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |             OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, session_no""".stripMargin
+
+  /** Calendar-field battery — the reference `time` dimension generalized
+    * (F1–F4, `etl.py:186-223`): distinct (date, hour) with ISO week and
+    * Monday=1 weekday. */
+  def q27TimeDim(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("date_day"), hour(col("ts")).cast("long").as("hour"))
+      .distinct()
+      .select(col("date_day"), col("hour"),
+        dayofmonth(col("date_day")).cast("long").as("day"),
+        weekofyear(col("date_day")).cast("long").as("week"),
+        month(col("date_day")).cast("long").as("month"),
+        year(col("date_day")).cast("long").as("year"),
+        (((dayofweek(col("date_day")) + 5) % 7) + 1).cast("long").as("weekday"))
+
+  val q27Sql: String =
+    """SELECT date_day, hour,
+      |  EXTRACT(day FROM date_day) AS day,
+      |  weekofyear(date_day) AS week,
+      |  EXTRACT(month FROM date_day) AS month,
+      |  EXTRACT(year FROM date_day) AS year,
+      |  isodow(date_day) AS weekday
+      |FROM (SELECT DISTINCT CAST(ts AS DATE) AS date_day,
+      |        EXTRACT(hour FROM ts) AS hour FROM events)""".stripMargin
+
+  /** Static pivot: event_type → columns, exact sums. */
+  def q28Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double"))
+      .select(col("user_id"), col("click"), col("view"), col("purchase"),
+        col("signup"), col("error"))
+
+  val q28Sql: String =
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+      |FROM events GROUP BY user_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
+    QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),
+    QueryDef("q26_sessionize", q26Sessionize, Some(q26Sql)),
+    QueryDef("q27_time_dim", q27TimeDim, Some(q27Sql)),
+    QueryDef("q28_pivot", q28Pivot, Some(q28Sql)))
+}

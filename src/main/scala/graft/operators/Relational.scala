@@ -1,0 +1,319 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core relational operator inventory (SURVEY.md §2.2–§2.4 generalized):
+  * scan, project, filter, inner/left/semi/anti/full joins, hash aggregate,
+  * distinct, rollup/cube, scalar subquery, having, case/when, set ops.
+  *
+  * Scale notes (100 TB discipline):
+  *  - dimension joins (`nation`, `region`, small aggregates) are
+  *    `broadcast()`-hinted — no shuffle of the fact side;
+  *  - fact-fact joins (lineitem⋈orders) rely on sort-merge + AQE;
+  *  - every aggregate is a partial/final HashAggregate (map-side combine);
+  *  - all money arithmetic goes through [[graft.functions.Exact]] so
+  *    results are independent of partitioning/merge order.
+  */
+object Relational {
+
+  /** TPC-H Q1-shaped pricing summary: filter → groupBy → 8 aggregates. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    li.filter(col("l_shipdate") <= lit("1999-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        sum(col("l_extendedprice").cast(DecimalType(12, 2))
+          * (lit(1) - col("l_discount").cast(DecimalType(4, 2)))
+          * (lit(1) + col("l_tax").cast(DecimalType(4, 2))))
+          .cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1999-06-30'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Projection + conjunctive predicate; pushed into the parquet scan. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+        && col("l_quantity") < 10)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+      |  AND l_quantity < 10""".stripMargin
+
+  /** 4-way join: fact⋈fact sort-merge, dims broadcast; revenue per nation. */
+  def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val o  = Tables.orders(s, dir)
+    val c  = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n  = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q03Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  /** LEFT OUTER join preserving customers with zero orders (J2 family). */
+  def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q04Sql: String =
+    """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name""".stripMargin
+
+  /** LEFT SEMI join (EXISTS): orders containing a near-max-quantity item. */
+  def q05JoinSemi(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir).filter(col("l_quantity") >= 49).select("l_orderkey")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+  }
+
+  val q05Sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin
+
+  /** LEFT ANTI join (NOT EXISTS): customers who never ordered. */
+  def q06JoinAnti(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+
+  /** FULL OUTER join of two aggregates (customer vs supplier per nation). */
+  def q07JoinFull(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = Tables.supplier(s, dir).groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, Seq("nationkey"), "full_outer")
+  }
+
+  val q07Sql: String =
+    """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      |USING (nationkey)""".stripMargin
+
+  /** Global DISTINCT (dedup-as-aggregate, SURVEY P5/A2). */
+  def q08Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority").distinct()
+
+  val q08Sql: String =
+    "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+  /** Greatest-n-per-group via self-join against a MAX subquery — the exact
+    * shape of the reference's `users` builder (J1, `etl.py:134-147`),
+    * including tie-keeping semantics. */
+  def q09LatestPerUser(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val m = e.groupBy("user_id").agg(max("ts").as("ts"))
+    e.join(broadcast(m), Seq("user_id", "ts"), "inner")
+      .select("user_id", "ts", "event_type", "value")
+  }
+
+  val q09Sql: String =
+    """SELECT e.user_id, e.ts, e.event_type, e.value
+      |FROM events e
+      |JOIN (SELECT user_id, max(ts) AS ts FROM events GROUP BY 1) m
+      |  ON e.user_id = m.user_id AND e.ts = m.ts""".stripMargin
+
+  /** Set op: UNION (distinct). */
+  def q13Union(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .union(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+      .distinct()
+
+  val q13Sql: String =
+    "SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier"
+
+  /** Set op: INTERSECT. */
+  def q14Intersect(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+
+  val q14Sql: String =
+    "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier"
+
+  /** Set op: EXCEPT. */
+  def q15Except(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+
+  val q15Sql: String =
+    "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier"
+
+  /** ROLLUP grouping sets with exact sums. */
+  def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+
+  val q16Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** CUBE grouping sets. */
+  def q17Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+
+  val q17Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Scalar-subquery compare (above-average filter), kept fully
+    * distributed via a broadcast cross-join of the 1-row aggregate. */
+  def q18AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.agg(
+      (sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+        / count(col("l_quantity"))).as("avg_qty"))
+    li.crossJoin(broadcast(avgQty))
+      .filter(col("l_quantity") > col("avg_qty"))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+  }
+
+  val q18Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_quantity > (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)
+      |                    FROM lineitem)""".stripMargin
+
+  /** GROUP BY + HAVING. */
+  def q19Having(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .filter(col("n_orders") >= 10)
+
+  val q19Sql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 10""".stripMargin
+
+  /** CASE WHEN bucketing feeding an aggregate. */
+  def q20CaseWhen(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"),
+        when(col("o_totalprice") < 100000, lit("low"))
+          .when(col("o_totalprice") < 300000, lit("mid"))
+          .otherwise(lit("high")).as("bucket"))
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n"))
+
+  val q20Sql: String =
+    """SELECT o_orderstatus,
+      |  CASE WHEN o_totalprice < 100000 THEN 'low'
+      |       WHEN o_totalprice < 300000 THEN 'mid'
+      |       ELSE 'high' END AS bucket,
+      |  count(*) AS n
+      |FROM orders GROUP BY 1, 2""".stripMargin
+
+  /** String/scalar function battery over `part` (SURVEY §2.6 generalized). */
+  def q22StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_name").like("%bolt%"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"))
+
+  val q22Sql: String =
+    """SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 5) AS prefix5,
+      |  length(p_name) AS name_len,
+      |  concat_ws('-', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_name, '^(\w+)', 1) AS first_word
+      |FROM part WHERE p_name LIKE '%bolt%'""".stripMargin
+
+  /** JSON extraction from the `events.props` payload column. */
+  def q23Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+
+  val q23Sql: String =
+    """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
+    QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
+    QueryDef("q03_join_agg", q03JoinAgg, Some(q03Sql)),
+    QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
+    QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
+    QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),
+    QueryDef("q07_join_full", q07JoinFull, Some(q07Sql)),
+    QueryDef("q08_distinct", q08Distinct, Some(q08Sql)),
+    QueryDef("q09_latest_per_user", q09LatestPerUser, Some(q09Sql)),
+    QueryDef("q13_union", q13Union, Some(q13Sql)),
+    QueryDef("q14_intersect", q14Intersect, Some(q14Sql)),
+    QueryDef("q15_except", q15Except, Some(q15Sql)),
+    QueryDef("q16_rollup", q16Rollup, Some(q16Sql)),
+    QueryDef("q17_cube", q17Cube, Some(q17Sql)),
+    QueryDef("q18_above_avg", q18AboveAvg, Some(q18Sql)),
+    QueryDef("q19_having", q19Having, Some(q19Sql)),
+    QueryDef("q20_case_when", q20CaseWhen, Some(q20Sql)),
+    QueryDef("q22_string_funcs", q22StringFuncs, Some(q22Sql)),
+    QueryDef("q23_json_extract", q23Json, Some(q23Sql)))
+}

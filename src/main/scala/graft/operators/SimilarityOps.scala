@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over
+  * `embeddings.embedding: array<float>`.
+  *
+  * Numeric contract: vectors are quantized to 1e-3 integer grids, all dot
+  * products and norms are exact int64 arithmetic (magnitudes < 2^53), and
+  * only the final `dot / sqrt(na2*nb2)` runs in IEEE double — both exactly
+  * rounded ops — so cosine scores are bit-identical to the DuckDB oracle
+  * and rankings are fully deterministic (ties broken by vec_id).
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * scans the corpus once — linear, no shuffle of the corpus. The LSH path
+  * buckets the corpus by an 8-bit random-hyperplane signature (fixed
+  * md5-derived planes) so each probe touches ~1/256 of the data; at 100 TB
+  * the bucket id becomes the shuffle/partition key and queries join only
+  * their bucket.
+  */
+object SimilarityOps {
+
+  /** Fixed ±1 hyperplane coefficients, derived from md5("p:d") so the
+    * DuckDB oracle can embed the same constants as literals. */
+  private[operators] val planes: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (p, d) =>
+      val b = md.digest(s"$p:${d + 1}".getBytes("UTF-8"))(0)
+      if ((b & 0x80) != 0) 1 else -1
+    }
+  }
+
+  /** Quantized vectors + exact int squared norm. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
+      .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+
+  private def cosine(qa: Column, qb: Column, na2: Column, nb2: Column): Column =
+    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+      .cast("double") / sqrt((na2 * nb2).cast("double"))
+
+  /** Exact top-10 cosine neighbors for query vectors vec_id < 5: broadcast
+    * the queries, single scan over the corpus, per-query top-k window. */
+  def q39KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  val q39Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+      |scored AS (
+      |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+      |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+      |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
+      |SELECT q_id, neighbor_id, cos, rn FROM (
+      |  SELECT q_id, neighbor_id, cos,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+      |  FROM scored) WHERE rn <= 10""".stripMargin
+
+  /** LSH-bucketed ANN: 8-bit random-hyperplane signature buckets the
+    * corpus; each query only scores its own bucket, top-3 by cosine.
+    * (Recall vs q39 is validated in ScalaTest, not by the oracle.) */
+  def q40KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val bucket = (0 until 8).map { p =>
+      val plane = array(planes(p).map(c => lit(c.toLong)): _*)
+      when(aggregate(zip_with(col("q"), plane, (x, c) => x * c),
+        lit(0L), (acc, x) => acc + x) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    val eb = e.withColumn("bucket", bucket)
+    val queries = eb.select(col("vec_id").as("q_id"), col("q").as("qq"),
+      col("n2").as("qn2"), col("bucket"))
+      .filter(col("q_id") < 5)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    eb.join(broadcast(queries), Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  val q40Sql: String = {
+    val planeLits = (0 until 8).map { p =>
+      planes(p).mkString("[", ", ", "]")
+    }
+    val bucketExpr = (0 until 8).map { p =>
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * (${planeLits(p)})[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" +\n    ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+       |b AS (
+       |  SELECT vec_id, q, n2,
+       |    $bucketExpr AS bucket
+       |  FROM n),
+       |scored AS (
+       |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+       |  FROM b qs JOIN b c ON qs.bucket = c.bucket AND qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
+       |SELECT q_id, neighbor_id, cos, rn FROM (
+       |  SELECT q_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored) WHERE rn <= 3""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
+    QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)))
+}

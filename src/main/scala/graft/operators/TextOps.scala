@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token statistics,
+  * quality scoring, language-ID heuristic, document fingerprinting.
+  * All pure column expressions (whole-stage codegen, no UDFs), embarrassingly
+  * parallel per document — the shape that scales linearly to 100 TB.
+  */
+object TextOps {
+
+  /** Token-count / length statistics per document. The average token
+    * length is derived from exact integer counts (chars minus separators
+    * over tokens), so the double division is bit-identical cross-engine. */
+  def q30TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("lang"),
+        length(col("norm")).cast("long").as("n_chars_norm"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("norm"), " "))).cast("long").as("n_distinct"))
+      .withColumn("avg_token_len",
+        (col("n_chars_norm") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+
+  val q30Sql: String =
+    """SELECT doc_id, lang,
+      |  length(norm) AS n_chars_norm,
+      |  len(string_split(norm, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(norm, ' '))) AS n_distinct,
+      |  CAST(length(norm) - (len(string_split(norm, ' ')) - 1) AS DOUBLE)
+      |    / len(string_split(norm, ' ')) AS avg_token_len
+      |FROM (SELECT doc_id, lang,
+      |        regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents)""".stripMargin
+
+  /** Stopword-overlap language-ID heuristic: score each candidate language
+    * by distinct-marker hits, argmax with a fixed tie-break order. (The
+    * synthetic corpus shares one vocabulary across langs, so this grades
+    * the computation, not linguistic accuracy.) */
+  def q31LangId(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "fast", "slow", "small", "big")
+    val es = Seq("data", "table", "row", "query", "line")
+    val fr = Seq("join", "merge", "sort", "hash", "group")
+    def score(words: Seq[String]) =
+      size(array_intersect(array_distinct(tokens(col("text"))),
+        array(words.map(lit): _*))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        score(en).as("s_en"), score(es).as("s_es"), score(fr).as("s_fr"))
+      .withColumn("pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+  }
+
+  val q31Sql: String =
+    """SELECT doc_id, lang, s_en, s_es, s_fr,
+      |  CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |       WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred
+      |FROM (
+      |  SELECT doc_id, lang,
+      |    len(list_intersect(toks, ['the','a','fast','slow','small','big'])) AS s_en,
+      |    len(list_intersect(toks, ['data','table','row','query','line'])) AS s_es,
+      |    len(list_intersect(toks, ['join','merge','sort','hash','group'])) AS s_fr
+      |  FROM (SELECT doc_id, lang,
+      |          list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS toks
+      |        FROM documents))""".stripMargin
+
+  /** Quality score: type-token ratio blended with a length bucket — the
+    * double arithmetic has a fixed expression-tree order, identical in
+    * both engines. */
+  def q32Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(normText(col("text")), " "))).cast("long").as("n_distinct"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        when(col("n_tokens") < 10, 0.2)
+          .when(col("n_tokens") < 50, 1.0)
+          .when(col("n_tokens") < 200, 0.8)
+          .otherwise(0.5))
+      .withColumn("quality", col("ttr") * 0.5 + col("len_score") * 0.5)
+
+  val q32Sql: String =
+    """SELECT doc_id, n_tokens, n_distinct,
+      |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+      |  CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens < 50 THEN 1.0
+      |       WHEN n_tokens < 200 THEN 0.8 ELSE 0.5 END AS len_score,
+      |  (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5 +
+      |  (CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens < 50 THEN 1.0
+      |        WHEN n_tokens < 200 THEN 0.8 ELSE 0.5 END) * 0.5 AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    len(string_split(norm, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(norm, ' '))) AS n_distinct
+      |  FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |        FROM documents))""".stripMargin
+
+  /** Content fingerprint: md5 of the normalized text, plus a 60-bit
+    * integer form — the primitive under exact dedup. */
+  def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(normText(col("text"))).as("fp"),
+        hash60(normText(col("text"))).as("fp60"))
+
+  val q33Sql: String =
+    """SELECT doc_id, md5(norm) AS fp,
+      |  CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS fp60
+      |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
+    QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
+    QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
+    QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)))
+}

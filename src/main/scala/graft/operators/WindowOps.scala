@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function operators (ranking, running frames, lag/lead, top-k).
+  * Absent from the reference (SURVEY §2.5) but part of the generalized
+  * surface. Every ORDER BY carries a unique tiebreak column so results are
+  * deterministic across engines and partition counts.
+  *
+  * Scale: a window shuffles once on its partition keys; frames evaluate
+  * streaming per partition (no materialization of the whole partition for
+  * running frames). Top-k global sort uses TakeOrderedAndProject — k rows
+  * per partition then a driver merge, never a full global sort.
+  */
+object WindowOps {
+
+  /** row_number ranking: top-3 orders per customer by price. */
+  def q10WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
+  /** Running-sum frame + lag: cumulative shipped quantity per supplier.
+    * Quantities are integer-valued doubles, so the running sum is exact
+    * in IEEE double regardless of evaluation order. */
+  def q11WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    Tables.lineitem(s, dir)
+      .withColumn("running_qty",
+        sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+        "running_qty", "prev_qty")
+  }
+
+  val q11Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  sum(l_quantity) OVER w AS running_qty,
+      |  lag(l_quantity, 1) OVER w AS prev_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Global top-k with total-order tiebreak (TakeOrderedAndProject). */
+  def q12TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  val q12Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** rank/dense_rank/ntile battery over one shuffle. */
+  def q21RankBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .filter(col("rnk") <= 20)
+  }
+
+  val q21Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk, drnk, quartile FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    rank()       OVER w AS rnk,
+      |    dense_rank() OVER w AS drnk,
+      |    ntile(4)     OVER w AS quartile
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+      |WHERE rnk <= 20""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q10_window_topn", q10WindowTopN, Some(q10Sql)),
+    QueryDef("q11_window_running", q11WindowRunning, Some(q11Sql)),
+    QueryDef("q12_topk", q12TopK, Some(q12Sql)),
+    QueryDef("q21_rank_battery", q21RankBattery, Some(q21Sql)))
+}

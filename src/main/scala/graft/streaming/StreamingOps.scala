@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming forms of the event-time operators: the same
+  * tumbling-window aggregation as `EventOps.q24Tumbling`, plus streaming
+  * dedup — `readStream` → transform → `writeStream`, watermark-bounded
+  * state. SURVEY §2.7: the reference is batch-only; this is the extension
+  * surface, kept to built-in stateful operators so state lives in the
+  * HDFS-backed state store and scales with executors, not the driver.
+  */
+object StreamingOps {
+
+  /** Parquet-directory stream of the events table (schema pinned from a
+    * batch read — streaming sources require an explicit schema). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour event-time aggregation with a 2-hour watermark —
+    * late rows beyond the watermark are dropped, state is bounded. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("ts_hour"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on (user_id, event_id) within the watermark. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicates("user_id", "event_id")
+
+  /** Run a streaming frame to completion against the (static) parquet
+    * input via the in-memory sink; returns the materialized result. */
+  def runToMemory(spark: SparkSession, frame: DataFrame, name: String,
+      outputMode: String = "append"): DataFrame = {
+    val q: StreamingQuery = frame.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}
