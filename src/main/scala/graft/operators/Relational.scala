@@ -121,17 +121,20 @@ object Relational {
       |WHERE EXISTS (SELECT 1 FROM lineitem
       |              WHERE l_orderkey = o_orderkey AND l_quantity >= 49)""".stripMargin
 
-  /** LEFT ANTI join (NOT EXISTS): customers who never ordered. */
+  /** LEFT ANTI join (NOT EXISTS): customers with no urgent order. */
   def q06JoinAnti(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir).select("o_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
   }
 
   val q06Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')""".stripMargin
 
   /** FULL OUTER join of two aggregates (customer vs supplier per nation). */
   def q07JoinFull(s: SparkSession, dir: String): DataFrame = {
@@ -188,13 +191,16 @@ object Relational {
   val q14Sql: String =
     "SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier"
 
-  /** Set op: EXCEPT. */
-  def q15Except(s: SparkSession, dir: String): DataFrame =
-    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
-      .except(Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey")))
+  /** Set op: EXCEPT of a relation against a filtered view of itself. */
+  def q15Except(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select("o_orderstatus", "o_orderpriority")
+    pairs.except(pairs.filter(col("o_orderstatus") === "F"))
+  }
 
   val q15Sql: String =
-    "SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier"
+    """SELECT o_orderstatus, o_orderpriority FROM orders
+      |EXCEPT
+      |SELECT o_orderstatus, o_orderpriority FROM orders WHERE o_orderstatus = 'F'""".stripMargin
 
   /** ROLLUP grouping sets with exact sums. */
   def q16Rollup(s: SparkSession, dir: String): DataFrame =

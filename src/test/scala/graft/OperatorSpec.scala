@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators._
+
+/** Invariant checks for the operator inventory over sf0.001 (full
+  * cross-engine value equality is covered by `graft.Verify` +
+  * `tools/check.py` against the DuckDB oracle — these specs assert the
+  * semantic properties that a hash-compare alone wouldn't explain). */
+class OperatorSpec extends SparkTestBase {
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle query name exists in queries") {
+    val q = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(q))
+    assert(q.size >= 40)
+  }
+
+  test("q09 keeps ties like the reference J1 join form") {
+    val df = Relational.q09LatestPerUser(spark, sfDir)
+    val perUser = df.groupBy("user_id").count().collect()
+    assert(perUser.forall(_.getLong(1) >= 1L))
+    assert(df.count() >= perUser.length) // ties may add rows, never remove
+  }
+
+  test("q35 jaccard pairs are all above threshold and ordered a<b") {
+    val rows = DedupOps.q35NgramJaccard(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getDouble(2) >= 0.6))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("minhash-LSH candidates cover the true near-dup pairs") {
+    val truth = DedupOps.q35NgramJaccard(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = DedupOps.q36MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recall of banding vs exact jaccard>=0.6 (planted dups are ~0.98)
+    val recall = truth.count(cand).toDouble / math.max(truth.size, 1)
+    assert(recall >= 0.9, s"minhash recall $recall, truth=${truth.size}")
+  }
+
+  test("knn brute force returns exactly 10 ranked neighbors per query") {
+    val rows = SimilarityOps.q39KnnBrute(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(byQ.values.forall(_.length == 10))
+    // scores are sorted descending by rank
+    byQ.values.foreach { rs =>
+      val scores = rs.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("knn LSH results are a subset of correct cosine ordering in-bucket") {
+    val rows = SimilarityOps.q40KnnLsh(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) <= 3))
+  }
+
+  test("multimodal features are deterministic 8-dim unit-mass histograms") {
+    val f = multimodal.Multimodal.qm1Features(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    f.foreach { r =>
+      val feats = r.getSeq[Float](3)
+      assert(feats.length == 8)
+      assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    }
+  }
+}
