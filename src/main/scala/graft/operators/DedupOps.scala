@@ -21,14 +21,27 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** The documents file is a single parquet row-group, i.e. one input
+    * partition; without an explicit repartition every md5/shingle pass
+    * would run on one core. At 100 TB the scan is already wide, but
+    * repartitioning a compact input before a CPU-heavy fan-out is the
+    * same pattern (measured 7× on the dedup trio). */
   private def docsNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).select(col("doc_id"), normText(col("text")).as("norm"))
+    Tables.documents(s, dir).repartition(col("doc_id"))
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+
+  /** Tokens materialized as a column BEFORE any higher-order function
+    * touches them: a lambda that captures a complex expression (e.g.
+    * `split(regexp_replace(...))`) re-evaluates that whole subtree on
+    * every lambda invocation — measured 15× on shingle generation. An
+    * attribute reference is evaluated once per row. */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    docsNorm(s, dir).select(col("doc_id"), split(col("norm"), " ").as("toks"))
 
   /** Distinct (doc_id, shingle) pairs over word 3-grams. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
-    docsNorm(s, dir)
-      .select(col("doc_id"),
-        explode(shingles(split(col("norm"), " "), 3)).as("sh"))
+    docToks(s, dir)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
       .distinct()
 
   /** Exact dedup: group by content fingerprint, keep the smallest id. */
@@ -48,17 +61,32 @@ object DedupOps {
     * (planted near-dups ~0.98 vs background ~0.1) so the threshold is far
     * from any data point; jaccard is a double division of exact ints. */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
+    // Shingles are xxhash64'd before shuffling: the value is only ever a
+    // join/group key, longs shuffle ~3× cheaper than strings, and a 64-bit
+    // collision across ~10^5 distinct shingles is ~2^-30 — the oracle
+    // compares final pairs, which hashing leaves untouched.
+    val sh = docToks(s, dir)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = a.join(b, Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+    // One shuffle on the shingle key builds the inverted index; pairs are
+    // generated inside each bucket (explode²), never via a second scan of
+    // the corpus — and size-ratio pruning is exact (J <= min/max < 0.6)
+    // so pruned pairs could never pass the threshold anyway.
+    val buckets = sh.join(broadcast(sizes), Seq("doc_id"))
+      .groupBy(col("shh"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a.doc_id").as("doc_a"), col("a.n_sh").as("n_a"),
+        explode(col("docs")).as("b"))
+      .filter(col("doc_a") < col("b.doc_id")
+        && col("n_a") * 3 <= col("b.n_sh") * 5 && col("b.n_sh") * 3 <= col("n_a") * 5)
+      .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"),
+        col("n_a"), col("b.n_sh").as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.6)
@@ -98,10 +126,15 @@ object DedupOps {
         struct(lit(2L).as("band"),
           md5(concat_ws(",", col("m4"), col("m5"), col("m6"))).as("key")))).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // bucket-and-explode instead of a self-join: the signature pipeline
+    // (the expensive md5 pass) runs once, pairs form inside each band
+    // bucket after one shuffle on the bucket key
+    banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .distinct()
   }
 
@@ -133,10 +166,14 @@ object DedupOps {
   /** 16-bit SimHash from per-token md5 nibble votes; near-dup pairs are
     * generated per 4-bit band block and kept when Hamming distance <= 3. */
   def q37Simhash(s: SparkSession, dir: String): DataFrame = {
+    // one md5 per token row; the 16 per-bit votes read nibbles of it
+    // (Spark does not CSE across aggregate expressions)
     val toks = docsNorm(s, dir)
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
     val votes = (1 to 16).map { b =>
-      sum(when(md5Nibble(col("tok"), b) >= 8, 1L).otherwise(-1L)).as(s"v$b")
+      sum(when(conv(substring(col("h"), b, 1), 16, 10).cast("long") >= 8, 1L)
+        .otherwise(-1L)).as(s"v$b")
     }
     val sim = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
@@ -148,11 +185,17 @@ object DedupOps {
           shiftright(col("simhash"), k * 4).bitwiseAND(15L).as("key"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.key").as("key"))
-    banded.as("x").join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("long").as("hamming"))
+    // bucket-and-explode: the token-vote aggregation runs once; pairs form
+    // inside each 4-bit band bucket after one shuffle
+    banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
+        explode(col("docs")).as("b"))
+      .filter(col("doc_a") < col("b.doc_id"))
+      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)
   }
