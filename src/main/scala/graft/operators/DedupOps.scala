@@ -227,18 +227,16 @@ object DedupOps {
     * exact integer math, so the cosine double is bit-identical to DuckDB
     * and the 0.4 threshold is safe. */
   def q38EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000).cast("long")).as("q"))
-      .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding").as("q"))
+      .withColumn("n2", graft.functions.VectorExprs.quantized_norm2(col("q")))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("n2").as("na2"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"),
       col("q").as("qb"), col("n2").as("nb2"))
     a.join(b, Seq("label")).filter(col("vec_a") < col("vec_b"))
       .withColumn("dot",
-        aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
+        graft.functions.VectorExprs.quantized_dot(col("qa"), col("qb")))
       .withColumn("cos",
         col("dot").cast("double") / sqrt((col("na2") * col("nb2")).cast("double")))
       .filter(col("cos") >= 0.4)
@@ -248,7 +246,7 @@ object DedupOps {
   val q38Sql: String =
     """WITH q AS (
       |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
       |  FROM embeddings),
       |n AS (
       |  SELECT vec_id, label, q,

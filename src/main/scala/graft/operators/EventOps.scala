@@ -129,10 +129,38 @@ object EventOps {
       |  CAST(sum(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Backward as-of lookup: each event gets the user's most recent
+    * purchase timestamp at-or-before it. Oracle-facing form uses a RANGE
+    * frame (value-based, tie-insensitive → deterministic); the generic
+    * engine operator is [[AsOfJoin.backward]], spec-checked against this. */
+  def q41AsOf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us").asc)
+      .rangeBetween(Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("last_purchase_us",
+        max(when(col("event_type") === "purchase", col("us"))).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(col("last_purchase_us")).as("last_purchase_ts"),
+        (col("us") - col("last_purchase_us")).as("gap_us"))
+  }
+
+  val q41Sql: String =
+    """SELECT event_id, user_id, ts,
+      |  make_timestamp(last_purchase_us) AS last_purchase_ts,
+      |  epoch_us(ts) - last_purchase_us AS gap_us
+      |FROM (
+      |  SELECT event_id, user_id, ts,
+      |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
+      |  FROM events)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
     QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),
     QueryDef("q26_sessionize", q26Sessionize, Some(q26Sql)),
     QueryDef("q27_time_dim", q27TimeDim, Some(q27Sql)),
-    QueryDef("q28_pivot", q28Pivot, Some(q28Sql)))
+    QueryDef("q28_pivot", q28Pivot, Some(q28Sql)),
+    QueryDef("q41_asof_lookup", q41AsOf, Some(q41Sql)))
 }

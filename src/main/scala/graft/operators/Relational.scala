@@ -302,6 +302,17 @@ object Relational {
     """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Approximate aggregates (HLL++). No oracle — DuckDB's sketch differs;
+    * the driver records a rows-only check and the spec bounds the error
+    * against exact countDistinct. */
+  def q42ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
@@ -321,5 +332,6 @@ object Relational {
     QueryDef("q19_having", q19Having, Some(q19Sql)),
     QueryDef("q20_case_when", q20CaseWhen, Some(q20Sql)),
     QueryDef("q22_string_funcs", q22StringFuncs, Some(q22Sql)),
-    QueryDef("q23_json_extract", q23Json, Some(q23Sql)))
+    QueryDef("q23_json_extract", q23Json, Some(q23Sql)),
+    QueryDef("q42_approx_distinct", q42ApproxDistinct, None))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
+import graft.functions.VectorExprs.{quantized_dot, quantized_norm2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,16 +34,16 @@ object SimilarityOps {
     }
   }
 
-  /** Quantized vectors + exact int squared norm. */
+  /** Vectors with their exact int squared norm ([[VectorExprs]] fused
+    * codegen expression — the float arrays travel as-is; quantization
+    * happens inside the primitive loop). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * 1000).cast("long")).as("q"))
-      .withColumn("n2", aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    Tables.embeddings(s, dir).repartition(col("vec_id"))
+      .select(col("vec_id"), col("label"), col("embedding").as("q"))
+      .withColumn("n2", quantized_norm2(col("q")))
 
   private def cosine(qa: Column, qb: Column, na2: Column, nb2: Column): Column =
-    aggregate(zip_with(qa, qb, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-      .cast("double") / sqrt((na2 * nb2).cast("double"))
+    quantized_dot(qa, qb).cast("double") / sqrt((na2 * nb2).cast("double"))
 
   /** Exact top-10 cosine neighbors for query vectors vec_id < 5: broadcast
     * the queries, single scan over the corpus, per-query top-k window. */
@@ -63,7 +64,7 @@ object SimilarityOps {
   val q39Sql: String =
     """WITH q AS (
       |  SELECT vec_id, label,
-      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
       |  FROM embeddings),
       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
       |scored AS (
@@ -81,10 +82,11 @@ object SimilarityOps {
     * (Recall vs q39 is validated in ScalaTest, not by the oracle.) */
   def q40KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val e = quantized(s, dir)
+    // quantized_dot against a ±1.0 plane = 1000 × Σ coef·q_i, so the sign
+    // test is identical to the oracle's integer form
     val bucket = (0 until 8).map { p =>
-      val plane = array(planes(p).map(c => lit(c.toLong)): _*)
-      when(aggregate(zip_with(col("q"), plane, (x, c) => x * c),
-        lit(0L), (acc, x) => acc + x) > 0, 1L << p).otherwise(0L)
+      val plane = array(planes(p).map(c => lit(c.toFloat)): _*)
+      when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     val eb = e.withColumn("bucket", bucket)
     val queries = eb.select(col("vec_id").as("q_id"), col("q").as("qq"),
@@ -109,7 +111,7 @@ object SimilarityOps {
     }.mkString(" +\n    ")
     s"""WITH qv AS (
        |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT)) AS q
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
        |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
        |b AS (

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark 4's `private[sql]` Column↔Expression conversions so
+  * custom Catalyst expressions (graft.functions.VectorExprs) can be exposed
+  * as user-facing Columns. Spark 4 moved the classic `new Column(expr)` /
+  * `col.expr` surface behind `org.apache.spark.sql.classic.ExpressionUtils`;
+  * this is the minimal sanctioned escape hatch (same-package access), kept
+  * to exactly two forwarding calls.
+  */
+object GraftShims {
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -61,6 +61,52 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(3) <= 3))
   }
 
+  test("generic AsOfJoin.backward agrees with the q41 window formulation") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sfDir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("last_purchase_us"), col("event_id").as("p_id"))
+    val got = operators.AsOfJoin.backward(
+      left = e.select("event_id", "user_id", "ts"),
+      right = purchases.select("user_id", "p_ts", "last_purchase_us", "p_id"),
+      keys = Seq("user_id"), leftTime = "ts", rightTime = "p_ts",
+      payload = Seq("last_purchase_us"), rightTiebreak = Some("p_id"))
+      .select(col("event_id"), col("last_purchase_us"))
+    val want = operators.EventOps.q41AsOf(spark, sfDir)
+      .select(col("event_id"), unix_micros(col("last_purchase_ts")).as("last_purchase_us"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("quantized_dot/norm2 match the interpreted higher-order form") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExprs._
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000 + 0.5).cast("long")).as("q"))
+    val cmp = e.select(
+      quantized_norm2(col("embedding")).as("fused"),
+      aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("interp"),
+      quantized_dot(col("embedding"), col("embedding")).as("fused_dot"))
+    assert(cmp.filter(col("fused") =!= col("interp")).isEmpty)
+    assert(cmp.filter(col("fused_dot") =!= col("fused")).isEmpty)
+  }
+
+  test("approx_count_distinct lands within its 2% rsd band (5% slack)") {
+    import org.apache.spark.sql.functions._
+    val approx = operators.Relational.q42ApproxDistinct(spark, sfDir)
+    val exact = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val joined = approx.join(exact, "l_returnflag").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val a = r.getAs[Long]("approx_parts").toDouble
+      val x = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(a - x) / x <= 0.05, s"approx $a vs exact $x")
+    }
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val f = multimodal.Multimodal.qm1Features(spark, sfDir).collect()
     assert(f.nonEmpty)
