@@ -42,6 +42,28 @@ object StreamingOps {
       .withWatermark("ts", "2 hours")
       .dropDuplicates("user_id", "event_id")
 
+  /** Custom stateful operator: running per-user event counts via
+    * `flatMapGroupsWithState` — the escape hatch for state machines the
+    * built-in windowed aggregates can't express. State is per-key in the
+    * state store (scales with executors); emits one update per user per
+    * micro-batch. */
+  def runningUserCounts(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events.select(col("user_id").as[Long], col("event_id").as[Long])
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val next = prev + rows.size
+          state.update(next)
+          Iterator((userId, next))
+      }
+      .toDF("user_id", "n_events")
+  }
+
   /** Run a streaming frame to completion against the (static) parquet
     * input via the in-memory sink; returns the materialized result. */
   def runToMemory(spark: SparkSession, frame: DataFrame, name: String,

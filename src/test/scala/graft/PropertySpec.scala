@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sparkify.Pipelines
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.util.Random
+
+/** Property-style tests (seeded generators — the offline environment has
+  * no scalatest-scalacheck bridge): calendar-field round-trips vs
+  * java.time, dedup idempotence, partitioned write/read equality, and
+  * exact-decimal aggregation vs BigDecimal ground truth.
+  */
+class PropertySpec extends SparkTestBase {
+  import scala.jdk.CollectionConverters._
+
+  private val rnd = new Random(42)
+
+  test("time table calendar fields agree with java.time for random epochs") {
+    // epoch millis across 2015-2030, including day boundaries
+    val tss = Seq.fill(300)(1420070400000L + (rnd.nextDouble() * 4.7e11).toLong)
+    val rows = tss.map(ts => Row(null, null, null, null, null, null, null,
+      null, null, null, "Home", null, null, null, null, ts, null, "u"))
+    val logs = spark.createDataFrame(rows.asJava, sparkify.Schemas.logData)
+    val got = Pipelines.timeTable(logs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    tss.distinct.foreach { ts =>
+      val t = java.time.Instant.ofEpochMilli(ts).atZone(java.time.ZoneOffset.UTC)
+      val r = got(ts)
+      assert(r.getInt(1) == t.getHour, s"hour for $ts")
+      assert(r.getInt(2) == t.getDayOfMonth, s"day for $ts")
+      assert(r.getInt(3) == t.get(java.time.temporal.WeekFields.ISO.weekOfWeekBasedYear()), s"week for $ts")
+      assert(r.getInt(4) == t.getMonthValue, s"month for $ts")
+      assert(r.getInt(5) == t.getYear, s"year for $ts")
+      assert(r.getInt(6) == t.getDayOfWeek.getValue, s"weekday for $ts") // Monday=1
+    }
+  }
+
+  test("distinct is idempotent and order-insensitive") {
+    import spark.implicits._
+    val xs = Seq.fill(500)(rnd.nextInt(50)).toDF("x")
+    val once = xs.distinct()
+    assert(once.distinct().count() == once.count())
+    val shuffled = xs.repartition(7).distinct()
+    assert(shuffled.collect().map(_.getInt(0)).sorted.toSeq ==
+      once.collect().map(_.getInt(0)).sorted.toSeq)
+  }
+
+  test("partitioned write then read returns exactly the input rows") {
+    import spark.implicits._
+    val df = Seq.tabulate(200)(i =>
+      (i.toLong, 2018 + rnd.nextInt(3), 1 + rnd.nextInt(12), rnd.nextDouble()))
+      .toDF("id", "year", "month", "v")
+    val dir = Files.createTempDirectory("pw").toFile.getAbsolutePath
+    Pipelines.writePartitioned(df, s"$dir/t", Seq("year", "month"))
+    val back = spark.read.parquet(s"$dir/t")
+      .select("id", "year", "month", "v")
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("Exact.dsum matches BigDecimal ground truth at any partitioning") {
+    import spark.implicits._
+    val vals = Seq.fill(2000)(BigDecimal(rnd.nextInt(20000000)) / 100)
+    val want = vals.sum.toDouble
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vals.map(_.toDouble).toDF("x").repartition(parts)
+        .agg(functions.Exact.dsum(col("x")).as("s"))
+        .head().getDouble(0)
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("salted join equals plain join") {
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val dim = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val plain = e.join(dim, Seq("user_id"))
+    val salted = operators.Skew.saltedJoin(e, dim, "user_id", 8)
+      .select(plain.columns.map(col).toIndexedSeq: _*)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("stateful streaming running counts end at the batch totals") {
+    val stream = streaming.StreamingOps.eventsStream(spark, sfDir)
+    val got = streaming.StreamingOps.runToMemory(spark,
+      streaming.StreamingOps.runningUserCounts(spark, stream), "running_counts")
+    // last update per user == total events for that user
+    val finalCounts = got.groupBy("user_id").agg(max("n_events").as("n_events"))
+    val want = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(finalCounts.exceptAll(want).isEmpty && want.exceptAll(finalCounts).isEmpty)
+  }
+}
