@@ -186,17 +186,24 @@ object DedupOps {
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.key").as("key"))
     // bucket-and-explode: the token-vote aggregation runs once; pairs form
-    // inside each 4-bit band bucket after one shuffle
+    // inside each 4-bit band bucket after one shuffle. A pair matching in
+    // several bands is emitted only from its FIRST matching band (map-side
+    // filter) — replaces a multi-million-row DISTINCT shuffle.
+    def nibble(c: Column, j: Int): Column =
+      shiftright(c, j * 4).bitwiseAND(15L)
+    val firstBandOnly = (0 until 4).map { j =>
+      when(col("band") > j, nibble(col("sim_a"), j) =!= nibble(col("b.simhash"), j))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
     banded.groupBy(col("band"), col("key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
       .filter(size(col("docs")) > 1)
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("sim_a"),
-        explode(col("docs")).as("b"))
-      .filter(col("doc_a") < col("b.doc_id"))
+      .select(col("band"), explode(col("docs")).as("a"), col("docs"))
+      .select(col("band"), col("a.doc_id").as("doc_a"),
+        col("a.simhash").as("sim_a"), explode(col("docs")).as("b"))
+      .filter(col("doc_a") < col("b.doc_id") && firstBandOnly)
       .select(col("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 3)
   }
 
