@@ -313,6 +313,40 @@ object Relational {
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
         count(lit(1)).as("n"))
 
+  /** ARRAY_AGG-style aggregation: per-user sorted distinct event types.
+    * Output is joined to a string because array cells stringify
+    * differently across engines' client layers; the set semantics are
+    * what's exercised. */
+  def q43ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        concat_ws(",", sort_array(collect_set(col("event_type")))).as("types"),
+        countDistinct(col("event_type")).as("n_types"))
+
+  val q43Sql: String =
+    """SELECT user_id,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      |  count(DISTINCT event_type) AS n_types
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** Date arithmetic across a join: shipping delay in days and a due
+    * date offset. */
+  def q44DateArith(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_shipdate")
+    val o  = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("ship_delay_days"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))
+  }
+
+  val q44Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS ship_delay_days,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
@@ -333,5 +367,7 @@ object Relational {
     QueryDef("q20_case_when", q20CaseWhen, Some(q20Sql)),
     QueryDef("q22_string_funcs", q22StringFuncs, Some(q22Sql)),
     QueryDef("q23_json_extract", q23Json, Some(q23Sql)),
-    QueryDef("q42_approx_distinct", q42ApproxDistinct, None))
+    QueryDef("q42_approx_distinct", q42ApproxDistinct, None),
+    QueryDef("q43_array_agg", q43ArrayAgg, Some(q43Sql)),
+    QueryDef("q44_date_arith", q44DateArith, Some(q44Sql)))
 }
