@@ -110,11 +110,18 @@ object VectorExprs {
       copy(child = newChild)
   }
 
-  import org.apache.spark.sql.GraftShims.{toColumn, toExpression}
+  import org.apache.spark.sql.GraftShims.{registerFunction, toColumn, toExpression}
 
   def quantized_dot(a: Column, b: Column): Column =
     toColumn(QuantizedDot(toExpression(a), toExpression(b)))
 
   def quantized_norm2(a: Column): Column =
     toColumn(QuantizedNorm2(toExpression(a)))
+
+  /** Make both expressions callable from SQL text
+    * (`SELECT quantized_dot(a, b) ...`). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    registerFunction(spark, "quantized_dot", es => QuantizedDot(es(0), es(1)))
+    registerFunction(spark, "quantized_norm2", es => QuantizedNorm2(es.head))
+  }
 }

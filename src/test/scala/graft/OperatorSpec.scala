@@ -93,6 +93,17 @@ class OperatorSpec extends SparkTestBase {
     assert(cmp.filter(col("fused_dot") =!= col("fused")).isEmpty)
   }
 
+  test("custom expressions are callable from SQL after registration") {
+    graft.functions.VectorExprs.registerSql(spark)
+    Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      """SELECT vec_id, quantized_norm2(embedding) AS n2,
+        |       quantized_dot(embedding, embedding) AS selfdot
+        |FROM emb_sql""".stripMargin).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) && r.getLong(1) > 0))
+  }
+
   test("approx_count_distinct lands within its 2% rsd band (5% slack)") {
     import org.apache.spark.sql.functions._
     val approx = operators.Relational.q42ApproxDistinct(spark, sfDir)
