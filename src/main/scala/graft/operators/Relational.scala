@@ -347,6 +347,30 @@ object Relational {
       |  CAST(o_orderdate AS DATE) + 30 AS due_date
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
 
+  /** Outer join with a compound equi + range condition: lineitems shipped
+    * within 30 days of their order's date. The equi key keeps it a hash/
+    * sort-merge join (the range predicate is a post-join filter on the
+    * matched side), so no nested-loop blowup at scale. */
+  def q45RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey")
+          && li("l_shipdate") >= o("o_orderdate")
+          && li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_shipped_30d"))
+  }
+
+  val q45Sql: String =
+    """SELECT o_orderkey, count(l_orderkey) AS n_shipped_30d
+      |FROM orders LEFT JOIN lineitem
+      |  ON o_orderkey = l_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
@@ -369,5 +393,6 @@ object Relational {
     QueryDef("q23_json_extract", q23Json, Some(q23Sql)),
     QueryDef("q42_approx_distinct", q42ApproxDistinct, None),
     QueryDef("q43_array_agg", q43ArrayAgg, Some(q43Sql)),
-    QueryDef("q44_date_arith", q44DateArith, Some(q44Sql)))
+    QueryDef("q44_date_arith", q44DateArith, Some(q44Sql)),
+    QueryDef("q45_range_join", q45RangeJoin, Some(q45Sql)))
 }
