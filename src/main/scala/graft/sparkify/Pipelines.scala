@@ -24,14 +24,13 @@ import org.apache.spark.sql.functions._
 object Pipelines {
 
   /** JSON-lines staging read with fixed schema, no inference — reference
-    * `etl.py:83-86` / `etl.py:93-95`. */
+    * `etl.py:83-86` / `etl.py:93-95`. Delegates to the generic lake IO
+    * surface (`graft.sources.Lake`). */
   def readLogData(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .schema(Schemas.logData).json(path)
+    graft.sources.Lake.readJson(spark, path, Schemas.logData)
 
   def readSongData(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("recursiveFileLookup", "true")
-      .schema(Schemas.songData).json(path)
+    graft.sources.Lake.readJson(spark, path, Schemas.songData)
 
   /** songs: select 5 → distinct (`etl.py:98-111`). */
   def songsTable(songData: DataFrame): DataFrame =
@@ -82,12 +81,11 @@ object Pipelines {
   /** Partitioned snappy-parquet sink (`etl.py:106-110` etc.): songs by
     * (year, artist_id); songplays and time by (year, month). */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
-    df.write.partitionBy(cols: _*).mode("overwrite")
-      .option("compression", "snappy").parquet(path)
+    graft.sources.Lake.writePartitioned(df, path, cols)
 
   /** Unpartitioned snappy-parquet sink (`etl.py:225-237`). */
   def writePlain(df: DataFrame, path: String): Unit =
-    df.write.mode("overwrite").option("compression", "snappy").parquet(path)
+    graft.sources.Lake.writePlain(df, path)
 
   /** Full ETL: stage JSON → build all five tables → data-lake layout.
     * Stages communicate through the filesystem, like the reference
