@@ -156,11 +156,39 @@ object EventOps {
       |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_us
       |  FROM events)""".stripMargin
 
+  /** Native `session_window` operator (gap-merged sessions). Windows are
+    * [start, end) with end = last event + gap, so a gap of exactly 30
+    * minutes starts a NEW session — the oracle's `>=` on the lag mirrors
+    * that exclusive-end semantics. */
+  def q46SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+
+  val q46Sql: String =
+    """SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events
+      |FROM (
+      |  SELECT user_id, ts,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1)
+      |             OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+      |           THEN 1 ELSE 0 END AS new_sess
+      |    FROM events))
+      |GROUP BY user_id, session_no""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
     QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),
     QueryDef("q26_sessionize", q26Sessionize, Some(q26Sql)),
     QueryDef("q27_time_dim", q27TimeDim, Some(q27Sql)),
     QueryDef("q28_pivot", q28Pivot, Some(q28Sql)),
-    QueryDef("q41_asof_lookup", q41AsOf, Some(q41Sql)))
+    QueryDef("q41_asof_lookup", q41AsOf, Some(q41Sql)),
+    QueryDef("q46_session_window", q46SessionWindow, Some(q46Sql)))
 }

@@ -394,5 +394,29 @@ object Relational {
     QueryDef("q42_approx_distinct", q42ApproxDistinct, None),
     QueryDef("q43_array_agg", q43ArrayAgg, Some(q43Sql)),
     QueryDef("q44_date_arith", q44DateArith, Some(q44Sql)),
-    QueryDef("q45_range_join", q45RangeJoin, Some(q45Sql)))
+    QueryDef("q45_range_join", q45RangeJoin, Some(q45Sql)),
+    QueryDef("q47_math_funcs", q47MathFuncs, Some(q47Sql)))
+
+  /** Math-function battery over exactly-representable inputs (abs, ceil,
+    * floor, sqrt, pmod, sign — all correctly-rounded or integer ops;
+    * transcendentals like log/pow are deliberately excluded because libm
+    * results differ across engines). */
+  def q47MathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        abs(col("c_acctbal")).as("abs_bal"),
+        ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+        floor(col("c_acctbal")).cast("long").as("floor_bal"),
+        sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+        pmod(col("c_custkey"), lit(7L)).as("mod7"),
+        signum(col("c_acctbal")).as("sign_bal"))
+
+  val q47Sql: String =
+    """SELECT c_custkey, abs(c_acctbal) AS abs_bal,
+      |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+      |  sqrt(abs(c_acctbal)) AS sqrt_bal,
+      |  c_custkey % 7 AS mod7,
+      |  CAST(sign(c_acctbal) AS DOUBLE) AS sign_bal
+      |FROM customer""".stripMargin
 }
