@@ -129,7 +129,29 @@ object SimilarityOps {
        |  FROM scored) WHERE rn <= 3""".stripMargin
   }
 
+  /** Per-dimension corpus statistics via posexplode: exact quantized sums
+    * and min/max per embedding position (the "column profile" pass a
+    * vector pipeline runs before choosing an index). */
+  def q48DimStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).repartition(col("vec_id"))
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("q"))
+      .groupBy(col("pos"))
+      .agg(sum(col("q")).as("sum_q"), min(col("q")).as("min_q"),
+        max(col("q")).as("max_q"), count(lit(1)).as("n"))
+
+  val q48Sql: String =
+    """SELECT i - 1 AS pos,
+      |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+      |  min(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS min_q,
+      |  max(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS max_q,
+      |  count(*) AS n
+      |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+      |GROUP BY pos""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
-    QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)))
+    QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),
+    QueryDef("q48_dim_stats", q48DimStats, Some(q48Sql)))
 }
