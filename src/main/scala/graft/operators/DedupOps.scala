@@ -266,10 +266,70 @@ object DedupOps {
       |WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
       |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin
 
+  /** Label-free embedding near-dup: LSH hyperplane buckets (no cluster
+    * column assumed — the true 100 TB path) then exact cosine inside each
+    * bucket. Recall is governed by the band structure, not corpus size. */
+  def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.{quantized_dot, quantized_norm2}
+    val planes = SimilarityOps.planes
+    val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("q"))
+      .withColumn("n2", quantized_norm2(col("q")))
+    // two 4-plane bands: near-identical vectors agree on at least one
+    val bands = (0 until 2).map { bnd =>
+      val key = (0 until 4).map { p =>
+        val plane = array(planes(bnd * 4 + p).map(c => lit(c.toFloat)): _*)
+        when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(bnd.toLong).as("band"), key.as("key"))
+    }
+    val banded = e.select(col("vec_id"), col("q"), col("n2"),
+      explode(array(bands: _*)).as("b"))
+      .select(col("vec_id"), col("q"), col("n2"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.groupBy(col("band"), col("key"))
+      .agg(collect_list(struct(col("vec_id"), col("q"), col("n2"))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(explode(col("vs")).as("a"), col("vs"))
+      .select(col("a.vec_id").as("vec_a"), col("a.q").as("qa"),
+        col("a.n2").as("na2"), explode(col("vs")).as("b"))
+      .filter(col("vec_a") < col("b.vec_id"))
+      .withColumn("cos", quantized_dot(col("qa"), col("b.q")).cast("double")
+        / sqrt((col("na2") * col("b.n2")).cast("double")))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
+      .distinct()
+  }
+
+  val q49Sql: String = {
+    val planes = SimilarityOps.planes
+    def keyExpr(bnd: Int, qcol: String) = (0 until 4).map { p =>
+      val lits = planes(bnd * 4 + p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> $qcol[i] * ($lits)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+       |banded AS (
+       |  SELECT vec_id, q, n2, 0 AS band, ${keyExpr(0, "q")} AS key FROM n
+       |  UNION ALL
+       |  SELECT vec_id, q, n2, 1 AS band, ${keyExpr(1, "q")} AS key FROM n)
+       |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+       |FROM banded a JOIN banded b
+       |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+       |WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q35_ngram_jaccard", q35NgramJaccard, Some(q35Sql)),
     QueryDef("q36_minhash_lsh", q36MinhashLsh, Some(q36Sql)),
     QueryDef("q37_simhash", q37Simhash, Some(q37Sql)),
-    QueryDef("q38_embedding_neardup", q38EmbeddingNearDup, Some(q38Sql)))
+    QueryDef("q38_embedding_neardup", q38EmbeddingNearDup, Some(q38Sql)),
+    QueryDef("q49_embedding_lsh_dedup", q49EmbeddingLshDedup, Some(q49Sql)))
 }

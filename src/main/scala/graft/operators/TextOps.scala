@@ -115,9 +115,82 @@ object TextOps {
       |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
       |      FROM documents)""".stripMargin
 
+  /** BPE-ish regex token counting: word / number / punctuation pieces via
+    * `regexp_extract_all` (pattern restricted to ASCII classes so the
+    * Java and RE2 dialects agree). */
+  def q50BpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        regexp_extract_all(col("norm"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_bpe"))
+
+  val q50Sql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(norm, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_distinct_bpe
+      |FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents)""".stripMargin
+
+  /** Winnowing-style rolling-hash fingerprints: char 8-gram hashes, min
+    * over each 16-wide sliding window, distinct mins per doc; documents
+    * sharing >= 5 fingerprints are near-dup candidates. Robust to
+    * word-boundary shifts, unlike word-shingle Jaccard. */
+  def q51WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, dir).repartition(col("doc_id"))
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        explode(sequence(lit(1), length(col("norm")) - 7)).as("i"))
+      .select(col("doc_id"), col("i"),
+        hash60(expr("substr(norm, i, 8)")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
+      .rowsBetween(0, 15)
+    val fp = grams
+      .withColumn("mh", min(col("h")).over(w))
+      .select(col("doc_id"), col("mh")).distinct()
+    // MOSS-style: fingerprints present in too many documents carry no
+    // signal and quadratically explode the pair stage — cap document
+    // frequency at 20 (mirrored in the oracle)
+    fp.groupBy(col("mh"))
+      .agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")).between(2, 20))
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+  }
+
+  val q51Sql: String =
+    """WITH nd AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |    CAST('0x' || substr(md5(substr(norm, i, 8)), 1, 15) AS BIGINT) AS h
+      |  FROM nd, UNNEST(generate_series(1, length(norm) - 7)) AS g(i)),
+      |wins AS (
+      |  SELECT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+      |  FROM grams),
+      |fp AS (SELECT DISTINCT doc_id, mh FROM wins),
+      |rare AS (SELECT mh FROM fp GROUP BY mh HAVING count(*) BETWEEN 2 AND 20)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id < b.doc_id
+      |JOIN rare r ON r.mh = a.mh
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 5""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
     QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
-    QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)))
+    QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
+    QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),
+    QueryDef("q51_winnow_fingerprint", q51WinnowFingerprint, Some(q51Sql)))
 }
