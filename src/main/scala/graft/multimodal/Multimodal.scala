@@ -62,6 +62,28 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB — stands in for an image resize. Deterministic byte-level
+    * downsample: keep every `factor`-th byte. Real codecs swap in here;
+    * the Spark-side shape (mapPartitions over binary, explicit output
+    * schema) is what carries to a cluster. */
+  def fakeResize(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+    out
+  }
+
+  /** Batch resize stage over the binary column. */
+  def resizeMedia(spark: SparkSession, media: DataFrame, factor: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, bytes.length.toLong, fakeResize(bytes, factor))
+      })
+      .toDF("doc_id", "orig_bytes", "resized")
+  }
+
   /** "Frame sampling" for byte-stream media: take every k-th fixed-size
     * chunk — the partition/batch shape of video frame extraction. */
   def sampleFrames(spark: SparkSession, media: DataFrame,

@@ -150,8 +150,48 @@ object SimilarityOps {
       |FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
       |GROUP BY pos""".stripMargin
 
+  /** IVF-style ANN: a KMeans coarse quantizer (k=16, fixed seed) assigns
+    * every vector to a cell; each query probes its 2 nearest cells and
+    * scores exact quantized cosine inside them. Rows-only (training is
+    * not SQL-expressible); recall vs the brute-force q39 is spec-checked.
+    * At 100 TB: centroids are tiny and broadcast; the corpus is
+    * partitioned by cell id, so a probe touches nprobe/k of the data. */
+  def q52KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = quantized(s, dir)
+      .withColumn("features", array_to_vector(col("q")))
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("features").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("q"), col("n2"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq
+    val cdf = s.createDataFrame(centroids).toDF("cell", "centroid")
+    // nearest 2 cells per query by exact quantized cosine to the centroid
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell").asc)
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+      .crossJoin(broadcast(cdf))
+      .withColumn("ccos", quantized_dot(col("qq"), col("centroid")).cast("double")
+        / sqrt((col("qn2") * quantized_norm2(col("centroid"))).cast("double")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= 2)
+      .select(col("q_id"), col("qq"), col("qn2"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
     QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),
-    QueryDef("q48_dim_stats", q48DimStats, Some(q48Sql)))
+    QueryDef("q48_dim_stats", q48DimStats, Some(q48Sql)),
+    QueryDef("q52_knn_ivf", q52KnnIvf, None))
 }

@@ -55,6 +55,16 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("IVF ANN with 2-of-16 probes recalls most brute-force neighbors") {
+    val truth = SimilarityOps.q39KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.q52KnnIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(ivf).toDouble / truth.size
+    assert(recall >= 0.3, s"ivf recall@10 = $recall")
+    assert(ivf.forall { case (q, _) => q < 5 })
+  }
+
   test("knn LSH results are a subset of correct cosine ordering in-bucket") {
     val rows = SimilarityOps.q40KnnLsh(spark, sfDir).collect()
     assert(rows.nonEmpty)
