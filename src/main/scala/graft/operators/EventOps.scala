@@ -190,5 +190,20 @@ object EventOps {
     QueryDef("q27_time_dim", q27TimeDim, Some(q27Sql)),
     QueryDef("q28_pivot", q28Pivot, Some(q28Sql)),
     QueryDef("q41_asof_lookup", q41AsOf, Some(q41Sql)),
-    QueryDef("q46_session_window", q46SessionWindow, Some(q46Sql)))
+    QueryDef("q46_session_window", q46SessionWindow, Some(q46Sql)),
+    QueryDef("q53_unpivot", q53Unpivot, Some(q53Sql)))
+
+  /** UNPIVOT (wide→long): melt the per-type pivot back into rows via
+    * `stack`, dropping absent combinations like SQL UNPIVOT does. */
+  def q53Unpivot(s: SparkSession, dir: String): DataFrame =
+    q28Pivot(s, dir)
+      .select(col("user_id"), expr(
+        """stack(5, 'click', click, 'view', view, 'purchase', purchase,
+          |'signup', signup, 'error', error) AS (event_type, sum_value)""".stripMargin))
+      .filter(col("sum_value").isNotNull)
+
+  val q53Sql: String =
+    """SELECT user_id, event_type,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY user_id, event_type""".stripMargin
 }

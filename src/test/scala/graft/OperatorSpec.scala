@@ -128,6 +128,18 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal resize downsamples deterministically by the factor") {
+    import org.apache.spark.sql.functions._
+    val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
+    val resized = multimodal.Multimodal.resizeMedia(spark, media, factor = 4).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { r =>
+      val orig = r.getLong(1)
+      val out = r.getAs[Array[Byte]](2)
+      assert(out.length == (orig + 3) / 4)
+    }
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val f = multimodal.Multimodal.qm1Features(spark, sfDir).collect()
     assert(f.nonEmpty)
