@@ -90,9 +90,27 @@ object WindowOps {
       |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
       |WHERE rnk <= 20""".stripMargin
 
+  /** The custom bounded-heap TopKPerKey physical operator
+    * (`graft.plans.TopKPerKey`) computing the same top-3-per-customer as
+    * q10's window form — oracle-checked against the identical SQL. */
+  def q54TopKCustom(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.perKey(
+      Tables.orders(s, dir).select("o_custkey", "o_orderkey", "o_totalprice"),
+      keys = Seq("o_custkey"),
+      order = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = 3)
+
+  val q54Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn <= 3""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q10_window_topn", q10WindowTopN, Some(q10Sql)),
     QueryDef("q11_window_running", q11WindowRunning, Some(q11Sql)),
     QueryDef("q12_topk", q12TopK, Some(q12Sql)),
-    QueryDef("q21_rank_battery", q21RankBattery, Some(q21Sql)))
+    QueryDef("q21_rank_battery", q21RankBattery, Some(q21Sql)),
+    QueryDef("q54_topk_custom", q54TopKCustom, Some(q54Sql)))
 }

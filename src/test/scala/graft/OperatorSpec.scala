@@ -71,6 +71,19 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(3) <= 3))
   }
 
+  test("custom TopKPerKey operator equals the window row_number form") {
+    import org.apache.spark.sql.functions._
+    val got = operators.WindowOps.q54TopKCustom(spark, sfDir)
+    val want = operators.WindowOps.q10WindowTopN(spark, sfDir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // physical plan is the two-phase custom exec, not a Window sort
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TopKPerKey .*, true".r.findFirstIn(plan).isDefined, plan)  // partial
+    assert("TopKPerKey .*, false".r.findFirstIn(plan).isDefined, plan) // final
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sfDir)
