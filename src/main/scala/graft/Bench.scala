@@ -39,18 +39,25 @@ object Bench {
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
-    val results = ordered.map { case (name, fn) =>
+    // a failed query records null, never its time-to-failure — a broken
+    // query must not masquerade as a fast one
+    val results: Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+        }
+      name -> elapsed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.flatMap(_._2).sum
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }
 }

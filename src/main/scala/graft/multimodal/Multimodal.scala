@@ -100,9 +100,34 @@ object Multimodal {
       .toDF("doc_id", "frame_no", "frame")
   }
 
-  /** Rows-only query: media features (no SQL oracle — binary pipeline). */
+  /** Feature-extraction query, flattened to hashable scalar columns:
+    * `(doc_id, format, n_bytes, pos, value)` via posexplode — array cells
+    * don't survive the driver's pandas-based compare. `value` is the float
+    * histogram ratio widened to double (exact), and the fake decode is a
+    * byte histogram over UTF-8 text, so a DuckDB oracle CAN reproduce it:
+    * the corpus is printable ASCII (verified), so char count == byte count
+    * and `unicode(ch) // 32` == `(byte & 0xff) >>> 5`. Both engines do the
+    * count/length division in FLOAT (correctly rounded) → identical bits. */
   def qm1Features(s: SparkSession, dir: String): DataFrame =
     extractFeatures(s, asMediaTable(Tables.documents(s, dir)))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        posexplode(col("features")).as(Seq("pos", "value")))
+      .select(col("doc_id"), col("format"), col("n_bytes"),
+        col("pos").cast("long").as("pos"),
+        col("value").cast("double").as("value"))
+
+  val qm1Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, unicode(substr(text, i, 1)) // 32 AS bucket
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)),
+      |h AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT doc_id, length(text) AS n, g.pos
+      |  FROM documents, UNNEST(generate_series(0, 7)) AS g(pos))
+      |SELECT grid.doc_id, 'txt' AS format, CAST(grid.n AS BIGINT) AS n_bytes,
+      |  CAST(grid.pos AS BIGINT) AS pos,
+      |  CAST(CAST(coalesce(h.cnt, 0) AS FLOAT) / CAST(greatest(grid.n, 1) AS FLOAT) AS DOUBLE) AS value
+      |FROM grid LEFT JOIN h ON h.doc_id = grid.doc_id AND h.bucket = grid.pos""".stripMargin
 
   /** Rows-only query: sampled frames with per-frame checksum. */
   def qm2Frames(s: SparkSession, dir: String): DataFrame =
@@ -110,6 +135,6 @@ object Multimodal {
       .select(col("doc_id"), col("frame_no"), crc32(col("frame")).as("frame_crc"))
 
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("qm1_multimodal_features", qm1Features, None),
+    QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
     QueryDef("qm2_multimodal_frames", qm2Frames, None))
 }

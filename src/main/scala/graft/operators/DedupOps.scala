@@ -74,7 +74,10 @@ object DedupOps {
     // generated inside each bucket (explode²), never via a second scan of
     // the corpus — and size-ratio pruning is exact (J <= min/max < 0.6)
     // so pruned pairs could never pass the threshold anyway.
-    val buckets = sh.join(broadcast(sizes), Seq("doc_id"))
+    // No broadcast hint on `sizes`: it is one row PER DOCUMENT (unbounded —
+    // billions of rows at 100 TB). Both sides already shuffle-agg on doc_id,
+    // so this join co-partitions for free; AQE still broadcasts when small.
+    val buckets = sh.join(sizes, Seq("doc_id"))
       .groupBy(col("shh"))
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
       .filter(size(col("docs")) > 1)

@@ -164,7 +164,10 @@ object Relational {
   def q09LatestPerUser(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
     val m = e.groupBy("user_id").agg(max("ts").as("ts"))
-    e.join(broadcast(m), Seq("user_id", "ts"), "inner")
+    // No broadcast hint: `m` is one row PER USER, i.e. unbounded — a forced
+    // broadcast would OOM the driver at 10^9 users. AQE sees the real
+    // post-aggregate size at runtime and still picks broadcast when small.
+    e.join(m, Seq("user_id", "ts"), "inner")
       .select("user_id", "ts", "event_type", "value")
   }
 
@@ -309,13 +312,16 @@ object Relational {
 
   /** Approximate aggregates (HLL++). No oracle — DuckDB's sketch differs;
     * the driver records a rows-only check and the spec bounds the error
-    * against exact countDistinct. */
+    * against exact countDistinct. The exact counts are emitted alongside
+    * the sketches so the row dump itself witnesses the error bound. */
   def q42ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
 
   /** ARRAY_AGG-style aggregation: per-user sorted distinct event types.

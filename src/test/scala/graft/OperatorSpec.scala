@@ -154,12 +154,23 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
-    val f = multimodal.Multimodal.qm1Features(spark, sfDir).collect()
+    val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
+    val f = multimodal.Multimodal.extractFeatures(spark, media).collect()
     assert(f.nonEmpty)
     f.foreach { r =>
       val feats = r.getSeq[Float](3)
       assert(feats.length == 8)
       assert(math.abs(feats.sum - 1.0f) < 1e-3)
+    }
+    // flattened query form: exactly 8 scalar rows per doc, same unit mass
+    import org.apache.spark.sql.functions._
+    val q = multimodal.Multimodal.qm1Features(spark, sfDir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("mass")).collect()
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      assert(r.getAs[Long]("n") == 8L)
+      assert(math.abs(r.getAs[Double]("mass") - 1.0) < 1e-3)
     }
   }
 }
