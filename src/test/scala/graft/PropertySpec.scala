@@ -73,6 +73,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Exact.cents/lsum fast path is bit-identical to the decimal path") {
+    // the per-row floor(x*100+0.5) rounding must agree with the decimal
+    // HALF_UP cast on every real data row (q01's oracle depends on it)
+    val li = Tables.lineitem(spark, sfDir)
+    for (c <- Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")) {
+      val mism = li.filter(
+        functions.Exact.cents(col(c)) =!=
+          (col(c).cast(DecimalType(18, 2)) * 100).cast("long")).count()
+      assert(mism == 0L, s"cents($c) diverges from decimal cast on $mism rows")
+    }
+    val got = li.agg(
+      functions.Exact.lsum(functions.Exact.cents(col("l_extendedprice")), 2).as("l"),
+      functions.Exact.dsum(col("l_extendedprice")).as("d")).head()
+    assert(got.getDouble(0) == got.getDouble(1))
+  }
+
+  test("Exact.lsum split recombination is exact for signed longs") {
+    import spark.implicits._
+    val xs = Seq.fill(2000)(rnd.nextLong() % 1000000000L) // mixed signs
+    val want = xs.sum.toDouble // |Σ| < 2^53, exactly representable
+    for (parts <- Seq(1, 7, 32)) {
+      val got = xs.toDF("x").repartition(parts)
+        .agg(functions.Exact.lsum(col("x"), 0).as("s")).head().getDouble(0)
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
   test("salted join equals plain join") {
     val e = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sfDir).groupBy("user_id")
