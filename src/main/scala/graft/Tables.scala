@@ -33,4 +33,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Repartition a compact input by `key` before a CPU-heavy fan-out
+    * (md5/explode passes) — but ONLY when the scan is actually narrow.
+    * Locally a single-row-group parquet file arrives as ONE partition and
+    * would pin the whole pass to one core (measured 7× on the dedup trio);
+    * on a cluster the same scan is already thousands of partitions wide
+    * and an unconditional repartition would be a gratuitous extra shuffle.
+    * The partition count comes from the compiled physical plan (no job is
+    * run). */
+  def widen(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(key)
+  }
 }

@@ -27,7 +27,7 @@ object DedupOps {
     * repartitioning a compact input before a CPU-heavy fan-out is the
     * same pattern (measured 7× on the dedup trio). */
   private def docsNorm(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir).repartition(col("doc_id"))
+    Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("norm"))
 
   /** Tokens materialized as a column BEFORE any higher-order function
@@ -237,7 +237,7 @@ object DedupOps {
     * exact integer math, so the cosine double is bit-identical to DuckDB
     * and the 0.4 threshold is safe. */
   def q38EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
+    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").as("q"))
       .withColumn("n2", graft.functions.VectorExprs.quantized_norm2(col("q")))
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
@@ -275,7 +275,7 @@ object DedupOps {
   def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.{quantized_dot, quantized_norm2}
     val planes = SimilarityOps.planes
-    val e = Tables.embeddings(s, dir).repartition(col("vec_id"))
+    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
     // two 4-plane bands: near-identical vectors agree on at least one

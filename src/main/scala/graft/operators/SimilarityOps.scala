@@ -38,7 +38,7 @@ object SimilarityOps {
     * codegen expression — the float arrays travel as-is; quantization
     * happens inside the primitive loop). */
   private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).repartition(col("vec_id"))
+    Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
 
@@ -133,7 +133,7 @@ object SimilarityOps {
     * and min/max per embedding position (the "column profile" pass a
     * vector pipeline runs before choosing an index). */
   def q48DimStats(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir).repartition(col("vec_id"))
+    Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("pos").cast("long").as("pos"),
         floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("q"))

@@ -140,7 +140,7 @@ object TextOps {
     * word-boundary shifts, unlike word-shingle Jaccard. */
   def q51WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = Tables.documents(s, dir).repartition(col("doc_id"))
+    val grams = Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .select(col("doc_id"), col("norm"),
         explode(sequence(lit(1), length(col("norm")) - 7)).as("i"))

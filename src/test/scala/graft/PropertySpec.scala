@@ -100,6 +100,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Tables.widen repartitions narrow inputs and passes wide ones through") {
+    import spark.implicits._
+    // local[4] => defaultParallelism 4: a 1-partition input must widen...
+    val narrow = spark.range(0, 100, 1, 1).toDF("doc_id")
+    // a repartition is inserted (AQE may still coalesce tiny test data)
+    val widened = Tables.widen(narrow, col("doc_id"))
+    assert(widened ne narrow)
+    assert(widened.queryExecution.logical.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }.nonEmpty)
+    // ...and an already-wide input must come back untouched (same plan, no
+    // gratuitous Exchange at cluster scale)
+    val wide = spark.range(0, 100, 1, 8).toDF("doc_id")
+    assert(Tables.widen(wide, col("doc_id")) eq wide)
+  }
+
   test("salted join equals plain join") {
     val e = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sfDir).groupBy("user_id")
