@@ -32,6 +32,36 @@ class GoldenParitySpec extends SparkTestBase {
     assert(songs.select("artist_id").distinct().count() == 69)
   }
 
+  test("EtlMain runs the config-driven pipeline end-to-end with read-back") {
+    assume(refPresent)
+    val out = java.nio.file.Files.createTempDirectory("etlmain").toFile.getAbsolutePath
+    val conf = sparkify.EtlMain.parseConf(Seq(
+      "# sparkify lake config",
+      "[io]",
+      s"log_data = $logPath",
+      s"song_data = $songPath",
+      s"output = $out/lake"))
+    val counts = sparkify.EtlMain.run(spark, conf).toMap
+    assert(counts("songs") == 71)
+    assert(counts("artists") == 69)
+    assert(counts("users") >= 98)
+    assert(counts("songplays") >= 6820)
+    assert(counts("time") > 0)
+    // partitioned hive layout reaches the lake (etl.py:106-110 shape)
+    assert(new java.io.File(s"$out/lake/songplays").listFiles()
+      .exists(_.getName.startsWith("year=")))
+  }
+
+  test("EtlMain accepts the reference template's [S3] key names") {
+    val conf = sparkify.EtlMain.parseConf(Seq(
+      "[S3]",
+      "log_data = s3a://bucket/log_data/",
+      "song_data = s3a://bucket/song_data/",
+      "output_bucket = s3a://bucket/out"))
+    assert(conf("s3.log_data") == "s3a://bucket/log_data/")
+    assert(conf("s3.output_bucket") == "s3a://bucket/out")
+  }
+
   test("five table builders reproduce reference semantics on real data") {
     assume(refPresent)
     val logs = Pipelines.readLogData(spark, logPath)
