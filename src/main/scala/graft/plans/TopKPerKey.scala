@@ -1,29 +1,42 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowNumber, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.GraftShims
 import org.apache.spark.sql.execution.SparkStrategy
 
 import scala.collection.mutable
 
 /** Per-key top-k as a first-class operator (logical node + strategy +
-  * physical exec), registered through `spark.experimental.extraStrategies`.
+  * physical exec + optimizer rewrite), registered through
+  * `spark.experimental` (see [[enable]]).
   *
   * Why custom: Spark expresses "top k rows per key" as
-  * `row_number().over(Window.partitionBy(key).orderBy(...)) <= k`, which
-  * sorts EVERY key's whole partition. This operator keeps a bounded
-  * k-heap per key and runs in two phases like an aggregate — a partial
-  * pass before the shuffle (at most k rows per key per input partition
-  * leave the map side) and a final pass after clustering by key. At
-  * 100 TB with small k this turns a full sort-shuffle of the fact table
-  * into a shuffle of ~k·|keys| rows.
+  * `row_number().over(Window.partitionBy(key).orderBy(...)) <= k` and since
+  * 3.5 prunes it with `WindowGroupLimit` — but that operator still FULLY
+  * SORTS every input partition (requiredChildOrdering) on both sides of
+  * the shuffle. This operator keeps a bounded k-heap per key instead and
+  * runs in two phases like an aggregate — a partial pass before the
+  * shuffle (at most k rows per key per input partition leave the map side)
+  * and a final pass after clustering by key. At 100 TB with small k this
+  * replaces two O(n log n) sorts of the fact table with one O(n log k)
+  * streaming pass, and the shuffle carries only ~k·|keys| rows.
+  *
+  * [[TopKRewrite]] makes SQL/DataFrame users get this for free: it rides
+  * on Spark's own rank-filter analysis by matching the `WindowGroupLimit`
+  * logical node the built-in optimizer inserts, swapping it for
+  * [[TopKPerKeyPlan]] when the rank function is `row_number` (rank/
+  * dense_rank keep ties, which a strict k-heap must not cut) and every
+  * key/order expression resolves against the child — otherwise it falls
+  * back to the built-in operator untouched.
   */
 object TopKPerKey {
 
@@ -41,17 +54,34 @@ object TopKPerKey {
       if (partial) Seq(UnspecifiedDistribution)
       else Seq(ClusteredDistribution(keys))
 
+    // rows come out in the child's partitioning (the heap pass is
+    // per-partition, 1:1) — without this override the default
+    // UnknownPartitioning would make EnsureRequirements insert a redundant
+    // second Exchange for any downstream key-clustered operator (e.g. the
+    // Window that TopKRewrite leaves above this node)
+    override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+      child.outputPartitioning
+
+    override lazy val metrics: Map[String, SQLMetric] = Map(
+      "numInputRows" -> SQLMetrics.createMetric(sparkContext, "number of input rows"),
+      "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+      "numKeys" -> SQLMetrics.createMetric(sparkContext, "number of distinct keys"))
+
     override protected def doExecute(): RDD[InternalRow] = {
       val orderExprs = order
       val keyExprs = keys
       val childOutput = child.output
       val limit = k
+      val inRows = longMetric("numInputRows")
+      val outRows = longMetric("numOutputRows")
+      val nKeys = longMetric("numKeys")
       child.execute().mapPartitions({ iter =>
         val ordering = GenerateOrdering.generate(orderExprs, childOutput)
         val keyProj = UnsafeProjection.create(keyExprs, childOutput)
         // max-heap under `ordering`: the worst retained row sits on top
         val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
         iter.foreach { row =>
+          inRows += 1
           val key = keyProj(row)
           val heap = heaps.get(key) match {
             case Some(h) => h
@@ -69,7 +99,8 @@ object TopKPerKey {
             heap.enqueue(row.asInstanceOf[UnsafeRow].copy())
           }
         }
-        heaps.valuesIterator.flatMap(_.iterator)
+        nKeys += heaps.size
+        heaps.valuesIterator.flatMap { h => outRows += h.size; h.iterator }
       }, preservesPartitioning = true)
     }
 
@@ -80,9 +111,48 @@ object TopKPerKey {
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerKeyPlan(keys, order, k, child) =>
+        // defensive: every key/order expression must evaluate against the
+        // child's row — a violation here means a buggy construction path
+        // (perKey and TopKRewrite both pre-check), so fail loudly rather
+        // than at codegen depth
+        val refs = (keys ++ order).flatMap(_.references).toSet
+        require(refs.subsetOf(child.outputSet.toSet[Attribute]),
+          s"TopKPerKey keys/order reference non-child attributes: " +
+            s"${(refs -- child.outputSet).mkString(", ")}")
         TopKPerKeyExec(keys, order, k, partial = false,
           TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
       case _ => Nil
+    }
+  }
+
+  /** Optimizer rewrite: `WindowGroupLimit(part, order, row_number, k)` →
+    * [[TopKPerKeyPlan]]. The surrounding Window/Filter stay and recompute
+    * the rank over the pruned ~k·|keys| rows (a per-group sort of ≤ k
+    * rows), so output columns and values are unchanged; the two full
+    * sorts of the fact table disappear. Rank-like functions other than
+    * `row_number` are left to the built-in operator (they keep boundary
+    * ties; a strict k-heap would cut them). */
+  object TopKRewrite extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+      case WindowGroupLimit(part, order, RowNumber(), limit, child)
+          if part.nonEmpty && order.nonEmpty && limit > 0 &&
+            (part ++ order).flatMap(_.references)
+              .forall(child.outputSet.contains) =>
+        TopKPerKeyPlan(part, order, limit, child)
+    }
+  }
+
+  /** Register the strategy + rewrite on a session (idempotent). After
+    * this, plain SQL/DataFrame `row_number() <= k` window filters compile
+    * to the heap operator with no API change. */
+  def enable(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(TopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKRewrite
     }
   }
 

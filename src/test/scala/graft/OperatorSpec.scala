@@ -84,6 +84,25 @@ class OperatorSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("TopKRewrite turns the SQL row_number<=k pattern into the heap operator") {
+    import org.apache.spark.sql.functions._
+    plans.TopKPerKey.enable(spark)
+    // q10 is written as the plain window-filter form — the optimizer rule
+    // must swap the sort-based WindowGroupLimit for two TopKPerKey phases
+    val df = operators.WindowOps.q10WindowTopN(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("TopKPerKey .*, true".r.findFirstIn(plan).isDefined, plan)
+    assert("TopKPerKey .*, false".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+    // the surviving Window only re-ranks pruned rows; values are unchanged
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(3) <= 3))
+    // rank() keeps boundary ties -> must NOT be rewritten (fallback guard)
+    val rankPlan = operators.WindowOps.q21RankBattery(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!rankPlan.contains("TopKPerKey"), rankPlan)
+  }
+
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sfDir)
