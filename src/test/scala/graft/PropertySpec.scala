@@ -100,6 +100,19 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Md5Long60 equals the conv(substr(md5)) built-in chain on real text") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("text"), explode(functions.TextFns.tokens(col("text"))).as("tok"))
+    def oldHash(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val mism = docs.filter(
+      functions.TextFns.hash60(col("tok")) =!= oldHash(col("tok")) ||
+        functions.TextFns.hash60Seeded(3, col("tok")) =!=
+          oldHash(concat(lit("3:"), col("tok"))) ||
+        functions.TextFns.hash60(col("text")) =!= oldHash(col("text"))).count()
+    assert(mism == 0L)
+  }
+
   test("Tables.widen repartitions narrow inputs and passes wide ones through") {
     import spark.implicits._
     // local[4] => defaultParallelism 4: a 1-partition input must widen...
