@@ -21,5 +21,6 @@ object QueryDef {
       graft.operators.TextOps.defs ++
       graft.operators.DedupOps.defs ++
       graft.operators.SimilarityOps.defs ++
+      graft.operators.StatsOps.defs ++
       graft.multimodal.Multimodal.defs
 }

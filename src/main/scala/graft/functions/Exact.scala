@@ -75,6 +75,17 @@ object Exact {
     * count — same shape as [[davg]]. */
   def lavg(scaled: Column, s: Int): Column = lsum(scaled, s) / count(scaled)
 
+  /** [[lsum]]'s exact integer sum kept as DECIMAL(38,0) — for statistical
+    * moments (Σx, Σx², Σxy) that feed variance/correlation formulas, which
+    * need the raw integers, not double(Σ/10^s). Same 2^20-radix split:
+    * exact past int64. DuckDB mirrors with HUGEINT sums (both sides have
+    * ~38 significant digits before the final double conversion). */
+  def lsumDec(scaled: Column): Column = {
+    val hi = sum(shiftright(scaled, 20)).cast(DecimalType(38, 0))
+    val lo = sum(scaled.bitwiseAND(lit((1L << 20) - 1))).cast(DecimalType(38, 0))
+    hi * lit(1L << 20) + lo
+  }
+
   /** Drop-in fast-path [[dsum]] for columns with ≤ 2 decimal digits (every
     * TPC-H money/quantity column): same value, same oracle SQL form, all
     * per-row work primitive. */

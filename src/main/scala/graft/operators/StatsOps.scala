@@ -1,0 +1,194 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical aggregate battery (beyond the reference — SURVEY §2
+  * generalized): variance/stddev, covariance/correlation, percentiles,
+  * string edit distance.
+  *
+  * Determinism: Spark's built-in `stddev`/`corr` accumulate doubles in
+  * partition order, so their low bits depend on the split — useless
+  * against a hash oracle and non-reproducible across AQE re-plans. Here
+  * every moment (n, Σx, Σx², Σxy) is an EXACT integer over cents-scaled
+  * values ([[graft.functions.Exact.lsumDec]], overflow-safe past int64),
+  * and the variance/correlation formulas are spelled with an identical
+  * operation tree on both engines — each double op is correctly rounded,
+  * so results are bit-identical at any partition count. Percentiles
+  * interpolate between integer-valued doubles at quarter fractions
+  * (exact in binary), which both engines define identically
+  * (lower + (upper-lower)·frac).
+  */
+object StatsOps {
+
+  /** Exact-moment variance / stddev / covariance / correlation of
+    * (quantity, extendedprice) per return flag. All moments in cents²
+    * scale; the derived columns divide by the scale in double — the same
+    * literal tree as the oracle, so bit-identical. */
+  def q55Moments(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        cents(col("l_quantity")).as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      .select(col("l_returnflag"), col("x"), col("y"),
+        (col("x") * col("x")).as("xx"),
+        (col("y") * col("y")).as("yy"),
+        (col("x") * col("y")).as("xy"))
+    val m = base.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        lsumDec(col("x")).as("sx"), lsumDec(col("xx")).as("sxx"),
+        lsumDec(col("y")).as("sy"), lsumDec(col("yy")).as("syy"),
+        lsumDec(col("xy")).as("sxy"))
+    val n = col("n")
+    def varNum(sq: Column, lin: Column): Column = n * sq - lin * lin
+    val covNum = n * col("sxy") - col("sx") * col("sy")
+    m.select(col("l_returnflag"), n,
+      // sample variance/stddev of quantity, natural units (cents²/1e4)
+      (varNum(col("sxx"), col("sx")).cast("double")
+        / (n.cast("double") * (n - 1).cast("double")) / lit(1e4)).as("var_qty"),
+      sqrt(varNum(col("sxx"), col("sx")).cast("double")
+        / (n.cast("double") * (n - 1).cast("double")) / lit(1e4)).as("stddev_qty"),
+      (covNum.cast("double")
+        / (n.cast("double") * (n - 1).cast("double")) / lit(1e4)).as("covar_qty_price"),
+      (covNum.cast("double")
+        / (sqrt(varNum(col("sxx"), col("sx")).cast("double"))
+          * sqrt(varNum(col("syy"), col("sy")).cast("double")))).as("corr_qty_price"))
+  }
+
+  val q55Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT)) AS sy, sum(CAST(y AS HUGEINT) * y) AS syy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy
+      |  FROM c GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4 AS var_qty,
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4) AS stddev_qty,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4 AS covar_qty_price,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+      |FROM m""".stripMargin
+
+  /** Edit-distance match of part names against a fixed lexicon: classic
+    * Levenshtein, integer-valued and identical across engines. The lexicon
+    * side is a bounded literal list — broadcast is correct at any scale. */
+  def q56Levenshtein(s: SparkSession, dir: String): DataFrame = {
+    val words = Seq("bolt", "nut", "washer", "screw", "spring")
+    val lex = s.createDataFrame(words.map(Tuple1(_))).toDF("word")
+    Tables.part(s, dir)
+      .select(col("p_partkey"), regexp_extract(col("p_name"), "^(\\w+)", 1).as("head"))
+      .crossJoin(broadcast(lex))
+      .withColumn("dist", levenshtein(col("head"), col("word")).cast("long"))
+      .filter(col("dist") <= 2)
+      .select("p_partkey", "head", "word", "dist")
+  }
+
+  val q56Sql: String =
+    """SELECT p_partkey, regexp_extract(p_name, '^(\w+)', 1) AS head, word,
+      |  CAST(levenshtein(regexp_extract(p_name, '^(\w+)', 1), word) AS BIGINT) AS dist
+      |FROM part, (SELECT unnest(['bolt','nut','washer','screw','spring']) AS word)
+      |WHERE levenshtein(regexp_extract(p_name, '^(\w+)', 1), word) <= 2""".stripMargin
+
+  /** Exact interpolated percentiles of the integer-valued quantity per
+    * return flag: rank fractions are quarters (exact in binary) and the
+    * interpolation endpoints are small integers, so `lower +
+    * (upper-lower)·frac` is exact — engine-independent. */
+  def q57Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.75)").as("p75_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        count(lit(1)).as("n"))
+
+  val q57Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+      |  quantile_cont(l_quantity, 0.5)  AS p50_qty,
+      |  quantile_cont(l_quantity, 0.75) AS p75_qty,
+      |  min(l_quantity) AS min_qty,
+      |  max(l_quantity) AS max_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** Deterministic 20% document sample by content-independent key hash —
+    * the reproducible way to sample at 100 TB: no RNG state, any engine
+    * or rerun selects the same rows, and the predicate pushes into the
+    * scan pipeline (no shuffle). The hash is the 60-bit md5 of the key
+    * ([[graft.functions.TextFns.hash60]]), so the oracle reproduces the
+    * selection exactly. */
+  def q58HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(pmod(graft.functions.TextFns.hash60(
+        concat(lit("sample:"), col("doc_id"))), lit(100L)) < 20)
+      .select(col("doc_id"), col("lang"), col("source"),
+        length(col("text")).cast("long").as("n_chars"))
+
+  val q58Sql: String =
+    """SELECT doc_id, lang, source, length(text) AS n_chars
+      |FROM documents
+      |WHERE CAST('0x' || substr(md5('sample:' || doc_id), 1, 15) AS BIGINT) % 100 < 20""".stripMargin
+
+  /** Per-user daily gap-fill of event values: calendar days from each
+    * user's first to last event (generate-series explode), left-joined to
+    * the daily aggregate, missing days forward-filled with the last seen
+    * value (`last(..., ignoreNulls)` over an ordered window) — the
+    * resample/fill primitive of time-series feature pipelines. One
+    * shuffle on user_id; the generated rows are bounded by span, not by
+    * event count. */
+  def q59GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
+    val daily = e.groupBy(col("user_id"), col("d"))
+      .agg(dsum(col("value"), 6).as("day_value"), count(lit(1)).as("n_events"))
+    val spans = e.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val grid = spans.select(col("user_id"),
+      explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("filled_value",
+        last(col("day_value"), ignoreNulls = true).over(w))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .select("user_id", "d", "day_value", "n_events", "filled_value")
+  }
+
+  val q59Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, value FROM events),
+      |daily AS (
+      |  SELECT user_id, d,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value,
+      |    count(*) AS n_events
+      |  FROM e GROUP BY user_id, d),
+      |spans AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM e GROUP BY user_id),
+      |grid AS (
+      |  SELECT user_id, CAST(g.d AS DATE) AS d
+      |  FROM spans, UNNEST(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS g(d))
+      |SELECT grid.user_id, grid.d, daily.day_value,
+      |  coalesce(daily.n_events, 0) AS n_events,
+      |  last_value(daily.day_value IGNORE NULLS) OVER (
+      |    PARTITION BY grid.user_id ORDER BY grid.d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+      |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.d = daily.d""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_moments", q55Moments, Some(q55Sql)),
+    QueryDef("q56_levenshtein", q56Levenshtein, Some(q56Sql)),
+    QueryDef("q57_percentiles", q57Percentiles, Some(q57Sql)),
+    QueryDef("q58_hash_sample", q58HashSample, Some(q58Sql)),
+    QueryDef("q59_gap_fill", q59GapFill, Some(q59Sql)))
+}

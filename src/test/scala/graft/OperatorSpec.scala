@@ -103,6 +103,46 @@ class OperatorSpec extends SparkTestBase {
     assert(!rankPlan.contains("TopKPerKey"), rankPlan)
   }
 
+  test("exact-moment stats agree with Spark's builtin stddev/corr") {
+    import org.apache.spark.sql.functions._
+    val got = operators.StatsOps.q55Moments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
+      .agg(stddev_samp(col("l_quantity")).as("sd"),
+        corr(col("l_quantity"), col("l_extendedprice")).as("c"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("cv")).collect()
+    assert(want.nonEmpty)
+    want.foreach { r =>
+      val g = got(r.getString(0))
+      assert(math.abs(g.getAs[Double]("stddev_qty") - r.getDouble(1)) < 1e-6)
+      assert(math.abs(g.getAs[Double]("corr_qty_price") - r.getDouble(2)) < 1e-6)
+      assert(math.abs(g.getAs[Double]("covar_qty_price") - r.getDouble(3)) < 1e-3)
+    }
+  }
+
+  test("hash sampling is deterministic and near the nominal rate") {
+    val total = Tables.documents(spark, sfDir).count().toDouble
+    val a = operators.StatsOps.q58HashSample(spark, sfDir)
+    val b = operators.StatsOps.q58HashSample(spark, sfDir)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty) // no RNG state
+    val rate = a.count() / total
+    assert(rate > 0.1 && rate < 0.3, s"sample rate $rate")
+  }
+
+  test("gap-fill grid is dense per user and forward-fills missing days") {
+    import org.apache.spark.sql.functions._
+    val g = operators.StatsOps.q59GapFill(spark, sfDir)
+    // dense: per user, rows == span days
+    val bad = g.groupBy("user_id")
+      .agg(count(lit(1)).as("rows"),
+        (datediff(max(col("d")), min(col("d"))) + 1).as("span"))
+      .filter(col("rows") =!= col("span")).count()
+    assert(bad == 0L)
+    // filled_value only null before a user's first observed day
+    assert(g.filter(col("day_value").isNotNull
+      && col("filled_value").isNull).count() == 0L)
+  }
+
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sfDir)
