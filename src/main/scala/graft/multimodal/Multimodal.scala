@@ -129,12 +129,21 @@ object Multimodal {
       |  CAST(CAST(coalesce(h.cnt, 0) AS FLOAT) / CAST(greatest(grid.n, 1) AS FLOAT) AS DOUBLE) AS value
       |FROM grid LEFT JOIN h ON h.doc_id = grid.doc_id AND h.bucket = grid.pos""".stripMargin
 
-  /** Rows-only query: sampled frames with per-frame checksum. */
+  /** Sampled frames with per-frame md5. Oracle-checkable because the fake
+    * media is UTF-8 of ASCII text: frame bytes = char slices, so DuckDB
+    * reproduces each frame's digest with `md5(substr(text, ...))` over the
+    * same 32-char windows. */
   def qm2Frames(s: SparkSession, dir: String): DataFrame =
     sampleFrames(s, asMediaTable(Tables.documents(s, dir)))
-      .select(col("doc_id"), col("frame_no"), crc32(col("frame")).as("frame_crc"))
+      .select(col("doc_id"), col("frame_no"), md5(col("frame")).as("frame_md5"))
+
+  val qm2Sql: String =
+    """SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+      |  md5(substr(text, CAST(f AS INT) * 32 + 1, 32)) AS frame_md5
+      |FROM documents,
+      |  UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
-    QueryDef("qm2_multimodal_frames", qm2Frames, None))
+    QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)))
 }
