@@ -64,6 +64,37 @@ object StreamingOps {
       .toDF("user_id", "n_events")
   }
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * views in the preceding hour. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so the state store retains only
+    * one hour of each side per key — the state-bounded shape that holds on
+    * an unbounded stream. */
+  def purchaseViewJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val p = purchases.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    p.join(v, expr(
+      """p_user = v_user AND
+        |v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts""".stripMargin))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("p_ts"), col("v_ts"))
+  }
+
+  /** Streaming session windows (30-min gap): the streaming form of the
+    * batch q46 `session_window` aggregation, watermark-bounded. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   /** Run a streaming frame to completion against the (static) parquet
     * input via the in-memory sink; returns the materialized result. */
   def runToMemory(spark: SparkSession, frame: DataFrame, name: String,

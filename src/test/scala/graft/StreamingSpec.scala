@@ -17,6 +17,40 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("stream-stream interval join matches the batch formulation") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.purchaseViewJoin(
+        StreamingOps.eventsStream(spark, sfDir),
+        StreamingOps.eventsStream(spark, sfDir)), "ssjoin_test")
+    val e = Tables.events(spark, sfDir)
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val want = p.join(v, expr(
+      "p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("view_id"), col("p_ts"), col("v_ts"))
+    assert(want.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("streaming session windows match the batch session_window counts") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.sessionCounts(StreamingOps.eventsStream(spark, sfDir)),
+      "sessions_test", "complete")
+    val want = Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
