@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Executable plan-discipline checks: the properties ARCHITECTURE.md §4
+  * claims (pushdown, pruning, broadcast choices, exchange counts) asserted
+  * on the initial physical plans so a regression shows up as a red test,
+  * not as a silent 100 TB bottleneck.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def initialPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan.toString
+      case p => p.toString
+    }
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  /** Evaluate with size-based auto-broadcast disabled, so the plan shows
+    * the INTRINSIC join strategy (hints only) — at sf0.001 every table
+    * size-estimates under the 10 MB threshold, which would mask what the
+    * planner does at 100 TB where nothing unbounded fits the threshold. */
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("q01: filter pushed to the scan, one exchange, no decimal per-row math") {
+    val plan = initialPlan(operators.Relational.q01PricingSummary(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), plan)
+    assert(count(plan, "Exchange") == 1, plan)
+    // per-row work is long arithmetic: no cast-to-decimal below the aggregate
+    assert(!plan.contains("cast(l_extendedprice#"), plan)
+  }
+
+  test("q02: projection pruned to exactly the selected columns") {
+    val df = operators.Relational.q02FilterProject(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    })
+    assert(scans.nonEmpty)
+    val cols = scans.head.schema.fieldNames.toSet
+    assert(cols == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_returnflag", "l_shipdate"), cols)
+  }
+
+  test("q03: bounded dims broadcast, fact-fact join shuffles") {
+    withoutAutoBroadcast {
+      val plan = initialPlan(operators.Relational.q03JoinAgg(spark, sfDir))
+      assert(count(plan, "BroadcastHashJoin") == 2, plan) // customer-proj + nation
+      assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 1, plan) // li⋈orders
+    }
+  }
+
+  test("q09: no forced broadcast of the unbounded per-user aggregate") {
+    withoutAutoBroadcast {
+      // with size-based broadcast off, only a hard broadcast() hint could
+      // produce a broadcast join here — the scale-killer this guards
+      val plan = initialPlan(operators.Relational.q09LatestPerUser(spark, sfDir))
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    }
+  }
+
+  test("q10/q54: heap top-k, no sort-based WindowGroupLimit, no extra exchange") {
+    plans.TopKPerKey.enable(spark)
+    val p10 = initialPlan(operators.WindowOps.q10WindowTopN(spark, sfDir))
+    assert(count(p10, "TopKPerKey") == 2, p10)
+    assert(!p10.contains("WindowGroupLimit"), p10)
+    assert(count(p10, "Exchange") == 1, p10) // TopK partitioning is propagated
+    val p54 = initialPlan(operators.WindowOps.q54TopKCustom(spark, sfDir))
+    assert(count(p54, "TopKPerKey") == 2 && count(p54, "Exchange") == 1, p54)
+  }
+
+  test("q34: dedup is one partial/final hash aggregate (map-side combine)") {
+    val plan = initialPlan(operators.DedupOps.q34DedupExact(spark, sfDir))
+    assert(count(plan, "HashAggregate") == 2, plan)
+    assert(count(plan, "Exchange") <= 2, plan) // widen + aggregate
+  }
+
+  test("q39: corpus is scanned once and never shuffled (queries broadcast)") {
+    val plan = initialPlan(operators.SimilarityOps.q39KnnBrute(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // only exchanges allowed: the widen repartition and the final window;
+    // no shuffle join of the corpus
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q58: sampling predicate evaluates in the scan stage (no shuffle)") {
+    val plan = initialPlan(operators.StatsOps.q58HashSample(spark, sfDir))
+    assert(count(plan, "Exchange") == 0, plan)
+  }
+
+  test("widened inputs add no exchange when the scan is already wide") {
+    val c = org.apache.spark.sql.functions.col _
+    val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
+    val plan = initialPlan(Tables.widen(wide, c("doc_id"))
+      .select(c("doc_id") * 2))
+    assert(count(plan, "Exchange") == 0, plan)
+  }
+}
