@@ -22,5 +22,6 @@ object QueryDef {
       graft.operators.DedupOps.defs ++
       graft.operators.SimilarityOps.defs ++
       graft.operators.StatsOps.defs ++
+      graft.operators.MiscOps.defs ++
       graft.multimodal.Multimodal.defs
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining general-purpose scalar surface: array higher-order functions
+  * and miscellaneous conditional/bitwise scalars. All integer/string
+  * valued — deterministic across engines by construction.
+  */
+object MiscOps {
+
+  /** Array HOF battery over tokenized documents: transform, filter,
+    * slice, element aggregation — the list-processing surface a feature
+    * pipeline uses before exploding anything. Everything stays per-row
+    * (embarrassingly parallel). */
+  def q60ArrayHofs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .as("total_chars"),
+        concat_ws(" ", transform(slice(col("toks"), 1, 3), t => upper(t)))
+          .as("head3_upper"),
+        exists(col("toks"), t => t === "data").as("has_data"),
+        forall(col("toks"), t => length(t) < 20).as("all_short"))
+
+  val q60Sql: String =
+    """SELECT doc_id,
+      |  len(toks) AS n_tokens,
+      |  len(list_filter(toks, t -> length(t) > 4)) AS n_long_tokens,
+      |  CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_chars,
+      |  array_to_string(list_transform(toks[1:3], t -> upper(t)), ' ') AS head3_upper,
+      |  list_contains(toks, 'data') AS has_data,
+      |  len(list_filter(toks, t -> length(t) >= 20)) = 0 AS all_short
+      |FROM (SELECT doc_id,
+      |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |      FROM documents)""".stripMargin
+
+  /** Conditional + bitwise scalar battery over orders. */
+  def q61MiscScalars(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("floor_price"),
+        least(col("o_totalprice"), lit(300000.0)).as("cap_price"),
+        nullif(col("o_orderstatus"), lit("F")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("F")), lit("CLOSED")).as("status_label"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("key_low8"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("key_xor"),
+        shiftright(col("o_orderkey"), 4).as("key_hi"))
+
+  val q61Sql: String =
+    """SELECT o_orderkey,
+      |  greatest(o_totalprice, 100000.0) AS floor_price,
+      |  least(o_totalprice, 300000.0) AS cap_price,
+      |  nullif(o_orderstatus, 'F') AS status_or_null,
+      |  coalesce(nullif(o_orderstatus, 'F'), 'CLOSED') AS status_label,
+      |  o_orderkey & 255 AS key_low8,
+      |  xor(o_orderkey, o_custkey) AS key_xor,
+      |  o_orderkey >> 4 AS key_hi
+      |FROM orders""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
+    QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)))
+}
