@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extensions entry point: everything the library adds to a Spark
+  * session — the bounded-heap top-k strategy, the `row_number() <= k`
+  * optimizer rewrite, and the custom codegen functions — in one place,
+  * activated cluster-wide with
+  * `--conf spark.sql.extensions=graft.GraftExtensions`
+  * (the sanctioned plugin mechanism; no code changes in user jobs).
+  * Programmatic sessions can equivalently call [[plans.TopKPerKey.enable]]
+  * and the per-module `registerSql` helpers.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => plans.TopKPerKey.TopKStrategy)
+    ext.injectOptimizerRule(_ => plans.TopKPerKey.TopKRewrite)
+    ext.injectFunction((FunctionIdentifier("quantized_dot"),
+      info("quantized_dot", "exact int64 dot of 1e-3-quantized float vectors"),
+      (es: Seq[Expression]) => functions.VectorExprs.QuantizedDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("quantized_norm2"),
+      info("quantized_norm2", "exact int64 squared norm of a quantized float vector"),
+      (es: Seq[Expression]) => functions.VectorExprs.QuantizedNorm2(es.head)))
+    ext.injectFunction((FunctionIdentifier("md5long60"),
+      info("md5long60", "first 60 bits of md5(x) as a non-negative long"),
+      (es: Seq[Expression]) => functions.HashExprs.Md5Long60(es.head)))
+    ext.injectFunction((FunctionIdentifier("md5_signmask16"),
+      info("md5_signmask16", "16-bit mask of md5 hex digits >= 8"),
+      (es: Seq[Expression]) => functions.HashExprs.Md5SignMask16(es.head)))
+    ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints",
+        "distinct 60-bit winnowing fingerprints (8-gram, window 16)"),
+      (es: Seq[Expression]) =>
+        functions.HashExprs.WinnowFingerprints(es.head, 8, 16)))
+  }
+}

@@ -26,6 +26,22 @@ object GraftShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Apply a SparkSessionExtensions installer to a live session: register
+    * its functions into the session's registry and return the strategies
+    * and optimizer rules it injects (the builder/register methods are
+    * private[sql]; extensions normally apply only at session
+    * construction — this lets tests verify an installer against the
+    * shared test session). */
+  def applyExtensions(installer: SparkSessionExtensions => Unit,
+      spark: SparkSession): (Seq[org.apache.spark.sql.execution.SparkStrategy],
+      Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]) = {
+    val e = new SparkSessionExtensions
+    installer(e)
+    e.registerFunctions(spark.sessionState.functionRegistry)
+    (e.buildPlannerStrategies(spark), e.buildOptimizerRules(spark))
+  }
+
   /** The analyzed logical plan under a DataFrame. */
   def logicalPlan(df: DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

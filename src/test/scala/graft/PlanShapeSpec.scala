@@ -98,6 +98,23 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(plan, "Exchange") == 0, plan)
   }
 
+  test("GraftExtensions injects strategy, rewrite rule, and SQL functions") {
+    // extensions apply at session construction and a JVM holds one Spark
+    // context, so apply the extensions object directly and assert on what
+    // it injects (functions go into the live session's registry)
+    val (strategies, rules) = org.apache.spark.sql.GraftShims
+      .applyExtensions(new GraftExtensions(), spark)
+    assert(strategies.contains(plans.TopKPerKey.TopKStrategy))
+    assert(rules.contains(plans.TopKPerKey.TopKRewrite))
+    val r = spark.sql(
+      """SELECT md5long60('abc') AS h, md5_signmask16('abc') AS m,
+        |       winnow_fingerprints('abcdefghijklmnop') AS fps,
+        |       quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d
+        |""".stripMargin).head()
+    assert(r.getLong(0) > 0 && r.getSeq[Long](2).nonEmpty
+      && r.getLong(3) == 2000000L)
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
