@@ -63,7 +63,47 @@ object MiscOps {
       |  o_orderkey >> 4 AS key_hi
       |FROM orders""".stripMargin
 
+  /** ROLLUP with `grouping_id` — distinguishes "NULL because subtotal"
+    * from "NULL in the data" (ANSI bit-vector semantics, identical in
+    * DuckDB's GROUPING()). */
+  def q62GroupingId(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().as("gid"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"))
+
+  val q62Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin
+
+  /** Calendar-function battery beyond q27's extract family: truncation,
+    * month-end, quarter, day-of-year — all integer/date valued. */
+  def q63DateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        to_date(col("o_orderdate")).as("d"))
+      .select(col("o_orderkey"),
+        date_trunc("month", col("d")).cast("date").as("month_start"),
+        last_day(col("d")).as("month_end"),
+        quarter(col("d")).cast("long").as("qtr"),
+        dayofyear(col("d")).cast("long").as("doy"),
+        date_format(col("d"), "yyyy-MM").as("ym"))
+
+  val q63Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr,
+      |  CAST(dayofyear(CAST(o_orderdate AS DATE)) AS BIGINT) AS doy,
+      |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+      |FROM orders""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
-    QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)))
+    QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)),
+    QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),
+    QueryDef("q63_date_funcs", q63DateFuncs, Some(q63Sql)))
 }
