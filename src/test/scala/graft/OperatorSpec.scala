@@ -143,6 +143,25 @@ class OperatorSpec extends SparkTestBase {
       && col("filled_value").isNull).count() == 0L)
   }
 
+  test("curation pipeline composes: monotone attrition, valid lake output") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("curatespec").toString
+    val counts = PipelineDemo.curate(spark, sfDir, out)
+    val byName = counts.toMap
+    // every stage can only shrink the corpus
+    val order = counts.map(_._2)
+    assert(order.zip(order.tail).forall { case (a, b) => b <= a }, counts)
+    assert(byName("written") > 0 && byName("written") == byName("train_split"))
+    // lake layout: partitioned by lang, reads back with token counts
+    val back = spark.read.parquet(s"$out/curated")
+    assert(back.columns.contains("lang") && back.columns.contains("n_bpe_tokens"))
+    assert(back.filter(col("n_bpe_tokens") <= 0).count() == 0L)
+    // near-dup stage really removed every LSH pair's larger id
+    val losers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
+      .select(col("doc_b").as("doc_id")).distinct()
+    assert(back.join(losers, Seq("doc_id")).count() == 0L)
+  }
+
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
     import org.apache.spark.sql.functions._
     val e = Tables.events(spark, sfDir)
