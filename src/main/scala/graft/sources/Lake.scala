@@ -21,6 +21,28 @@ object Lake {
       .option("recursiveFileLookup", recursive.toString)
       .schema(schema).json(path)
 
+  /** JSON read that QUARANTINES malformed lines instead of silently
+    * nulling them (PERMISSIVE + corrupt-record column): at 100 TB a bad
+    * shard is a certainty, and a `_corrupt_record` you can count/route is
+    * the difference between a data-quality report and silent nulls.
+    * Callers split on `_corrupt_record IS NULL`. */
+  def readJsonQuarantine(spark: SparkSession, path: String,
+      schema: StructType, recursive: Boolean = true): DataFrame = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    spark.read
+      .option("recursiveFileLookup", recursive.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt).json(path)
+  }
+
+  /** Parquet read across files whose schemas evolved (columns added over
+    * time): per-file footers are merged, missing columns read as null.
+    * Off by default in Spark because footer-merge costs a listing pass —
+    * turn it on only for evolved tables. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   def readCsv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): DataFrame =
     spark.read
@@ -40,4 +62,18 @@ object Lake {
 
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  /** Partitioned write with rows CLUSTERED by `sortCols` inside each file
+    * (`sortWithinPartitions` — a local sort, no extra shuffle): parquet
+    * min/max page stats become selective, so later range predicates on the
+    * sort key skip row groups. `maxRecordsPerFile` bounds file size so a
+    * hot partition cannot produce one giant file. */
+  def writeClustered(df: DataFrame, path: String, partCols: Seq[String],
+      sortCols: Seq[String], maxRecordsPerFile: Long = 5000000L): Unit =
+    df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions((partCols ++ sortCols)
+        .map(org.apache.spark.sql.functions.col): _*)
+      .write.partitionBy(partCols: _*)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").option("compression", "snappy").parquet(path)
 }

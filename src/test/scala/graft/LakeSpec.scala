@@ -43,4 +43,58 @@ class LakeSpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/part/part=1").isDirectory)
     assert(Lake.readParquet(spark, s"$dir/part").count() == 3)
   }
+
+  test("readJsonQuarantine routes malformed lines to _corrupt_record") {
+    val dir = Files.createTempDirectory("jsonq").toFile
+    val f = new java.io.File(dir, "data.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"id": 1, "name": "ok", "score": 1.0}""")
+    w.println("""{"id": 2, "name": "also ok", "score": 2.0}""")
+    w.println("""{"id": 3, "name": BROKEN""")
+    w.close()
+    val df = Lake.readJsonQuarantine(spark, f.getAbsolutePath, schema)
+      .cache() // corrupt-record column requires referencing the raw row
+    val good = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(good.count() == 2 && bad.count() == 1)
+    assert(good.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(bad.head().getAs[String]("_corrupt_record").contains("BROKEN"))
+    df.unpersist()
+  }
+
+  test("readParquetMerged unions evolved schemas, nulling missing columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("merge").toFile.getAbsolutePath
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/t")
+    Seq((2L, "b", 9L)).toDF("id", "v1", "v2")
+      .write.mode("append").parquet(s"$dir/t")
+    val df = Lake.readParquetMerged(spark, s"$dir/t")
+    assert(df.columns.toSet == Set("id", "v1", "v2"))
+    assert(df.count() == 2)
+    assert(df.filter(col("id") === 1L).head()
+      .isNullAt(df.columns.indexOf("v2")))
+  }
+
+  test("writeClustered produces hive layout with rows sorted inside files") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = Seq.tabulate(1000)(i => (rnd.nextInt(3), rnd.nextLong(), i.toLong))
+      .toDF("part", "key", "payload")
+    val dir = Files.createTempDirectory("clustered").toFile.getAbsolutePath
+    Lake.writeClustered(df, s"$dir/t", Seq("part"), Seq("key"))
+    assert(new java.io.File(s"$dir/t").listFiles()
+      .exists(_.getName.startsWith("part=")))
+    // parquet preserves row order within a file: reading one file back,
+    // the key column must be non-decreasing
+    val files = new java.io.File(s"$dir/t").listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { pf =>
+      val keys = spark.read.parquet(pf.getAbsolutePath)
+        .select("key").collect().map(_.getLong(0))
+      assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+        s"unsorted file ${pf.getName}")
+    }
+    assert(spark.read.parquet(s"$dir/t").count() == 1000L)
+  }
 }
