@@ -41,10 +41,15 @@ object WindowOps {
 
   /** Running-sum frame + lag: cumulative shipped quantity per supplier.
     * Quantities are integer-valued doubles, so the running sum is exact
-    * in IEEE double regardless of evaluation order. */
+    * in IEEE double regardless of evaluation order. The ORDER BY extends
+    * to (quantity, extendedprice) because the synthetic lineitem at sf0.1
+    * duplicates (orderkey, linenumber) pairs — without the extension the
+    * order has ties and `lag` is nondeterministic in BOTH engines
+    * (DuckDB's parallel window flipped results run-to-run). */
   def q11WindowRunning(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc, col("l_quantity").asc, col("l_extendedprice").asc)
     Tables.lineitem(s, dir)
       .withColumn("running_qty",
         sum(col("l_quantity")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -59,7 +64,7 @@ object WindowOps {
       |  lag(l_quantity, 1) OVER w AS prev_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
 
   /** Global top-k with total-order tiebreak (TakeOrderedAndProject). */
