@@ -355,8 +355,62 @@ object DedupOps {
        |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin
   }
 
+  /** Connected components over an undirected edge list `(doc_a, doc_b)`:
+    * iterative min-label propagation — each round every node adopts the
+    * minimum label in its closed neighborhood; converges in O(diameter)
+    * rounds (near-dup components are LSH-bucket cliques, diameter ≤ ~2, so
+    * 2–3 rounds in practice; `maxIter` caps pathological chains). Each
+    * round is one shuffle on node id; the only driver-side value is the
+    * one-row convergence count. At 100 TB this is the standard
+    * pairs→clusters step of a dedup pipeline (GraphX-free). */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = bidir.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = bidir
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).count()
+      labels = next.localCheckpoint(true) // truncate the per-round lineage
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters: components of the MinHash-LSH pair graph, cluster
+    * id = smallest member. Only docs appearing in at least one pair are
+    * emitted (singletons are trivially their own cluster). */
+  def q64DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(q36MinhashLsh(s, dir))
+
+  val q64Sql: String =
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${q36Sql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p),
+       |bidir AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM edges
+       |  UNION SELECT doc_b, doc_a FROM edges),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM bidir
+       |  UNION
+       |  SELECT r.src, b.dst FROM reach r JOIN bidir b ON r.dst = b.src)
+       |SELECT src AS doc_id, min(dst) AS cluster_id
+       |FROM reach GROUP BY src""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
+    QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
     QueryDef("q35_ngram_jaccard", q35NgramJaccard, Some(q35Sql)),
     QueryDef("q36_minhash_lsh", q36MinhashLsh, Some(q36Sql)),
     QueryDef("q37_simhash", q37Simhash, Some(q37Sql)),

@@ -143,6 +143,20 @@ class OperatorSpec extends SparkTestBase {
       && col("filled_value").isNull).count() == 0L)
   }
 
+  test("connected components label chains, cliques, and pairs correctly") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 round), clique {10,11,12}, pair {20,21}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val got = operators.DedupOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(got(_) == 10L))
+    assert(Seq(20L, 21L).forall(got(_) == 20L))
+    assert(got.size == 9)
+  }
+
   test("curation pipeline composes: monotone attrition, valid lake output") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("curatespec").toString
