@@ -364,8 +364,12 @@ object DedupOps {
     * one-row convergence count. At 100 TB this is the standard
     * pairs→clusters step of a dedup pipeline (GraphX-free). */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the edge list once — it is consumed every round, and
+    // without truncation each round would re-run the upstream pair
+    // pipeline (e.g. the whole MinHash index) per join
     val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
     var labels = bidir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     var converged = false
