@@ -143,6 +143,29 @@ class OperatorSpec extends SparkTestBase {
       && col("filled_value").isNull).count() == 0L)
   }
 
+  test("typed Dataset pipeline agrees with the untyped DataFrame queries") {
+    import org.apache.spark.sql.functions._
+    // typed pricing rows == q01's (flag, status, sum_qty, count) columns
+    val typed = operators.TypedOps.pricingTyped(spark, sfDir).collect()
+      .map(r => (r.l_returnflag, r.l_linestatus) -> ((r.sum_qty, r.n))).toMap
+    val want = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 0)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(graft.functions.Exact.fsum(col("l_quantity")).as("s"),
+        count(lit(1)).as("n")).collect()
+    assert(want.nonEmpty)
+    want.foreach { r =>
+      val (s, n) = typed((r.getString(0), r.getString(1)))
+      assert(s == r.getDouble(2) && n == r.getLong(3))
+    }
+    // typed HAVING == q19's key set
+    val typedBig = operators.TypedOps.bigCustomersTyped(spark, sfDir)
+      .collect().map(_.o_custkey).toSet
+    val wantBig = operators.Relational.q19Having(spark, sfDir)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(typedBig == wantBig)
+  }
+
   test("connected components label chains, cliques, and pairs correctly") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 round), clique {10,11,12}, pair {20,21}
