@@ -95,6 +95,29 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** `foreachBatch` lake sink with idempotent partition overwrite: each
+    * micro-batch's updated windows replace exactly their own hive
+    * partitions (dynamic overwrite), so replays after a failure converge
+    * to the same lake state — exactly-once by idempotence, the standard
+    * production sink shape for windowed aggregations. */
+  def runToLake(spark: SparkSession, frame: DataFrame, outDir: String,
+      partitionCol: String): Unit = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val q = frame.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          batch.write.mode("overwrite")
+            .partitionBy(partitionCol)
+            .option("compression", "snappy")
+            .parquet(outDir)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming frame to completion against the (static) parquet
     * input via the in-memory sink; returns the materialized result. */
   def runToMemory(spark: SparkSession, frame: DataFrame, name: String,

@@ -51,6 +51,22 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("foreachBatch lake sink converges to the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("slake").toString + "/counts"
+    val agg = StreamingOps.tumblingCounts(StreamingOps.eventsStream(spark, sfDir))
+      .withColumn("part_hour", date_format(col("ts_hour"), "yyyyMMddHH"))
+    StreamingOps.runToLake(spark, agg, out, "part_hour")
+    val got = spark.read.parquet(out)
+      .select("ts_hour", "event_type", "n", "sum_value")
+    val want = operators.EventOps.q24Tumbling(spark, sfDir)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // hive layout on disk (the pruning key downstream readers use)
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("part_hour=")))
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
