@@ -308,7 +308,7 @@ object DedupOps {
     // two 4-plane bands: near-identical vectors agree on at least one
     val bands = (0 until 2).map { bnd =>
       val key = (0 until 4).map { p =>
-        val plane = array(planes(bnd * 4 + p).map(c => lit(c.toFloat)): _*)
+        val plane = array(planes(bnd * 4 + p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
         when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(bnd.toLong).as("band"), key.as("key"))

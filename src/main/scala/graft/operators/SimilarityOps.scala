@@ -85,7 +85,7 @@ object SimilarityOps {
     // quantized_dot against a ±1.0 plane = 1000 × Σ coef·q_i, so the sign
     // test is identical to the oracle's integer form
     val bucket = (0 until 8).map { p =>
-      val plane = array(planes(p).map(c => lit(c.toFloat)): _*)
+      val plane = array(planes(p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
       when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     val eb = e.withColumn("bucket", bucket)

@@ -82,6 +82,30 @@ class OperatorSpec extends SparkTestBase {
     assert("TopKPerKey .*, true".r.findFirstIn(plan).isDefined, plan)  // partial
     assert("TopKPerKey .*, false".r.findFirstIn(plan).isDefined, plan) // final
     assert(!plan.contains("Window"), plan)
+    // SQLMetrics: collect() executes got's OWN plan (derived plans build
+    // fresh exec nodes), after which the final phase must report exactly
+    // the result row count, bounded by k per key
+    val nRows = got.collect().length.toLong
+    // descend through AQE wrappers and query stages (leaf nodes to collect)
+    def all(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val nested = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          all(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          all(s.plan)
+        case _ => Nil
+      }
+      p +: (p.children.flatMap(all) ++ nested)
+    }
+    val execs = all(got.queryExecution.executedPlan).collect {
+      case e: plans.TopKPerKey.TopKPerKeyExec if !e.partial => e
+    }
+    assert(execs.nonEmpty)
+    val outRows = execs.head.metrics("numOutputRows").value
+    val nKeys = execs.head.metrics("numKeys").value
+    assert(outRows == nRows && outRows <= nKeys * 3,
+      s"outRows=$outRows nRows=$nRows nKeys=$nKeys")
   }
 
   test("TopKRewrite turns the SQL row_number<=k pattern into the heap operator") {
