@@ -117,7 +117,45 @@ object WindowOps {
       |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |  FROM orders) WHERE rn <= 3""".stripMargin
 
+  /** Advanced window-function battery: value-positional (first/last/nth,
+    * lead) and distribution (percent_rank, cume_dist) functions over one
+    * shuffle. percent_rank/cume_dist divide exact integer ranks in double
+    * (correctly rounded, identical cross-engine); the ORDER BY is total
+    * (c_custkey unique). */
+  def q65WindowBattery2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        first_value(col("c_custkey")).over(wf).as("top_cust"),
+        last_value(col("c_custkey")).over(wf).as("bottom_cust"),
+        nth_value(col("c_custkey"), 3).over(wf).as("third_cust"),
+        lead(col("c_custkey"), 1).over(w).as("next_cust"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      .filter(col("c_acctbal") > 9000)
+  }
+
+  val q65Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal, top_cust, bottom_cust,
+      |       third_cust, next_cust, pct_rank, cdist
+      |FROM (
+      |  SELECT c_mktsegment, c_custkey, c_acctbal,
+      |    first_value(c_custkey) OVER wf AS top_cust,
+      |    last_value(c_custkey)  OVER wf AS bottom_cust,
+      |    nth_value(c_custkey, 3) OVER wf AS third_cust,
+      |    lead(c_custkey, 1) OVER w AS next_cust,
+      |    percent_rank() OVER w AS pct_rank,
+      |    cume_dist() OVER w AS cdist
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+      |         wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |) WHERE c_acctbal > 9000""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q65_window_battery2", q65WindowBattery2, Some(q65Sql)),
     QueryDef("q10_window_topn", q10WindowTopN, Some(q10Sql)),
     QueryDef("q11_window_running", q11WindowRunning, Some(q11Sql)),
     QueryDef("q12_topk", q12TopK, Some(q12Sql)),
