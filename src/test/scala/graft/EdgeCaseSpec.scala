@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior of the custom operators: empty relations,
+  * k larger than any group, strings shorter than a gram — the shapes a
+  * long-running pipeline hits on its worst partition.
+  */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("TopKPerKey with k exceeding every group size returns all rows") {
+    val df = Seq((1L, 10L, 1.0), (1L, 11L, 2.0), (2L, 20L, 3.0))
+      .toDF("k", "id", "v")
+    val got = plans.TopKPerKey.perKey(df, Seq("k"),
+      Seq("v" -> true, "id" -> false), k = 100)
+    assert(got.count() == 3)
+    assert(got.exceptAll(df).isEmpty && df.exceptAll(got).isEmpty)
+  }
+
+  test("TopKPerKey rejects unknown columns loudly") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      plans.TopKPerKey.perKey(df, Seq("nope"), Seq("b" -> true), 1)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("connectedComponents on an empty edge list returns no rows") {
+    val edges = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(operators.DedupOps.connectedComponents(edges).count() == 0)
+  }
+
+  test("AsOfJoin with an empty right side preserves left rows, null payload") {
+    val left = Seq((1L, 100L), (2L, 200L)).toDF("k", "t")
+    val right = spark.emptyDataset[(Long, Long, Long)].toDF("k", "rt", "p")
+    val got = operators.AsOfJoin.backward(left, right,
+      keys = Seq("k"), leftTime = "t", rightTime = "rt",
+      payload = Seq("p"), rightTiebreak = None)
+    assert(got.count() == 2)
+    assert(got.filter(col("p").isNotNull).count() == 0)
+  }
+
+  test("winnow_fingerprints of strings shorter than one gram is empty") {
+    val df = Seq("ab", "", "exactly8").toDF("s")
+      .select(functions.HashExprs.winnow_fingerprints(col("s")).as("fp"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](0).isEmpty)
+    assert(rows(1).getSeq[Long](0).isEmpty)
+    assert(rows(2).getSeq[Long](0).length == 1) // one gram, one window
+  }
+
+  test("exact sums over an empty relation are null, not zero or a crash") {
+    val empty = spark.emptyDataset[Long].toDF("x")
+    val r = empty.agg(
+      functions.Exact.lsum(col("x"), 2).as("l"),
+      functions.Exact.dsum(col("x")).as("d")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("hash sampling of an empty table is empty (predicate still valid)") {
+    val none = Tables.documents(spark, sfDir).filter(lit(false))
+    val sampled = none.filter(pmod(functions.TextFns.hash60(
+      concat(lit("sample:"), col("doc_id"))), lit(100L)) < 20)
+    assert(sampled.count() == 0)
+  }
+}
