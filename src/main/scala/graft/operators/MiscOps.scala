@@ -101,9 +101,37 @@ object MiscOps {
       |  strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
       |FROM orders""".stripMargin
 
+  /** Ordered string aggregation (ANSI LISTAGG … WITHIN GROUP): the
+    * explicit ORDER BY makes the concatenation deterministic at any
+    * partition count — the unordered form would be a partition-order
+    * lottery. */
+  def q66Listagg(s: SparkSession, dir: String): DataFrame = {
+    // WITHIN GROUP only parses through the SQL entry point (expr() inside
+    // .agg() drops the SortOrder); this also exercises spark.sql() over a
+    // registered view — the other half of the API surface
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q66_orders")
+    // DISTINCT inside listagg trips a Spark 4.1 parser bug when combined
+    // with a delimiter + WITHIN GROUP; dedup in a subquery instead
+    s.sql(
+      """SELECT o_orderstatus,
+        |  listagg(o_orderpriority, '|')
+        |    WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+        |  count(*) AS n_priorities
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM graft_q66_orders)
+        |GROUP BY o_orderstatus""".stripMargin)
+  }
+
+  val q66Sql: String =
+    """SELECT o_orderstatus,
+      |  string_agg(o_orderpriority, '|' ORDER BY o_orderpriority) AS priorities,
+      |  CAST(count(*) AS BIGINT) AS n_priorities
+      |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+      |GROUP BY o_orderstatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
     QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)),
     QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),
-    QueryDef("q63_date_funcs", q63DateFuncs, Some(q63Sql)))
+    QueryDef("q63_date_funcs", q63DateFuncs, Some(q63Sql)),
+    QueryDef("q66_listagg", q66Listagg, Some(q66Sql)))
 }
