@@ -95,19 +95,50 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
-  /** `foreachBatch` lake sink with idempotent partition overwrite: each
-    * micro-batch's updated windows replace exactly their own hive
-    * partitions (dynamic overwrite), so replays after a failure converge
-    * to the same lake state — exactly-once by idempotence, the standard
-    * production sink shape for windowed aggregations. */
+  /** `foreachBatch` lake sink with merge-on-write partition overwrite.
+    *
+    * In update output mode a micro-batch carries only the GROUPS that
+    * changed in that trigger — not every group sharing a hive partition —
+    * so naively overwriting the touched partitions with the batch would
+    * delete previously-written rows of the partition's other groups
+    * (e.g. partitioning hourly counts by hour while grouping by
+    * (hour, event_type): a late batch updating one event_type would wipe
+    * the hour's others). Each batch therefore does a read-modify-write:
+    * existing rows of the touched partitions are read back, the groups
+    * this batch replaces are anti-joined out on `keyCols`, and the union
+    * is rewritten with DYNAMIC partition overwrite — untouched partitions
+    * are never rewritten, and replaying a batch after a failure converges
+    * to the same lake state (idempotent upsert ⇒ effectively exactly-once).
+    *
+    * The overwrite mode is passed as a per-writer option so the session
+    * conf is left untouched. The merged batch is `localCheckpoint`ed
+    * before the write (micro-batch-sized data) because Spark refuses a
+    * plan that reads from the path it overwrites.
+    *
+    * `keyCols` must be the full aggregation group key and must include
+    * enough to identify a row uniquely within its partition.
+    * Returns the number of non-empty micro-batches committed. */
   def runToLake(spark: SparkSession, frame: DataFrame, outDir: String,
-      partitionCol: String): Unit = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      partitionCol: String, keyCols: Seq[String]): Long = {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = frame.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
-          batch.write.mode("overwrite")
+          batches.incrementAndGet()
+          val existing = scala.util.Try(
+            spark.read.schema(batch.schema).parquet(outDir)).toOption
+          val merged = existing match {
+            case None => batch
+            case Some(lake) =>
+              val touched = batch.select(partitionCol).distinct()
+              val kept = lake
+                .join(touched, Seq(partitionCol), "left_semi")
+                .join(batch, keyCols, "left_anti")
+              batch.unionByName(kept)
+          }
+          merged.localCheckpoint(true).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partitionCol)
             .option("compression", "snappy")
             .parquet(outDir)
@@ -116,6 +147,7 @@ object StreamingOps {
       .start()
     q.processAllAvailable()
     q.stop()
+    batches.get()
   }
 
   /** Run a streaming frame to completion against the (static) parquet

@@ -56,7 +56,8 @@ class StreamingSpec extends SparkTestBase {
     val out = java.nio.file.Files.createTempDirectory("slake").toString + "/counts"
     val agg = StreamingOps.tumblingCounts(StreamingOps.eventsStream(spark, sfDir))
       .withColumn("part_hour", date_format(col("ts_hour"), "yyyyMMddHH"))
-    StreamingOps.runToLake(spark, agg, out, "part_hour")
+    StreamingOps.runToLake(spark, agg, out, "part_hour",
+      Seq("ts_hour", "event_type"))
     val got = spark.read.parquet(out)
       .select("ts_hour", "event_type", "n", "sum_value")
     val want = operators.EventOps.q24Tumbling(spark, sfDir)
@@ -65,6 +66,43 @@ class StreamingSpec extends SparkTestBase {
     // hive layout on disk (the pruning key downstream readers use)
     assert(new java.io.File(out).listFiles()
       .exists(_.getName.startsWith("part_hour=")))
+  }
+
+  test("lake sink merges partitions across MULTIPLE micro-batches") {
+    // the single-batch test above can't catch partition-wipe bugs: with all
+    // input in one trigger every group of every partition is in the batch.
+    // Here the input is split into 6 files streamed one per trigger
+    // (maxFilesPerTrigger=1), so later batches update SOME groups of an
+    // hour partition while others must survive from earlier batches.
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("slake_multi").toString
+    val chunks = s"$tmp/chunks"
+    val events = Tables.events(spark, sfDir)
+    // separate write calls → separate files (mtimes strictly ordered is not
+    // required: the aggregation below carries no watermark, so no trigger
+    // order drops rows)
+    (0 until 6).foreach { i =>
+      events.filter(pmod(col("event_id"), lit(6)) === i)
+        .coalesce(1).write.mode("append").parquet(chunks)
+    }
+    val schema = spark.read.parquet(chunks).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(chunks)
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ts_hour"), col("event_type"), col("n"))
+      .withColumn("part_hour", date_format(col("ts_hour"), "yyyyMMddHH"))
+    val out = s"$tmp/counts"
+    val nBatches = StreamingOps.runToLake(spark, agg, out, "part_hour",
+      Seq("ts_hour", "event_type"))
+    assert(nBatches >= 6, s"expected one micro-batch per file, got $nBatches")
+    val got = spark.read.parquet(out).select("ts_hour", "event_type", "n")
+    val want = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ts_hour"), col("event_type"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
   test("streaming dedup emits each (user_id, event_id) once") {
