@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowNumber, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, CurrentRow, Descending, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowFrame, RowNumber, SortOrder, SpecifiedWindowFrame, UnboundedPreceding, UnsafeProjection, UnsafeRow, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
@@ -125,20 +125,71 @@ object TopKPerKey {
     }
   }
 
-  /** Optimizer rewrite: `WindowGroupLimit(part, order, row_number, k)` →
-    * [[TopKPerKeyPlan]]. The surrounding Window/Filter stay and recompute
-    * the rank over the pruned ~k·|keys| rows (a per-group sort of ≤ k
-    * rows), so output columns and values are unchanged; the two full
-    * sorts of the fact table disappear. Rank-like functions other than
-    * `row_number` are left to the built-in operator (they keep boundary
-    * ties; a strict k-heap would cut them). */
-  object TopKRewrite extends Rule[LogicalPlan] {
+  /** Optimizer rewrite to [[TopKPerKeyPlan]], matching BOTH plan shapes a
+    * `row_number() <= k` window filter passes through the optimizer as —
+    * because the two activation paths see the plan at different stages:
+    *
+    *  - `spark.experimental.extraOptimizations` ([[enable]]) runs as the
+    *    LAST optimizer batch, after Spark's "Infer window group limit"
+    *    batch — there the pattern is the `WindowGroupLimit` node itself.
+    *  - `spark.sql.extensions` / [[graft.GraftExtensions]] injects into
+    *    the operator-optimization batch, which runs BEFORE
+    *    `InferWindowGroupLimit` has created any `WindowGroupLimit` — there
+    *    the pattern is still the raw `Filter(rn <= k, Window(row_number))`
+    *    (same conjunct extraction as Spark's own rule). Spark's later
+    *    batch then inserts a `WindowGroupLimit` above our node; it
+    *    operates on the already-pruned ~k·|keys| rows and shares the
+    *    Window's required sort, so it costs one streaming pass of pruned
+    *    rows, not a sort of the fact table.
+    *
+    * In both shapes the surrounding Window/Filter stay and recompute the
+    * rank over the pruned rows, so output columns and values are
+    * unchanged; the two full sorts of the fact table disappear. Rank-like
+    * functions other than `row_number` are left to the built-in operator
+    * (they keep boundary ties; a strict k-heap would cut them). */
+  object TopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+    /** Smallest row_number bound in `cond`'s conjuncts (`rn <= k`,
+      * `rn < k`, `rn = k`, and the literal-first mirror forms), where `rn`
+      * is an alias of row_number over the standard running frame. */
+    private def rowNumberLimit(cond: Expression,
+        windowExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression]): Option[Int] = {
+      val rnAttrs = windowExprs.collect {
+        case a @ Alias(WindowExpression(RowNumber(), WindowSpecDefinition(_, _,
+            SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))), _) =>
+          a.toAttribute
+      }
+      if (rnAttrs.isEmpty) None
+      else {
+        val limits = splitConjunctivePredicates(cond).collect {
+          case LessThan(e, IntegerLiteral(n)) if rnAttrs.exists(e.semanticEquals) => n - 1
+          case GreaterThan(IntegerLiteral(n), e) if rnAttrs.exists(e.semanticEquals) => n - 1
+          case LessThanOrEqual(e, IntegerLiteral(n)) if rnAttrs.exists(e.semanticEquals) => n
+          case GreaterThanOrEqual(IntegerLiteral(n), e) if rnAttrs.exists(e.semanticEquals) => n
+          case EqualTo(e, IntegerLiteral(n)) if rnAttrs.exists(e.semanticEquals) => n
+          case EqualTo(IntegerLiteral(n), e) if rnAttrs.exists(e.semanticEquals) => n
+        }
+        if (limits.isEmpty) None else Some(limits.min)
+      }
+    }
+
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case WindowGroupLimit(part, order, RowNumber(), limit, child)
           if part.nonEmpty && order.nonEmpty && limit > 0 &&
             (part ++ order).flatMap(_.references)
               .forall(child.outputSet.contains) =>
         TopKPerKeyPlan(part, order, limit, child)
+      case f @ Filter(cond, w @ Window(windowExprs, part, order, child, _))
+          if part.nonEmpty && order.nonEmpty &&
+            !child.isInstanceOf[TopKPerKeyPlan] &&
+            !child.isInstanceOf[WindowGroupLimit] &&
+            (part ++ order).flatMap(_.references)
+              .forall(child.outputSet.contains) =>
+        rowNumberLimit(cond, windowExprs) match {
+          case Some(k) if k > 0 =>
+            f.copy(child = w.copy(child = TopKPerKeyPlan(part, order, k, child)))
+          case _ => f
+        }
     }
   }
 

@@ -42,6 +42,28 @@ object GraftShims {
     (e.buildPlannerStrategies(spark), e.buildOptimizerRules(spark))
   }
 
+  /** A sibling session over the same SparkContext/SharedState whose
+    * SessionState is built WITH the given extensions installer — i.e. the
+    * real `spark.sql.extensions` activation path, where injected optimizer
+    * rules land in their advertised batches. Tests use this to verify the
+    * extension wiring end-to-end without stopping the shared session (the
+    * public builder ignores `withExtensions` once a session exists). */
+  def sessionWithExtensions(spark: SparkSession,
+      installer: SparkSessionExtensions => Unit): SparkSession = {
+    val e = new SparkSessionExtensions
+    installer(e)
+    // the 6-arg constructor is Scala-`private` (bytecode-public); this is
+    // exactly what Builder.getOrCreate invokes when no session exists yet
+    val ctor = classOf[classic.SparkSession].getConstructor(
+      classOf[org.apache.spark.SparkContext], classOf[Option[_]],
+      classOf[Option[_]], classOf[SparkSessionExtensions],
+      classOf[scala.collection.immutable.Map[_, _]],
+      classOf[scala.collection.immutable.Map[_, _]])
+    ctor.newInstance(spark.sparkContext,
+      Some(spark.asInstanceOf[classic.SparkSession].sharedState), None, e,
+      Map.empty[String, String], Map.empty[String, String])
+  }
+
   /** The analyzed logical plan under a DataFrame. */
   def logicalPlan(df: DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =

@@ -115,6 +115,31 @@ class PlanShapeSpec extends SparkTestBase {
       && r.getLong(3) == 2000000L)
   }
 
+  test("extensions-built session compiles row_number()<=k to the heap operator") {
+    // the real spark.sql.extensions path: a session whose SessionState is
+    // constructed WITH GraftExtensions. The injected rewrite runs in the
+    // operator-optimization batch — BEFORE Spark's own InferWindowGroupLimit
+    // batch — so it must match the raw Filter-over-Window shape there.
+    import org.apache.spark.sql.functions.{col, row_number}
+    val ext = org.apache.spark.sql.GraftShims
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    def topn(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "rn")
+    val plan = initialPlan(topn(ext))
+    assert(count(plan, "TopKPerKey") == 2, plan)
+    assert(count(plan, "Exchange") == 1, plan)
+    // injected SQL functions resolve in the extensions session too
+    assert(ext.sql("SELECT md5long60('xyz') AS h").head().getLong(0) > 0)
+    // and the pruned plan returns exactly the unrewritten session's rows
+    val want = topn(spark).collect().toSet
+    assert(topn(ext).collect().toSet == want && want.nonEmpty)
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
