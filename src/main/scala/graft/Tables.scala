@@ -40,10 +40,41 @@ object Tables {
     * would pin the whole pass to one core (measured 7× on the dedup trio);
     * on a cluster the same scan is already thousands of partitions wide
     * and an unconditional repartition would be a gratuitous extra shuffle.
-    * The partition count comes from the compiled physical plan (no job is
-    * run). */
+    *
+    * The width comes from the compiled physical plan's leaves — file bytes
+    * over `spark.sql.files.maxPartitionBytes`, the same sizing the scan's
+    * own split planning uses — WITHOUT converting to an RDD (`df.rdd`
+    * would build and register the full RDD lineage per call). A plan that
+    * already contains a shuffle is `spark.sql.shuffle.partitions` wide no
+    * matter how small its leaves. The parallelism target defaults to the
+    * driver-time `defaultParallelism` but can be pinned with
+    * `spark.graft.widen.target` for dynamic-allocation clusters where the
+    * submit-time executor count undercounts the eventual width. */
   def widen(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= target) df else df.repartition(key)
+    val spark = df.sparkSession
+    val target = spark.conf.getOption("spark.graft.widen.target").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    if (plannedWidth(df, target) * 2 >= target) df else df.repartition(key)
+  }
+
+  private def plannedWidth(df: DataFrame, target: Int): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, RangeExec}
+    val spark = df.sparkSession
+    val plan = df.queryExecution.sparkPlan
+    val hasShuffle = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+    if (hasShuffle) spark.conf.get("spark.sql.shuffle.partitions").toInt
+    else {
+      val maxSplit = math.max(1L,
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes")))
+      plan.collect {
+        case s: FileSourceScanExec =>
+          math.max(1L, s.relation.location.sizeInBytes / maxSplit)
+        case r: RangeExec => r.range.numSlices.getOrElse(target).toLong
+      }.sum.min(Int.MaxValue).toInt
+    }
   }
 }

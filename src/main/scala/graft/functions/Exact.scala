@@ -58,18 +58,21 @@ object Exact {
   /** Overflow-safe exact sum of a scaled-long column, emitted as
     * double(Σ/10^s). A plain `sum(long)` would overflow int64 once
     * Σ > 9.2e18 (reachable for cents-product columns at 100 TB), so the
-    * per-row value is split into 2^20-radix high/low halves — each summed
-    * as a primitive long, exact to Σ < 2^63·2^20 ≈ 1e25 — and recombined
-    * in DECIMAL(38) once per group. The final divide-by-10^s happens in
-    * decimal (scale ≥ 6, exact for s ≤ 6) then one correctly-rounded cast
-    * to double, so results match `CAST(sum(decimal) AS DOUBLE)` oracles
+    * per-row value is split into THREE 21-bit radix chunks — each summed
+    * as a primitive long — and recombined in DECIMAL(38) once per group.
+    * Every chunk is < 2^21 in magnitude, so each partial sum stays exact
+    * while the GROUP has fewer than 2^63/2^21 = 2^42 ≈ 4.4e12 rows —
+    * a row-count bound independent of value magnitude (a 2-chunk split's
+    * hi half is magnitude-bounded instead: Σ|v| < 2^83 ≈ 9.7e24, which
+    * squared-cents moment columns exceed at ~6e11 rows; see
+    * [[lsumDec]]). 100 TB ≈ 6e11 lineitem rows ⇒ 7× headroom even for a
+    * single global group. The final divide-by-10^s happens in decimal
+    * (scale ≥ 6, exact for s ≤ 6) then one correctly-rounded cast to
+    * double, so results match `CAST(sum(decimal) AS DOUBLE)` oracles
     * bit-for-bit. Splitting is exact for negatives too (two's complement:
-    * v == (v >> 20)·2^20 + (v & 0xFFFFF)). */
-  def lsum(scaled: Column, s: Int): Column = {
-    val hi = sum(shiftright(scaled, 20)).cast(DecimalType(38, 0))
-    val lo = sum(scaled.bitwiseAND(lit((1L << 20) - 1))).cast(DecimalType(38, 0))
-    ((hi * lit(1L << 20) + lo) / lit(math.pow(10, s).toLong)).cast("double")
-  }
+    * v == (v >> 21)·2^21 + (v & 0x1FFFFF), applied twice). */
+  def lsum(scaled: Column, s: Int): Column =
+    (lsumDec(scaled) / lit(math.pow(10, s).toLong)).cast("double")
 
   /** Exact AVG over a scaled-long column: exact sum, double division by
     * count — same shape as [[davg]]. */
@@ -77,13 +80,21 @@ object Exact {
 
   /** [[lsum]]'s exact integer sum kept as DECIMAL(38,0) — for statistical
     * moments (Σx, Σx², Σxy) that feed variance/correlation formulas, which
-    * need the raw integers, not double(Σ/10^s). Same 2^20-radix split:
-    * exact past int64. DuckDB mirrors with HUGEINT sums (both sides have
-    * ~38 significant digits before the final double conversion). */
+    * need the raw integers, not double(Σ/10^s). Three 21-bit radix chunks
+    * (top chunk arithmetic-shifted, so negatives split exactly), each a
+    * primitive long sum: exact for any long inputs while the group has
+    * < 2^42 rows — squared-cents moments (~1e14/row) included, which a
+    * 2-chunk 2^20 split would silently overflow near 100 TB scale
+    * (Σ|v| limit ≈ 9.7e24 vs Σx² ≈ 6e25 at 6e11 rows). DuckDB mirrors
+    * with HUGEINT sums (both sides exact before the final double
+    * conversion). The per-group bound is asserted in PropertySpec against
+    * BigInt ground truth at adversarial magnitudes. */
   def lsumDec(scaled: Column): Column = {
-    val hi = sum(shiftright(scaled, 20)).cast(DecimalType(38, 0))
-    val lo = sum(scaled.bitwiseAND(lit((1L << 20) - 1))).cast(DecimalType(38, 0))
-    hi * lit(1L << 20) + lo
+    val mask = lit((1L << 21) - 1)
+    val top = sum(shiftright(scaled, 42)).cast(DecimalType(38, 0))
+    val mid = sum(shiftright(scaled, 21).bitwiseAND(mask)).cast(DecimalType(38, 0))
+    val lo  = sum(scaled.bitwiseAND(mask)).cast(DecimalType(38, 0))
+    top * lit(1L << 42) + mid * lit(1L << 21) + lo
   }
 
   /** Drop-in fast-path [[dsum]] for columns with ≤ 2 decimal digits (every

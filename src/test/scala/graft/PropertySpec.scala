@@ -100,6 +100,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("Exact.lsumDec is exact at moment-column magnitudes past the 2-chunk bound") {
+    import spark.implicits._
+    // squared-cents moments at 100 TB: ~1e14 per row, Σ past 9.7e24 — the
+    // regime where a 2^20 hi/lo split silently overflows its hi half. The
+    // 21-bit 3-chunk split's bound is row-count-only (n < 2^42), so these
+    // sums must match BigInt ground truth exactly.
+    val magnitudes = Seq(1L << 46, (1L << 61) + 12345L, -(1L << 60), 99999999999999L)
+    for (m <- magnitudes) {
+      val xs = Seq.fill(3000)(
+        (m + rnd.nextInt(1 << 20)) * (if (rnd.nextBoolean()) 1L else -1L))
+      val want = xs.foldLeft(BigInt(0))(_ + _)
+      val got = xs.toDF("x").repartition(13)
+        .agg(functions.Exact.lsumDec(col("x")).as("s"))
+        .head().getDecimal(0)
+      assert(BigInt(got.toBigInteger) == want, s"magnitude=$m")
+    }
+  }
+
   test("Md5Long60 equals the conv(substr(md5)) built-in chain on real text") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("text"), explode(functions.TextFns.tokens(col("text"))).as("tok"))
