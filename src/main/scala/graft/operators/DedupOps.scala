@@ -379,13 +379,17 @@ object DedupOps {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
+      // one materialization per round: `next` carries BOTH the old and the
+      // new label so the convergence check is a filter over the checkpoint,
+      // not another join — and the checkpoint truncates lineage so round
+      // n+1 never re-runs round n's join (a naive
+      // count-then-checkpoint sequence evaluates the round THREE times)
       val next = labels.join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).count()
-      labels = next.localCheckpoint(true) // truncate the per-round lineage
-      converged = changed == 0
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("old")).isEmpty
+      labels = next.select("node", "label")
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))

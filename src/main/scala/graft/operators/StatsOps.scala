@@ -153,7 +153,11 @@ object StatsOps {
       .select(col("user_id"), to_date(col("ts")).as("d"), col("value"))
     val daily = e.groupBy(col("user_id"), col("d"))
       .agg(dsum(col("value"), 6).as("day_value"), count(lit(1)).as("n_events"))
-    val spans = e.groupBy(col("user_id"))
+    // per-user span derives from the (already tiny) daily aggregate, not
+    // from a second full scan+shuffle of events: min/max of the day keys
+    // per user is identical either way, and at 100 TB this halves the
+    // fact-table reads of the query
+    val spans = daily.groupBy(col("user_id"))
       .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
     val grid = spans.select(col("user_id"),
       explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("d"))
