@@ -23,5 +23,6 @@ object QueryDef {
       graft.operators.SimilarityOps.defs ++
       graft.operators.StatsOps.defs ++
       graft.operators.MiscOps.defs ++
+      graft.operators.CurationOps.defs ++
       graft.multimodal.Multimodal.defs
 }

@@ -1,0 +1,309 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.Exact.frevenue
+import graft.functions.TextFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data curation surface beyond dedup/similarity: PII redaction,
+  * repetition-based quality signals, training-window chunking, benchmark
+  * contamination detection, TF-IDF keyword extraction, bloom-filter join
+  * pruning, Z-order clustering keys, and stratified sampling.
+  *
+  * Everything is built-in/codegen column work (no UDFs); the iterative
+  * shapes (chunk explode, shingle join) follow the same bucket-join
+  * discipline as DedupOps — pairs are only generated inside a join key,
+  * never all-pairs. Every query has an exact DuckDB oracle.
+  */
+object CurationOps {
+
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "[0-9]{3}-[0-9]{4}"
+
+  /** DuckDB token-array snippet shared by the oracles below (identical
+    * normalization to [[graft.functions.TextFns.normText]]). */
+  private val toksSql =
+    "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
+  /** PII redaction: e-mail and phone patterns scrubbed with placeholder
+    * tags, plus pre-redaction match counts (the audit signal a curation
+    * pipeline logs). The corpus text is synthetic and PII-free, so a
+    * deterministic e-mail + phone suffix derived from doc_id is appended
+    * first — the operator then provably redacts ≥ 1 of each per row.
+    * Pure per-row regex work: embarrassingly parallel, no shuffle. */
+  def q67PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val txt = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or call 555-01"),
+      lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), txt.as("txt"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+  }
+
+  val q67Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or call 555-01'
+       |      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS txt
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(txt, '$emailRe')) AS n_emails,
+       |  len(regexp_extract_all(txt, '$phoneRe')) AS n_phones,
+       |  regexp_replace(regexp_replace(txt, '$emailRe', '<EMAIL>', 'g'),
+       |    '$phoneRe', '<PHONE>', 'g') AS redacted
+       |FROM t""".stripMargin
+
+  /** Gopher-style repetition quality signals: duplicate word-trigram
+    * fraction and distinct-token ratio inputs. All per-row array work on
+    * a materialized token column (a lambda that captures the tokenizer
+    * expression would re-tokenize per trigram). */
+  def q68Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        transform(sequence(lit(1), size(col("toks")) - 2), i =>
+          concat_ws(" ", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))
+          .as("g3"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        ((size(col("g3")) - size(array_distinct(col("g3")))).cast("double")
+          / size(col("g3"))).as("dup3_frac"))
+
+  val q68Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |g AS (SELECT doc_id, n, toks,
+       |  list_transform(range(1, n - 1),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+       |  FROM f)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+       |  CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup3_frac
+       |FROM g""".stripMargin
+
+  /** Training-window chunking: token windows of 64 with stride 48
+    * (overlap 16) — the context-window packing step of an LLM data
+    * pipeline. One generate-series explode per doc; row count is bounded
+    * by total tokens / stride, and the whole thing is a single narrow
+    * pass (no shuffle). */
+  def q69Chunk(s: SparkSession, dir: String): DataFrame = {
+    val W = 64; val S = 48
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          floor(greatest(col("n") - W + S - 1, lit(0)) / S).cast("int")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("n").cast("long").as("n_tokens"),
+        least(lit(W), col("n") - col("chunk_id") * S).cast("long")
+          .as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("chunk_id") * S + 1, lit(W)))
+          .as("chunk_text"))
+  }
+
+  val q69Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+       |c AS (SELECT doc_id, toks, n, CAST(u.i AS BIGINT) AS chunk_id
+       |      FROM n, UNNEST(range(0,
+       |        1 + CAST(floor(greatest(n - 64 + 48 - 1, 0) / 48) AS BIGINT))) AS u(i))
+       |SELECT doc_id, chunk_id, CAST(n AS BIGINT) AS n_tokens,
+       |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ')
+       |    AS chunk_text
+       |FROM c""".stripMargin
+
+  /** Benchmark-contamination detection: documents sharing ≥ 3 distinct
+    * word 3-grams with any doc of a (deterministically chosen ~5%)
+    * benchmark set — real pipelines use longer shingles (8–13 grams); the
+    * synthetic corpus's tiny vocabulary needs short ones for overlap to
+    * exist at all. The join key is the n-gram itself — candidate pairs
+    * exist only inside a shared shingle, never all-pairs — and the
+    * benchmark side of a real pipeline is a fixed eval suite (bounded),
+    * so at 100 TB the planner can broadcast it; no hint is forced here
+    * (AQE decides from measured size, per the q09/q35 lesson). */
+  def q70Contamination(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("g"))
+    val bench = sh
+      .filter(pmod(hash60(concat(lit("bench:"), col("doc_id").cast("string"))),
+        lit(100)) < 5)
+      .select(col("doc_id").as("bench_id"), col("g"))
+    sh.join(bench, Seq("g"))
+      .filter(col("doc_id") =!= col("bench_id"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+  }
+
+  val q70Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |b AS (SELECT doc_id AS bench_id, g FROM sh
+       |      WHERE CAST('0x' || substr(md5('bench:' || doc_id), 1, 15) AS BIGINT)
+       |        % 100 < 5)
+       |SELECT sh.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM sh JOIN b ON sh.g = b.g AND sh.doc_id <> b.bench_id
+       |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
+
+  /** Bloom-filter join pruning — the runtime-filter shape made explicit:
+    * a bloom filter over the (filtered) orders keys is built DISTRIBUTED
+    * with Spark's own `BloomFilterAggregate`, its ~MB serialization
+    * collected once, and re-attached as a literal probe
+    * (`BloomFilterMightContain`, codegen) on the lineitem scan — so the
+    * big side discards non-joining rows BEFORE the shuffle. The exact
+    * join then runs on survivors; because a bloom filter has no false
+    * negatives, the result equals the plain join (the oracle). At 100 TB
+    * this is the difference between shuffling 6e11 rows and shuffling
+    * only the ~joinable fraction. */
+  def q71BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val o = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftShims.toExpression(col("o_orderkey")))))
+    val bytes = o.agg(GraftShims.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = GraftShims.toColumn(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      new XxHash64(Seq(GraftShims.toExpression(col("l_orderkey"))))))
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(probe)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        frevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+  }
+
+  val q71Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 150000
+      |GROUP BY 1""".stripMargin
+
+  /** TF-IDF keyword extraction: top-scoring term per document. The idf is
+    * kept as the exact rational (N+1)/(df+1) times tf, evaluated with ONE
+    * correctly-rounded double division so both engines produce identical
+    * doubles (ln() is libm-dependent and deliberately avoided). Two
+    * narrow aggregates + a per-doc top-1 window with a term tiebreak. */
+  def q72Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val terms = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("doc_freq") + 1))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("doc_freq"), col("score"))
+  }
+
+  val q72Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |terms AS (SELECT doc_id, u.term FROM t, UNNEST(toks) AS u(term)
+       |          WHERE u.term <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, doc_freq,
+       |    CAST(tf * (n_docs + 1) AS DOUBLE) / (doc_freq + 1) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+       |  CAST(doc_freq AS BIGINT) AS doc_freq, score
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+       |      FROM scored)
+       |WHERE rn = 1""".stripMargin
+
+  /** Z-order (Morton) clustering key: 10+10-bit interleave of two key
+    * dimensions — the multi-dimensional sort key a lake writer clusters
+    * files by so min/max stats prune on EITHER dimension. Pure bitwise
+    * codegen arithmetic (20 shift-and-mask terms, no UDF, no shuffle);
+    * `zbucket` is the top 4 bits, i.e. the coarse file assignment. */
+  def q73Zorder(s: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("o_custkey"), lit(1024L))
+    val y = pmod(col("o_orderkey"), lit(1024L))
+    val z: Column = (0 until 10).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), z.as("zval"))
+      .select(col("o_orderkey"), col("o_custkey"), col("zval"),
+        shiftright(col("zval"), 16).as("zbucket"))
+  }
+
+  val q73Sql: String = {
+    val terms = (0 until 10).map { i =>
+      s"(((o_custkey % 1024) >> $i) & 1) * ${1L << (2 * i)}" +
+        s" + (((o_orderkey % 1024) >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+    s"""SELECT o_orderkey, o_custkey,
+       |  CAST($terms AS BIGINT) AS zval,
+       |  CAST(($terms) >> 16 AS BIGINT) AS zbucket
+       |FROM orders""".stripMargin
+  }
+
+  /** Stratified deterministic sampling: per-stratum keep rates applied
+    * with a salted content hash, so the sample is reproducible across
+    * runs/engines and needs no shuffle or state — the standard
+    * class-balancing step before training-set assembly. */
+  def q74StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = when(col("event_type") === "view", 50)
+      .when(col("event_type") === "purchase", 400)
+      .otherwise(150)
+    Tables.events(s, dir)
+      .filter(pmod(hash60(concat(lit("strat:"), col("event_id").cast("string"))),
+        lit(1000)) < rate)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+  }
+
+  val q74Sql: String =
+    """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+      |FROM events
+      |WHERE CAST('0x' || substr(md5('strat:' || event_id), 1, 15) AS BIGINT) % 1000
+      |  < CASE event_type WHEN 'view' THEN 50 WHEN 'purchase' THEN 400 ELSE 150 END""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
+    QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
+    QueryDef("q69_chunk", q69Chunk, Some(q69Sql)),
+    QueryDef("q70_contamination", q70Contamination, Some(q70Sql)),
+    QueryDef("q71_bloom_join", q71BloomJoin, Some(q71Sql)),
+    QueryDef("q72_tfidf", q72Tfidf, Some(q72Sql)),
+    QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
+    QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)))
+}

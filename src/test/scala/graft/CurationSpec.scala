@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.CurationOps
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the curation operators that the hash-vs-oracle
+  * gate can't express: redaction completeness, chunk coverage, bloom
+  * no-false-negative equality, Morton-key bijectivity, sample rates.
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("q67: redacted text contains no residual e-mail or phone matches") {
+    val r = CurationOps.q67PiiRedact(spark, sfDir)
+    assert(r.filter(col("n_emails") < 1 || col("n_phones") < 1).isEmpty)
+    val residual = r.filter(
+      regexp_count(col("redacted"), lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")) > 0 ||
+        regexp_count(col("redacted"), lit("[0-9]{3}-[0-9]{4}")) > 0)
+    assert(residual.isEmpty)
+    assert(r.filter(col("redacted").contains("<EMAIL>")).count() == r.count())
+  }
+
+  test("q68: duplicate-trigram fraction is a valid ratio and detects repetition") {
+    val r = CurationOps.q68Repetition(spark, sfDir)
+    assert(r.filter(col("dup3_frac") < 0.0 || col("dup3_frac") > 1.0).isEmpty)
+    assert(r.filter(col("n_distinct_tokens") > col("n_tokens")).isEmpty)
+    // the synthetic corpus draws from a tiny vocabulary — repetition must
+    // actually register on at least some docs
+    assert(r.filter(col("dup3_frac") > 0.0).count() > 0)
+  }
+
+  test("q69: chunks tile every token with stride 48 and window <= 64") {
+    val r = CurationOps.q69Chunk(spark, sfDir)
+    assert(r.filter(col("n_chunk_tokens") > 64 || col("n_chunk_tokens") < 1).isEmpty)
+    // per doc: chunk ids are 0..k contiguous, and the last chunk reaches
+    // the final token (start + len == n_tokens + 1)
+    val per = r.groupBy("doc_id").agg(
+      max(col("chunk_id")).as("max_id"), count(lit(1)).as("n_chunks"),
+      max(col("chunk_id") * 48 + col("n_chunk_tokens")).as("reach"),
+      max(col("n_tokens")).as("n"))
+    assert(per.filter(col("n_chunks") =!= col("max_id") + 1).isEmpty)
+    assert(per.filter(col("reach") =!= col("n")).isEmpty)
+    // chunk text token count agrees with the declared n_chunk_tokens
+    assert(r.filter(size(split(col("chunk_text"), " ")) =!= col("n_chunk_tokens")).isEmpty)
+  }
+
+  test("q71: bloom-prefiltered join equals the plain join exactly") {
+    val got = CurationOps.q71BloomJoin(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        functions.Exact.frevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
+  test("q73: Morton interleave is a bijection of the two 10-bit inputs") {
+    val r = CurationOps.q73Zorder(spark, sfDir)
+      .withColumn("x", pmod(col("o_custkey"), lit(1024L)))
+      .withColumn("y", pmod(col("o_orderkey"), lit(1024L)))
+    assert(r.filter(col("zval") < 0 || col("zval") >= (1L << 20)).isEmpty)
+    // de-interleave reproduces (x, y): zval determines exactly its inputs
+    val dex = (0 until 10).map(i =>
+      shiftleft(shiftright(col("zval"), 2 * i).bitwiseAND(lit(1L)), i)).reduce(_ + _)
+    val dey = (0 until 10).map(i =>
+      shiftleft(shiftright(col("zval"), 2 * i + 1).bitwiseAND(lit(1L)), i)).reduce(_ + _)
+    assert(r.filter(dex =!= col("x") || dey =!= col("y")).isEmpty)
+  }
+
+  test("q74: stratified rates land near their targets and are deterministic") {
+    val e = Tables.events(spark, sfDir)
+    val got = CurationOps.q74StratifiedSample(spark, sfDir)
+    val rates = got.groupBy("event_type").agg(count(lit(1)).as("kept"))
+      .join(e.groupBy("event_type").agg(count(lit(1)).as("total")), Seq("event_type"))
+      .withColumn("rate", col("kept").cast("double") / col("total"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rates("purchase") > 0.25 && rates("purchase") < 0.55, rates)
+    assert(rates.getOrElse("view", 0.0) < 0.15, rates)
+    // determinism: re-running yields the identical sample
+    val again = CurationOps.q74StratifiedSample(spark, sfDir)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+  }
+}
