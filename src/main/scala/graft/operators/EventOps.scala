@@ -191,7 +191,8 @@ object EventOps {
     QueryDef("q28_pivot", q28Pivot, Some(q28Sql)),
     QueryDef("q41_asof_lookup", q41AsOf, Some(q41Sql)),
     QueryDef("q46_session_window", q46SessionWindow, Some(q46Sql)),
-    QueryDef("q53_unpivot", q53Unpivot, Some(q53Sql)))
+    QueryDef("q53_unpivot", q53Unpivot, Some(q53Sql)),
+    QueryDef("q75_scd2", q75Scd2, Some(q75Sql)))
 
   /** UNPIVOT (wide→long): melt the per-type pivot back into rows via
     * `stack`, dropping absent combinations like SQL UNPIVOT does. */
@@ -206,4 +207,28 @@ object EventOps {
     """SELECT user_id, event_type,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY user_id, event_type""".stripMargin
+
+  /** Type-2 slowly-changing-dimension snapshot from an event stream: each
+    * per-user update opens a validity interval, closed by the user's next
+    * update (`lead` over event time); the latest row stays open
+    * (`valid_to_us` NULL, `is_current` true). One window shuffle on
+    * user_id; `(user_id, ts)` is unique in the events table (tie-audited
+    * in FIXTURES.md), so the ordering — and the hash gate — is
+    * deterministic. Timestamps are integer µs for cross-engine parity. */
+  def q75Scd2(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  val q75Sql: String =
+    """SELECT user_id, value, valid_from_us,
+      |  lead(valid_from_us) OVER w AS valid_to_us,
+      |  lead(valid_from_us) OVER w IS NULL AS is_current
+      |FROM (SELECT user_id, value, epoch_us(ts) AS valid_from_us FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us)""".stripMargin
 }

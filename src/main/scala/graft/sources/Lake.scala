@@ -53,6 +53,15 @@ object Lake {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC source/sink — same vectorized-scan + predicate-pushdown story as
+    * parquet (Spark's built-in `orc` format), for lakes standardized on
+    * ORC. Round-trip equality is spec-asserted in LakeSpec. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
   def writePlain(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("compression", "snappy").parquet(path)
 

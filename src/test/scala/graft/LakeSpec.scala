@@ -44,6 +44,16 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.readParquet(spark, s"$dir/part").count() == 3)
   }
 
+  test("ORC write/read round-trips exactly (types and values)") {
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString
+    val df = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    sources.Lake.writeOrc(df, s"$dir/orders_orc")
+    val back = sources.Lake.readOrc(spark, s"$dir/orders_orc")
+    assert(back.schema == df.schema)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
   test("readJsonQuarantine routes malformed lines to _corrupt_record") {
     val dir = Files.createTempDirectory("jsonq").toFile
     val f = new java.io.File(dir, "data.json")
