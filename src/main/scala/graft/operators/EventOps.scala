@@ -192,7 +192,8 @@ object EventOps {
     QueryDef("q41_asof_lookup", q41AsOf, Some(q41Sql)),
     QueryDef("q46_session_window", q46SessionWindow, Some(q46Sql)),
     QueryDef("q53_unpivot", q53Unpivot, Some(q53Sql)),
-    QueryDef("q75_scd2", q75Scd2, Some(q75Sql)))
+    QueryDef("q75_scd2", q75Scd2, Some(q75Sql)),
+    QueryDef("q76_funnel", q76Funnel, Some(q76Sql)))
 
   /** UNPIVOT (wide→long): melt the per-type pivot back into rows via
     * `stack`, dropping absent combinations like SQL UNPIVOT does. */
@@ -231,4 +232,37 @@ object EventOps {
       |  lead(valid_from_us) OVER w IS NULL AS is_current
       |FROM (SELECT user_id, value, epoch_us(ts) AS valid_from_us FROM events)
       |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_us)""".stripMargin
+
+  /** Two-step funnel: each user's first view, and the first purchase at
+    * or after it — conversion flag + integer-µs lag. Two aggregates and
+    * two joins, all keyed on user_id (one co-partitioned shuffle family,
+    * no hints — the per-user firsts are unbounded at 100 TB, AQE picks
+    * the join strategy). */
+  def q76Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val firstView = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+    val conv = e.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .filter(col("ts_us") >= col("first_view_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+    firstView.join(conv, Seq("user_id"), "left")
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        col("first_purchase_us").isNotNull.as("converted"),
+        (col("first_purchase_us") - col("first_view_us")).as("lag_us"))
+  }
+
+  val q76Sql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |fv AS (SELECT user_id, min(ts_us) AS first_view_us FROM e
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |cv AS (SELECT e.user_id, min(ts_us) AS first_purchase_us
+      |       FROM e JOIN fv USING (user_id)
+      |       WHERE event_type = 'purchase' AND ts_us >= first_view_us
+      |       GROUP BY 1)
+      |SELECT user_id, first_view_us, first_purchase_us,
+      |  first_purchase_us IS NOT NULL AS converted,
+      |  first_purchase_us - first_view_us AS lag_us
+      |FROM fv LEFT JOIN cv USING (user_id)""".stripMargin
 }

@@ -122,6 +122,33 @@ object StatsOps {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Robust statistics: median absolute deviation of quantity per return
+    * flag. Two-pass: per-group exact median, broadcast-joinable back to
+    * the fact rows (tiny per-group frame, AQE decides), then the median
+    * of absolute deviations. All interpolation points are dyadic
+    * fractions of integer-valued data — exact in binary, so both engines
+    * agree bitwise (same argument as q57). */
+  def q77Mad(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
+    val med = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("med_qty"))
+    li.join(med, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("med_qty")).as("med_qty"),
+        expr("percentile(abs(l_quantity - med_qty), 0.5)").as("mad_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  val q77Sql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, max(med_qty) AS med_qty,
+      |  quantile_cont(abs(l_quantity - med_qty), 0.5) AS mad_qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem l JOIN med USING (l_returnflag)
+      |GROUP BY l.l_returnflag""".stripMargin
+
   /** Deterministic 20% document sample by content-independent key hash —
     * the reproducible way to sample at 100 TB: no RNG state, any engine
     * or rerun selects the same rows, and the predicate pushes into the
@@ -194,5 +221,6 @@ object StatsOps {
     QueryDef("q56_levenshtein", q56Levenshtein, Some(q56Sql)),
     QueryDef("q57_percentiles", q57Percentiles, Some(q57Sql)),
     QueryDef("q58_hash_sample", q58HashSample, Some(q58Sql)),
-    QueryDef("q59_gap_fill", q59GapFill, Some(q59Sql)))
+    QueryDef("q59_gap_fill", q59GapFill, Some(q59Sql)),
+    QueryDef("q77_mad", q77Mad, Some(q77Sql)))
 }
