@@ -71,6 +71,31 @@ class CurationSpec extends SparkTestBase {
     assert(r.filter(dex =!= col("x") || dey =!= col("y")).isEmpty)
   }
 
+  test("q75: SCD2 intervals are disjoint, contiguous, and singly-current per user") {
+    val r = operators.EventOps.q75Scd2(spark, sfDir)
+    // exactly one open (current) interval per user
+    val open = r.groupBy("user_id")
+      .agg(sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"))
+    assert(open.filter(col("n_open") =!= 1L).isEmpty)
+    // each closed interval ends exactly where the user's next begins
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from_us")
+    val chained = r.withColumn("next_from", lead(col("valid_from_us"), 1).over(w))
+    assert(chained.filter(col("valid_to_us") =!= col("next_from")).isEmpty)
+    assert(r.count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("q76: funnel lags are non-negative and converted matches purchase presence") {
+    val r = operators.EventOps.q76Funnel(spark, sfDir)
+    assert(r.filter(col("converted") && col("lag_us") < 0).isEmpty)
+    assert(r.filter(col("converted") =!= col("first_purchase_us").isNotNull).isEmpty)
+    // every user with a view appears exactly once
+    val nViewUsers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(r.count() == nViewUsers)
+    assert(r.select("user_id").distinct().count() == nViewUsers)
+  }
+
   test("q74: stratified rates land near their targets and are deterministic") {
     val e = Tables.events(spark, sfDir)
     val got = CurationOps.q74StratifiedSample(spark, sfDir)

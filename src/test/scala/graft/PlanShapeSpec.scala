@@ -115,6 +115,23 @@ class PlanShapeSpec extends SparkTestBase {
       && r.getLong(3) == 2000000L)
   }
 
+  test("q71: bloom probe evaluates on the fact scan BEFORE any join/exchange") {
+    val df = operators.CurationOps.q71BloomJoin(spark, sfDir)
+    val plans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+    val scanStage = plans.flatMap(_.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f
+    })
+    assert(scanStage.nonEmpty, plans.map(_.toString).mkString)
+    // the probe's subtree must be shuffle-free: it prunes rows pre-exchange
+    assert(scanStage.forall(_.collectFirst {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty))
+  }
+
   test("extensions-built session compiles row_number()<=k to the heap operator") {
     // the real spark.sql.extensions path: a session whose SessionState is
     // constructed WITH GraftExtensions. The injected rewrite runs in the
