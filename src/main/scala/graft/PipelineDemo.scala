@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline composed from the operator
   * library — the workflow a 100 TB corpus actually runs, demonstrating
   * that the pieces compose: ingest → quality score → language filter →
-  * exact dedup → near-dup removal (MinHash-LSH) → deterministic sample →
-  * token accounting → partitioned lake write.
+  * repetition filter → exact dedup → near-dup removal (MinHash-LSH) →
+  * benchmark-contamination removal → deterministic split → PII redaction
+  * → token accounting → partitioned lake write → training-window
+  * chunking.
   *
   * Every stage is embarrassingly parallel or bucket-shuffled (see each
   * operator's scale notes); nothing collects to the driver. The final
@@ -41,31 +43,54 @@ object PipelineDemo {
     val langKept = stage("lang_filter",
       quality.join(lang, Seq("doc_id")).filter(col("pred") === col("lang")))
 
-    // 3. exact dedup: keep the smallest doc_id per content fingerprint
+    // 3. repetition: drop degenerate high-duplication docs (Gopher-style)
+    val rep = operators.CurationOps.q68Repetition(spark, sfDir)
+      .select(col("doc_id"), col("dup3_frac"))
+    val repKept = stage("repetition_filter",
+      langKept.join(rep, Seq("doc_id")).filter(col("dup3_frac") <= 0.9)
+        .drop("dup3_frac"))
+
+    // 4. exact dedup: keep the smallest doc_id per content fingerprint
     val keep = operators.DedupOps.q34DedupExact(spark, sfDir)
       .select(col("keep_id").as("doc_id"))
-    val exactDeduped = stage("exact_dedup", langKept.join(keep, Seq("doc_id")))
+    val exactDeduped = stage("exact_dedup", repKept.join(keep, Seq("doc_id")))
 
-    // 4. near-dup removal: drop the larger id of every MinHash-LSH pair
+    // 5. near-dup removal: drop the larger id of every MinHash-LSH pair
     val nearDupLosers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     val nearDeduped = stage("near_dedup",
       exactDeduped.join(nearDupLosers, Seq("doc_id"), "left_anti"))
 
-    // 5. deterministic holdout split: ~90% train by key hash (no RNG)
+    // 6. benchmark-contamination removal: drop docs overlapping the
+    // (deterministic stand-in) eval set
+    val contaminated = operators.CurationOps.q70Contamination(spark, sfDir)
+      .select(col("doc_id")).distinct()
+    val clean = stage("decontaminated",
+      nearDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
+
+    // 7. deterministic holdout split: ~90% train by key hash (no RNG)
     val train = stage("train_split",
-      nearDeduped.filter(pmod(functions.TextFns.hash60(
+      clean.filter(pmod(functions.TextFns.hash60(
         concat(lit("split:"), col("doc_id"))), lit(100L)) < 90))
 
-    // 6. token accounting for the budget report
+    // 8. PII redaction + token accounting for the budget report
     val tokens = operators.TextOps.q50BpeTokens(spark, sfDir)
       .select(col("doc_id"), col("n_bpe_tokens"))
     val curated = train.join(tokens, Seq("doc_id"))
+      .withColumn("text", operators.CurationOps.redact(col("text")))
       .select("doc_id", "lang", "source", "text", "n_bpe_tokens")
 
-    // 7. partitioned lake write (language = downstream pruning key)
+    // 9. partitioned lake write (language = downstream pruning key)
     sources.Lake.writePartitioned(curated, s"$outDir/curated", Seq("lang"))
     counts += "written" -> spark.read.parquet(s"$outDir/curated").count()
+
+    // 10. training-window chunking of the curated corpus (row count GROWS
+    // here — one row per 64/48 token window — so it sits after the
+    // monotone-attrition stages)
+    val chunks = operators.CurationOps.chunkTokens(
+      spark.read.parquet(s"$outDir/curated").select("doc_id", "text"))
+    sources.Lake.writePlain(chunks, s"$outDir/chunks")
+    counts += "chunks_written" -> spark.read.parquet(s"$outDir/chunks").count()
     counts.toSeq
   }
 

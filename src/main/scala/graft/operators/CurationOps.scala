@@ -21,6 +21,10 @@ object CurationOps {
   private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   private val phoneRe = "[0-9]{3}-[0-9]{4}"
 
+  /** Reusable redaction column: e-mails then phones → placeholder tags. */
+  def redact(c: Column): Column =
+    regexp_replace(regexp_replace(c, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+
   /** DuckDB token-array snippet shared by the oracles below (identical
     * normalization to [[graft.functions.TextFns.normText]]). */
   private val toksSql =
@@ -43,8 +47,7 @@ object CurationOps {
           .cast("long").as("n_emails"),
         size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
           .cast("long").as("n_phones"),
-        regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
-          phoneRe, "<PHONE>").as("redacted"))
+        redact(col("txt")).as("redacted"))
   }
 
   val q67Sql: String =
@@ -96,9 +99,9 @@ object CurationOps {
     * pipeline. One generate-series explode per doc; row count is bounded
     * by total tokens / stride, and the whole thing is a single narrow
     * pass (no shuffle). */
-  def q69Chunk(s: SparkSession, dir: String): DataFrame = {
-    val W = 64; val S = 48
-    Tables.documents(s, dir)
+  /** Reusable chunking over any (doc_id, text) frame — see [[q69Chunk]]. */
+  def chunkTokens(docs: DataFrame, W: Int = 64, S: Int = 48): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -111,7 +114,9 @@ object CurationOps {
           .as("n_chunk_tokens"),
         concat_ws(" ", slice(col("toks"), col("chunk_id") * S + 1, lit(W)))
           .as("chunk_text"))
-  }
+
+  def q69Chunk(s: SparkSession, dir: String): DataFrame =
+    chunkTokens(Tables.documents(s, dir))
 
   val q69Sql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),

@@ -209,14 +209,19 @@ class OperatorSpec extends SparkTestBase {
     val out = java.nio.file.Files.createTempDirectory("curatespec").toString
     val counts = PipelineDemo.curate(spark, sfDir, out)
     val byName = counts.toMap
-    // every stage can only shrink the corpus
-    val order = counts.map(_._2)
-    assert(order.zip(order.tail).forall { case (a, b) => b <= a }, counts)
+    // every attrition stage can only shrink the corpus (chunking fans out
+    // afterwards: ≥ 1 window per surviving doc)
+    val attrition = counts.takeWhile(_._1 != "chunks_written").map(_._2)
+    assert(attrition.zip(attrition.tail).forall { case (a, b) => b <= a }, counts)
     assert(byName("written") > 0 && byName("written") == byName("train_split"))
+    assert(byName("chunks_written") >= byName("written"), counts)
     // lake layout: partitioned by lang, reads back with token counts
     val back = spark.read.parquet(s"$out/curated")
     assert(back.columns.contains("lang") && back.columns.contains("n_bpe_tokens"))
     assert(back.filter(col("n_bpe_tokens") <= 0).count() == 0L)
+    // PII scrub ran over the lake copy
+    assert(back.filter(col("text").rlike(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).count() == 0L)
     // near-dup stage really removed every LSH pair's larger id
     val losers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
