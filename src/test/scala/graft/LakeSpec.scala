@@ -54,6 +54,28 @@ class LakeSpec extends SparkTestBase {
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
 
+  test("corpusgen DSv2 source: exact row count, declared width, deterministic") {
+    import org.apache.spark.sql.functions._
+    def read(parts: Int) = spark.read.format("corpusgen")
+      .option("rows", "5000").option("partitions", parts.toString)
+      .option("seed", "7").load()
+    val a = read(8)
+    assert(a.count() == 5000L)
+    assert(a.rdd.getNumPartitions == 8)
+    assert(a.select(countDistinct(col("doc_id"))).head().getLong(0) == 5000L)
+    // content is a pure function of (doc_id, seed): partitioning-invariant
+    val b = read(3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // different seed -> different corpus
+    val c = spark.read.format("corpusgen").option("rows", "5000")
+      .option("partitions", "8").option("seed", "8").load()
+    assert(a.join(c, Seq("doc_id"))
+      .filter(a("text") === c("text")).count() < 50)
+    // and the curation operators compose directly over it
+    val chunks = operators.CurationOps.chunkTokens(read(8))
+    assert(chunks.count() >= 5000L)
+  }
+
   test("readJsonQuarantine routes malformed lines to _corrupt_record") {
     val dir = Files.createTempDirectory("jsonq").toFile
     val f = new java.io.File(dir, "data.json")
