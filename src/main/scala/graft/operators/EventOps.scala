@@ -183,6 +183,31 @@ object EventOps {
       |    FROM events))
       |GROUP BY user_id, session_no""".stripMargin
 
+  /** Bounded RANGE frame over event time: per event, the count and exact
+    * sum of the same user's events in the trailing hour — the per-ROW
+    * form of a sliding window (q25 is the per-BUCKET form). The frame is
+    * value-based (µs offsets), so ties/ordering are data-independent;
+    * one shuffle on user_id, sort by time inside partitions. */
+  def q78RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+      .select(col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(w).cast("double").as("sum_trailing_1h"))
+  }
+
+  val q78Sql: String =
+    """SELECT user_id, ts_us,
+      |  count(*) OVER w AS n_trailing_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+      |FROM (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
     QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),
@@ -193,7 +218,8 @@ object EventOps {
     QueryDef("q46_session_window", q46SessionWindow, Some(q46Sql)),
     QueryDef("q53_unpivot", q53Unpivot, Some(q53Sql)),
     QueryDef("q75_scd2", q75Scd2, Some(q75Sql)),
-    QueryDef("q76_funnel", q76Funnel, Some(q76Sql)))
+    QueryDef("q76_funnel", q76Funnel, Some(q76Sql)),
+    QueryDef("q78_range_frame", q78RangeFrame, Some(q78Sql)))
 
   /** UNPIVOT (wide→long): melt the per-type pivot back into rows via
     * `stack`, dropping absent combinations like SQL UNPIVOT does. */
