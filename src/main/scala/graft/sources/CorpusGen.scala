@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,16 +86,28 @@ final class CorpusGenTable extends Table with SupportsRead {
     val rows = options.getLong("rows", 1000L)
     val parts = options.getInt("partitions", 8)
     val seed = options.getLong("seed", 42L)
-    () => new CorpusGenScan(rows, parts, seed)
+    new CorpusGenScanBuilder(rows, parts, seed)
   }
 }
 
-final class CorpusGenScan(rows: Long, parts: Int, seed: Long)
-    extends Scan with Batch {
-  override def readSchema(): StructType = CorpusGen.schema
+/** Honors Catalyst's column pruning: a `count(*)`/id-only scan never
+  * generates text at all (generation is the whole cost of this source —
+  * the same reason a parquet scan's `ReadSchema` matters at 100 TB). */
+final class CorpusGenScanBuilder(rows: Long, parts: Int, seed: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = CorpusGen.schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new CorpusGenScan(rows, parts, seed, required)
+}
+
+final class CorpusGenScan(rows: Long, parts: Int, seed: Long,
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"corpusgen(rows=$rows, partitions=$parts, seed=$seed)"
+    s"corpusgen(rows=$rows, partitions=$parts, seed=$seed, " +
+      s"cols=${required.fieldNames.mkString(",")})"
 
   /** Contiguous id ranges — equal-sized, so no generation skew. */
   override def planInputPartitions(): Array[InputPartition] = {
@@ -103,15 +115,15 @@ final class CorpusGenScan(rows: Long, parts: Int, seed: Long)
     (0 until p).map { i =>
       val lo = rows * i / p
       val hi = rows * (i + 1) / p
-      CorpusRange(lo, hi, seed): InputPartition
+      CorpusRange(lo, hi, seed, required.fieldNames): InputPartition
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     CorpusReaderFactory
 }
 
-final case class CorpusRange(lo: Long, hi: Long, seed: Long)
-    extends InputPartition
+final case class CorpusRange(lo: Long, hi: Long, seed: Long,
+    cols: Array[String]) extends InputPartition
 
 object CorpusReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -119,8 +131,13 @@ object CorpusReaderFactory extends PartitionReaderFactory {
     new PartitionReader[InternalRow] {
       private var cur = r.lo - 1
       override def next(): Boolean = { cur += 1; cur < r.hi }
-      override def get(): InternalRow =
-        InternalRow(cur, UTF8String.fromString(CorpusGen.text(cur, r.seed)))
+      override def get(): InternalRow = {
+        val vals = r.cols.map {
+          case "doc_id" => cur.asInstanceOf[AnyRef]
+          case "text" => UTF8String.fromString(CorpusGen.text(cur, r.seed))
+        }
+        InternalRow.fromSeq(vals.toIndexedSeq)
+      }
       override def close(): Unit = ()
     }
   }

@@ -74,6 +74,13 @@ class LakeSpec extends SparkTestBase {
     // and the curation operators compose directly over it
     val chunks = operators.CurationOps.chunkTokens(read(8))
     assert(chunks.count() >= 5000L)
+    // column pruning reaches the source: an id-only scan never plans text
+    val pruned = a.select("doc_id")
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.output.map(_.name) == Seq("doc_id")),
+      pruned.queryExecution.executedPlan.toString)
   }
 
   test("readJsonQuarantine routes malformed lines to _corrupt_record") {
