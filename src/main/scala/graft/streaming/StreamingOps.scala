@@ -119,10 +119,18 @@ object StreamingOps {
     * enough to identify a row uniquely within its partition.
     * Returns the number of non-empty micro-batches committed. */
   def runToLake(spark: SparkSession, frame: DataFrame, outDir: String,
-      partitionCol: String, keyCols: Seq[String]): Long = {
+      partitionCol: String, keyCols: Seq[String],
+      checkpoint: Option[String] = None): Long = {
     val batches = new java.util.concurrent.atomic.AtomicLong(0L)
-    val q = frame.writeStream
+    val writer = frame.writeStream
       .outputMode("update")
+    // with a checkpoint location the query RESUMES: offsets already
+    // committed are not reprocessed across restarts, and a batch replayed
+    // after a mid-commit failure overwrites its own partitions to the
+    // same state (merge-on-write is idempotent) — together, exactly-once
+    // lake contents
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    val q = writer
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           batches.incrementAndGet()

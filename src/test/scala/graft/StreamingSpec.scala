@@ -105,6 +105,44 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("lake sink resumes from its checkpoint: a restart reads only new files") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("slake_resume").toString
+    val chunks = s"$tmp/chunks"
+    val ckpt = s"$tmp/ckpt"
+    val out = s"$tmp/counts"
+    val events = Tables.events(spark, sfDir)
+    def writeChunk(i: Int): Unit =
+      events.filter(pmod(col("event_id"), lit(5)) === i)
+        .coalesce(1).write.mode("append").parquet(chunks)
+    def agg(stream: org.apache.spark.sql.DataFrame) = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ts_hour"), col("event_type"), col("n"))
+      .withColumn("part_hour", date_format(col("ts_hour"), "yyyyMMddHH"))
+    def run(): Long = {
+      val schema = spark.read.parquet(chunks).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(chunks)
+      StreamingOps.runToLake(spark, agg(stream), out, "part_hour",
+        Seq("ts_hour", "event_type"), Some(ckpt))
+    }
+    (0 until 3).foreach(writeChunk)
+    val first = run()
+    assert(first >= 3, s"expected >=3 micro-batches, got $first")
+    // restart over the same checkpoint with two NEW files: only they run
+    writeChunk(3); writeChunk(4)
+    val second = run()
+    assert(second <= 2, s"restart reprocessed old files: $second batches")
+    // the lake converges to the full batch aggregation
+    val got = spark.read.parquet(out).select("ts_hour", "event_type", "n")
+    val want = events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ts_hour"), col("event_type"), col("n"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
