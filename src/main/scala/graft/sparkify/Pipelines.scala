@@ -78,6 +78,56 @@ object Pipelines {
       .distinct()
   }
 
+  // ---- SQL-string entry point -------------------------------------------
+  //
+  // The reference builds users/songplays/time as Spark SQL text over temp
+  // views (`etl.py:132`, `etl.py:160-162`, `etl.py:197`) — that IS its
+  // primary query API. These mirrors expose the same surface here; they
+  // compile to the same Catalyst plans as the DSL forms above and are
+  // spec-asserted equal on the reference sample data.
+
+  /** `users` via SQL over a temp view (reference `etl.py:134-147`). */
+  def usersTableSql(spark: SparkSession, logData: DataFrame): DataFrame = {
+    logData.createOrReplaceTempView("logs")
+    spark.sql(
+      """SELECT l.userId, l.firstName, l.lastName, l.gender, l.level
+        |FROM logs l
+        |JOIN (SELECT userId, max(ts) AS ts FROM logs GROUP BY userId) m
+        |  ON l.userId = m.userId AND l.ts = m.ts""".stripMargin)
+  }
+
+  /** `songplays` via SQL (reference `etl.py:151-184`): title-only join,
+    * fan-out and NULL ids preserved. */
+  def songplaysTableSql(spark: SparkSession, logData: DataFrame,
+      songs: DataFrame): DataFrame = {
+    logData.createOrReplaceTempView("logs")
+    songs.createOrReplaceTempView("song_stage")
+    spark.sql(
+      """SELECT l.ts,
+        |  year(timestamp_seconds(l.ts / 1000)) AS year,
+        |  month(timestamp_seconds(l.ts / 1000)) AS month,
+        |  l.userId, l.level, s.song_id, s.artist_id,
+        |  l.sessionId, l.location, l.userAgent
+        |FROM logs l LEFT JOIN song_stage s ON s.title = l.song
+        |WHERE l.page = 'NextSong'""".stripMargin)
+  }
+
+  /** `time` via SQL (reference `etl.py:186-223`): all rows, raw
+    * epoch-millis start_time, Monday=1 weekday. */
+  def timeTableSql(spark: SparkSession, logData: DataFrame): DataFrame = {
+    logData.createOrReplaceTempView("logs")
+    spark.sql(
+      """SELECT DISTINCT ts AS start_time,
+        |  hour(timestamp_seconds(ts / 1000)) AS hour,
+        |  day(timestamp_seconds(ts / 1000)) AS day,
+        |  weekofyear(timestamp_seconds(ts / 1000)) AS week,
+        |  month(timestamp_seconds(ts / 1000)) AS month,
+        |  year(timestamp_seconds(ts / 1000)) AS year,
+        |  ((dayofweek(to_date(timestamp_seconds(ts / 1000))) + 5) % 7) + 1
+        |    AS weekday
+        |FROM logs""".stripMargin)
+  }
+
   /** Partitioned snappy-parquet sink (`etl.py:106-110` etc.): songs by
     * (year, artist_id); songplays and time by (year, month). */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =

@@ -97,4 +97,21 @@ class GoldenParitySpec extends SparkTestBase {
     assert(g.getInt(1) == 15 && g.getInt(2) == 29 && g.getInt(3) == 48 &&
       g.getInt(4) == 11 && g.getInt(5) == 2018 && g.getInt(6) == 4)
   }
+
+  test("SQL-string entry point builders equal the DSL forms on real data") {
+    // the reference's primary API is spark.sql over temp views
+    // (etl.py:132,160-162,197) — both surfaces must produce identical rows
+    assume(refPresent)
+    val logs = Pipelines.readLogData(spark, logPath)
+    val songData = Pipelines.readSongData(spark, songPath)
+    def same(a: org.apache.spark.sql.DataFrame,
+        b: org.apache.spark.sql.DataFrame): Boolean =
+      a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+    assert(same(Pipelines.usersTableSql(spark, logs),
+      Pipelines.usersTable(logs)))
+    assert(same(Pipelines.songplaysTableSql(spark, logs, songData),
+      Pipelines.songplaysTable(logs, songData)))
+    assert(same(Pipelines.timeTableSql(spark, logs),
+      Pipelines.timeTable(logs)))
+  }
 }
