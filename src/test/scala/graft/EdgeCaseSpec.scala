@@ -50,6 +50,33 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows(2).getSeq[Long](0).length == 1) // one gram, one window
   }
 
+  test("chunkTokens boundary sizes: exact window, window+1, single token, empty text") {
+    def mk(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val w64 = (1 to 64).map(i => s"t$i").mkString(" ")
+    val w65 = (1 to 65).map(i => s"t$i").mkString(" ")
+    val got = operators.CurationOps.chunkTokens(
+      mk(1L -> w64, 2L -> w65, 3L -> "solo", 4L -> ""))
+      .select("doc_id", "chunk_id", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 0L, 64L),            // n == W: exactly one full chunk
+      (2L, 0L, 64L), (2L, 1L, 17L), // n == W+1: second chunk = overlap+1
+      (3L, 0L, 1L),             // single token
+      (4L, 0L, 1L)))            // empty text tokenizes to [""] — one chunk
+  }
+
+  test("redact scrubs every e-mail/phone and leaves clean text untouched") {
+    val df = Seq(
+      "reach me at first.last+x@sub.example.org now",
+      "call 555-0134 or 555-0199",
+      "no pii here at all").toDF("text")
+    val out = df.select(operators.CurationOps.redact(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "reach me at <EMAIL> now")
+    assert(out(1) == "call <PHONE> or <PHONE>")
+    assert(out(2) == "no pii here at all")
+  }
+
   test("exact sums over an empty relation are null, not zero or a crash") {
     val empty = spark.emptyDataset[Long].toDF("x")
     val r = empty.agg(
