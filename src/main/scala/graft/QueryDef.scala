@@ -24,5 +24,6 @@ object QueryDef {
       graft.operators.StatsOps.defs ++
       graft.operators.MiscOps.defs ++
       graft.operators.CurationOps.defs ++
+      graft.operators.IntervalJoin.defs ++
       graft.multimodal.Multimodal.defs
 }

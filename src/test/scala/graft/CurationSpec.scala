@@ -96,6 +96,25 @@ class CurationSpec extends SparkTestBase {
     assert(r.select("user_id").distinct().count() == nViewUsers)
   }
 
+  test("bucketed interval join equals the naive non-equi join, as an equi-join plan") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val points = Seq.fill(2000)(rnd.nextInt(100000).toLong).toDF("t")
+    val intervals = Seq.tabulate(60)(i =>
+      (i.toLong, (rnd.nextInt(90000)).toLong))
+      .map { case (id, s) => (id, s, s + 500 + rnd.nextInt(5000)) }
+      .toDF("iv_id", "lo", "hi")
+    val got = operators.IntervalJoin.byBucket(points, "t", intervals, "lo", "hi", 2048L)
+    val want = points.join(intervals,
+      col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(got.columns.map(col).toIndexedSeq: _*)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the join itself must be hash/merge on the bucket key, never nested-loop
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("q74: stratified rates land near their targets and are deterministic") {
     val e = Tables.events(spark, sfDir)
     val got = CurationOps.q74StratifiedSample(spark, sfDir)
