@@ -25,5 +25,6 @@ object QueryDef {
       graft.operators.MiscOps.defs ++
       graft.operators.CurationOps.defs ++
       graft.operators.IntervalJoin.defs ++
+      graft.operators.TypedOps.defs ++
       graft.multimodal.Multimodal.defs
 }

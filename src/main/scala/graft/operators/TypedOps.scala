@@ -69,6 +69,65 @@ object TypedOps {
       }
   }
 
+  /** SpaceSaving heavy-hitters sketch as a typed [[Aggregator]]: a
+    * capacity-bounded count map; when full, inserting a new key evicts
+    * the current minimum and inherits its count (the classic
+    * Metwally/Agrawal/El Abbadi scheme — over-estimates by at most the
+    * evicted min, never under-counts a retained key). With capacity ≥
+    * distinct keys NO eviction happens and counts are EXACT — which is
+    * how q80 stays oracle-checkable while the operator itself is the
+    * bounded-memory shape a 100 TB stream needs (buffer is O(capacity),
+    * independent of input size; merge is associative map-union with
+    * the same eviction rule). */
+  final class SpaceSaving(capacity: Int)(implicit enc: Encoder[Map[String, Long]])
+      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    override def zero: Map[String, Long] = Map.empty
+    private def add(b: Map[String, Long], k: String, n: Long): Map[String, Long] =
+      b.get(k) match {
+        case Some(c) => b.updated(k, c + n)
+        case None if b.size < capacity => b.updated(k, n)
+        case None =>
+          val (mk, mc) = b.minBy { case (key, c) => (c, key) }
+          (b - mk).updated(k, mc + n)
+      }
+    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      add(b, a, 1L)
+    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+      b2.foldLeft(b1) { case (b, (k, n)) => add(b, k, n) }
+    override def finish(r: Map[String, Long]): Map[String, Long] = r
+    override def bufferEncoder: Encoder[Map[String, Long]] = enc
+    override def outputEncoder: Encoder[Map[String, Long]] = enc
+  }
+
+  /** Corpus-wide top-10 tokens via the SpaceSaving aggregator. Capacity
+    * 256 exceeds the fixture vocabulary, so the sketch is exact here and
+    * the DuckDB GROUP BY oracle matches bit-for-bit; at real scale one
+    * sizes capacity ≪ distinct keys and accepts the documented error
+    * bound. */
+  def q80HeavyHitters(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val terms = Tables.documents(s, dir)
+      .select(explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("term").as[String])
+    terms.select(new SpaceSaving(256).toColumn.name("hh"))
+      .select(explode(col("hh")).as(Seq("term", "n")))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(10)
+  }
+
+  val q80Sql: String =
+    """SELECT term, CAST(count(*) AS BIGINT) AS n
+      |FROM (SELECT u.term FROM (
+      |        SELECT string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      |        FROM documents) t, UNNEST(toks) AS u(term)
+      |      WHERE u.term <> '')
+      |GROUP BY term ORDER BY n DESC, term LIMIT 10""".stripMargin
+
+  def defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q80_heavy_hitters", q80HeavyHitters, Some(q80Sql)))
+
   /** Typed twin of q19 (HAVING): object-level filter AFTER a typed agg. */
   final case class CustOrders(o_custkey: Long, n_orders: Long)
 

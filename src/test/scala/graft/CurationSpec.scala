@@ -96,6 +96,23 @@ class CurationSpec extends SparkTestBase {
     assert(r.select("user_id").distinct().count() == nViewUsers)
   }
 
+  test("SpaceSaving sketch: exact above capacity, over-estimate-only below it") {
+    import spark.implicits._
+    // skewed stream: key k appears 2^(10-k) times, 10 distinct keys
+    val data = (0 until 10).flatMap(k => Seq.fill(1 << (10 - k))(s"k$k"))
+    val ds = spark.createDataset(data).repartition(7)
+    def sketch(cap: Int): Map[String, Long] =
+      ds.select(new operators.TypedOps.SpaceSaving(cap).toColumn.name("hh"))
+        .head()
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(sketch(16) == exact) // capacity >= distinct: exact
+    val approx = sketch(4)      // capacity 4 < 10 distinct
+    assert(approx.size == 4)
+    // retained counts never under-estimate, and the true heavy hitter is kept
+    assert(approx.forall { case (k, n) => n >= exact(k) })
+    assert(approx.contains("k0"))
+  }
+
   test("bucketed interval join equals the naive non-equi join, as an equi-join plan") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
