@@ -407,6 +407,31 @@ object Relational {
       | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
       |GROUP BY o_orderkey""".stripMargin
 
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of disappearing — the semantics dimension
+    * tables with "unknown" members need. Still a hash-joinable equi key
+    * (null hashes like any value under null-safe equality), so the plan
+    * is a normal shuffled/broadcast hash join, not a nested loop. */
+  def q81NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"),
+        when(col("event_type") === "error", lit(null))
+          .otherwise(col("event_type")).as("k"))
+    val c = e.groupBy(col("k")).agg(count(lit(1)).as("n_type"))
+      .withColumnRenamed("k", "ck")
+    e.join(c, e("k") <=> c("ck"))
+      .select(col("event_id"), col("k"), col("n_type"))
+  }
+
+  val q81Sql: String =
+    """WITH e AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS k
+      |  FROM events),
+      |c AS (SELECT k, CAST(count(*) AS BIGINT) AS n_type FROM e GROUP BY k)
+      |SELECT e.event_id, e.k, c.n_type
+      |FROM e JOIN c ON e.k IS NOT DISTINCT FROM c.k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
@@ -431,7 +456,8 @@ object Relational {
     QueryDef("q43_array_agg", q43ArrayAgg, Some(q43Sql)),
     QueryDef("q44_date_arith", q44DateArith, Some(q44Sql)),
     QueryDef("q45_range_join", q45RangeJoin, Some(q45Sql)),
-    QueryDef("q47_math_funcs", q47MathFuncs, Some(q47Sql)))
+    QueryDef("q47_math_funcs", q47MathFuncs, Some(q47Sql)),
+    QueryDef("q81_nullsafe_join", q81NullSafeJoin, Some(q81Sql)))
 
   /** Math-function battery over exactly-representable inputs (abs, ceil,
     * floor, sqrt, pmod, sign — all correctly-rounded or integer ops;
