@@ -53,6 +53,31 @@ object Lake {
   def readParquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-files compaction — the lake maintenance pass that keeps scan
+    * planning cheap: a directory that accumulated many tiny files (e.g.
+    * from streaming micro-batches) is rewritten into
+    * ⌈rows / maxRecordsPerFile⌉ files. The data is materialized
+    * (`localCheckpoint`) before the overwrite because Spark refuses a
+    * plan that reads the path it writes; at micro-batch/partition scale
+    * that is executor-storage-sized. Returns (files before, files after).
+    * NOT atomic for concurrent readers — run it like any table
+    * maintenance job, during a write-quiesced window. */
+  def compact(spark: SparkSession, path: String,
+      maxRecordsPerFile: Long = 5000000L): (Int, Int) = {
+    def parquetFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles
+    val df = spark.read.parquet(path).localCheckpoint(true)
+    val rows = df.count()
+    val target = math.max(1L, (rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    df.repartition(target).write.mode("overwrite")
+      .option("compression", "snappy").parquet(path)
+    (before, parquetFiles)
+  }
+
   /** ORC source/sink — same vectorized-scan + predicate-pushdown story as
     * parquet (Spark's built-in `orc` format), for lakes standardized on
     * ORC. Round-trip equality is spec-asserted in LakeSpec. */

@@ -83,6 +83,17 @@ class LakeSpec extends SparkTestBase {
       pruned.queryExecution.executedPlan.toString)
   }
 
+  test("compact rewrites many small files into few, preserving every row") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = spark.range(0, 1000).toDF("id")
+    df.repartition(40).write.parquet(dir)
+    val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    val (nBefore, nAfter) = sources.Lake.compact(spark, dir, maxRecordsPerFile = 500L)
+    assert(nBefore >= 40 && nAfter <= 4, s"$nBefore -> $nAfter")
+    val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("readJsonQuarantine routes malformed lines to _corrupt_record") {
     val dir = Files.createTempDirectory("jsonq").toFile
     val f = new java.io.File(dir, "data.json")
