@@ -40,6 +40,36 @@ object MiscOps {
       |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
       |      FROM documents)""".stripMargin
 
+  /** Conditional/selective aggregate battery: count_if, bool_and/bool_or,
+    * max_by/min_by (argmax/argmin — the "row with the best score" shape
+    * that otherwise needs a window), all per event_type in ONE aggregate
+    * pass. The argmax ordering key is the event timestamp, which is
+    * globally UNIQUE in the fixtures (tie-audited) — max_by over a
+    * duplicated key would pick an engine-dependent winner and break the
+    * hash gate. */
+  def q82ConditionalAggs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count_if(col("value") > 100.0).as("n_big"),
+        bool_and(col("value") >= 0.0).as("all_nonneg"),
+        bool_or(col("value") > 990.0).as("any_huge"),
+        max_by(col("event_id"), col("ts_us")).as("latest_event"),
+        min_by(col("event_id"), col("ts_us")).as("earliest_event"),
+        count(lit(1)).as("n"))
+
+  val q82Sql: String =
+    """SELECT event_type,
+      |  CAST(count_if(value > 100.0) AS BIGINT) AS n_big,
+      |  bool_and(value >= 0.0) AS all_nonneg,
+      |  bool_or(value > 990.0) AS any_huge,
+      |  arg_max(event_id, epoch_us(ts)) AS latest_event,
+      |  arg_min(event_id, epoch_us(ts)) AS earliest_event,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** Conditional + bitwise scalar battery over orders. */
   def q61MiscScalars(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -133,5 +163,6 @@ object MiscOps {
     QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)),
     QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),
     QueryDef("q63_date_funcs", q63DateFuncs, Some(q63Sql)),
-    QueryDef("q66_listagg", q66Listagg, Some(q66Sql)))
+    QueryDef("q66_listagg", q66Listagg, Some(q66Sql)),
+    QueryDef("q82_conditional_aggs", q82ConditionalAggs, Some(q82Sql)))
 }
