@@ -186,8 +186,14 @@ object CurationOps {
     val o = Tables.orders(s, dir)
       .filter(col("o_totalprice") > 150000.0)
       .select(col("o_orderkey"), col("o_orderpriority"))
+    // size the filter to the ACTUAL build side (one cheap count of the
+    // small side) instead of the 1M-item default — the serialized filter
+    // rides inside the probe literal in every task, and a default-sized
+    // one is ~1 MB vs a few KB here; fpp stays the conf default (3%)
+    val estItems = math.max(1000L, o.count())
     val bloomAgg = new BloomFilterAggregate(
-      new XxHash64(Seq(GraftShims.toExpression(col("o_orderkey")))))
+      new XxHash64(Seq(GraftShims.toExpression(col("o_orderkey")))),
+      Literal(estItems))
     val bytes = o.agg(GraftShims.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
     val probe = GraftShims.toColumn(BloomFilterMightContain(
