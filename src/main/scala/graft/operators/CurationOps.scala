@@ -140,15 +140,24 @@ object CurationOps {
     * so at 100 TB the planner can broadcast it; no hint is forced here
     * (AQE decides from measured size, per the q09/q35 lesson). */
   def q70Contamination(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(s, dir)
+    // ONE corpus pass: a self-join of the shingle stream would evaluate
+    // the tokenize→shingle pipeline twice (Spark does not CSE identical
+    // subplans); instead each shingle groups once, collecting its doc
+    // list and its benchmark-doc sublist, and pairs explode in-bucket —
+    // the q35/q36 inverted-index shape
+    val isBench = pmod(hash60(concat(lit("bench:"),
+      col("doc_id").cast("string"))), lit(100)) < 5
+    Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("g"))
-    val bench = sh
-      .filter(pmod(hash60(concat(lit("bench:"), col("doc_id").cast("string"))),
-        lit(100)) < 5)
-      .select(col("doc_id").as("bench_id"), col("g"))
-    sh.join(bench, Seq("g"))
+      .select(col("doc_id"), isBench.as("is_bench"),
+        explode(array_distinct(shingles(col("toks"), 3))).as("g"))
+      .groupBy(col("g"))
+      .agg(collect_list(col("doc_id")).as("docs"),
+        collect_list(when(col("is_bench"), col("doc_id"))).as("bench"))
+      .filter(size(col("bench")) > 0)
+      .select(explode(col("docs")).as("doc_id"), col("bench"))
+      .select(col("doc_id"), explode(col("bench")).as("bench_id"))
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -229,9 +238,12 @@ object CurationOps {
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    // doc_freq as a window over the tf frame (one shuffle on term) — a
+    // groupBy+join-back would evaluate the explode→tf pipeline twice
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(dfreq, Seq("term")).crossJoin(broadcast(nDocs))
+    val scored = tf.withColumn("doc_freq", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * (col("n_docs") + 1)).cast("double") / (col("doc_freq") + 1))
     val w = Window.partitionBy(col("doc_id"))
