@@ -158,6 +158,42 @@ object StreamingOps {
     batches.get()
   }
 
+  /** Streaming curation: the batch PipelineDemo stages that are
+    * per-row/stateless (PII redaction, token-count quality floor) plus
+    * streaming EXACT dedup by content fingerprint — the shape of a
+    * continuously-ingesting corpus feed. Dedup state is keyed by md5
+    * fingerprint; with no event-time column the state is unbounded, which
+    * is correct for bounded backfills — a production feed would add an
+    * ingest-time watermark (`withWatermark` + fingerprint, as
+    * [[dedupStream]] does for events). */
+  def curatedDocsStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 2): DataFrame = {
+    import graft.functions.TextFns
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .withColumn("text", graft.operators.CurationOps.redact(col("text")))
+      .filter(size(TextFns.tokens(col("text"))) >= 3)
+      .withColumn("fp", md5(TextFns.normText(col("text"))))
+      .dropDuplicates("fp")
+      .select("doc_id", "fp", "text", "lang", "source")
+  }
+
+  /** Append-mode parquet lake sink (stateless/dedup streams): files
+    * accumulate per micro-batch; exactly-once via the sink's own
+    * checkpoint-coordinated file manifest. */
+  def runAppendToLake(spark: SparkSession, frame: DataFrame, outDir: String,
+      checkpoint: String): Unit = {
+    val q = frame.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .option("compression", "snappy")
+      .format("parquet")
+      .start(outDir)
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Run a streaming frame to completion against the (static) parquet
     * input via the in-memory sink; returns the materialized result. */
   def runToMemory(spark: SparkSession, frame: DataFrame, name: String,

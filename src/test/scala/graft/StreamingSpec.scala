@@ -143,6 +143,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming curation equals batch curation (redact + filter + exact dedup)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val tmp = java.nio.file.Files.createTempDirectory("scurate").toString
+    val src = s"$tmp/src"
+    // several files so dedup state must carry across micro-batches
+    val docs = Tables.documents(spark, sfDir)
+    (0 until 4).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val out = s"$tmp/curated"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.curatedDocsStream(spark, src, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out)
+    val want = docs
+      .withColumn("text", operators.CurationOps.redact(col("text")))
+      .filter(size(TextFns.tokens(col("text"))) >= 3)
+      .withColumn("fp", md5(TextFns.normText(col("text"))))
+    // one surviving row per fingerprint; same fingerprint set as batch
+    assert(got.count() == want.select("fp").distinct().count())
+    assert(got.select("fp").exceptAll(want.select("fp").distinct()).isEmpty)
+    // redaction really ran in-stream
+    assert(got.filter(col("text").rlike(
+      "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).count() == 0L)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
