@@ -424,9 +424,41 @@ object DedupOps {
        |SELECT src AS doc_id, min(dst) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Triangle counts over the SimHash near-dup graph, rooted at each
+    * triangle's minimum vertex — the standard distributed node-iterator
+    * enumeration: because the edge list is ORIENTED (doc_a < doc_b, from
+    * q37), joining e1(a,b)⋈e2(b,c)⋈e3(a,c) emits every triangle exactly
+    * once, with no per-vertex neighbor materialization. Two shuffles on
+    * vertex ids; high-degree hubs are ordinary join skew (AQE splits).
+    * The edge list is checkpointed once — three join sides would
+    * otherwise re-run the whole simhash pipeline three times. */
+  def q83Triangles(s: SparkSession, dir: String): DataFrame = {
+    val edges = q37Simhash(s, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val e1 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = edges.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = edges.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+    e1.join(e2, col("b") === col("b2"))
+      .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+      .groupBy(col("a").as("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val q83Sql: String =
+    s"""WITH eg AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${q37Sql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p)
+       |SELECT e1.doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+       |FROM eg e1
+       |JOIN eg e2 ON e1.doc_b = e2.doc_a
+       |JOIN eg e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+       |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
+    QueryDef("q83_triangles", q83Triangles, Some(q83Sql)),
     QueryDef("q35_ngram_jaccard", q35NgramJaccard, Some(q35Sql)),
     QueryDef("q36_minhash_lsh", q36MinhashLsh, Some(q36Sql)),
     QueryDef("q37_simhash", q37Simhash, Some(q37Sql)),
