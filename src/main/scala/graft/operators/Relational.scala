@@ -82,14 +82,19 @@ object Relational {
       |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
       |  AND l_quantity < 10""".stripMargin
 
-  /** 4-way join: fact⋈fact sort-merge, dims broadcast; revenue per nation. */
+  /** 4-way join: fact⋈fact sort-merge; nation (a CONSTANT 25-row table)
+    * is broadcast-hinted, but customer is NOT — it scales with the
+    * dataset (1.5M rows per TPC-H SF ⇒ unbounded at 100 TB), so its join
+    * strategy is left to AQE, which still picks broadcast at test scale
+    * from measured size and switches to shuffle when it doesn't fit
+    * (the q09/q35 lesson: a hard hint overrides that safety). */
   def q03JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val o  = Tables.orders(s, dir)
     val c  = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
     val n  = Tables.nation(s, dir).select("n_nationkey", "n_name")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(

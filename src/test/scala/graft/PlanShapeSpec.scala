@@ -52,11 +52,14 @@ class PlanShapeSpec extends SparkTestBase {
       "l_extendedprice", "l_returnflag", "l_shipdate"), cols)
   }
 
-  test("q03: bounded dims broadcast, fact-fact join shuffles") {
+  test("q03: only the CONSTANT dim is hint-broadcast; scaling tables shuffle") {
     withoutAutoBroadcast {
+      // with size-based broadcast off, only hard hints produce broadcast
+      // joins — nation (25 rows, constant) must be the ONLY one; customer
+      // scales with the dataset, so its join strategy stays with AQE
       val plan = initialPlan(operators.Relational.q03JoinAgg(spark, sfDir))
-      assert(count(plan, "BroadcastHashJoin") == 2, plan) // customer-proj + nation
-      assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 1, plan) // li⋈orders
+      assert(count(plan, "BroadcastHashJoin") == 1, plan) // nation only
+      assert(count(plan, "SortMergeJoin|ShuffledHashJoin") == 2, plan) // li⋈o, ⋈c
     }
   }
 
