@@ -424,30 +424,38 @@ object DedupOps {
        |SELECT src AS doc_id, min(dst) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
-  /** Triangle counts over the SimHash near-dup graph, rooted at each
-    * triangle's minimum vertex — the standard distributed node-iterator
-    * enumeration: because the edge list is ORIENTED (doc_a < doc_b, from
-    * q37), joining e1(a,b)⋈e2(b,c)⋈e3(a,c) emits every triangle exactly
-    * once, with no per-vertex neighbor materialization. Two shuffles on
-    * vertex ids; high-degree hubs are ordinary join skew (AQE splits).
-    * The edge list is checkpointed once — three join sides would
-    * otherwise re-run the whole simhash pipeline three times. */
-  def q83Triangles(s: SparkSession, dir: String): DataFrame = {
-    val edges = q37Simhash(s, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
-    val e1 = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val e2 = edges.select(col("doc_a").as("b2"), col("doc_b").as("c"))
-    val e3 = edges.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+  /** Triangle counts over an ORIENTED edge list (`doc_a < doc_b`), rooted
+    * at each triangle's minimum vertex — the standard distributed
+    * node-iterator enumeration: e1(a,b)⋈e2(b,c)⋈e3(a,c) emits every
+    * triangle exactly once, with no per-vertex neighbor materialization.
+    * Two shuffles on vertex ids; high-degree hubs are ordinary join skew
+    * (AQE splits). The edge list is checkpointed once — three join sides
+    * would otherwise re-run the edge pipeline three times.
+    *
+    * Run it on a SPARSE verified graph: the wedge stage is
+    * Σ_v deg(v)², so clique-shaped inputs (e.g. the raw simhash band
+    * graph, whose 16-bit keys collapse this corpus into huge
+    * near-cliques: 3.3M edges / 218 s at sf0.1) are quadratic by
+    * construction — the Jaccard-VERIFIED q36 graph is the right input,
+    * as for q64. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val e2 = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+    val e3 = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
     e1.join(e2, col("b") === col("b2"))
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .groupBy(col("a").as("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  def q83Triangles(s: SparkSession, dir: String): DataFrame =
+    triangles(q36MinhashLsh(s, dir))
+
   val q83Sql: String =
     s"""WITH eg AS (
        |  SELECT doc_a, doc_b FROM (
-       |${q37Sql.linesIterator.map("    " + _).mkString("\n")}
+       |${q36Sql.linesIterator.map("    " + _).mkString("\n")}
        |  ) p)
        |SELECT e1.doc_a AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
        |FROM eg e1

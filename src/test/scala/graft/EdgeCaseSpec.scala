@@ -50,6 +50,17 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows(2).getSeq[Long](0).length == 1) // one gram, one window
   }
 
+  test("triangles on a crafted graph: K4 plus a pendant edge") {
+    // K4 on {1,2,3,4} has C(4,3)=4 triangles; edge (4,5) adds none.
+    // Oriented doc_a < doc_b. Min-vertex rooting: {1,2,3}x3 root at 1,
+    // {2,3,4} roots at 2.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = operators.DedupOps.triangles(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L), got)
+  }
+
   test("chunkTokens boundary sizes: exact window, window+1, single token, empty text") {
     def mk(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
     val w64 = (1 to 64).map(i => s"t$i").mkString(" ")
