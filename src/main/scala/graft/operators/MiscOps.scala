@@ -70,6 +70,56 @@ object MiscOps {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Array set-operation battery against a constant stopword set:
+    * intersect/except/union/overlap. Outputs are SORTED and joined to
+    * strings so element order (engine-dependent for set ops) never
+    * reaches the hash gate. Pure per-row work. */
+  def q84ArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    val stop = array(Seq("the", "a", "and", "of", "value", "data")
+      .map(lit): _*)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("u"))
+      .select(col("doc_id"),
+        concat_ws(",", sort_array(array_intersect(col("u"), stop)))
+          .as("stops_present"),
+        size(array_except(col("u"), stop)).cast("long").as("n_content_terms"),
+        size(array_union(col("u"), stop)).cast("long").as("n_union"),
+        arrays_overlap(col("u"), stop).as("has_stopword"))
+  }
+
+  val q84Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS u,
+      |    ['the', 'a', 'and', 'of', 'value', 'data'] AS stop
+      |  FROM documents)
+      |SELECT doc_id,
+      |  coalesce(array_to_string(list_sort(list_distinct(
+      |    list_filter(u, x -> list_contains(stop, x)))), ','), '') AS stops_present,
+      |  CAST(len(list_filter(u, x -> NOT list_contains(stop, x))) AS BIGINT)
+      |    AS n_content_terms,
+      |  CAST(len(list_distinct(list_concat(u, stop))) AS BIGINT) AS n_union,
+      |  len(list_filter(u, x -> list_contains(stop, x))) > 0 AS has_stopword
+      |FROM t""".stripMargin
+
+  /** Fixed-width histogram binning of order totals: integer bucket ids
+    * from exact arithmetic on 2-decimal money (the boundary can't round
+    * across a bucket), plus per-bucket exact revenue — the profiling
+    * primitive behind data-distribution dashboards. One aggregate pass. */
+  def q85Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Exact.fsum(col("o_totalprice")).as("sum_total"))
+
+  val q85Sql: String =
+    """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders GROUP BY 1""".stripMargin
+
   /** Conditional + bitwise scalar battery over orders. */
   def q61MiscScalars(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -164,5 +214,7 @@ object MiscOps {
     QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),
     QueryDef("q63_date_funcs", q63DateFuncs, Some(q63Sql)),
     QueryDef("q66_listagg", q66Listagg, Some(q66Sql)),
-    QueryDef("q82_conditional_aggs", q82ConditionalAggs, Some(q82Sql)))
+    QueryDef("q82_conditional_aggs", q82ConditionalAggs, Some(q82Sql)),
+    QueryDef("q84_array_setops", q84ArraySetOps, Some(q84Sql)),
+    QueryDef("q85_histogram", q85Histogram, Some(q85Sql)))
 }
