@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -90,32 +91,75 @@ final class CorpusGenTable extends Table with SupportsRead {
   }
 }
 
-/** Honors Catalyst's column pruning: a `count(*)`/id-only scan never
-  * generates text at all (generation is the whole cost of this source —
-  * the same reason a parquet scan's `ReadSchema` matters at 100 TB). */
+/** Honors Catalyst's column pruning (a `count(*)`/id-only scan never
+  * generates text — generation is the whole cost of this source, the
+  * same reason a parquet scan's `ReadSchema` matters at 100 TB) AND
+  * doc_id range-filter pushdown: `doc_id BETWEEN a AND b` intersects the
+  * generated id ranges, so out-of-range rows are never produced at all —
+  * the DSv2 analogue of partition pruning. */
 final class CorpusGenScanBuilder(rows: Long, parts: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = CorpusGen.schema
+  private var lo = 0L
+  private var hi = rows
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new CorpusGenScan(rows, parts, seed, required)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case n: java.lang.Number => Some(n.longValue())
+    case _ => None
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition {
+      case GreaterThan("doc_id", v) => asLong(v).isDefined
+      case GreaterThanOrEqual("doc_id", v) => asLong(v).isDefined
+      case LessThan("doc_id", v) => asLong(v).isDefined
+      case LessThanOrEqual("doc_id", v) => asLong(v).isDefined
+      case EqualTo("doc_id", v) => asLong(v).isDefined
+      case _ => false
+    }
+    sup.foreach {
+      case GreaterThan(_, v) => lo = math.max(lo, asLong(v).get + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, asLong(v).get)
+      case LessThan(_, v) => hi = math.min(hi, asLong(v).get)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, asLong(v).get + 1)
+      case EqualTo(_, v) =>
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+      case _ => ()
+    }
+    accepted = sup
+    rest // residual filters Spark must still evaluate
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new CorpusGenScan(rows, parts, seed, required, lo, hi)
 }
 
 final class CorpusGenScan(rows: Long, parts: Int, seed: Long,
-    required: StructType) extends Scan with Batch {
+    required: StructType, lo: Long, hi: Long) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"corpusgen(rows=$rows, partitions=$parts, seed=$seed, " +
-      s"cols=${required.fieldNames.mkString(",")})"
+      s"cols=${required.fieldNames.mkString(",")}, range=[$lo,$hi))"
 
-  /** Contiguous id ranges — equal-sized, so no generation skew. */
+  /** Contiguous id ranges — equal-sized, so no generation skew — each
+    * clamped to the pushed-down [lo, hi) id window. */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = math.max(1, parts)
-    (0 until p).map { i =>
-      val lo = rows * i / p
-      val hi = rows * (i + 1) / p
-      CorpusRange(lo, hi, seed, required.fieldNames): InputPartition
+    (0 until p).flatMap { i =>
+      val rlo = math.max(rows * i / p, lo)
+      val rhi = math.min(rows * (i + 1) / p, hi)
+      if (rlo < rhi)
+        Some(CorpusRange(rlo, rhi, seed, required.fieldNames): InputPartition)
+      else None
     }.toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

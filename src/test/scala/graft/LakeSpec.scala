@@ -81,6 +81,17 @@ class LakeSpec extends SparkTestBase {
     }
     assert(scans.nonEmpty && scans.forall(_.output.map(_.name) == Seq("doc_id")),
       pruned.queryExecution.executedPlan.toString)
+    // doc_id range filters push into the generator: out-of-range rows are
+    // never produced (scan output-rows metric == selected rows)
+    val ranged = read(8).filter(col("doc_id") >= 4900 && col("doc_id") < 4950)
+    assert(ranged.collect().length == 50)
+    // metrics of the SAME execution: the scan must have produced exactly
+    // the selected rows, i.e. the range reached the generator
+    val scan = ranged.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    assert(scan.metrics("numOutputRows").value == 50L,
+      s"generator produced ${scan.metrics("numOutputRows").value} rows")
   }
 
   test("compact rewrites many small files into few, preserving every row") {
