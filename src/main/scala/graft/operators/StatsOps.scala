@@ -149,6 +149,63 @@ object StatsOps {
       |FROM lineitem l JOIN med USING (l_returnflag)
       |GROUP BY l.l_returnflag""".stripMargin
 
+  /** Column-profile pass over orders — the schema-audit primitive
+    * (null counts, cardinality, min/max rendered as strings) a lake
+    * catalog publishes per table. One aggregate per column, unioned:
+    * each aggregate's scan reads exactly ONE column (columnar pushdown),
+    * and exact distincts stay one-per-aggregate — packing several
+    * `countDistinct`s into one aggregate Expands every row per distinct
+    * (the q42 lesson). Money renders through DECIMAL(18,2) and dates
+    * through DATE so both engines print identical strings. */
+  def q86Profile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def prof(name: String, render: Column => Column): DataFrame =
+      o.agg(
+        count(col(name)).as("n_nonnull"),
+        countDistinct(col(name)).as("n_distinct"),
+        render(min(col(name))).cast("string").as("min_value"),
+        render(max(col(name))).cast("string").as("max_value"))
+        .select(lit(name).as("column_name"), col("n_nonnull"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    val id: Column => Column = c => c
+    prof("o_orderkey", id)
+      .unionByName(prof("o_custkey", id))
+      .unionByName(prof("o_orderstatus", id))
+      .unionByName(prof("o_orderpriority", id))
+      .unionByName(prof("o_totalprice",
+        c => c.cast(org.apache.spark.sql.types.DecimalType(18, 2))))
+      .unionByName(prof("o_orderdate", c => c.cast("date")))
+  }
+
+  val q86Sql: String =
+    """SELECT 'o_orderkey' AS column_name, count(o_orderkey) AS n_nonnull,
+      |  count(DISTINCT o_orderkey) AS n_distinct,
+      |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+      |  CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+      |UNION ALL
+      |SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+      |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(o_orderstatus),
+      |  count(DISTINCT o_orderstatus),
+      |  min(o_orderstatus), max(o_orderstatus) FROM orders
+      |UNION ALL
+      |SELECT 'o_orderpriority', count(o_orderpriority),
+      |  count(DISTINCT o_orderpriority),
+      |  min(o_orderpriority), max(o_orderpriority) FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(o_totalprice),
+      |  count(DISTINCT o_totalprice),
+      |  CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+      |  CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderdate', count(o_orderdate),
+      |  count(DISTINCT o_orderdate),
+      |  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR),
+      |  CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) FROM orders""".stripMargin
+
   /** Deterministic 20% document sample by content-independent key hash —
     * the reproducible way to sample at 100 TB: no RNG state, any engine
     * or rerun selects the same rows, and the predicate pushes into the
@@ -222,5 +279,6 @@ object StatsOps {
     QueryDef("q57_percentiles", q57Percentiles, Some(q57Sql)),
     QueryDef("q58_hash_sample", q58HashSample, Some(q58Sql)),
     QueryDef("q59_gap_fill", q59GapFill, Some(q59Sql)),
-    QueryDef("q77_mad", q77Mad, Some(q77Sql)))
+    QueryDef("q77_mad", q77Mad, Some(q77Sql)),
+    QueryDef("q86_profile", q86Profile, Some(q86Sql)))
 }
