@@ -61,7 +61,10 @@ object Lake {
     * plan that reads the path it writes; at micro-batch/partition scale
     * that is executor-storage-sized. Returns (files before, files after).
     * NOT atomic for concurrent readers — run it like any table
-    * maintenance job, during a write-quiesced window. */
+    * maintenance job, during a write-quiesced window. Point it at a
+    * single directory of plain parquet files (for a hive-partitioned
+    * table, compact each leaf partition directory — compacting the root
+    * would flatten the partition layout). */
   def compact(spark: SparkSession, path: String,
       maxRecordsPerFile: Long = 5000000L): (Int, Int) = {
     def parquetFiles = {

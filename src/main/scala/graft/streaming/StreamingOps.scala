@@ -116,7 +116,10 @@ object StreamingOps {
     * plan that reads from the path it overwrites.
     *
     * `keyCols` must be the full aggregation group key and must include
-    * enough to identify a row uniquely within its partition.
+    * enough to identify a row uniquely within its partition; and
+    * `partitionCol` must be a FUNCTION of the group key (e.g. the
+    * window's hour) — a group whose partition value could change between
+    * batches would strand its old row in the previous partition.
     * Returns the number of non-empty micro-batches committed. */
   def runToLake(spark: SparkSession, frame: DataFrame, outDir: String,
       partitionCol: String, keyCols: Seq[String],
