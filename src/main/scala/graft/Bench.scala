@@ -12,12 +12,22 @@ import org.apache.spark.sql.SparkSession
   *  - each query is forced with a `noop` datasource write — unlike
   *    `count()`, this evaluates every projected column (count() lets
   *    Catalyst prune the projection entirely);
-  *  - queries run in name order for run-to-run comparability.
+  *  - THREE timed passes run, INTERLEAVED (pass 1 of all queries in name
+  *    order, then pass 2, then pass 3), and each query reports its
+  *    per-pass MEDIAN. This box has co-tenants: rounds 2 and 3 each
+  *    produced a phantom "regression cluster" of consecutive queries
+  *    (r2 q59–q64, r3 q24–q31) that was nothing but a noisy ~10 s window
+  *    landing on whichever queries ran inside it. A noise burst is local
+  *    in TIME; interleaving makes each query's three samples land in
+  *    three widely separated windows, so a burst can corrupt at most one
+  *    of three samples — which the median discards. `queries_min` is also
+  *    emitted (per-query best-of-3) as the low-noise floor.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,30 +43,49 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
     // untimed warm pass: JIT/codegen/file-index costs land here, so the
-    // timed pass below measures steady-state throughput (the regime a
+    // timed passes below measure steady-state throughput (the regime a
     // long-running cluster job actually operates in)
     ordered.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
 
     // a failed query records null, never its time-to-failure — a broken
-    // query must not masquerade as a fast one
-    val results: Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
+    // query must not masquerade as a fast one. Timing includes DataFrame
+    // CONSTRUCTION: eager iterative operators (connected components) do
+    // their work before any action.
+    val samples: Seq[Seq[(String, Option[Double])]] =
+      (1 to passes).map { _ =>
+        ordered.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val elapsed =
+            try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              None
+            }
+          name -> elapsed
         }
-      name -> elapsed
+      }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(_.toString) }
-      .mkString("{", ",", "}")
+    // a query is failed if ANY pass failed (flaky ≠ healthy)
+    val results: Seq[(String, Option[Double], Option[Double])] =
+      ordered.map { case (name, _) =>
+        val runs = samples.map(_.find(_._1 == name).get._2)
+        if (runs.exists(_.isEmpty)) (name, None, None)
+        else (name, Some(median(runs.flatten)), Some(runs.flatten.min))
+      }
+    def jsonMap(f: ((String, Option[Double], Option[Double])) => Option[Double]) =
+      results.map(r => "\"" + r._1 + "\":" + f(r).fold("null")(_.toString))
+        .mkString("{", ",", "}")
+    val qs = jsonMap(_._2)
+    val qsMin = jsonMap(_._3)
     val total = results.flatMap(_._2).sum
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -187,7 +187,19 @@ object CurationOps {
     * join then runs on survivors; because a bloom filter has no false
     * negatives, the result equals the plain join (the oracle). At 100 TB
     * this is the difference between shuffling 6e11 rows and shuffling
-    * only the ~joinable fraction. */
+    * only the ~joinable fraction.
+    *
+    * The build is SIZE-GATED (like Spark's own
+    * `runtime.bloomFilter.creationSideThreshold`): above
+    * `spark.graft.bloom.maxItems` build keys the bloom step is skipped
+    * and the plain join runs unchanged. At the default 3% fpp a filter
+    * costs ~7.3 bits/key, so the 4M-key default caps the collected
+    * literal at ~3.6 MB; an ungated 1e9-key build side would collect a
+    * ~1 GB filter into the driver AND ship it inside every task binary
+    * — the exact failure mode the gate exists to prevent. The fallback
+    * is also the right plan: once the build side stops being small
+    * relative to the probe side's key space, the filter's selectivity
+    * (and hence its shuffle savings) vanishes. */
   def q71BloomJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.GraftShims
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
@@ -199,18 +211,23 @@ object CurationOps {
     // small side) instead of the 1M-item default — the serialized filter
     // rides inside the probe literal in every task, and a default-sized
     // one is ~1 MB vs a few KB here; fpp stays the conf default (3%)
-    val estItems = math.max(1000L, o.count())
-    val bloomAgg = new BloomFilterAggregate(
-      new XxHash64(Seq(GraftShims.toExpression(col("o_orderkey")))),
-      Literal(estItems))
-    val bytes = o.agg(GraftShims.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val probe = GraftShims.toColumn(BloomFilterMightContain(
-      Literal(bytes, org.apache.spark.sql.types.BinaryType),
-      new XxHash64(Seq(GraftShims.toExpression(col("l_orderkey"))))))
-    Tables.lineitem(s, dir)
+    val maxItems =
+      s.conf.getOption("spark.graft.bloom.maxItems").map(_.toLong).getOrElse(4000000L)
+    val buildCount = o.count()
+    val fact = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-      .filter(probe)
+    val pruned = if (buildCount <= maxItems) {
+      val bloomAgg = new BloomFilterAggregate(
+        new XxHash64(Seq(GraftShims.toExpression(col("o_orderkey")))),
+        Literal(math.max(1000L, buildCount)))
+      val bytes = o.agg(GraftShims.toColumn(bloomAgg.toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val probe = GraftShims.toColumn(BloomFilterMightContain(
+        Literal(bytes, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(GraftShims.toExpression(col("l_orderkey"))))))
+      fact.filter(probe)
+    } else fact
+    pruned
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),

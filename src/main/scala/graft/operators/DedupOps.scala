@@ -380,6 +380,7 @@ object DedupOps {
       .localCheckpoint(true)
     var labels = bidir.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
+    var prevRound: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -396,10 +397,20 @@ object DedupOps {
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint(true)
+      // `next` is materialized, so round n-1's checkpoint is now dead —
+      // release it, or executor storage grows O(rounds)
+      if (prevRound != null) {
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(prevRound)
+      }
+      prevRound = next
       converged = next.filter(col("label") =!= col("old")).isEmpty
       labels = next.select("node", "label")
       i += 1
     }
+    // after ≥1 round `labels` is rooted at the final round's checkpoint,
+    // so the edge-list checkpoint is dead too (keep it only in the
+    // degenerate maxIter=0 case, where labels still reads `bidir`)
+    if (i > 0) org.apache.spark.sql.GraftShims.unpersistCheckpoint(bidir)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

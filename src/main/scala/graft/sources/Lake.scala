@@ -59,26 +59,44 @@ object Lake {
     * ⌈rows / maxRecordsPerFile⌉ files. The data is materialized
     * (`localCheckpoint`) before the overwrite because Spark refuses a
     * plan that reads the path it writes; at micro-batch/partition scale
-    * that is executor-storage-sized. Returns (files before, files after).
-    * NOT atomic for concurrent readers — run it like any table
+    * that is executor-storage-sized. Returns per-side (files, bytes)
+    * stats. NOT atomic for concurrent readers — run it like any table
     * maintenance job, during a write-quiesced window. Point it at a
     * single directory of plain parquet files (for a hive-partitioned
     * table, compact each leaf partition directory — compacting the root
-    * would flatten the partition layout). */
+    * would flatten the partition layout).
+    *
+    * File listing goes through the Hadoop `FileSystem` resolved from the
+    * path + session `hadoopConfiguration` — NOT `java.io.File` — so the
+    * counts are right on `s3a://`/`hdfs://` lakes, where a local-FS walk
+    * would silently report 0 files while still rewriting the data. */
+  final case class CompactStats(filesBefore: Int, bytesBefore: Long,
+      filesAfter: Int, bytesAfter: Long)
+
   def compact(spark: SparkSession, path: String,
-      maxRecordsPerFile: Long = 5000000L): (Int, Int) = {
-    def parquetFiles = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+      maxRecordsPerFile: Long = 5000000L): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetStats: (Int, Long) = {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      var n = 0; var bytes = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          n += 1; bytes += st.getLen
+        }
+      }
+      (n, bytes)
     }
-    val before = parquetFiles
+    val (nBefore, bBefore) = parquetStats
     val df = spark.read.parquet(path).localCheckpoint(true)
     val rows = df.count()
     val target = math.max(1L, (rows + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
     df.repartition(target).write.mode("overwrite")
       .option("compression", "snappy").parquet(path)
-    (before, parquetFiles)
+    val (nAfter, bAfter) = parquetStats
+    CompactStats(nBefore, bBefore, nAfter, bAfter)
   }
 
   /** ORC source/sink — same vectorized-scan + predicate-pushdown story as

@@ -68,4 +68,17 @@ object GraftShims {
   def logicalPlan(df: DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Free the storage behind a `localCheckpoint(true)`-ed DataFrame.
+    * A checkpointed Dataset's plan is a `LogicalRDD` over the persisted
+    * internal RDD; `Dataset.unpersist` goes through the CacheManager and
+    * does NOT release checkpoint blocks, so iterative operators that
+    * checkpoint per round (connected components) would pin O(rounds)
+    * storage. `SparkContext.unpersistRDD` drops the registry entry
+    * synchronously; block deletion is async (non-blocking). No-op on a
+    * non-checkpointed DataFrame. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -99,8 +99,21 @@ class LakeSpec extends SparkTestBase {
     val df = spark.range(0, 1000).toDF("id")
     df.repartition(40).write.parquet(dir)
     val before = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
-    val (nBefore, nAfter) = sources.Lake.compact(spark, dir, maxRecordsPerFile = 500L)
-    assert(nBefore >= 40 && nAfter <= 4, s"$nBefore -> $nAfter")
+    val stats = sources.Lake.compact(spark, dir, maxRecordsPerFile = 500L)
+    assert(stats.filesBefore >= 40 && stats.filesAfter <= 4,
+      s"${stats.filesBefore} -> ${stats.filesAfter}")
+    // byte counts come from the Hadoop FileSystem listing and must agree
+    // with what's physically on disk (the java.io.File ground truth here)
+    def diskBytes = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    assert(stats.bytesAfter == diskBytes && stats.bytesAfter > 0,
+      s"${stats.bytesAfter} vs $diskBytes")
+    assert(stats.bytesBefore > stats.bytesAfter, // 40 footers vs 2
+      s"${stats.bytesBefore} !> ${stats.bytesAfter}")
     val after = spark.read.parquet(dir).collect().map(_.getLong(0)).sorted
     assert(after.toSeq == before.toSeq)
   }

@@ -204,6 +204,21 @@ class OperatorSpec extends SparkTestBase {
     assert(got.size == 9)
   }
 
+  test("connected components keeps O(1) pinned storage across rounds") {
+    import spark.implicits._
+    // long chain 0-1-...-9 forces many label-propagation rounds; each
+    // round checkpoints, so without the unpersist of superseded rounds
+    // the persistent-RDD registry would grow by ~#rounds
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = operators.DedupOps.connectedComponents(chain)
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final round's checkpoint (which the result still reads)
+    // may remain pinned
+    assert(after - before <= 1, s"persistent RDDs grew $before -> $after")
+  }
+
   test("curation pipeline composes: monotone attrition, valid lake output") {
     import org.apache.spark.sql.functions._
     val out = java.nio.file.Files.createTempDirectory("curatespec").toString

@@ -135,6 +135,20 @@ class PlanShapeSpec extends SparkTestBase {
     }.isEmpty))
   }
 
+  test("q71: oversized build side skips the bloom probe and keeps the plain join") {
+    // gate at 1 item — the build side (hundreds of orders) exceeds it, so
+    // no filter is collected and no might_contain appears anywhere
+    spark.conf.set("spark.graft.bloom.maxItems", "1")
+    try {
+      val df = operators.CurationOps.q71BloomJoin(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("might_contain"), plan)
+      assert(plan.contains("Join"), plan)
+      // and the fallback is still the correct (plain-join) result
+      assert(df.count() > 0)
+    } finally spark.conf.unset("spark.graft.bloom.maxItems")
+  }
+
   test("extensions-built session compiles row_number()<=k to the heap operator") {
     // the real spark.sql.extensions path: a session whose SessionState is
     // constructed WITH GraftExtensions. The injected rewrite runs in the
