@@ -66,8 +66,25 @@ object DedupOps {
     * verified with an exact intersection count. At 100 TB this is the
     * difference between pairs ∝ (docs sharing ANY shingle) and pairs ∝
     * (near-duplicates) — measured 822k candidate pairs → ~2k at sf0.1,
-    * same 25 result rows. */
-  def q35NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * same 25 result rows.
+    *
+    * On top of the prefix filter sits PPJoin's POSITIONAL filter (the
+    * PPJoin → PPJoin+ step): both shingle lists are sorted by the same
+    * global (df, hash) order, so for a pair's earliest shared prefix
+    * token at 1-based positions (i, j) every other shared token lies in
+    * both suffixes, giving overlap ≤ 1 + min(n_a - i, n_b - j); J ≥ 0.6
+    * needs overlap ≥ ⌈3(n_a+n_b)/8⌉, so pairs whose bound falls short are
+    * pruned BEFORE the shingle-set join — exact, never drops a true
+    * pair. Because sorting is identical on both sides, min(pos_a) and
+    * min(pos_b) over a pair's shared buckets both come from that same
+    * earliest token, so the per-pair aggregate that replaced the old
+    * DISTINCT computes the bound for free. */
+  def q35NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    q35Verified(s, dir, positional = true)
+
+  /** Per-doc df-sorted shingle-hash set + prefix (shared by candidate
+    * generation and verification). */
+  private def q35DocSets(s: SparkSession, dir: String): DataFrame = {
     // Shingles are xxhash64'd before shuffling: the value is only ever a
     // join/group key, longs shuffle ~3× cheaper than strings, and a 64-bit
     // collision across ~10^5 distinct shingles is ~2^-30 — the oracle
@@ -91,7 +108,7 @@ object DedupOps {
     // cluster scale the same pruning argument holds per consumer; if the
     // corpus scan itself dominated, a checkpoint AFTER dropping `set`
     // (re-deriving it on the verify side) would be the switch to flip.
-    val docsets = sh.withColumn("df", count(lit(1)).over(wsh))
+    sh.withColumn("df", count(lit(1)).over(wsh))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shh")))).as("entries"))
       .select(col("doc_id"),
@@ -100,21 +117,52 @@ object DedupOps {
         transform(slice(col("entries"), lit(1),
           size(col("entries")) - (size(col("entries")) * 3 + 4) / 5 + 1),
           e => e.getField("shh")).as("prefix"))
+  }
+
+  /** Candidate pairs after prefix filtering; `positional` toggles the
+    * PPJoin+ positional bound (spec compares candidate counts). */
+  private[graft] def q35Candidates(s: SparkSession, dir: String,
+      positional: Boolean): DataFrame = {
+    val docsets = q35DocSets(s, dir)
     // candidates: pairs sharing a PREFIX shingle, size-ratio pruned
-    // (J <= min/max < 0.6 is exact, so pruned pairs could never pass)
-    val cands = docsets
-      .select(col("doc_id"), col("n_sh"), explode(col("prefix")).as("shh"))
+    // (J <= min/max < 0.6 is exact, so pruned pairs could never pass);
+    // prefix entries carry their 0-based position for the PPJoin+ bound
+    val perBucket = docsets
+      .select(col("doc_id"), col("n_sh"),
+        posexplode(col("prefix")).as(Seq("pos", "shh")))
       .groupBy(col("shh"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("docs"))
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"), col("pos"))).as("docs"))
       .filter(size(col("docs")) > 1)
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a.doc_id").as("doc_a"), col("a.n_sh").as("n_a"),
-        explode(col("docs")).as("b"))
+        col("a.pos").as("pa"), explode(col("docs")).as("b"))
       .filter(col("doc_a") < col("b.doc_id")
         && col("n_a") * 3 <= col("b.n_sh") * 5 && col("b.n_sh") * 3 <= col("n_a") * 5)
-      .select(col("doc_a"), col("n_a"), col("b.doc_id").as("doc_b"),
-        col("b.n_sh").as("n_b"))
-      .distinct()
+      .select(col("doc_a"), col("n_a"), col("pa"), col("b.doc_id").as("doc_b"),
+        col("b.n_sh").as("n_b"), col("b.pos").as("pb"))
+    // one pair-keyed aggregate replaces the old DISTINCT (same shuffle);
+    // min(pa)/min(pb) = positions of the pair's earliest shared prefix
+    // token (identical sort order on both sides ⇒ both minima come from
+    // that one token)
+    val paired = perBucket
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+    if (!positional) paired.select("doc_a", "n_a", "doc_b", "n_b")
+    else paired
+      // overlap ≥ ⌈3(n_a+n_b)/8⌉ is necessary for J ≥ 0.6; the earliest
+      // shared token caps overlap at 1 + min(remaining_a, remaining_b)
+      // (pa/pb are 0-based: remaining = n - pos - 1); shiftright(x,3) is
+      // exact ⌊x/8⌋ for the non-negative operand
+      .filter(lit(1L) + least(col("n_a") - col("pa") - 1, col("n_b") - col("pb") - 1)
+        >= shiftright((col("n_a") + col("n_b")) * 3 + 7, 3))
+      .select("doc_a", "n_a", "doc_b", "n_b")
+  }
+
+  private[graft] def q35Verified(s: SparkSession, dir: String,
+      positional: Boolean): DataFrame = {
+    val docsets = q35DocSets(s, dir)
+    val cands = q35Candidates(s, dir, positional)
     // exact verification: set-intersection size over the candidates only
     val sa = docsets.select(col("doc_id").as("doc_a"), col("set").as("set_a"))
     val sb = docsets.select(col("doc_id").as("doc_b"), col("set").as("set_b"))

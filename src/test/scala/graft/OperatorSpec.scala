@@ -32,6 +32,22 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
   }
 
+  test("q35 positional filter prunes candidates without dropping any true pair") {
+    val withPos = DedupOps.q35Candidates(spark, sfDir, positional = true).count()
+    val withoutPos = DedupOps.q35Candidates(spark, sfDir, positional = false).count()
+    info(s"candidates: prefix-only=$withoutPos, +positional=$withPos")
+    assert(withPos < withoutPos,
+      s"positional bound pruned nothing ($withoutPos -> $withPos)")
+    // exactness: verifying the PRUNED candidate set yields the identical
+    // pair set as verifying the unfiltered one (the bound never drops a
+    // true pair)
+    def pairs(positional: Boolean) =
+      DedupOps.q35Verified(spark, sfDir, positional).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(positional = true)
+    assert(got == pairs(positional = false) && got.nonEmpty)
+  }
+
   test("minhash-LSH candidates cover the true near-dup pairs") {
     val truth = DedupOps.q35NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()
