@@ -24,7 +24,15 @@ object Tables {
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
     * default. Read it as a long and truncate to µs (integer `div`) — the
     * same truncation DuckDB applies when it reads ns into its µs
-    * TIMESTAMP, so both engines see identical values. */
+    * TIMESTAMP, so both engines see identical values.
+    *
+    * The legacy conf is deliberately left set on the session: parquet has
+    * no per-read `nanosAsLong` option (it's SQLConf-only), and the conf is
+    * consulted again at physical-planning time of every later action on
+    * the returned LAZY frame — a restore-after here would make those
+    * executions fail. Setting it is also monotone-safe: it only changes
+    * how NANOS columns (which Spark would otherwise refuse outright) are
+    * read. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")

@@ -78,24 +78,39 @@ object TypedOps {
     * how q80 stays oracle-checkable while the operator itself is the
     * bounded-memory shape a 100 TB stream needs (buffer is O(capacity),
     * independent of input size; merge is associative map-union with
-    * the same eviction rule). */
+    * the same eviction rule).
+    *
+    * The buffer is a MUTABLE HashMap updated in place: the aggregator's
+    * reduce runs once per input row, and a persistent-map `updated` there
+    * churns ~log32(n) allocated nodes per row where the mutable table
+    * writes one slot. Encoders serialize any `scala.collection.Map` to
+    * Catalyst MapData identically, so the on-wire shape (partial-merge
+    * shuffles) is unchanged. */
   final class SpaceSaving(capacity: Int)(implicit enc: Encoder[Map[String, Long]])
-      extends Aggregator[String, Map[String, Long], Map[String, Long]] {
-    override def zero: Map[String, Long] = Map.empty
-    private def add(b: Map[String, Long], k: String, n: Long): Map[String, Long] =
+      extends Aggregator[String,
+        scala.collection.mutable.HashMap[String, Long], Map[String, Long]] {
+    import scala.collection.mutable
+    override def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+    private def add(b: mutable.HashMap[String, Long], k: String,
+        n: Long): mutable.HashMap[String, Long] = {
       b.get(k) match {
-        case Some(c) => b.updated(k, c + n)
-        case None if b.size < capacity => b.updated(k, n)
+        case Some(c) => b.update(k, c + n)
+        case None if b.size < capacity => b.update(k, n)
         case None =>
           val (mk, mc) = b.minBy { case (key, c) => (c, key) }
-          (b - mk).updated(k, mc + n)
+          b.remove(mk); b.update(k, mc + n)
       }
-    override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-      add(b, a, 1L)
-    override def merge(b1: Map[String, Long], b2: Map[String, Long]): Map[String, Long] =
+      b
+    }
+    override def reduce(b: mutable.HashMap[String, Long],
+        a: String): mutable.HashMap[String, Long] = add(b, a, 1L)
+    override def merge(b1: mutable.HashMap[String, Long],
+        b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
       b2.foldLeft(b1) { case (b, (k, n)) => add(b, k, n) }
-    override def finish(r: Map[String, Long]): Map[String, Long] = r
-    override def bufferEncoder: Encoder[Map[String, Long]] = enc
+    override def finish(r: mutable.HashMap[String, Long]): Map[String, Long] =
+      r.toMap
+    override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
     override def outputEncoder: Encoder[Map[String, Long]] = enc
   }
 
