@@ -118,6 +118,25 @@ object Lake {
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 
+  /** Bucketed (hash-clustered) table write: rows are hash-distributed
+    * into `buckets` files per partition by `bucketCols` and sorted by
+    * `sortCols` within each bucket. When BOTH sides of an equi join are
+    * bucketed the same way on the join key, Spark plans the join with NO
+    * shuffle on either side (bucket i joins bucket i directly) — at
+    * 100 TB this converts every repeated fact⋈fact / fact⋈dim join on
+    * the bucket key from a full-data shuffle into a local merge, which
+    * is why warehouses pre-bucket their largest tables. Requires the
+    * table catalog (`saveAsTable`): bucketing metadata lives in the
+    * catalog, not the files. Plan shape is spec-asserted
+    * (`LakeSpec`: zero exchanges on a bucketed⋈bucketed join). */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.format("parquet").mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** Partitioned write with rows CLUSTERED by `sortCols` inside each file
     * (`sortWithinPartitions` — a local sort, no extra shuffle): parquet
     * min/max page stats become selective, so later range predicates on the

@@ -19,10 +19,10 @@ class PartitioningSpec extends SparkTestBase {
     // (gitignored) and are dropped below
     val orders = Tables.orders(spark, sfDir)
     val lineitem = Tables.lineitem(spark, sfDir)
-    orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("orders_b")
-    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("lineitem_b")
+    sources.Lake.writeBucketed(orders, "orders_b", 8,
+      Seq("o_orderkey"), Seq("o_orderkey"))
+    sources.Lake.writeBucketed(lineitem, "lineitem_b", 8,
+      Seq("l_orderkey"), Seq("l_orderkey"))
     try {
     val joined = spark.table("lineitem_b")
       .join(spark.table("orders_b"),
@@ -60,5 +60,36 @@ class PartitioningSpec extends SparkTestBase {
     val n = read.count()
     val want = events.filter(to_date(col("ts")) === lit("2024-01-05").cast("date")).count()
     assert(n == want && n > 0)
+  }
+
+  test("dynamic partition pruning: a dim filter prunes the fact scan at runtime") {
+    // the 100 TB star-join shape: the fact table is partitioned by a key
+    // whose selective values are only known through a DIM filter — static
+    // pruning can't help, so Spark injects a runtime subquery
+    // (dynamicpruningexpression) that evaluates the dim side first and
+    // prunes fact partitions before scanning them
+    val dir = Files.createTempDirectory("dpp").toFile.getAbsolutePath
+    val events = Tables.events(spark, sfDir).withColumn("day", to_date(col("ts")))
+    events.write.partitionBy("day").mode("overwrite").parquet(s"$dir/fact")
+    // the dim filter must be a shape Spark's isLikelySelective recognizes
+    // (string equality here) — a bare boolean column is not considered a
+    // selective predicate and suppresses the DPP injection
+    val days = events.select(col("day")).distinct()
+      .withColumn("label",
+        when(col("day") === lit("2024-01-05").cast("date"), "hot")
+          .otherwise("cold"))
+    days.write.mode("overwrite").parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim").filter(col("label") === "hot")
+    val joined = fact.join(dim, Seq("day")).groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"expected runtime partition pruning in plan:\n$p")
+    val want = events.filter(col("day") === lit("2024-01-05").cast("date"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(joined.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      want.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    assert(joined.count() > 0)
   }
 }
