@@ -337,6 +337,68 @@ object CurationOps {
       |WHERE CAST('0x' || substr(md5('strat:' || event_id), 1, 15) AS BIGINT) % 1000
       |  < CASE event_type WHEN 'view' THEN 50 WHEN 'purchase' THEN 400 ELSE 150 END""".stripMargin
 
+  /** Sequence packing — the pre-training data-prep step that assembles
+    * documents into fixed-token-budget training sequences: docs are
+    * assigned to shards, ordered within each shard, and greedily packed —
+    * a doc opens a new bin when adding it would overflow the budget
+    * (oversize docs are capped at the budget; SPLITTING long docs is
+    * q69's chunking job, upstream of packing).
+    *
+    * The shape is the one that survives 100 TB: one shuffle on shard +
+    * a secondary sort (`repartition` + `sortWithinPartitions`), then a
+    * single STREAMING pass per partition (`mapPartitions`) carrying
+    * three longs of state — no `groupBy`+`collect_list` that would
+    * materialize a whole shard's documents in one task's memory, and no
+    * window function (the bin break is a running RESET, which prefix
+    * sums can't express). Bin ids are deterministic functions of the
+    * data alone, so the pack is reproducible run to run — which is what
+    * makes a training run resumable. Oracle: per-shard linear recursion
+    * as a recursive CTE. */
+  def q87PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 512L
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        least(size(tokens(col("text"))).cast("long"), lit(budget)).as("n_tok"))
+    docs
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .select(col("doc_id").as[Long], col("shard").as[Long], col("n_tok").as[Long])
+      .mapPartitions { it =>
+        // several shards may share a partition (hash placement); the
+        // sort makes each shard a contiguous run, so state resets on
+        // the shard boundary
+        var curShard = -1L; var fill = 0L; var bin = 0L
+        it.map { case (id, shard, n) =>
+          if (shard != curShard) { curShard = shard; fill = n; bin = 0L }
+          else if (fill + n > budget) { bin += 1; fill = n }
+          else fill += n
+          (id, shard, bin, fill)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "fill")
+  }
+
+  val q87Sql: String =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, doc_id % 4 AS shard,
+       |    least(CAST(len($toksSql) AS BIGINT), 512) AS n_tok
+       |  FROM documents),
+       |ordered AS (
+       |  SELECT doc_id, shard, n_tok,
+       |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+       |  FROM toks),
+       |pack(doc_id, shard, n_tok, rn, bin, fill) AS (
+       |  SELECT doc_id, shard, n_tok, rn, CAST(0 AS BIGINT), n_tok
+       |  FROM ordered WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.shard, o.n_tok, o.rn,
+       |    CASE WHEN p.fill + o.n_tok > 512 THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END
+       |  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
+       |SELECT doc_id, shard, bin, fill FROM pack""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
@@ -345,5 +407,6 @@ object CurationOps {
     QueryDef("q71_bloom_join", q71BloomJoin, Some(q71Sql)),
     QueryDef("q72_tfidf", q72Tfidf, Some(q72Sql)),
     QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
-    QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)))
+    QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)),
+    QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)))
 }

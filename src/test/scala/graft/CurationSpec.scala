@@ -96,6 +96,33 @@ class CurationSpec extends SparkTestBase {
     assert(r.select("user_id").distinct().count() == nViewUsers)
   }
 
+  test("q87: packed bins respect the token budget and tile each shard densely") {
+    val rows = operators.CurationOps.q87PackSequences(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every doc packed exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // fill never exceeds the budget
+    assert(rows.forall(_._4 <= 512L), rows.filter(_._4 > 512L).take(3).toSeq)
+    rows.groupBy(_._2).foreach { case (_, shard) =>
+      val bins = shard.map(_._3).distinct.sorted
+      // bin ids are contiguous from 0
+      assert(bins.head == 0L && bins.last == bins.length - 1L)
+      // greedy density: a bin break means the next doc would not have fit
+      // (the bin that closed was within budget but could not absorb the
+      // opener of the following bin) — check via per-bin final fills
+      val byBin = shard.groupBy(_._3).toSeq.sortBy(_._1)
+      byBin.sliding(2).foreach {
+        case Seq((_, a), (_, b)) =>
+          val closedFill = a.maxBy(_._1)._4
+          val openerTok = b.minBy(_._1)._4 // first fill of a bin = its n_tok
+          assert(closedFill + openerTok > 512L,
+            s"bin closed at $closedFill though next doc ($openerTok) fit")
+        case _ => ()
+      }
+    }
+  }
+
   test("SpaceSaving sketch: exact above capacity, over-estimate-only below it") {
     import spark.implicits._
     // skewed stream: key k appears 2^(10-k) times, 10 distinct keys
