@@ -399,6 +399,53 @@ object CurationOps {
        |  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1)
        |SELECT doc_id, shard, bin, fill FROM pack""".stripMargin
 
+  /** Domain-mixture (temperature) sampling — the data-mixing step of a
+    * training pipeline: keep rates r_s ∝ n_s^(α-1) with α = 0.5, anchored
+    * so the RAREST domain is kept whole — i.e. downsample common domains
+    * ∝ 1/√n, which lands sample shares ∝ √n_s = n_s^α (the standard
+    * multiplicative temperature flattening). The domain is the corpus's
+    * `lang` column (skewed ~3.4× in the testdata; `source` is uniform,
+    * which would degenerate to keep-all). Membership is the proven
+    * deterministic salted-hash-permille recipe, so the sample is
+    * reproducible and oracle-checkable.
+    *
+    * Cross-engine exactness: √n is correctly rounded in both engines, but
+    * any SUM over per-source √ doubles would be addition-ORDER-dependent —
+    * so weights are quantized to integers first (⌊√n·10⁶+0.5⌋) and the
+    * mixture arithmetic (min anchor, permille rate) is exact integer
+    * math. Scale shape: the mixture table is one tiny per-source
+    * aggregate broadcast back onto the corpus scan — one pass, no fact
+    * shuffle. */
+  def q88DomainMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val bySrc = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val mn = bySrc.agg(min(col("isq")).as("isq_min"))
+    val rates = bySrc.crossJoin(broadcast(mn))
+      .withColumn("rate_pm", least(lit(1000L), expr("isq_min * 1000 div isq")))
+      .select(col("lang"), col("rate_pm"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(hash60(concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000L)) < col("rate_pm"))
+      .select(col("doc_id"), col("lang"), col("rate_pm"))
+  }
+
+  val q88Sql: String =
+    """WITH bysrc AS (
+      |  SELECT lang,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS isq
+      |  FROM documents GROUP BY lang),
+      |rates AS (
+      |  SELECT lang,
+      |    least(1000, (SELECT CAST(min(isq) AS BIGINT) FROM bysrc) * 1000 // isq)
+      |      AS rate_pm
+      |  FROM bysrc)
+      |SELECT d.doc_id, d.lang, r.rate_pm
+      |FROM documents d JOIN rates r ON d.lang = r.lang
+      |WHERE CAST('0x' || substr(md5('mix:' || d.doc_id), 1, 15) AS BIGINT) % 1000
+      |  < r.rate_pm""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
@@ -408,5 +455,6 @@ object CurationOps {
     QueryDef("q72_tfidf", q72Tfidf, Some(q72Sql)),
     QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
     QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)),
-    QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)))
+    QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)),
+    QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)))
 }

@@ -123,6 +123,30 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q88: temperature mixture keeps the rarest domain whole and flattens shares") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = operators.CurationOps.q88DomainMixture(spark, sfDir)
+    val rates = kept.select("lang", "rate_pm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rarest domain sampled at 1000 permille; rates weakly decrease with size
+    val rarest = before.minBy(_._2)._1
+    assert(rates(rarest) == 1000L, rates)
+    before.toSeq.sortBy(_._2).map(kv => rates(kv._1)).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b, s"rates not monotone: $rates vs $before")
+      case _ => ()
+    }
+    // flattening: kept shares are closer together than raw shares —
+    // max/min count ratio shrinks toward its square root
+    val after = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawRatio = before.values.max.toDouble / before.values.min
+    val keptRatio = after.values.max.toDouble / after.values.min
+    assert(keptRatio < rawRatio, s"no flattening: $rawRatio -> $keptRatio")
+  }
+
   test("SpaceSaving sketch: exact above capacity, over-estimate-only below it") {
     import spark.implicits._
     // skewed stream: key k appears 2^(10-k) times, 10 distinct keys
