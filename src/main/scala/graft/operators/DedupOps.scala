@@ -483,6 +483,39 @@ object DedupOps {
        |SELECT src AS doc_id, min(dst) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Leakage-free train/eval split: assignment is decided per NEAR-DUP
+    * CLUSTER (q64's components; unpaired docs are their own singleton
+    * cluster), so two near-duplicate documents can never land on opposite
+    * sides of the split — the contamination mode that silently inflates
+    * eval scores when splitting per-document. The 90/10 membership is the
+    * deterministic salted-hash recipe on the cluster id, so the split is
+    * reproducible and shard-order independent. One broadcast-sized join
+    * of the (tiny) pair-cluster map onto the corpus; everything upstream
+    * is the bucket-bounded q36→q64 pipeline. */
+  def q89LeakFreeSplit(s: SparkSession, dir: String): DataFrame = {
+    val clusters = q64DedupClusters(s, dir)
+      .select(col("doc_id"), col("cluster_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(pmod(graft.functions.TextFns.hash60(
+          concat(lit("split:"), col("cluster_id").cast("string"))),
+          lit(100L)) < 90, "train").otherwise("eval"))
+  }
+
+  val q89Sql: String =
+    s"""WITH clusters AS (
+       |${q64Sql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       |  CASE WHEN CAST('0x' || substr(md5('split:'
+       |      || coalesce(c.cluster_id, d.doc_id)), 1, 15) AS BIGINT) % 100 < 90
+       |    THEN 'train' ELSE 'eval' END AS split
+       |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
+
   /** Triangle counts over an ORIENTED edge list (`doc_a < doc_b`), rooted
     * at each triangle's minimum vertex — the standard distributed
     * node-iterator enumeration: e1(a,b)⋈e2(b,c)⋈e3(a,c) emits every
@@ -525,6 +558,7 @@ object DedupOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
+    QueryDef("q89_leakfree_split", q89LeakFreeSplit, Some(q89Sql)),
     QueryDef("q83_triangles", q83Triangles, Some(q83Sql)),
     QueryDef("q35_ngram_jaccard", q35NgramJaccard, Some(q35Sql)),
     QueryDef("q36_minhash_lsh", q36MinhashLsh, Some(q36Sql)),

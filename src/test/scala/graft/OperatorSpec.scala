@@ -220,6 +220,22 @@ class OperatorSpec extends SparkTestBase {
     assert(got.size == 9)
   }
 
+  test("q89: no near-dup pair straddles the train/eval split") {
+    val split = operators.DedupOps.q89LeakFreeSplit(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // total cover, both sides non-trivial at a 90/10 hash split
+    assert(split.nonEmpty && split.values.map(_._2).toSet == Set("train", "eval"))
+    // every edge of the cluster graph lands on ONE side (q35 truth is
+    // covered to the extent of q36's recall, spec'd ≥ 0.9 above)
+    val edges = operators.DedupOps.q36MinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1 && split(a)._2 == split(b)._2,
+        s"pair ($a,$b) straddles the split")
+    }
+  }
+
   test("connected components keeps O(1) pinned storage across rounds") {
     import spark.implicits._
     // long chain 0-1-...-9 forces many label-propagation rounds; each
