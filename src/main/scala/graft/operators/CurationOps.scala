@@ -446,6 +446,52 @@ object CurationOps {
       |WHERE CAST('0x' || substr(md5('mix:' || d.doc_id), 1, 15) AS BIGINT) % 1000
       |  < r.rate_pm""".stripMargin
 
+  /** Deterministic corpus shuffle with a contiguous GLOBAL index — the
+    * "shuffle your training data once, reproducibly" step: every doc gets
+    * a salted-hash sort key, and `pos` is its 0-based rank in the global
+    * (key, doc_id) order.
+    *
+    * The naive formulation — `row_number() OVER (ORDER BY key)` — is a
+    * single-partition window: the entire corpus funnels through ONE task.
+    * The scale-correct shape used here is the two-pass textbook answer:
+    * (1) range-partition + sort within partitions (a real distributed
+    * sort; partition i's keys all precede partition i+1's), (2) count
+    * rows per partition (a #partitions-row driver value), broadcast the
+    * prefix-sum offsets, and stream each partition once adding
+    * offset + local position. Both passes re-evaluate the same
+    * deterministic sort (static input ⇒ identical range bounds); at
+    * cluster scale you would persist the sorted frame between passes. */
+  def q90GlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        hash60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+    val sorted = keyed
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+    val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
+    val bc = s.sparkContext.broadcast(offsets)
+    sorted.select(col("doc_id").as[Long], col("k").as[Long])
+      .mapPartitions { it =>
+        val off = bc.value.getOrElse(
+          org.apache.spark.TaskContext.getPartitionId(), 0L)
+        var i = 0L
+        it.map { case (id, k) => val p = off + i; i += 1; (id, k, p) }
+      }
+      .toDF("doc_id", "k", "pos")
+  }
+
+  val q90Sql: String =
+    """SELECT doc_id,
+      |  CAST('0x' || substr(md5('shuf:' || doc_id), 1, 15) AS BIGINT) AS k,
+      |  CAST(row_number() OVER (
+      |    ORDER BY CAST('0x' || substr(md5('shuf:' || doc_id), 1, 15) AS BIGINT),
+      |      doc_id) - 1 AS BIGINT) AS pos
+      |FROM documents""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
@@ -456,5 +502,6 @@ object CurationOps {
     QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
     QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)),
     QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)),
-    QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)))
+    QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)),
+    QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)))
 }

@@ -147,6 +147,20 @@ class CurationSpec extends SparkTestBase {
     assert(keptRatio < rawRatio, s"no flattening: $rawRatio -> $keptRatio")
   }
 
+  test("q90: global shuffle index is a 0..n-1 permutation via a RANGE partition") {
+    val df = operators.CurationOps.q90GlobalShuffle(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, sfDir).count()
+    assert(rows.length == n)
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
+    // pos follows the (k, doc_id) order globally
+    assert(rows.sortBy(r => (r._2, r._1)).map(_._3).toSeq == (0L until n).toSeq)
+    // and the plan is a distributed range sort, not a 1-partition window
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("SpaceSaving sketch: exact above capacity, over-estimate-only below it") {
     import spark.implicits._
     // skewed stream: key k appears 2^(10-k) times, 10 distinct keys
