@@ -86,6 +86,58 @@ object TextOps {
           .otherwise(0.5))
       .withColumn("quality", col("ttr") * 0.5 + col("len_score") * 0.5)
 
+  /** Per-domain quality gating: keep documents whose quality score (the
+    * q32 formula) clears the bottom-20% PERCENTILE within their own
+    * language — per-domain rather than global because a single absolute
+    * threshold silently empties whichever domain scores systematically
+    * lower (the classic mono-lingual-filter failure on multilingual
+    * corpora). `percent_rank` is (rank-1)/(n-1) with a doc_id tiebreak:
+    * one exact integer ratio per row, identical in both engines. One
+    * window shuffle on lang; at 100 TB lang is low-cardinality, so this
+    * wants AQE skew handling — which a partition-by-lang window gets —
+    * rather than a per-lang driver loop. */
+  def q91QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(normText(col("text")), " ")))
+          .cast("long").as("n_distinct"))
+      .withColumn("quality",
+        (col("n_distinct").cast("double") / col("n_tokens")) * 0.5 +
+          when(col("n_tokens") < 10, 0.2)
+            .when(col("n_tokens") < 50, 1.0)
+            .when(col("n_tokens") < 200, 0.8)
+            .otherwise(0.5) * 0.5)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("quality"), col("doc_id"))
+    scored
+      .withColumn("q_rank", percent_rank().over(w))
+      .filter(col("q_rank") >= 0.2)
+      .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
+  }
+
+  val q91Sql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5 +
+      |    (CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens < 50 THEN 1.0
+      |          WHEN n_tokens < 200 THEN 0.8 ELSE 0.5 END) * 0.5 AS quality
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(string_split(norm, ' ')) AS n_tokens,
+      |      len(list_distinct(string_split(norm, ' '))) AS n_distinct
+      |    FROM (SELECT doc_id, lang,
+      |            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |          FROM documents))),
+      |ranked AS (
+      |  SELECT doc_id, lang, quality,
+      |    percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id)
+      |      AS q_rank
+      |  FROM scored)
+      |SELECT doc_id, lang, quality, q_rank
+      |FROM ranked WHERE q_rank >= 0.2""".stripMargin
+
   val q32Sql: String =
     """SELECT doc_id, n_tokens, n_distinct,
       |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
@@ -190,6 +242,7 @@ object TextOps {
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
     QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
+    QueryDef("q91_quality_gate", q91QualityGate, Some(q91Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),
     QueryDef("q51_winnow_fingerprint", q51WinnowFingerprint, Some(q51Sql)))

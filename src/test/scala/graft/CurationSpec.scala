@@ -161,6 +161,21 @@ class CurationSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
   }
 
+  test("q91: quality gate keeps ~top-80% per language, never emptying one") {
+    val docs = Tables.documents(spark, sfDir)
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = operators.TextOps.q91QualityGate(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet, "a language was emptied")
+    before.foreach { case (lang, n) =>
+      val frac = after(lang).toDouble / n
+      // percent_rank >= 0.2 keeps ceil(0.8·(n-1))+… ≈ 80%
+      assert(frac >= 0.7 && frac <= 0.9, s"$lang kept $frac")
+    }
+  }
+
   test("SpaceSaving sketch: exact above capacity, over-estimate-only below it") {
     import spark.implicits._
     // skewed stream: key k appears 2^(10-k) times, 10 distinct keys
