@@ -182,6 +182,28 @@ object StreamingOps {
       .select("doc_id", "fp", "text", "lang", "source")
   }
 
+  /** Stream–static join: a live document feed sampled against the
+    * (batch-computed) q88 domain-mixture rate table. The static side is
+    * re-read per micro-batch by Spark, planned as a broadcast-sized
+    * lookup — the standard "enrich a stream from a dim table" shape; no
+    * streaming state is required because the join is stateless per row.
+    * The kept stream is provably the streaming image of the batch q88
+    * result (spec-asserted). */
+  def mixtureSampledStream(spark: SparkSession, srcDir: String,
+      sfDir: String, filesPerTrigger: Int = 2): DataFrame = {
+    val rates = graft.operators.CurationOps.q88DomainMixture(spark, sfDir)
+      .select(col("lang"), col("rate_pm")).distinct()
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(pmod(graft.functions.TextFns.hash60(
+        concat(lit("mix:"), col("doc_id").cast("string"))),
+        lit(1000L)) < col("rate_pm"))
+      .select(col("doc_id"), col("lang"), col("rate_pm"))
+  }
+
   /** Append-mode parquet lake sink (stateless/dedup streams): files
     * accumulate per micro-batch; exactly-once via the sink's own
     * checkpoint-coordinated file manifest. */

@@ -171,6 +171,25 @@ class StreamingSpec extends SparkTestBase {
       "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).count() == 0L)
   }
 
+  test("stream-static mixture join: streamed sample equals the batch q88 result") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("smix").toString
+    val src = s"$tmp/src"
+    val docs = Tables.documents(spark, sfDir)
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val out = s"$tmp/sampled"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.mixtureSampledStream(spark, src, sfDir, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out).select("doc_id", "lang", "rate_pm")
+    val want = operators.CurationOps.q88DomainMixture(spark, sfDir)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
