@@ -138,6 +138,57 @@ object TextOps {
       |SELECT doc_id, lang, quality, q_rank
       |FROM ranked WHERE q_rank >= 0.2""".stripMargin
 
+  /** Vocabulary coverage (OOV-rate complement): the fraction of each
+    * document's token OCCURRENCES that fall inside the corpus's top-100
+    * vocabulary (by total frequency, term tiebreak). Real pipelines use
+    * this as a fast quality/garbage signal — low coverage flags encoding
+    * junk, boilerplate, or off-distribution text. Two narrow aggregates
+    * (term totals → top-100) and one broadcast-sized semi-join back onto
+    * the exploded token stream; the vocab is bounded by construction, so
+    * the broadcast is safe at any corpus size — only the top-k cut must
+    * be deterministic (frequency desc, term asc). */
+  def q92VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    // top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    // partial top-k, merged on the driver) — NOT a global row_number
+    // window, which would funnel the whole vocabulary through one task
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc)
+      .limit(100)
+      .select(col("term"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("in_vocab"), lit(0))).as("n_in_vocab"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_in_vocab").cast("long").as("n_in_vocab"),
+        (col("n_in_vocab").cast("double") / col("n_tokens")).as("coverage"))
+  }
+
+  val q92Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, u.term FROM (
+       |    SELECT doc_id,
+       |      string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+       |        AS toks
+       |    FROM documents) t,
+       |    UNNEST(toks) AS u(term)
+       |  WHERE u.term <> ''),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS r
+       |    FROM toks GROUP BY term)
+       |  WHERE r <= 100)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_vocab,
+       |  CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS coverage
+       |FROM toks LEFT JOIN vocab v USING (term)
+       |GROUP BY doc_id""".stripMargin
+
   val q32Sql: String =
     """SELECT doc_id, n_tokens, n_distinct,
       |  CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
@@ -243,6 +294,7 @@ object TextOps {
     QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
     QueryDef("q91_quality_gate", q91QualityGate, Some(q91Sql)),
+    QueryDef("q92_vocab_coverage", q92VocabCoverage, Some(q92Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),
     QueryDef("q51_winnow_fingerprint", q51WinnowFingerprint, Some(q51Sql)))
