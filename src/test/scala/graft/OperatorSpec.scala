@@ -71,6 +71,15 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("int8-quantized kNN recalls most float-ranked neighbors") {
+    val truth = SimilarityOps.q39KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SimilarityOps.q93KnnInt8(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got).toDouble / truth.size
+    assert(recall >= 0.8, s"int8 recall@10 = $recall")
+  }
+
   test("IVF ANN with 2-of-16 probes recalls most brute-force neighbors") {
     val truth = SimilarityOps.q39KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
