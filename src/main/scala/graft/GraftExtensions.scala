@@ -33,6 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("md5_signmask16"),
       info("md5_signmask16", "16-bit mask of md5 hex digits >= 8"),
       (es: Seq[Expression]) => functions.HashExprs.Md5SignMask16(es.head)))
+    ext.injectFunction((FunctionIdentifier("gram3_hash64"),
+      info("gram3_hash64", "chained-XXH64 word-3-gram hashes of a token array"),
+      (es: Seq[Expression]) => functions.HashExprs.Gram3Hash64(es.head)))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "distinct 60-bit winnowing fingerprints (8-gram, window 16)"),

@@ -147,11 +147,16 @@ object CurationOps {
     // the q35/q36 inverted-index shape
     val isBench = pmod(hash60(concat(lit("bench:"),
       col("doc_id").cast("string"))), lit(100)) < 5
+    // the shingle is only ever a group key → fused long gram hashes
+    // (Gram3Hash64: no gram string allocated, longs shuffle ~3× cheaper;
+    // counts are hash-agnostic under 64-bit injectivity — the oracle's
+    // string-gram counts match)
     Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), isBench.as("is_bench"),
-        explode(array_distinct(shingles(col("toks"), 3))).as("g"))
+        explode(array_distinct(
+          graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
       .groupBy(col("g"))
       .agg(collect_list(col("doc_id")).as("docs"),
         collect_list(when(col("is_bench"), col("doc_id"))).as("bench"))

@@ -85,13 +85,16 @@ object DedupOps {
   /** Per-doc df-sorted shingle-hash set + prefix (shared by candidate
     * generation and verification). */
   private def q35DocSets(s: SparkSession, dir: String): DataFrame = {
-    // Shingles are xxhash64'd before shuffling: the value is only ever a
-    // join/group key, longs shuffle ~3× cheaper than strings, and a 64-bit
-    // collision across ~10^5 distinct shingles is ~2^-30 — the oracle
-    // compares final pairs, which hashing leaves untouched.
+    // Shingles are hashed to longs before anything shuffles: the value is
+    // only ever a join/group key, longs shuffle ~3× cheaper than strings,
+    // and a 64-bit collision across ~10^5 distinct shingles is ~2^-30 —
+    // the oracle compares final pairs, which hashing leaves untouched.
+    // The fused Gram3Hash64 produces the gram hashes straight from the
+    // token array (chained XXH64 per gram) so no gram string is ever
+    // allocated, concatenated, or copied.
     val sh = docToks(s, dir)
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashExprs.gram3_hash64(col("toks"))).as("shh"))
       .distinct()
     // one chained lineage: df via window over shh, then one groupBy packs
     // each doc's full (df-sorted) shingle set AND its prefix into arrays —

@@ -48,6 +48,23 @@ class OperatorSpec extends SparkTestBase {
     assert(got == pairs(positional = false) && got.nonEmpty)
   }
 
+  test("gram3_hash64 is collision-free on the corpus and counts grams right") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashExprs, TextFns}
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+    // one hash per gram, none for docs under 3 tokens
+    val sizes = toks.select(size(col("toks")).as("n"),
+      size(HashExprs.gram3_hash64(col("toks"))).as("g")).collect()
+    assert(sizes.forall(r => r.getInt(1) == math.max(0, r.getInt(0) - 2)))
+    // injectivity on this corpus: |distinct hashes| == |distinct string grams|
+    val nHash = toks.select(explode(HashExprs.gram3_hash64(col("toks"))).as("h"))
+      .select(countDistinct(col("h"))).head().getLong(0)
+    val nGram = toks.select(explode(TextFns.shingles(col("toks"), 3)).as("g"))
+      .select(countDistinct(col("g"))).head().getLong(0)
+    assert(nHash == nGram, s"$nHash hashes vs $nGram grams")
+  }
+
   test("minhash-LSH candidates cover the true near-dup pairs") {
     val truth = DedupOps.q35NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()
