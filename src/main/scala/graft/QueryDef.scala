@@ -24,6 +24,7 @@ object QueryDef {
       graft.operators.StatsOps.defs ++
       graft.operators.MiscOps.defs ++
       graft.operators.CurationOps.defs ++
+      graft.operators.Skew.defs ++
       graft.operators.IntervalJoin.defs ++
       graft.operators.TypedOps.defs ++
       graft.multimodal.Multimodal.defs

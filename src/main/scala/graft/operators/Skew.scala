@@ -30,4 +30,41 @@ object Skew {
       explode(sequence(lit(0L), lit(n.toLong - 1))))
     l.join(r, Seq(key, "_salt"), "inner").drop("_salt")
   }
+
+  /** Salted join as a declared, oracle-checked query: the events fact
+    * (event_type has ~5 values — every key is a hot key) joins a 5-row
+    * event-type dim through [[saltedJoin]] with 8 salts, then aggregates.
+    * The salt spreads each hot key over 8 tasks in the join shuffle;
+    * because replication guarantees every (left, right) match still meets
+    * exactly once, the result provably equals the plain join — which IS
+    * the oracle, same contract as q71's bloom gate. (With a dim this
+    * small Spark would broadcast and salting would be moot; the declared
+    * query exists to keep the shuffle-side mechanics under the hash
+    * gate — at 100 TB the right side is a medium dim that does not fit a
+    * broadcast but has hot keys on the left.) */
+  def q94SaltedJoin(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val e = graft.Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("value"))
+    val dim = graft.Tables.events(s, dir)
+      .select(col("event_type")).distinct()
+      .withColumn("type_group",
+        when(col("event_type").isin("purchase", "signup"), "conversion")
+          .otherwise("engagement"))
+    saltedJoin(e, dim, "event_type", 8)
+      .groupBy(col("type_group"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.fsum(col("value")).as("sum_value"))
+  }
+
+  val q94Sql: String =
+    """SELECT CASE WHEN event_type IN ('purchase', 'signup')
+      |         THEN 'conversion' ELSE 'engagement' END AS type_group,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  def defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q94_salted_join", q94SaltedJoin, Some(q94Sql)))
 }
