@@ -5,11 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation pipeline composed from the operator
   * library — the workflow a 100 TB corpus actually runs, demonstrating
-  * that the pieces compose: ingest → quality score → language filter →
-  * repetition filter → exact dedup → near-dup removal (MinHash-LSH) →
-  * benchmark-contamination removal → deterministic split → PII redaction
-  * → token accounting → partitioned lake write → training-window
-  * chunking.
+  * that the pieces compose: ingest → per-domain quality percentile gate →
+  * language filter → repetition filter → exact dedup → near-dup removal
+  * (MinHash-LSH) → benchmark-contamination removal → temperature domain
+  * mixture → cluster-aware leakage-free split → PII redaction → token
+  * accounting → partitioned lake write → training-window chunking →
+  * sequence packing (512-token budget) → deterministic global shuffle
+  * manifest.
   *
   * Every stage is embarrassingly parallel or bucket-shuffled (see each
   * operator's scale notes); nothing collects to the driver. The final
@@ -31,11 +33,12 @@ object PipelineDemo {
 
     val docs = stage("ingest", Tables.documents(spark, sfDir))
 
-    // 1. quality: type-token ratio + length band (q32's scoring)
-    val scored = operators.TextOps.q32Quality(spark, sfDir)
+    // 1. quality: PER-DOMAIN percentile gate (q91) — an absolute
+    // threshold silently empties whichever language scores lower; the
+    // percentile form keeps the top ~80% of every domain
+    val scored = operators.TextOps.q91QualityGate(spark, sfDir)
       .select(col("doc_id"), col("quality"))
-    val quality = stage("quality_filter",
-      docs.join(scored, Seq("doc_id")).filter(col("quality") >= 0.5))
+    val quality = stage("quality_filter", docs.join(scored, Seq("doc_id")))
 
     // 2. language: keep docs whose predicted language matches the label
     val lang = operators.TextOps.q31LangId(spark, sfDir)
@@ -68,10 +71,20 @@ object PipelineDemo {
     val clean = stage("decontaminated",
       nearDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
 
-    // 7. deterministic holdout split: ~90% train by key hash (no RNG)
+    // 6.5 domain-mixture sampling (q88): temperature-flatten the
+    // language mix before the split
+    val mixKept = operators.CurationOps.q88DomainMixture(spark, sfDir)
+      .select(col("doc_id"))
+    val mixed = stage("mixture_sampled", clean.join(mixKept, Seq("doc_id")))
+
+    // 7. deterministic holdout split — LEAKAGE-FREE (q89): assignment is
+    // per near-dup CLUSTER, so surviving near-dups of a held-out doc can
+    // never leak into train
+    val split = operators.DedupOps.q89LeakFreeSplit(spark, sfDir)
+      .select(col("doc_id"), col("split"))
     val train = stage("train_split",
-      clean.filter(pmod(functions.TextFns.hash60(
-        concat(lit("split:"), col("doc_id"))), lit(100L)) < 90))
+      mixed.join(split, Seq("doc_id")).filter(col("split") === "train")
+        .drop("split"))
 
     // 8. PII redaction + token accounting for the budget report
     val tokens = operators.TextOps.q50BpeTokens(spark, sfDir)
@@ -91,6 +104,26 @@ object PipelineDemo {
       spark.read.parquet(s"$outDir/curated").select("doc_id", "text"))
     sources.Lake.writePlain(chunks, s"$outDir/chunks")
     counts += "chunks_written" -> spark.read.parquet(s"$outDir/chunks").count()
+
+    // 11. sequence packing (q87 core): chunk windows → 512-token training
+    // sequences, greedy per shard; bins is the number of sequences the
+    // run will actually train on
+    val chunkItems = spark.read.parquet(s"$outDir/chunks")
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        col("n_chunk_tokens").as("n_tok"))
+    val packed = operators.CurationOps.packSequences(chunkItems, budget = 512L)
+    sources.Lake.writePlain(packed, s"$outDir/packed")
+    counts += "packed_sequences" ->
+      spark.read.parquet(s"$outDir/packed")
+        .select("shard", "bin").distinct().count()
+
+    // 12. deterministic global shuffle (q90 core): a reproducible read
+    // order over the packed items, written as the training manifest
+    val manifest = operators.CurationOps.globalShuffleIndex(
+      spark.read.parquet(s"$outDir/packed").select("doc_id"), "order:")
+    sources.Lake.writePlain(manifest, s"$outDir/manifest")
+    counts += "manifest_rows" -> spark.read.parquet(s"$outDir/manifest").count()
     counts.toSeq
   }
 

@@ -359,17 +359,17 @@ object CurationOps {
     * data alone, so the pack is reproducible run to run — which is what
     * makes a training run resumable. Oracle: per-shard linear recursion
     * as a recursive CTE. */
-  def q87PackSequences(s: SparkSession, dir: String): DataFrame = {
+  /** Generic greedy packer over `(doc_id, shard, n_tok)` — see
+    * [[q87PackSequences]] for semantics and scale rationale. Reused by
+    * `PipelineDemo` to pack chunk windows into training sequences. */
+  def packSequences(items: DataFrame, budget: Long): DataFrame = {
+    val s = items.sparkSession
     import s.implicits._
-    val budget = 512L
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        pmod(col("doc_id"), lit(4L)).as("shard"),
-        least(size(tokens(col("text"))).cast("long"), lit(budget)).as("n_tok"))
-    docs
+    items
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
-      .select(col("doc_id").as[Long], col("shard").as[Long], col("n_tok").as[Long])
+      .select(col("doc_id").as[Long], col("shard").as[Long],
+        least(col("n_tok"), lit(budget)).as[Long])
       .mapPartitions { it =>
         // several shards may share a partition (hash placement); the
         // sort makes each shard a contiguous run, so state resets on
@@ -384,6 +384,14 @@ object CurationOps {
       }
       .toDF("doc_id", "shard", "bin", "fill")
   }
+
+  def q87PackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4L)).as("shard"),
+          size(tokens(col("text"))).cast("long").as("n_tok")),
+      budget = 512L)
 
   val q87Sql: String =
     s"""WITH RECURSIVE toks AS (
@@ -466,11 +474,14 @@ object CurationOps {
     * offset + local position. Both passes re-evaluate the same
     * deterministic sort (static input ⇒ identical range bounds); at
     * cluster scale you would persist the sorted frame between passes. */
-  def q90GlobalShuffle(s: SparkSession, dir: String): DataFrame = {
+  /** Generic two-pass global index over an id frame — see
+    * [[q90GlobalShuffle]] for semantics and scale rationale. */
+  def globalShuffleIndex(items: DataFrame, salt: String): DataFrame = {
+    val s = items.sparkSession
     import s.implicits._
-    val keyed = Tables.documents(s, dir)
+    val keyed = items
       .select(col("doc_id"),
-        hash60(concat(lit("shuf:"), col("doc_id").cast("string"))).as("k"))
+        hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"))
     val sorted = keyed
       .repartitionByRange(col("k"), col("doc_id"))
       .sortWithinPartitions(col("k"), col("doc_id"))
@@ -488,6 +499,9 @@ object CurationOps {
       }
       .toDF("doc_id", "k", "pos")
   }
+
+  def q90GlobalShuffle(s: SparkSession, dir: String): DataFrame =
+    globalShuffleIndex(Tables.documents(s, dir).select(col("doc_id")), "shuf:")
 
   val q90Sql: String =
     """SELECT doc_id,

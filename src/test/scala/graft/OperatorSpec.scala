@@ -299,6 +299,20 @@ class OperatorSpec extends SparkTestBase {
     val losers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     assert(back.join(losers, Seq("doc_id")).count() == 0L)
+    // leakage-free split: no written doc is in the eval side of q89
+    val evalSide = operators.DedupOps.q89LeakFreeSplit(spark, sfDir)
+      .filter(col("split") === "eval").select("doc_id")
+    assert(back.join(evalSide, Seq("doc_id")).count() == 0L)
+    // packed sequences respect the budget; the shuffle manifest is a
+    // permutation of the packed items
+    val packed = spark.read.parquet(s"$out/packed")
+    assert(packed.filter(col("fill") > 512).count() == 0L)
+    assert(byName("packed_sequences") > 0
+      && byName("packed_sequences") <= byName("chunks_written"))
+    val manifest = spark.read.parquet(s"$out/manifest")
+    assert(manifest.count() == packed.count()
+      && byName("manifest_rows") == packed.count())
+    assert(manifest.select("pos").distinct().count() == packed.count())
   }
 
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
