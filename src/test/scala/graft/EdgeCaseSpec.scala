@@ -26,6 +26,38 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(e.getMessage.contains("nope"))
   }
 
+  test("packSequences on an empty frame returns no rows") {
+    val empty = spark.emptyDataset[(Long, Long, Long)]
+      .toDF("doc_id", "shard", "n_tok")
+    assert(operators.CurationOps.packSequences(empty, 512L).count() == 0L)
+  }
+
+  test("packSequences puts a budget-sized doc alone in its own bin") {
+    // capped oversize doc (n_tok > budget) fills a bin exactly; neighbors
+    // open fresh bins around it
+    val items = Seq((1L, 0L, 10L), (2L, 0L, 9999L), (3L, 0L, 10L))
+      .toDF("doc_id", "shard", "n_tok")
+    val got = operators.CurationOps.packSequences(items, 512L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == (0L, 10L))
+    assert(got(2L) == (1L, 512L)) // capped to budget, alone in bin 1
+    assert(got(3L) == (2L, 10L))
+  }
+
+  test("globalShuffleIndex on empty and 1-row frames") {
+    val empty = spark.emptyDataset[Long].toDF("doc_id")
+    assert(operators.CurationOps.globalShuffleIndex(empty, "t:").count() == 0L)
+    val one = Seq(7L).toDF("doc_id")
+    val r = operators.CurationOps.globalShuffleIndex(one, "t:").collect()
+    assert(r.length == 1 && r.head.getLong(0) == 7L && r.head.getLong(2) == 0L)
+  }
+
+  test("saltedJoin with an empty skewed side returns no rows") {
+    val left = spark.emptyDataset[(String, Long)].toDF("k", "v")
+    val right = Seq(("a", 1L)).toDF("k", "w")
+    assert(operators.Skew.saltedJoin(left, right, "k", 4).count() == 0L)
+  }
+
   test("connectedComponents on an empty edge list returns no rows") {
     val edges = spark.emptyDataset[(Long, Long)].toDF("doc_a", "doc_b")
     assert(operators.DedupOps.connectedComponents(edges).count() == 0)
