@@ -204,6 +204,50 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("rate_pm"))
   }
 
+  /** One packed item of the incremental sequence packer. */
+  final case class PackItem(doc_id: Long, shard: Long, n_tok: Long)
+  final case class PackedItem(doc_id: Long, shard: Long, bin: Long, fill: Long)
+
+  /** Incremental sequence packing — the streaming continuation of batch
+    * q87: documents arrive in micro-batches, and each shard's greedy
+    * packer state (current fill, current bin) is carried across triggers
+    * in `flatMapGroupsWithState`, so bins keep filling exactly where the
+    * previous trigger stopped. With in-order delivery per shard the
+    * emitted (bin, fill) assignments are IDENTICAL to the batch packer's
+    * (spec-asserted); state is two longs per shard regardless of stream
+    * length. This is how a continuously-ingesting corpus feed keeps
+    * producing training sequences without re-packing history. */
+  def packingStream(spark: SparkSession, srcDir: String, budget: Long = 512L,
+      filesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .as[PackItem]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[PackItem],
+            state: GroupState[(Long, Long)]) =>
+          // batch-group iterators carry no ordering promise: restore the
+          // per-shard doc_id order inside the trigger (cross-trigger
+          // order is the file delivery order)
+          val sorted = it.toArray.sortBy(_.doc_id)
+          var (fill, bin) = state.getOption.getOrElse((-1L, -1L))
+          val out = sorted.map { d =>
+            val n = math.min(d.n_tok, budget)
+            if (bin == -1L) { bin = 0L; fill = n }
+            else if (fill + n > budget) { bin += 1; fill = n }
+            else fill += n
+            PackedItem(d.doc_id, shard, bin, fill)
+          }
+          state.update((fill, bin))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Append-mode parquet lake sink (stateless/dedup streams): files
     * accumulate per micro-batch; exactly-once via the sink's own
     * checkpoint-coordinated file manifest. */

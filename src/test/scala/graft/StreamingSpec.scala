@@ -190,6 +190,34 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("incremental packing across triggers equals the batch q87 packer") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("spack").toString
+    val src = s"$tmp/src"
+    val items = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(4L)).as("shard"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long")
+          .as("n_tok"))
+    // three ascending doc_id ranges written sequentially: per-shard
+    // delivery order == batch packing order
+    val maxId = items.agg(max("doc_id")).head().getLong(0)
+    val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+    Seq(col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2).foreach { p =>
+      items.filter(p).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct file timestamps fix the delivery order
+    }
+    val out = s"$tmp/packed"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.packingStream(spark, src), out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out).select("doc_id", "shard", "bin", "fill")
+    val want = operators.CurationOps.q87PackSequences(spark, sfDir)
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
