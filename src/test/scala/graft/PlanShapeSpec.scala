@@ -149,6 +149,26 @@ class PlanShapeSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.bloom.maxItems")
   }
 
+  test("round-4 queries keep their scale-critical plan shapes") {
+    // q92: vocab cut is a partial top-k, not a global window; the vocab
+    // joins back as a broadcast
+    val p92 = operators.TextOps.q92VocabCoverage(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p92.contains("TakeOrderedAndProject"), p92)
+    assert(p92.contains("BroadcastHashJoin") && !p92.contains("Window"), p92)
+    // q88: the rate table reaches the corpus scan as a broadcast — the
+    // fact side never shuffles on lang
+    val p88 = operators.CurationOps.q88DomainMixture(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p88.contains("BroadcastHashJoin"), p88)
+    // q87: packing runs over a shard shuffle + in-partition sort (the
+    // secondary-sort shape), never a global sort
+    val p87 = operators.CurationOps.q87PackSequences(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p87.contains("hashpartitioning(shard"), p87)
+    assert(!p87.contains("rangepartitioning"), p87)
+  }
+
   test("extensions-built session compiles row_number()<=k to the heap operator") {
     // the real spark.sql.extensions path: a session whose SessionState is
     // constructed WITH GraftExtensions. The injected rewrite runs in the
