@@ -108,8 +108,17 @@ object PipelineDemo {
     // 11. sequence packing (q87 core): chunk windows → 512-token training
     // sequences, greedy per shard; bins is the number of sequences the
     // run will actually train on
+    // packed-item id = doc_id ⋅ 2^20 + chunk_id: a 20-bit stride holds ~1M
+    // chunk windows per document; the guard raises (rather than silently
+    // colliding ids in the training manifest) if a pathological doc
+    // exceeds it — *1000 arithmetic collided at ≥1000 chunks
+    val packId = when(col("chunk_id") < lit(1L << 20),
+      shiftleft(col("doc_id"), 20) + col("chunk_id"))
+      .otherwise(raise_error(concat(
+        lit("chunk_id overflows the 20-bit pack-id stride: "),
+        col("chunk_id").cast("string"))))
     val chunkItems = spark.read.parquet(s"$outDir/chunks")
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+      .select(packId.as("doc_id"),
         pmod(col("doc_id"), lit(8L)).as("shard"),
         col("n_chunk_tokens").as("n_tok"))
     val packed = operators.CurationOps.packSequences(chunkItems, budget = 512L)

@@ -170,7 +170,10 @@ object HashExprs {
     * needed ("ab","c" and "a","bc" diverge at the second seed). Used
     * where the hash value is only ever a join/group key under the usual
     * 64-bit-injectivity argument (q35); NOT used where an oracle
-    * reproduces the hash bit-for-bit (q36's md5-based minhash). */
+    * reproduces the hash bit-for-bit (q36's md5-based minhash).
+    * A null ELEMENT (legal: the function is SQL-registered, so user
+    * arrays arrive with containsNull=true) folds a fixed marker into the
+    * chain instead of NPE-ing — distinct from the empty string's path. */
   case class Gram3Hash64(child: Expression)
       extends UnaryExpression
       with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -197,8 +200,12 @@ object HashExprs {
         var k = 0
         while (k < 3) {
           val t = arr.getUTF8String(i + k)
-          h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+          h = if (t == null) {
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(-1L, h)
+          } else {
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+          }
           k += 1
         }
         out(i) = h

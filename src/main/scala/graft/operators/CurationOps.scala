@@ -135,38 +135,47 @@ object CurationOps {
     * benchmark set — real pipelines use longer shingles (8–13 grams); the
     * synthetic corpus's tiny vocabulary needs short ones for overlap to
     * exist at all. The join key is the n-gram itself — candidate pairs
-    * exist only inside a shared shingle, never all-pairs — and the
-    * benchmark side of a real pipeline is a fixed eval suite (bounded),
-    * so at 100 TB the planner can broadcast it; no hint is forced here
-    * (AQE decides from measured size, per the q09/q35 lesson). */
-  def q70Contamination(s: SparkSession, dir: String): DataFrame = {
-    // ONE corpus pass: a self-join of the shingle stream would evaluate
-    // the tokenize→shingle pipeline twice (Spark does not CSE identical
-    // subplans); instead each shingle groups once, collecting its doc
-    // list and its benchmark-doc sublist, and pairs explode in-bucket —
-    // the q35/q36 inverted-index shape
-    val isBench = pmod(hash60(concat(lit("bench:"),
-      col("doc_id").cast("string"))), lit(100)) < 5
-    // the shingle is only ever a group key → fused long gram hashes
-    // (Gram3Hash64: no gram string allocated, longs shuffle ~3× cheaper;
-    // counts are hash-agnostic under 64-bit injectivity — the oracle's
-    // string-gram counts match)
-    Tables.documents(s, dir)
+    * exist only inside a shared shingle, never all-pairs.
+    *
+    * Shape note (round-5 fix): the previous formulation aggregated a
+    * `collect_list(doc_id)` posting list per shingle — unbounded on a
+    * natural-language corpus, where a stop-gram ("one of the") appears in
+    * a constant fraction of documents, so one aggregation buffer grows
+    * O(corpus) → executor OOM. Now there are NO lists anywhere: the probe
+    * shingle stream shuffle-JOINS the bench shingle stream on the gram
+    * hash (the oracle's own formulation). Task memory stays O(1) — a hot
+    * gram is join-output volume, not buffer growth — and a skewed gram
+    * key is exactly what AQE's skew-join split handles (it splits JOIN
+    * partitions; it cannot split aggregation buffers). The bench filter
+    * sits BELOW the tokenizer, so only the ~5% bench subset is tokenized
+    * a second time — the join costs 1.05 corpus passes, not 2. */
+  /** Generic form: contamination pairs between a corpus and a benchmark
+    * frame (both `(doc_id, text)`; bench doc ids are reported as
+    * `bench_id`). */
+  def contaminationPairs(docs: DataFrame, bench: DataFrame,
+      minShared: Long = 3L): DataFrame = {
+    // fused long gram hashes (Gram3Hash64: no gram string allocated,
+    // longs shuffle ~3× cheaper; counts are hash-agnostic under 64-bit
+    // injectivity — the oracle's string-gram counts match)
+    def shingles(df: DataFrame) = df
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), isBench.as("is_bench"),
-        explode(array_distinct(
-          graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
-      .groupBy(col("g"))
-      .agg(collect_list(col("doc_id")).as("docs"),
-        collect_list(when(col("is_bench"), col("doc_id"))).as("bench"))
-      .filter(size(col("bench")) > 0)
-      .select(explode(col("docs")).as("doc_id"), col("bench"))
-      .select(col("doc_id"), explode(col("bench")).as("bench_id"))
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+    shingles(docs)
+      .join(shingles(bench).withColumnRenamed("doc_id", "bench_id"), "g")
       .filter(col("doc_id") =!= col("bench_id"))
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 3)
+      .filter(col("n_shared") >= minShared)
+  }
+
+  def q70Contamination(s: SparkSession, dir: String): DataFrame = {
+    val isBench = pmod(hash60(concat(lit("bench:"),
+      col("doc_id").cast("string"))), lit(100)) < 5
+    contaminationPairs(
+      Tables.documents(s, dir),
+      Tables.documents(s, dir).filter(isBench))
   }
 
   val q70Sql: String =
@@ -469,34 +478,30 @@ object CurationOps {
     * The scale-correct shape used here is the two-pass textbook answer:
     * (1) range-partition + sort within partitions (a real distributed
     * sort; partition i's keys all precede partition i+1's), (2) count
-    * rows per partition (a #partitions-row driver value), broadcast the
-    * prefix-sum offsets, and stream each partition once adding
-    * offset + local position. Both passes re-evaluate the same
-    * deterministic sort (static input ⇒ identical range bounds); at
-    * cluster scale you would persist the sorted frame between passes. */
+    * rows per partition (a #partitions-long driver value) and stream each
+    * partition once adding prefix-offset + local position. Crucially both
+    * passes run over ONE finalized RDD (`zipWithIndex`): re-executing the
+    * Dataset for each pass would NOT guarantee identical partitioning
+    * (RangePartitioner's sample seed incorporates the per-execution RDD
+    * id, and AQE may coalesce the two executions differently), which
+    * could leave duplicates/gaps in `pos`. */
   /** Generic two-pass global index over an id frame — see
     * [[q90GlobalShuffle]] for semantics and scale rationale. */
   def globalShuffleIndex(items: DataFrame, salt: String): DataFrame = {
     val s = items.sparkSession
     import s.implicits._
-    val keyed = items
+    val sorted = items
       .select(col("doc_id"),
         hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"))
-    val sorted = keyed
       .repartitionByRange(col("k"), col("doc_id"))
       .sortWithinPartitions(col("k"), col("doc_id"))
-    val counts = sorted.groupBy(spark_partition_id().as("pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L)(_ + _._2).init).toMap
-    val bc = s.sparkContext.broadcast(offsets)
-    sorted.select(col("doc_id").as[Long], col("k").as[Long])
-      .mapPartitions { it =>
-        val off = bc.value.getOrElse(
-          org.apache.spark.TaskContext.getPartitionId(), 0L)
-        var i = 0L
-        it.map { case (id, k) => val p = off + i; i += 1; (id, k, p) }
-      }
+      .select(col("doc_id").as[Long], col("k").as[Long])
+    // `.rdd` finalizes the physical plan once; zipWithIndex then runs its
+    // per-partition count job and the position-assignment job over that
+    // single RDD, so both see the same partitions. The range shuffle's map
+    // output is reused between the two jobs — the input is scanned once.
+    sorted.rdd.zipWithIndex()
+      .map { case ((id, k), pos) => (id, k, pos) }
       .toDF("doc_id", "k", "pos")
   }
 

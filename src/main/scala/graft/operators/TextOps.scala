@@ -92,12 +92,23 @@ object TextOps {
     * threshold silently empties whichever domain scores systematically
     * lower (the classic mono-lingual-filter failure on multilingual
     * corpora). `percent_rank` is (rank-1)/(n-1) with a doc_id tiebreak:
-    * one exact integer ratio per row, identical in both engines. One
-    * window shuffle on lang; at 100 TB lang is low-cardinality, so this
-    * wants AQE skew handling — which a partition-by-lang window gets —
-    * rather than a per-lang driver loop. */
+    * one exact integer ratio per row, identical in both engines.
+    *
+    * NOT a `percent_rank().over(Window.partitionBy(lang))`: `WindowExec`
+    * needs an entire window partition inside one task, `lang` is
+    * low-cardinality by construction, and no AQE rule splits window
+    * partitions (skew handling covers joins only) — so at 100 TB the
+    * whole corpus would funnel through ~#languages tasks. Instead this is
+    * q90's two-pass distributed-rank shape generalized to reset per lang:
+    * range-partition + sort by (lang, quality, doc_id) — each lang spans
+    * MANY ordered partitions — finalize ONE RDD, count rows per
+    * (partition, lang) in a first cheap job, broadcast the per-lang
+    * prefix offsets + totals, and stream each partition once emitting
+    * rank/(n-1). The ordering key is unique (doc_id tiebreak), so
+    * rank = row position; the ratio is one exact-integer double division,
+    * bit-identical to the oracle's percent_rank. */
   def q91QualityGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
     val scored = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
@@ -109,12 +120,42 @@ object TextOps {
             .when(col("n_tokens") < 50, 1.0)
             .when(col("n_tokens") < 200, 0.8)
             .otherwise(0.5) * 0.5)
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("quality"), col("doc_id"))
-    scored
-      .withColumn("q_rank", percent_rank().over(w))
-      .filter(col("q_rank") >= 0.2)
-      .select(col("doc_id"), col("lang"), col("quality"), col("q_rank"))
+      .select(col("doc_id").as[Long], col("lang").as[String],
+        col("quality").as[Double])
+    val sorted = scored
+      .repartitionByRange(col("lang"), col("quality"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("quality"), col("doc_id"))
+    // finalize the plan ONCE — both jobs below must see the same
+    // partitioning (the q90 lesson: RangePartitioner's seed and AQE
+    // coalescing are per-execution), and the range shuffle's map output
+    // is reused between them, so the input is scanned once
+    val rdd = sorted.rdd
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, lang, _) => m.update(lang, m.getOrElse(lang, 0L) + 1L) }
+      m.iterator.map { case (lang, n) => (pid, lang, n) }
+    }.collect() // ≤ #partitions × #langs rows — driver-bounded
+    val totals = counts.groupBy(_._2).map { case (l, cs) => l -> cs.map(_._3).sum }
+    val offsets = counts.groupBy(_._2).iterator.flatMap { case (l, cs) =>
+      val byPid = cs.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, off) => (pid, l) -> off }.iterator
+    }.toMap
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val bcTot = s.sparkContext.broadcast(totals)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value; val tot = bcTot.value
+      var curLang: String = null; var rank0 = 0L
+      it.flatMap { case (id, lang, q) =>
+        if (lang != curLang) {
+          curLang = lang; rank0 = off.getOrElse((pid, lang), 0L)
+        }
+        val n = tot(lang)
+        val pr = if (n > 1) rank0.toDouble / (n - 1) else 0.0
+        rank0 += 1
+        if (pr >= 0.2) Some((id, lang, q, pr)) else None
+      }
+    }.toDF("doc_id", "lang", "quality", "q_rank")
   }
 
   val q91Sql: String =
@@ -142,11 +183,15 @@ object TextOps {
     * document's token OCCURRENCES that fall inside the corpus's top-100
     * vocabulary (by total frequency, term tiebreak). Real pipelines use
     * this as a fast quality/garbage signal — low coverage flags encoding
-    * junk, boilerplate, or off-distribution text. Two narrow aggregates
-    * (term totals → top-100) and one broadcast-sized semi-join back onto
-    * the exploded token stream; the vocab is bounded by construction, so
-    * the broadcast is safe at any corpus size — only the top-k cut must
-    * be deterministic (frequency desc, term asc). */
+    * junk, boilerplate, or off-distribution text. One aggregate pass
+    * builds the top-100 vocab; coverage is then ONE narrow corpus pass:
+    * the vocab is collapsed to a single-row array, broadcast-cross-joined
+    * onto the documents, and each row filters its own token array against
+    * it — no second explode and no groupBy(doc_id) shuffle of the token
+    * stream (which at 100 TB would re-shuffle O(total tokens) rows just
+    * to undo the explode). The vocab is bounded by construction, so the
+    * broadcast is safe at any corpus size — only the top-k cut must be
+    * deterministic (frequency desc, term asc). */
   def q92VocabCoverage(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -157,14 +202,18 @@ object TextOps {
     val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("term").asc)
       .limit(100)
-      .select(col("term"), lit(1).as("in_vocab"))
-    toks.join(broadcast(vocab), Seq("term"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(coalesce(col("in_vocab"), lit(0))).as("n_in_vocab"))
-      .select(col("doc_id"), col("n_tokens"),
-        col("n_in_vocab").cast("long").as("n_in_vocab"),
-        (col("n_in_vocab").cast("double") / col("n_tokens")).as("coverage"))
+    val vocabArr = vocab.agg(collect_list(col("term")).as("vocab"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .crossJoin(broadcast(vocabArr))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), t => array_contains(col("vocab"), t)))
+          .cast("long").as("n_in_vocab"))
+      .withColumn("coverage",
+        col("n_in_vocab").cast("double") / col("n_tokens"))
   }
 
   val q92Sql: String =

@@ -19,6 +19,25 @@ class CurationSpec extends SparkTestBase {
     assert(r.filter(col("redacted").contains("<EMAIL>")).count() == r.count())
   }
 
+  test("q70: a corpus-wide hot shingle is join volume, not an aggregation buffer") {
+    import spark.implicits._
+    // every doc shares the SAME 3-gram run (df = #docs — the stop-gram
+    // worst case) plus a unique tail so docs aren't identical
+    val docs = (0L until 64L)
+      .map(i => (i, s"one of the tail$i"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") < 4)
+    val pairs = CurationOps.contaminationPairs(docs, bench, minShared = 1L)
+    // the hot gram pairs every doc with every bench doc (minus self)
+    assert(pairs.count() == 64L * 4L - 4L)
+    // and the plan is a pure shuffle join on the gram key: NO posting-list
+    // aggregation anywhere (collect_list is the unbounded-buffer shape an
+    // every-doc gram would OOM at corpus scale; a skewed JOIN key is what
+    // AQE's skew split handles)
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("collect_list"), p)
+  }
+
   test("q68: duplicate-trigram fraction is a valid ratio and detects repetition") {
     val r = CurationOps.q68Repetition(spark, sfDir)
     assert(r.filter(col("dup3_frac") < 0.0 || col("dup3_frac") > 1.0).isEmpty)
@@ -155,10 +174,14 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
     // pos follows the (k, doc_id) order globally
     assert(rows.sortBy(r => (r._2, r._1)).map(_._3).toSeq == (0L until n).toSeq)
-    // and the plan is a distributed range sort, not a 1-partition window
+    // and the shape is a distributed range sort feeding ONE finalized RDD
+    // whose zipWithIndex assigns positions (not a 1-partition window, and
+    // not two independent Dataset executions that could partition
+    // differently)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.contains("rangepartitioning"), p)
     assert(!p.contains("Window"), p)
+    val dbg = df.rdd.toDebugString
+    assert(dbg.contains("ZippedWithIndexRDD"), dbg)
   }
 
   test("q91: quality gate keeps ~top-80% per language, never emptying one") {

@@ -82,6 +82,21 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows(2).getSeq[Long](0).length == 1) // one gram, one window
   }
 
+  test("gram3_hash64 tolerates null array elements (SQL-reachable input)") {
+    // SQL users can pass arrays with containsNull=true — a null element
+    // must fold a marker into the chain, not NPE the task, and must hash
+    // differently from the empty string at the same position
+    val df = Seq(Tuple1(Seq[String]("a", null, "b", "c")))
+      .toDF("toks")
+      .select(functions.HashExprs.gram3_hash64(col("toks")).as("h"))
+    val h = df.collect()(0).getSeq[Long](0)
+    assert(h.length == 2)
+    val h2 = Seq(Tuple1(Seq("a", "", "b", "c"))).toDF("toks")
+      .select(functions.HashExprs.gram3_hash64(col("toks")).as("h"))
+      .collect()(0).getSeq[Long](0)
+    assert(h != h2, "null element must hash differently from empty string")
+  }
+
   test("triangles on a crafted graph: K4 plus a pendant edge") {
     // K4 on {1,2,3,4} has C(4,3)=4 triangles; edge (4,5) adds none.
     // Oriented doc_a < doc_b. Min-vertex rooting: {1,2,3}x3 root at 1,

@@ -163,7 +163,9 @@ class OperatorSpec extends SparkTestBase {
     // the surviving Window only re-ranks pruned rows; values are unchanged
     val rows = df.collect()
     assert(rows.nonEmpty && rows.forall(_.getLong(3) <= 3))
-    // rank() keeps boundary ties -> must NOT be rewritten (fallback guard)
+    // q21's window also computes ntile — a SIZE-BASED function whose value
+    // depends on the pruned rows, so the rewrite must NOT fire (rank alone
+    // would be fine: see the tie-keeping test in PlanShapeSpec)
     val rankPlan = operators.WindowOps.q21RankBattery(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!rankPlan.contains("TopKPerKey"), rankPlan)

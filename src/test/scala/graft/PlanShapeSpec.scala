@@ -150,12 +150,14 @@ class PlanShapeSpec extends SparkTestBase {
   }
 
   test("round-4 queries keep their scale-critical plan shapes") {
-    // q92: vocab cut is a partial top-k, not a global window; the vocab
-    // joins back as a broadcast
+    // q92: vocab cut is a partial top-k, not a global window; coverage is
+    // one narrow corpus pass against the broadcast single-row vocab array
+    // (exactly ONE explode — the vocab build; the coverage side has none)
     val p92 = operators.TextOps.q92VocabCoverage(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(p92.contains("TakeOrderedAndProject"), p92)
-    assert(p92.contains("BroadcastHashJoin") && !p92.contains("Window"), p92)
+    assert(p92.contains("BroadcastNestedLoopJoin") && !p92.contains("Window"), p92)
+    assert(count(p92, "Generate") == 1, p92)
     // q88: the rate table reaches the corpus scan as a broadcast — the
     // fact side never shuffles on lang
     val p88 = operators.CurationOps.q88DomainMixture(spark, sfDir)
@@ -167,6 +169,16 @@ class PlanShapeSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(p87.contains("hashpartitioning(shard"), p87)
     assert(!p87.contains("rangepartitioning"), p87)
+  }
+
+  test("q91: per-lang percentile gate is the two-pass rank, not a lang window") {
+    // WindowExec would funnel each whole language through one task (and
+    // no AQE rule splits window partitions); the gate must instead be the
+    // q90-style finalized-RDD two-pass rank over a range shuffle
+    val df = operators.TextOps.q91QualityGate(spark, sfDir)
+    assert(!df.queryExecution.executedPlan.toString.contains("Window"))
+    val dbg = df.rdd.toDebugString
+    assert(dbg.contains("ShuffledRowRDD"), dbg)
   }
 
   test("extensions-built session compiles row_number()<=k to the heap operator") {
@@ -192,6 +204,31 @@ class PlanShapeSpec extends SparkTestBase {
     // and the pruned plan returns exactly the unrewritten session's rows
     val want = topn(spark).collect().toSet
     assert(topn(ext).collect().toSet == want && want.nonEmpty)
+  }
+
+  test("rank()/dense_rank() filters compile to the tie-keeping heap operator") {
+    import org.apache.spark.sql.functions.{col, dense_rank, rank}
+    val ext = org.apache.spark.sql.GraftShims
+      .sessionWithExtensions(spark, new GraftExtensions())
+    // l_quantity is a small-int column → huge boundary ties: rank()<=3
+    // keeps ONLY the top tie tier (its size >> 3), which a strict k-heap
+    // would cut — the exact case the tie-keeping modes exist for
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy(col("l_quantity").desc)
+    def run(s: org.apache.spark.sql.SparkSession,
+        fn: org.apache.spark.sql.Column, k: Int) =
+      s.read.parquet(s"$sfDir/lineitem.parquet")
+        .withColumn("r", fn).filter(col("r") <= k)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_quantity", "r")
+    for ((fn, k) <- Seq((rank().over(w), 3), (dense_rank().over(w), 2))) {
+      val plan = initialPlan(run(ext, fn, k))
+      assert(count(plan, "TopKPerKey") == 2, plan)
+      val want = run(spark, fn, k).collect().toSet
+      val got = run(ext, fn, k).collect().toSet
+      assert(got == want, s"rows diverge: ${got.size} vs ${want.size}")
+      // ties genuinely exceeded k — the strict cut would have lost rows
+      assert(want.size > k * 3, s"fixture has no boundary ties (${want.size})")
+    }
   }
 
   test("widened inputs add no exchange when the scan is already wide") {
