@@ -27,6 +27,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("quantized_norm2"),
       info("quantized_norm2", "exact int64 squared norm of a quantized float vector"),
       (es: Seq[Expression]) => functions.VectorExprs.QuantizedNorm2(es.head)))
+    ext.injectFunction((FunctionIdentifier("long_dot"),
+      info("long_dot", "exact int64 dot of two bigint code vectors"),
+      (es: Seq[Expression]) => functions.VectorExprs.LongDot(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("int8_codes"),
+      info("int8_codes", "per-vector-scaled int8 quantization codes as bigints"),
+      (es: Seq[Expression]) => functions.VectorExprs.Int8Codes(es.head)))
+    ext.injectFunction((FunctionIdentifier("count_in_array"),
+      info("count_in_array", "count of left-array elements present in the right array"),
+      (es: Seq[Expression]) => functions.VectorExprs.CountInArray(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("md5long60"),
       info("md5long60", "first 60 bits of md5(x) as a non-negative long"),
       (es: Seq[Expression]) => functions.HashExprs.Md5Long60(es.head)))

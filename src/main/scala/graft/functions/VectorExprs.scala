@@ -110,6 +110,164 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Exact int64 dot product of two already-integer code vectors — the
+    * int8-quantized retrieval hot path (q93): codes are stored as
+    * array<long>, and the pairwise dot runs pairs × dims times, where an
+    * interpreted `zip_with`+`aggregate` chain walks a boxed expression
+    * tree per element. Same loop shape as [[QuantizedDot]] minus the
+    * quantization. Also serves as the codes' norm (`long_dot(q, q)`). */
+  case class LongDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"long_dot expects two array<bigint> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) {
+        acc += x.getLong(i) * y.getLong(i)
+        i += 1
+      }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Fused int8 scalar quantization (q93): per-vector scale = max |x|
+    * (floored at 1e-30), codes = ⌊x/scale·127+0.5⌋ as int64 — one codegen
+    * pass replacing an interpreted `aggregate` (maxabs) plus `transform`
+    * (quantize), both CodegenFallback with per-element boxing. The
+    * arithmetic is the same correctly-rounded double sequence as the
+    * HOF form and the DuckDB oracle, so values are bit-identical. */
+  case class Int8Codes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"int8_codes expects array<float>, got ${t.catalogString}")
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = x.numElements()
+      var mx = 1e-30
+      var i = 0
+      while (i < n) {
+        val v = math.abs(x.getFloat(i).toDouble)
+        if (v > mx) mx = v
+        i += 1
+      }
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        out(i) = math.floor(x.getFloat(i).toDouble / mx * 127.0 + 0.5).toLong
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val mx = ctx.freshName("mx")
+        val tmp = ctx.freshName("tmp")
+        s"""
+           |int $n = $a.numElements();
+           |double $mx = 1e-30;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double v = Math.abs((double) $a.getFloat($i));
+           |  if (v > $mx) $mx = v;
+           |}
+           |long[] $tmp = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $tmp[$i] = (long) Math.floor(((double) $a.getFloat($i)) / $mx * 127.0 + 0.5);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($tmp);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Count of left-array elements present in the right array (q92 vocab
+    * coverage): a per-row hash-set membership count — O(|vocab|+|toks|)
+    * where `size(filter(toks, t -> array_contains(vocab, t)))` is
+    * O(|vocab|·|toks|) linear scans, and both HOFs are interpreted.
+    * Null elements on either side never match. */
+  case class CountInArray(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"count_in_array expects two array<string> arguments, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val vocab = b.asInstanceOf[ArrayData]
+      val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+      var i = 0
+      while (i < vocab.numElements()) {
+        if (!vocab.isNullAt(i)) set.add(vocab.getUTF8String(i))
+        i += 1
+      }
+      var c = 0L
+      i = 0
+      while (i < toks.numElements()) {
+        if (!toks.isNullAt(i) && set.contains(toks.getUTF8String(i))) c += 1L
+        i += 1
+      }
+      c
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val set = ctx.freshName("set")
+        val c = ctx.freshName("c")
+        s"""
+           |java.util.HashSet $set = new java.util.HashSet();
+           |for (int $i = 0; $i < $b.numElements(); $i++) {
+           |  if (!$b.isNullAt($i)) $set.add($b.getUTF8String($i));
+           |}
+           |long $c = 0L;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  if (!$a.isNullAt($i) && $set.contains($a.getUTF8String($i))) $c++;
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   import org.apache.spark.sql.GraftShims.{registerFunction, toColumn, toExpression}
 
   def quantized_dot(a: Column, b: Column): Column =
@@ -118,10 +276,22 @@ object VectorExprs {
   def quantized_norm2(a: Column): Column =
     toColumn(QuantizedNorm2(toExpression(a)))
 
-  /** Make both expressions callable from SQL text
+  def long_dot(a: Column, b: Column): Column =
+    toColumn(LongDot(toExpression(a), toExpression(b)))
+
+  def int8_codes(a: Column): Column =
+    toColumn(Int8Codes(toExpression(a)))
+
+  def count_in_array(a: Column, b: Column): Column =
+    toColumn(CountInArray(toExpression(a), toExpression(b)))
+
+  /** Make the expressions callable from SQL text
     * (`SELECT quantized_dot(a, b) ...`). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     registerFunction(spark, "quantized_dot", es => QuantizedDot(es(0), es(1)))
     registerFunction(spark, "quantized_norm2", es => QuantizedNorm2(es.head))
+    registerFunction(spark, "long_dot", es => LongDot(es(0), es(1)))
+    registerFunction(spark, "int8_codes", es => Int8Codes(es.head))
+    registerFunction(spark, "count_in_array", es => CountInArray(es(0), es(1)))
   }
 }

@@ -394,13 +394,25 @@ object CurationOps {
       .toDF("doc_id", "shard", "bin", "fill")
   }
 
-  def q87PackSequences(s: SparkSession, dir: String): DataFrame =
+  /** Documents → packed training sequences with an explicit shard count.
+    * The shard count IS the parallelism knob: each shard packs
+    * independently (greedy order within the shard's own doc_id sequence),
+    * so callers size `shards` to the cluster — more shards = more
+    * concurrent packing groups, and a shard's output depends only on its
+    * own members (spec-asserted). Defaults to the context's parallelism;
+    * the declared q87 pins 4 so the oracle's recursive CTE stays stable. */
+  def packDocuments(s: SparkSession, dir: String, shards: Long = -1L): DataFrame = {
+    val n = if (shards > 0) shards else s.sparkContext.defaultParallelism.toLong
     packSequences(
       Tables.documents(s, dir)
         .select(col("doc_id"),
-          pmod(col("doc_id"), lit(4L)).as("shard"),
+          pmod(col("doc_id"), lit(n)).as("shard"),
           size(tokens(col("text"))).cast("long").as("n_tok")),
       budget = 512L)
+  }
+
+  def q87PackSequences(s: SparkSession, dir: String): DataFrame =
+    packDocuments(s, dir, shards = 4L)
 
   val q87Sql: String =
     s"""WITH RECURSIVE toks AS (

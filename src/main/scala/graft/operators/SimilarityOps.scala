@@ -201,15 +201,13 @@ object SimilarityOps {
     * variants this one is fully ORACLE-CHECKED; fidelity vs the float
     * ranking (q39) is spec-asserted as recall@10. */
   def q93KnnInt8(s: SparkSession, dir: String): DataFrame = {
+    // fused codegen quantization (maxabs + ⌊x/scale·127+0.5⌋ in one
+    // pass) — the interpreted aggregate+transform chain was q93's actual
+    // bottleneck, not the pairwise dot
     val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"),
-        greatest(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x.cast("double")))), lit(1e-30))
-          .as("scale"),
-        col("embedding"))
-      .withColumn("q8", transform(col("embedding"),
-        x => floor(x.cast("double") / col("scale") * 127 + 0.5).cast("long")))
-      .withColumn("n2", aggregate(col("q8"), lit(0L), (a, x) => a + x * x))
+        graft.functions.VectorExprs.int8_codes(col("embedding")).as("q8"))
+      .withColumn("n2", graft.functions.VectorExprs.long_dot(col("q8"), col("q8")))
       .select(col("vec_id"), col("q8"), col("n2"))
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("q8").as("qq"), col("n2").as("qn2"))
@@ -217,9 +215,11 @@ object SimilarityOps {
       .orderBy(col("cos8").desc, col("vec_id").asc)
     e.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
+      // the pairwise hot path (pairs × dims): codegen'd LongDot, not an
+      // interpreted zip_with+aggregate chain (CodegenFallback, boxed per
+      // element) — same exact int64 arithmetic, so the hash is unchanged
       .withColumn("cos8",
-        aggregate(zip_with(col("qq"), col("q8"), (a, b) => a * b),
-          lit(0L), (a, x) => a + x).cast("double")
+        graft.functions.VectorExprs.long_dot(col("qq"), col("q8")).cast("double")
           / sqrt((col("qn2") * col("n2")).cast("double")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)

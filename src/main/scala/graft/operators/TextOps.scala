@@ -208,10 +208,12 @@ object TextOps {
         filter(tokens(col("text")), t => t =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
       .crossJoin(broadcast(vocabArr))
+      // codegen hash-set membership count: O(|vocab|+|toks|) per row,
+      // where filter+array_contains would linear-scan the vocab per token
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        size(filter(col("toks"), t => array_contains(col("vocab"), t)))
-          .cast("long").as("n_in_vocab"))
+        graft.functions.VectorExprs.count_in_array(col("toks"), col("vocab"))
+          .as("n_in_vocab"))
       .withColumn("coverage",
         col("n_in_vocab").cast("double") / col("n_tokens"))
   }

@@ -163,12 +163,10 @@ object StreamingOps {
 
   /** Streaming curation: the batch PipelineDemo stages that are
     * per-row/stateless (PII redaction, token-count quality floor) plus
-    * streaming EXACT dedup by content fingerprint — the shape of a
-    * continuously-ingesting corpus feed. Dedup state is keyed by md5
-    * fingerprint; with no event-time column the state is unbounded, which
-    * is correct for bounded backfills — a production feed would add an
-    * ingest-time watermark (`withWatermark` + fingerprint, as
-    * [[dedupStream]] does for events). */
+    * streaming EXACT dedup by content fingerprint. Dedup state is keyed
+    * by md5 fingerprint; with no event-time column the state is
+    * UNBOUNDED — correct only for bounded backfills. A continuous feed
+    * must use [[curatedDocsStreamWatermarked]], whose state evicts. */
   def curatedDocsStream(spark: SparkSession, srcDir: String,
       filesPerTrigger: Int = 2): DataFrame = {
     import graft.functions.TextFns
@@ -180,6 +178,32 @@ object StreamingOps {
       .withColumn("fp", md5(TextFns.normText(col("text"))))
       .dropDuplicates("fp")
       .select("doc_id", "fp", "text", "lang", "source")
+  }
+
+  /** Ingest-time-watermarked streaming curation — the production variant
+    * of [[curatedDocsStream]] for a CONTINUOUS feed. `ingestTs` supplies
+    * the event-time column (a feed's arrival timestamp; the spec derives
+    * one from a data column), and dedup runs through
+    * `dropDuplicatesWithinWatermark`: a fingerprint's state lives only
+    * until the watermark passes its first arrival + `horizon`, so state
+    * size tracks the horizon's ingest volume instead of all history.
+    * The contract changes accordingly — a re-post of old content AFTER
+    * the horizon is re-admitted (dedup against deep history is the batch
+    * pipeline's job; the stream's job is bounding near-real-time dups). */
+  def curatedDocsStreamWatermarked(spark: SparkSession, srcDir: String,
+      ingestTs: org.apache.spark.sql.Column, horizon: String = "2 hours",
+      filesPerTrigger: Int = 2): DataFrame = {
+    import graft.functions.TextFns
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .withColumn("ingest_ts", ingestTs)
+      .withColumn("text", graft.operators.CurationOps.redact(col("text")))
+      .filter(size(TextFns.tokens(col("text"))) >= 3)
+      .withColumn("fp", md5(TextFns.normText(col("text"))))
+      .withWatermark("ingest_ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+      .select("doc_id", "fp", "ingest_ts", "text", "lang", "source")
   }
 
   /** Stream–static join: a live document feed sampled against the

@@ -142,6 +142,25 @@ class CurationSpec extends SparkTestBase {
     }
   }
 
+  test("q87: shards pack independently — per-shard output invariant to shard count") {
+    // shard 3's packing among 8 shards must equal packing shard 3's
+    // members alone: a shard's output depends only on its own doc set,
+    // so raising the shard count only adds parallel groups (the knob a
+    // 1000-executor cluster turns), never re-bins existing shards
+    val all8 = CurationOps.packDocuments(spark, sfDir, shards = 8L)
+      .filter(col("shard") === 3)
+      .select("doc_id", "bin", "fill")
+    val members = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("shard") === 3)
+    val alone = CurationOps.packSequences(members, budget = 512L)
+      .select("doc_id", "bin", "fill")
+    assert(all8.count() > 0)
+    assert(all8.exceptAll(alone).isEmpty && alone.exceptAll(all8).isEmpty)
+  }
+
   test("q88: temperature mixture keeps the rarest domain whole and flattens shares") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)

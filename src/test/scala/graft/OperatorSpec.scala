@@ -337,6 +337,7 @@ class OperatorSpec extends SparkTestBase {
   test("quantized_dot/norm2 match the interpreted higher-order form") {
     import org.apache.spark.sql.functions._
     import graft.functions.VectorExprs._
+    import spark.implicits._
     val e = Tables.embeddings(spark, sfDir).limit(100)
       .select(col("vec_id"), col("embedding"),
         transform(col("embedding"),
@@ -344,9 +345,28 @@ class OperatorSpec extends SparkTestBase {
     val cmp = e.select(
       quantized_norm2(col("embedding")).as("fused"),
       aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("interp"),
-      quantized_dot(col("embedding"), col("embedding")).as("fused_dot"))
+      quantized_dot(col("embedding"), col("embedding")).as("fused_dot"),
+      long_dot(col("q"), col("q")).as("fused_long"))
     assert(cmp.filter(col("fused") =!= col("interp")).isEmpty)
     assert(cmp.filter(col("fused_dot") =!= col("fused")).isEmpty)
+    assert(cmp.filter(col("fused_long") =!= col("interp")).isEmpty)
+    // int8_codes == the interpreted maxabs+quantize HOF chain, element-wise
+    val q8 = e.select(
+      int8_codes(col("embedding")).as("fused8"),
+      transform(col("embedding"), x =>
+        floor(x.cast("double") / greatest(aggregate(col("embedding"), lit(0.0),
+          (acc, y) => greatest(acc, abs(y.cast("double")))), lit(1e-30))
+          * 127 + 0.5).cast("long")).as("interp8"))
+    assert(q8.filter(col("fused8") =!= col("interp8")).isEmpty)
+    // count_in_array == size(filter(toks, array_contains(vocab, t)))
+    val ca = Seq(
+      (Seq("a", "b", "a", "c"), Seq("a", "c")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x"), Seq.empty[String])).toDF("toks", "vocab")
+      .select(count_in_array(col("toks"), col("vocab")).as("fused"),
+        size(filter(col("toks"),
+          t => array_contains(col("vocab"), t))).cast("long").as("interp"))
+    assert(ca.filter(col("fused") =!= col("interp")).isEmpty)
   }
 
   test("custom expressions are callable from SQL after registration") {

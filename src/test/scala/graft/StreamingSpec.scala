@@ -218,6 +218,39 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("watermarked curation evicts dedup state: old fp re-admitted, fresh dup dropped") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("swm").toString
+    val src = s"$tmp/src"
+    val h = 3600L * 1000000L // one hour in µs
+    def feed(rows: (Long, Long, String)*): Unit = {
+      rows.toSeq.toDF("doc_id", "ingest_us", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("feed"))
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct file mtimes fix trigger order
+    }
+    val dup = "alpha beta gamma delta"
+    // trigger 1: first occurrence at 10:00 (state expires at 12:00)
+    feed((1L, 10 * h, dup))
+    // trigger 2: dup at 11:00 — inside the 2h horizon -> dropped; the
+    // 20:00 doc advances the watermark to 18:00 for the NEXT trigger
+    feed((2L, 11 * h, dup), (3L, 20 * h, "other tokens arriving now"))
+    // trigger 3: runs under wm=18:00 — its end-of-batch cleanup evicts
+    // the 10:00 fingerprint (cleanup happens AFTER processing, so the
+    // re-post must come one trigger later)
+    feed((5L, 21 * h, "more unique filler text here"))
+    // trigger 4: same content again at 19:30 (not late vs wm=19:00) —
+    // state is gone -> re-admitted
+    feed((4L, 19 * h + h / 2, dup))
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.curatedDocsStreamWatermarked(spark, src,
+        timestamp_micros(col("ingest_us")), horizon = "2 hours",
+        filesPerTrigger = 1), "wm_curate")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L, 4L), s"got $ids")
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
