@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * that the pieces compose: ingest → per-domain quality percentile gate →
   * language filter → repetition filter → exact dedup → near-dup removal
   * (MinHash-LSH) → benchmark-contamination removal → temperature domain
-  * mixture → cluster-aware leakage-free split → PII redaction → token
-  * accounting → partitioned lake write → training-window chunking →
-  * sequence packing (512-token budget) → deterministic global shuffle
-  * manifest.
+  * mixture → per-source cap → cluster-aware leakage-free split → PII
+  * redaction → token accounting → partitioned lake write →
+  * training-window chunking → sequence packing (512-token budget) →
+  * deterministic global shuffle manifest.
   *
   * Every stage is embarrassingly parallel or bucket-shuffled (see each
   * operator's scale notes); nothing collects to the driver. The final
@@ -77,13 +77,20 @@ object PipelineDemo {
       .select(col("doc_id"))
     val mixed = stage("mixture_sampled", clean.join(mixKept, Seq("doc_id")))
 
+    // 6.6 per-source cap (q96): bound any single source's contribution
+    // (the over-represented-crawl pressure valve; salted-hash order keeps
+    // the cut reproducible and ingest-order-independent)
+    val capKept = operators.CurationOps.q96SourceCap(spark, sfDir)
+      .select(col("doc_id"))
+    val capped = stage("source_capped", mixed.join(capKept, Seq("doc_id")))
+
     // 7. deterministic holdout split — LEAKAGE-FREE (q89): assignment is
     // per near-dup CLUSTER, so surviving near-dups of a held-out doc can
     // never leak into train
     val split = operators.DedupOps.q89LeakFreeSplit(spark, sfDir)
       .select(col("doc_id"), col("split"))
     val train = stage("train_split",
-      mixed.join(split, Seq("doc_id")).filter(col("split") === "train")
+      capped.join(split, Seq("doc_id")).filter(col("split") === "train")
         .drop("split"))
 
     // 8. PII redaction + token accounting for the budget report

@@ -528,6 +528,34 @@ object CurationOps {
       |      doc_id) - 1 AS BIGINT) AS pos
       |FROM documents""".stripMargin
 
+  /** Per-source document cap — "at most k docs per domain", the standard
+    * pressure valve against over-represented sources (crawl dumps,
+    * boilerplate mills) before mixing. Selection order is a salted
+    * content hash, so the kept subset is reproducible, uniform within
+    * the source, and independent of ingest order. The cap runs on the
+    * custom bounded-heap top-k operator: the PARTIAL pass caps each
+    * source at k rows per map task BEFORE the shuffle, so a source with
+    * a billion docs ships ~k·#tasks rows instead of its whole volume —
+    * the shape a `row_number()` window (full sort + full shuffle of the
+    * over-represented source into single-key tasks) cannot match. */
+  def q96SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        hash60(concat(lit("cap:"), col("doc_id").cast("string"))).as("hk"))
+    graft.plans.TopKPerKey.perKey(keyed,
+      keys = Seq("source"), order = Seq("hk" -> false, "doc_id" -> false),
+      k = 64)
+  }
+
+  val q96Sql: String =
+    """SELECT doc_id, source, hk FROM (
+      |  SELECT doc_id, source, hk,
+      |    row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      |  FROM (SELECT doc_id, source,
+      |          CAST('0x' || substr(md5('cap:' || doc_id), 1, 15) AS BIGINT) AS hk
+      |        FROM documents))
+      |WHERE rn <= 64""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
@@ -539,5 +567,6 @@ object CurationOps {
     QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)),
     QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)),
     QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)),
-    QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)))
+    QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)),
+    QueryDef("q96_source_cap", q96SourceCap, Some(q96Sql)))
 }

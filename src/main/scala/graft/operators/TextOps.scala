@@ -107,9 +107,10 @@ object TextOps {
     * rank/(n-1). The ordering key is unique (doc_id tiebreak), so
     * rank = row position; the ratio is one exact-integer double division,
     * bit-identical to the oracle's percent_rank. */
-  def q91QualityGate(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val scored = Tables.documents(s, dir)
+  /** (doc_id, lang, quality) per the q32 formula — the per-document
+    * quality frame shared by q91's percentile gate and q95's tier cut. */
+  def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
         size(array_distinct(split(normText(col("text")), " ")))
@@ -120,6 +121,25 @@ object TextOps {
             .when(col("n_tokens") < 50, 1.0)
             .when(col("n_tokens") < 200, 0.8)
             .otherwise(0.5) * 0.5)
+      .select(col("doc_id"), col("lang"), col("quality"))
+
+  /** The q91 oracle's `scored` CTE, shared with q95's oracle. */
+  val scoredSql: String =
+    """SELECT doc_id, lang,
+      |    (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5 +
+      |    (CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens < 50 THEN 1.0
+      |          WHEN n_tokens < 200 THEN 0.8 ELSE 0.5 END) * 0.5 AS quality
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      len(string_split(norm, ' ')) AS n_tokens,
+      |      len(list_distinct(string_split(norm, ' '))) AS n_distinct
+      |    FROM (SELECT doc_id, lang,
+      |            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |          FROM documents))""".stripMargin
+
+  def q91QualityGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scored = scoredDocs(s, dir)
       .select(col("doc_id").as[Long], col("lang").as[String],
         col("quality").as[Double])
     val sorted = scored

@@ -154,11 +154,44 @@ object WindowOps {
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |) WHERE c_acctbal > 9000""".stripMargin
 
+  /** Tie-keeping top-TIERS per domain via the custom operator's DenseTies
+    * mode: keep every document in the two highest quality BUCKETS of its
+    * language — the "best tiers only" curation gate where boundary ties
+    * must survive (a strict top-k would cut arbitrary docs out of the
+    * boundary bucket). The heap pass prunes to the top-2 tiers per key on
+    * the map side BEFORE the shuffle; `dense_rank` is then re-derived
+    * over the pruned rows — pruning only removes strictly-later tiers, so
+    * the recomputed tier numbers equal the global ones (the same
+    * prefix-safety argument TopKRewrite enforces). */
+  def q95QualityTiers(s: SparkSession, dir: String): DataFrame = {
+    val buckets = TextOps.scoredDocs(s, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality") * 20).cast("long").as("bucket"))
+    val pruned = graft.plans.TopKPerKey.perKey(buckets,
+      keys = Seq("lang"), order = Seq("bucket" -> true), k = 2,
+      mode = graft.plans.TopKPerKey.DenseTies)
+    val w = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
+    pruned.withColumn("tier", dense_rank().over(w).cast("long"))
+  }
+
+  val q95Sql: String =
+    s"""WITH scored AS (${TextOps.scoredSql}),
+       |b AS (SELECT doc_id, lang,
+       |        CAST(floor(quality * 20) AS BIGINT) AS bucket
+       |      FROM scored)
+       |SELECT doc_id, lang, bucket, tier FROM (
+       |  SELECT doc_id, lang, bucket,
+       |    CAST(dense_rank() OVER (PARTITION BY lang ORDER BY bucket DESC)
+       |      AS BIGINT) AS tier
+       |  FROM b)
+       |WHERE tier <= 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q65_window_battery2", q65WindowBattery2, Some(q65Sql)),
     QueryDef("q10_window_topn", q10WindowTopN, Some(q10Sql)),
     QueryDef("q11_window_running", q11WindowRunning, Some(q11Sql)),
     QueryDef("q12_topk", q12TopK, Some(q12Sql)),
     QueryDef("q21_rank_battery", q21RankBattery, Some(q21Sql)),
-    QueryDef("q54_topk_custom", q54TopKCustom, Some(q54Sql)))
+    QueryDef("q54_topk_custom", q54TopKCustom, Some(q54Sql)),
+    QueryDef("q95_quality_tiers", q95QualityTiers, Some(q95Sql)))
 }

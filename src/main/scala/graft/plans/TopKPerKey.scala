@@ -321,11 +321,12 @@ object TopKPerKey {
 
   /** User-facing entry point: top `k` rows per `keys` under `order`
     * ((name, descending?) pairs; include a unique tiebreak column for
-    * determinism). Columns are resolved here against the input's analyzed
-    * output — Spark 4's lazy Column bridge doesn't resolve inside custom
-    * logical nodes. */
+    * determinism — except in the tie-keeping modes, where order-key ties
+    * are the point). Columns are resolved here against the input's
+    * analyzed output — Spark 4's lazy Column bridge doesn't resolve
+    * inside custom logical nodes. */
   def perKey(df: DataFrame, keys: Seq[String], order: Seq[(String, Boolean)],
-      k: Int): DataFrame = {
+      k: Int, mode: RankMode = RowNum): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies =
@@ -339,6 +340,6 @@ object TopKPerKey {
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
     GraftShims.ofRows(spark,
-      TopKPerKeyPlan(keys.map(attr), sortOrders, k, child))
+      TopKPerKeyPlan(keys.map(attr), sortOrders, k, child, mode))
   }
 }

@@ -150,6 +150,31 @@ class OperatorSpec extends SparkTestBase {
       s"outRows=$outRows nRows=$nRows nKeys=$nKeys")
   }
 
+  test("q95/q96: tie-keeping tiers and per-source cap run on the custom exec") {
+    import org.apache.spark.sql.functions._
+    // q95 DenseTies: at most 2 distinct buckets per lang, and every kept
+    // (lang, bucket) tier is COMPLETE — no member of a kept bucket was cut
+    val tiers = operators.WindowOps.q95QualityTiers(spark, sfDir)
+    val p95 = tiers.queryExecution.executedPlan.toString
+    assert("TopKPerKey .*, true".r.findFirstIn(p95).isDefined, p95)
+    val perLang = tiers.groupBy("lang")
+      .agg(countDistinct(col("bucket")).as("nb")).collect()
+    assert(perLang.nonEmpty && perLang.forall(_.getLong(1) <= 2))
+    val all = operators.TextOps.scoredDocs(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("quality") * 20).cast("long").as("bucket"))
+    val keptTiers = tiers.select("lang", "bucket").distinct()
+    val want = all.join(keptTiers, Seq("lang", "bucket")).select("doc_id")
+    assert(tiers.select("doc_id").exceptAll(want).isEmpty
+      && want.exceptAll(tiers.select("doc_id")).isEmpty)
+    // q96 RowNum: ≤ 64 docs per source, deterministic across runs
+    val cap = operators.CurationOps.q96SourceCap(spark, sfDir)
+    val bySrc = cap.groupBy("source").count().collect()
+    assert(bySrc.nonEmpty && bySrc.forall(_.getLong(1) <= 64))
+    val again = operators.CurationOps.q96SourceCap(spark, sfDir)
+    assert(cap.exceptAll(again).isEmpty && again.exceptAll(cap).isEmpty)
+  }
+
   test("TopKRewrite turns the SQL row_number<=k pattern into the heap operator") {
     import org.apache.spark.sql.functions._
     plans.TopKPerKey.enable(spark)
