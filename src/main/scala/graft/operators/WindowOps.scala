@@ -154,24 +154,34 @@ object WindowOps {
       |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |) WHERE c_acctbal > 9000""".stripMargin
 
-  /** Tie-keeping top-TIERS per domain via the custom operator's DenseTies
-    * mode: keep every document in the two highest quality BUCKETS of its
-    * language — the "best tiers only" curation gate where boundary ties
-    * must survive (a strict top-k would cut arbitrary docs out of the
-    * boundary bucket). The heap pass prunes to the top-2 tiers per key on
-    * the map side BEFORE the shuffle; `dense_rank` is then re-derived
-    * over the pruned rows — pruning only removes strictly-later tiers, so
-    * the recomputed tier numbers equal the global ones (the same
-    * prefix-safety argument TopKRewrite enforces). */
+  /** Top quality TIERS per domain: keep every document in the two highest
+    * quality BUCKETS of its language — the "best tiers only" curation gate
+    * where boundary ties must survive (a strict top-k would cut arbitrary
+    * docs out of the boundary bucket).
+    *
+    * Scale shape: tier membership is decided on the TINY per-(lang,
+    * bucket) aggregate (#langs × ~21 rows after a map-side-combining
+    * count), where the custom top-k operator picks each language's two
+    * highest buckets (DenseTies mode: tiers, not rows); the resulting
+    * (lang, bucket, tier) map broadcasts back onto ONE corpus pass.
+    * Running the tie-keeping operator directly on the corpus would be
+    * wrong at 100 TB for the same reason q91 dropped its lang window:
+    * the final per-lang task would buffer that language's entire kept
+    * tier set. Here nothing larger than the bucket map is ever held. */
   def q95QualityTiers(s: SparkSession, dir: String): DataFrame = {
     val buckets = TextOps.scoredDocs(s, dir)
       .select(col("doc_id"), col("lang"),
         floor(col("quality") * 20).cast("long").as("bucket"))
-    val pruned = graft.plans.TopKPerKey.perKey(buckets,
+    val bucketCounts = buckets.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
+    val top2 = graft.plans.TopKPerKey.perKey(bucketCounts,
       keys = Seq("lang"), order = Seq("bucket" -> true), k = 2,
       mode = graft.plans.TopKPerKey.DenseTies)
-    val w = Window.partitionBy(col("lang")).orderBy(col("bucket").desc)
-    pruned.withColumn("tier", dense_rank().over(w).cast("long"))
+      .withColumn("tier", dense_rank().over(w).cast("long"))
+      .select(col("lang"), col("bucket"), col("tier"))
+    buckets.join(broadcast(top2), Seq("lang", "bucket"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("tier"))
   }
 
   val q95Sql: String =

@@ -155,8 +155,12 @@ class OperatorSpec extends SparkTestBase {
     // q95 DenseTies: at most 2 distinct buckets per lang, and every kept
     // (lang, bucket) tier is COMPLETE — no member of a kept bucket was cut
     val tiers = operators.WindowOps.q95QualityTiers(spark, sfDir)
+    // tier choice runs on the tiny (lang, bucket) aggregate via the custom
+    // operator; the map broadcasts back onto one corpus pass (running the
+    // tie-keeper on the corpus itself would buffer whole tiers per task)
     val p95 = tiers.queryExecution.executedPlan.toString
     assert("TopKPerKey .*, true".r.findFirstIn(p95).isDefined, p95)
+    assert(p95.contains("BroadcastHashJoin"), p95)
     val perLang = tiers.groupBy("lang")
       .agg(countDistinct(col("bucket")).as("nb")).collect()
     assert(perLang.nonEmpty && perLang.forall(_.getLong(1) <= 2))
