@@ -327,11 +327,21 @@ object TextOps {
           col("norm"), gram = 8, window = 16)).as("mh"))
     // MOSS-style: fingerprints present in too many documents carry no
     // signal and quadratically explode the pair stage — cap document
-    // frequency at 20 (mirrored in the oracle)
-    fp.groupBy(col("mh"))
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")).between(2, 20))
-      .select(explode(col("docs")).as("doc_a"), col("docs"))
+    // frequency at 20 (mirrored in the oracle). The cap is enforced
+    // INSIDE the aggregation buffer (BoundedDocList truncates at cap+1,
+    // overflow groups finish empty): a boilerplate fingerprint shared by
+    // a constant fraction of the corpus costs O(cap) memory, where
+    // collect_list + post-filter would first materialize the whole
+    // O(corpus) posting list in one buffer
+    import s.implicits._
+    val grouped = fp
+      .select(col("mh").as[Long], col("doc_id").as[Long])
+      .groupByKey(_._1)
+      .agg(new TypedOps.BoundedDocList(cap = 20, minSize = 2)
+        .toColumn.name("docs"))
+      .toDF("mh", "docs")
+      .filter(size(col("docs")) > 0)
+    grouped.select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))

@@ -114,6 +114,41 @@ object TypedOps {
     override def outputEncoder: Encoder[Map[String, Long]] = enc
   }
 
+  /** Capacity-bounded posting-list aggregate: collects value ids up to
+    * `cap`+1 elements and stops growing there; groups that exceed `cap`
+    * (or fall short of `minSize`) finish as EMPTY — the caller's df-cap
+    * contract, evaluated WITHOUT ever materializing the hot group. The
+    * aggregation buffer is O(cap) no matter how hot the key is, where
+    * `collect_list` + post-filter grows an O(group) buffer first (the
+    * stop-gram/boilerplate OOM shape q70 was rewritten to avoid). Merge
+    * is associative: concatenate-truncate at cap+1 — a group over the cap
+    * ends over the cap under any merge order, and kept (≤ cap) groups
+    * retain every element, so the result is order-independent. */
+  final class BoundedDocList(cap: Int, minSize: Int)
+      extends Aggregator[(Long, Long),
+        scala.collection.mutable.ArrayBuffer[Long], Seq[Long]] {
+    import scala.collection.mutable
+    override def zero: mutable.ArrayBuffer[Long] =
+      mutable.ArrayBuffer.empty[Long]
+    override def reduce(b: mutable.ArrayBuffer[Long],
+        a: (Long, Long)): mutable.ArrayBuffer[Long] = {
+      if (b.size <= cap) b += a._2
+      b
+    }
+    override def merge(b1: mutable.ArrayBuffer[Long],
+        b2: mutable.ArrayBuffer[Long]): mutable.ArrayBuffer[Long] = {
+      val need = (cap + 1) - b1.size
+      if (need > 0) b1 ++= b2.take(need)
+      b1
+    }
+    override def finish(r: mutable.ArrayBuffer[Long]): Seq[Long] =
+      if (r.size >= minSize && r.size <= cap) r.toSeq else Seq.empty
+    override def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Corpus-wide top-10 tokens via the SpaceSaving aggregator. Capacity
     * 256 exceeds the fixture vocabulary, so the sketch is exact here and
     * the DuckDB GROUP BY oracle matches bit-for-bit; at real scale one

@@ -82,6 +82,39 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows(2).getSeq[Long](0).length == 1) // one gram, one window
   }
 
+  test("tie-keeping top-k modes: all-tied groups survive k=1") {
+    import spark.implicits._
+    val df = Seq((1L, 5L, 1L), (1L, 5L, 2L), (1L, 5L, 3L),
+      (2L, 7L, 4L), (2L, 6L, 5L)).toDF("key", "ord", "id")
+    def ids(mode: plans.TopKPerKey.RankMode) =
+      plans.TopKPerKey.perKey(df, Seq("key"), Seq("ord" -> true), 1, mode)
+        .select("id").collect().map(_.getLong(0)).toSet
+    // key 1 is one all-tied tier: rank()=1 and dense_rank()=1 for every
+    // row, so BOTH tie modes keep all three; key 2 keeps only ord=7.
+    // RowNum must cut key 1 to a single arbitrary-but-one row.
+    assert(ids(plans.TopKPerKey.RankTies) == Set(1L, 2L, 3L, 4L))
+    assert(ids(plans.TopKPerKey.DenseTies) == Set(1L, 2L, 3L, 4L))
+    val strict = plans.TopKPerKey.perKey(df, Seq("key"),
+      Seq("ord" -> true, "id" -> false), 1).collect()
+    assert(strict.length == 2)
+  }
+
+  test("BoundedDocList: hot keys finish empty, kept groups lose nothing") {
+    import spark.implicits._
+    // key 1 exceeds the cap (25 > 20) -> empty under ANY merge order;
+    // key 2 keeps all members; key 3 is under minSize -> dropped
+    val rows = (0L until 25L).map(d => (1L, d)) ++
+      Seq((2L, 100L), (2L, 101L), (2L, 102L), (3L, 200L))
+    val got = rows.toDS().repartition(7) // force multi-partition merges
+      .groupByKey(_._1)
+      .agg(new operators.TypedOps.BoundedDocList(cap = 20, minSize = 2)
+        .toColumn.name("docs"))
+      .collect().toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).toSet == Set(100L, 101L, 102L))
+    assert(got(3L).isEmpty)
+  }
+
   test("gram3_hash64 tolerates null array elements (SQL-reachable input)") {
     // SQL users can pass arrays with containsNull=true — a null element
     // must fold a marker into the chain, not NPE the task, and must hash
