@@ -357,17 +357,29 @@ object DedupOps {
 
   /** Label-free embedding near-dup: LSH hyperplane buckets (no cluster
     * column assumed — the true 100 TB path) then exact cosine inside each
-    * bucket. Recall is governed by the band structure, not corpus size. */
-  def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorExprs.{quantized_dot, quantized_norm2}
-    val planes = SimilarityOps.planes
-    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
-      .select(col("vec_id"), col("embedding").as("q"))
-      .withColumn("n2", quantized_norm2(col("q")))
-    // two 4-plane bands: near-identical vectors agree on at least one
-    val bands = (0 until 2).map { bnd =>
-      val key = (0 until 4).map { p =>
-        val plane = array(planes(bnd * 4 + p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
+    * bucket.
+    *
+    * SIZE THE BAND STRUCTURE TO THE CORPUS — that is the whole scale
+    * contract of hyperplane LSH. Expected bucket size is N / 2^bits, so
+    * pick `bitsPerBand` ≈ log2(N / targetBucketSize); a pair whose
+    * per-plane agreement probability is s survives with
+    * 1 − (1 − s^bits)^bands, so raising bits for a bigger corpus means
+    * adding bands to hold recall. A CONSTANT structure is the trap: the
+    * declared q49 pins 2 bands × 4 bits for the 2k-vector testdata
+    * (16 buckets/band ≈ 125 vectors each), and that same structure at
+    * 1e9 vectors would put ~6e7 vectors in one bucket — an O(corpus)
+    * aggregation buffer and a pair stage degenerating toward
+    * all-pairs/16. With buckets held at a constant target size the
+    * per-bucket list AND the bucket² pair volume stay bounded
+    * regardless of N. */
+  def embeddingLshPairs(e: DataFrame, bandsN: Int, bitsPerBand: Int,
+      minCos: Double): DataFrame = {
+    import graft.functions.VectorExprs.quantized_dot
+    val planes = SimilarityOps.planesFor(bandsN * bitsPerBand)
+    val bands = (0 until bandsN).map { bnd =>
+      val key = (0 until bitsPerBand).map { p =>
+        val plane = array(
+          planes(bnd * bitsPerBand + p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
         when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(bnd.toLong).as("band"), key.as("key"))
@@ -385,9 +397,17 @@ object DedupOps {
       .filter(col("vec_a") < col("b.vec_id"))
       .withColumn("cos", quantized_dot(col("qa"), col("b.q")).cast("double")
         / sqrt((col("na2") * col("b.n2")).cast("double")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= minCos)
       .select(col("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
       .distinct()
+  }
+
+  def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.quantized_norm2
+    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("q"))
+      .withColumn("n2", quantized_norm2(col("q")))
+    embeddingLshPairs(e, bandsN = 2, bitsPerBand = 4, minCos = 0.4)
   }
 
   val q49Sql: String = {

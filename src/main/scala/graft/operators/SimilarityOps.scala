@@ -25,14 +25,18 @@ import org.apache.spark.sql.functions._
 object SimilarityOps {
 
   /** Fixed ±1 hyperplane coefficients, derived from md5("p:d") so the
-    * DuckDB oracle can embed the same constants as literals. */
-  private[operators] val planes: Array[Array[Int]] = {
+    * DuckDB oracle can embed the same constants as literals. Any count
+    * can be generated (the plane index is unbounded), which is what lets
+    * the LSH band structure scale with the corpus. */
+  private[operators] def planesFor(n: Int): Array[Array[Int]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(8, 64) { (p, d) =>
+    Array.tabulate(n, 64) { (p, d) =>
       val b = md.digest(s"$p:${d + 1}".getBytes("UTF-8"))(0)
       if ((b & 0x80) != 0) 1 else -1
     }
   }
+
+  private[operators] val planes: Array[Array[Int]] = planesFor(8)
 
   /** Vectors with their exact int squared norm ([[VectorExprs]] fused
     * codegen expression — the float arrays travel as-is; quantization

@@ -150,6 +150,28 @@ class OperatorSpec extends SparkTestBase {
       s"outRows=$outRows nRows=$nRows nKeys=$nKeys")
   }
 
+  test("embeddingLshPairs generalizes the band structure; pairs stay exact") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorExprs.{quantized_dot, quantized_norm2}
+    // the corpus-sizing knob: same operator, 8-bit bands (256 buckets)
+    // instead of the testdata-pinned 4 — every emitted pair must still
+    // pass the exact cosine gate computed independently
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding").as("q"))
+      .withColumn("n2", quantized_norm2(col("q")))
+    val lsh = operators.DedupOps.embeddingLshPairs(e, bandsN = 2,
+      bitsPerBand = 8, minCos = 0.4).select("vec_a", "vec_b")
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"), col("n2").as("na2"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"), col("n2").as("nb2"))
+    val exact = a.join(b, col("vec_a") < col("vec_b"))
+      .filter(quantized_dot(col("qa"), col("qb")).cast("double")
+        / sqrt((col("na2") * col("nb2")).cast("double")) >= 0.4)
+      .select("vec_a", "vec_b")
+    assert(lsh.count() > 0)
+    assert(lsh.exceptAll(exact).isEmpty, "LSH emitted a non-near-dup pair")
+  }
+
   test("q95/q96: tie-keeping tiers and per-source cap run on the custom exec") {
     import org.apache.spark.sql.functions._
     // q95 DenseTies: at most 2 distinct buckets per lang, and every kept
