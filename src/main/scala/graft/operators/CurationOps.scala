@@ -269,11 +269,17 @@ object CurationOps {
       .filter(col("term") =!= "")
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // doc_freq as a window over the tf frame (one shuffle on term) — a
-    // groupBy+join-back would evaluate the explode→tf pipeline twice
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    // doc_freq: a VOCABULARY-sized aggregate joined back onto tf. The
+    // previous `count().over(Window.partitionBy(term))` put every tf row
+    // of a term into ONE WindowExec task — a stop word's partition is a
+    // constant fraction of the corpus, and no AQE rule splits window
+    // partitions. The join-back costs a second evaluation of the
+    // tokenize→tf pipeline (no plan CSE), but a skewed JOIN key is what
+    // AQE's skew split handles, and dfreq is bounded by vocabulary size
+    // (AQE may broadcast it from measured size; not forced here)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.withColumn("doc_freq", count(lit(1)).over(wTerm))
+    val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         (col("tf") * (col("n_docs") + 1)).cast("double") / (col("doc_freq") + 1))

@@ -111,6 +111,12 @@ object DedupOps {
     // cluster scale the same pruning argument holds per consumer; if the
     // corpus scan itself dominated, a checkpoint AFTER dropping `set`
     // (re-deriving it on the verify side) would be the switch to flip.
+    // Known skew bound on the df window: a stop-gram's partition runs in
+    // one task (WindowExec spills, so it degrades to slow, not OOM); df
+    // only ORDERS the prefix cut, and hot grams sort last and never
+    // enter prefixes, so the at-scale switch is df-by-join on the
+    // checkpointed sh stream — paired with the checkpoint flip above,
+    // not worth two extra shuffles while the lineage stays lazy.
     sh.withColumn("df", count(lit(1)).over(wsh))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shh")))).as("entries"))
