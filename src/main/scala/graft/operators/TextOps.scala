@@ -86,27 +86,6 @@ object TextOps {
           .otherwise(0.5))
       .withColumn("quality", col("ttr") * 0.5 + col("len_score") * 0.5)
 
-  /** Per-domain quality gating: keep documents whose quality score (the
-    * q32 formula) clears the bottom-20% PERCENTILE within their own
-    * language — per-domain rather than global because a single absolute
-    * threshold silently empties whichever domain scores systematically
-    * lower (the classic mono-lingual-filter failure on multilingual
-    * corpora). `percent_rank` is (rank-1)/(n-1) with a doc_id tiebreak:
-    * one exact integer ratio per row, identical in both engines.
-    *
-    * NOT a `percent_rank().over(Window.partitionBy(lang))`: `WindowExec`
-    * needs an entire window partition inside one task, `lang` is
-    * low-cardinality by construction, and no AQE rule splits window
-    * partitions (skew handling covers joins only) — so at 100 TB the
-    * whole corpus would funnel through ~#languages tasks. Instead this is
-    * q90's two-pass distributed-rank shape generalized to reset per lang:
-    * range-partition + sort by (lang, quality, doc_id) — each lang spans
-    * MANY ordered partitions — finalize ONE RDD, count rows per
-    * (partition, lang) in a first cheap job, broadcast the per-lang
-    * prefix offsets + totals, and stream each partition once emitting
-    * rank/(n-1). The ordering key is unique (doc_id tiebreak), so
-    * rank = row position; the ratio is one exact-integer double division,
-    * bit-identical to the oracle's percent_rank. */
   /** (doc_id, lang, quality) per the q32 formula — the per-document
     * quality frame shared by q91's percentile gate and q95's tier cut. */
   def scoredDocs(s: SparkSession, dir: String): DataFrame =
@@ -137,6 +116,27 @@ object TextOps {
       |            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
       |          FROM documents))""".stripMargin
 
+  /** Per-domain quality gating: keep documents whose quality score (the
+    * q32 formula) clears the bottom-20% PERCENTILE within their own
+    * language — per-domain rather than global because a single absolute
+    * threshold silently empties whichever domain scores systematically
+    * lower (the classic mono-lingual-filter failure on multilingual
+    * corpora). `percent_rank` is (rank-1)/(n-1) with a doc_id tiebreak:
+    * one exact integer ratio per row, identical in both engines.
+    *
+    * NOT a `percent_rank().over(Window.partitionBy(lang))`: `WindowExec`
+    * needs an entire window partition inside one task, `lang` is
+    * low-cardinality by construction, and no AQE rule splits window
+    * partitions (skew handling covers joins only) — so at 100 TB the
+    * whole corpus would funnel through ~#languages tasks. Instead this is
+    * q90's two-pass distributed-rank shape generalized to reset per lang:
+    * range-partition + sort by (lang, quality, doc_id) — each lang spans
+    * MANY ordered partitions — finalize ONE RDD, count rows per
+    * (partition, lang) in a first cheap job, broadcast the per-lang
+    * prefix offsets + totals, and stream each partition once emitting
+    * rank/(n-1). The ordering key is unique (doc_id tiebreak), so
+    * rank = row position; the ratio is one exact-integer double division,
+    * bit-identical to the oracle's percent_rank. */
   def q91QualityGate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val scored = scoredDocs(s, dir)

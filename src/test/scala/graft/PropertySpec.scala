@@ -39,6 +39,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("tie-keeping top-k modes equal the window rank filters on random data") {
+    import spark.implicits._
+    // heavy ties by construction: ord drawn from only 6 values over 40
+    // keys × ~30 rows, so boundary ties occur in almost every group
+    val rows = Seq.fill(1200)(
+      (rnd.nextInt(40).toLong, rnd.nextInt(6).toLong, rnd.nextLong()))
+    val df = rows.toDF("key", "ord", "id").repartition(9)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("ord").desc)
+    for (k <- Seq(1, 2, 3)) {
+      val wantRank = df.withColumn("r", rank().over(w))
+        .filter(col("r") <= k).select("key", "ord", "id")
+      val gotRank = plans.TopKPerKey.perKey(df, Seq("key"),
+        Seq("ord" -> true), k, plans.TopKPerKey.RankTies)
+        .select("key", "ord", "id")
+      assert(gotRank.exceptAll(wantRank).isEmpty
+        && wantRank.exceptAll(gotRank).isEmpty, s"rank k=$k diverged")
+      val wantDense = df.withColumn("r", dense_rank().over(w))
+        .filter(col("r") <= k).select("key", "ord", "id")
+      val gotDense = plans.TopKPerKey.perKey(df, Seq("key"),
+        Seq("ord" -> true), k, plans.TopKPerKey.DenseTies)
+        .select("key", "ord", "id")
+      assert(gotDense.exceptAll(wantDense).isEmpty
+        && wantDense.exceptAll(gotDense).isEmpty, s"dense k=$k diverged")
+    }
+  }
+
   test("distinct is idempotent and order-insensitive") {
     import spark.implicits._
     val xs = Seq.fill(500)(rnd.nextInt(50)).toDF("x")
