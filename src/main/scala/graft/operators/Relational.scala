@@ -264,6 +264,29 @@ object Relational {
       |WHERE l_quantity > (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity)
       |                    FROM lineitem)""".stripMargin
 
+  /** CORRELATED scalar subquery — the Catalyst decorrelation path
+    * (`RewriteCorrelatedScalarSubquery`): each order compared to its OWN
+    * customer's maximum, written as SQL so the optimizer performs the
+    * rewrite (per-group aggregate + join) rather than the author. `max`
+    * over doubles is exact and order-independent, so the boundary
+    * comparison is bit-identical cross-engine — an `avg` here would make
+    * row membership depend on summation order. At scale the decorrelated
+    * plan is a per-custkey aggregate joined back on the (high-cardinality)
+    * key: two shuffles, no funnel. */
+  def q97CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q97")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_q97 o
+        |WHERE o_totalprice < (SELECT max(o2.o_totalprice)
+        |                      FROM orders_q97 o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val q97Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice < (SELECT max(o2.o_totalprice) FROM orders o2
+      |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
   /** GROUP BY + HAVING. */
   def q19Having(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -453,6 +476,7 @@ object Relational {
     QueryDef("q16_rollup", q16Rollup, Some(q16Sql)),
     QueryDef("q17_cube", q17Cube, Some(q17Sql)),
     QueryDef("q18_above_avg", q18AboveAvg, Some(q18Sql)),
+    QueryDef("q97_correlated_subquery", q97CorrelatedSubquery, Some(q97Sql)),
     QueryDef("q19_having", q19Having, Some(q19Sql)),
     QueryDef("q20_case_when", q20CaseWhen, Some(q20Sql)),
     QueryDef("q22_string_funcs", q22StringFuncs, Some(q22Sql)),

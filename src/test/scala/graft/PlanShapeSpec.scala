@@ -171,6 +171,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p87.contains("rangepartitioning"), p87)
   }
 
+  test("q97: correlated scalar subquery decorrelates to aggregate + join") {
+    // Catalyst's RewriteCorrelatedScalarSubquery must turn the per-row
+    // subquery into a per-custkey aggregate joined back — no surviving
+    // scalar-subquery expression in the physical plan
+    val plan = initialPlan(operators.Relational.q97CorrelatedSubquery(spark, sfDir))
+    assert(plan.contains("Join"), plan)
+    assert(plan.contains("Aggregate"), plan)
+    assert(!plan.toLowerCase.contains("scalar-subquery"), plan)
+  }
+
   test("q91: per-lang percentile gate is the two-pass rank, not a lang window") {
     // WindowExec would funnel each whole language through one task (and
     // no AQE rule splits window partitions); the gate must instead be the
