@@ -272,6 +272,39 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming per-source ingest cap — the streaming tier of the q96
+    * pressure valve: at most `k` documents per source admitted over the
+    * stream's lifetime, with ONE counter of state per source (bounded by
+    * #sources, not by volume). A stream must decide admission ONLINE, so
+    * unlike batch q96's salted-hash cut the semantics are
+    * first-k-in-arrival-order; within a trigger the batch iterator
+    * carries no ordering promise, so doc_id order is restored per
+    * trigger (cross-trigger order is the file delivery order) — the
+    * admitted set is then a deterministic function of the feed. */
+  def sourceCapStream(spark: SparkSession, srcDir: String, k: Long,
+      filesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("doc_id").as[Long], col("source").as[String])
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[(Long, String)],
+            state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = it.map(_._1).toArray.sorted.flatMap { id =>
+            if (admitted < k) { admitted += 1; Some((id, source)) }
+            else None
+          }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF("doc_id", "source")
+  }
+
   /** Append-mode parquet lake sink (stateless/dedup streams): files
     * accumulate per micro-batch; exactly-once via the sink's own
     * checkpoint-coordinated file manifest. */

@@ -251,6 +251,30 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Set(1L, 3L, 5L, 4L), s"got $ids")
   }
 
+  test("streaming per-source cap admits first k per source, one counter of state") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("scap").toString
+    val src = s"$tmp/src"
+    // three files delivered in order; sources interleave across files
+    val chunks = Seq(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")),
+      Seq((4L, "a"), (5L, "b"), (6L, "c")),
+      Seq((7L, "a"), (8L, "b"), (9L, "c")))
+    chunks.foreach { rows =>
+      rows.toDF("doc_id", "source").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct mtimes fix trigger order
+    }
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.sourceCapStream(spark, src, k = 2), "cap_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // first-2-in-arrival-order per source over the whole stream lifetime:
+    // a admits 1,3 (file 1 fills its quota); b admits 2,5; c admits 6,9
+    assert(got == Set((1L, "a"), (3L, "a"), (2L, "b"), (5L, "b"),
+      (6L, "c"), (9L, "c")), got)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
