@@ -25,6 +25,7 @@ object QueryDef {
       graft.operators.MiscOps.defs ++
       graft.operators.CurationOps.defs ++
       graft.operators.Skew.defs ++
+      graft.operators.GraphOps.defs ++
       graft.operators.IntervalJoin.defs ++
       graft.operators.TypedOps.defs ++
       graft.multimodal.Multimodal.defs

@@ -268,6 +268,77 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Sum of map lookups for every element of the left array (q99 unigram
+    * LM scoring): `Σ_t map.getOrElse(t, 0L)` over `array<string>` tokens
+    * against a `map<string,bigint>` vocabulary — the weighted sibling of
+    * [[CountInArray]]. One per-row hash build + one pass over the tokens,
+    * where an `aggregate(toks, 0L, (acc,t) -> acc + element_at(m,t))` HOF
+    * chain walks an interpreted tree per element AND linear-scans the map
+    * per lookup (Spark's `element_at` on MapData is O(n)). Null tokens and
+    * null map values contribute 0. */
+  case class MapSumLookup(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), MapType(StringType, LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"map_sum_lookup expects (array<string>, map<string,bigint>), got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+    }
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val toks = a.asInstanceOf[ArrayData]
+      val m = b.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+      val keys = m.keyArray(); val vals = m.valueArray()
+      val lut = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, java.lang.Long]()
+      var i = 0
+      while (i < keys.numElements()) {
+        if (!vals.isNullAt(i)) lut.put(keys.getUTF8String(i), vals.getLong(i))
+        i += 1
+      }
+      var acc = 0L
+      i = 0
+      while (i < toks.numElements()) {
+        if (!toks.isNullAt(i)) {
+          val v = lut.get(toks.getUTF8String(i))
+          if (v != null) acc += v.longValue()
+        }
+        i += 1
+      }
+      acc
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val keys = ctx.freshName("keys")
+        val vals = ctx.freshName("vals")
+        val lut = ctx.freshName("lut")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        s"""
+           |org.apache.spark.sql.catalyst.util.ArrayData $keys = $b.keyArray();
+           |org.apache.spark.sql.catalyst.util.ArrayData $vals = $b.valueArray();
+           |java.util.HashMap $lut = new java.util.HashMap();
+           |for (int $i = 0; $i < $keys.numElements(); $i++) {
+           |  if (!$vals.isNullAt($i)) {
+           |    $lut.put($keys.getUTF8String($i), Long.valueOf($vals.getLong($i)));
+           |  }
+           |}
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  if (!$a.isNullAt($i)) {
+           |    Object $v = $lut.get($a.getUTF8String($i));
+           |    if ($v != null) $acc += ((Long) $v).longValue();
+           |  }
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   import org.apache.spark.sql.GraftShims.{registerFunction, toColumn, toExpression}
 
   def quantized_dot(a: Column, b: Column): Column =
@@ -285,6 +356,9 @@ object VectorExprs {
   def count_in_array(a: Column, b: Column): Column =
     toColumn(CountInArray(toExpression(a), toExpression(b)))
 
+  def map_sum_lookup(a: Column, b: Column): Column =
+    toColumn(MapSumLookup(toExpression(a), toExpression(b)))
+
   /** Make the expressions callable from SQL text
     * (`SELECT quantized_dot(a, b) ...`). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -293,5 +367,6 @@ object VectorExprs {
     registerFunction(spark, "long_dot", es => LongDot(es(0), es(1)))
     registerFunction(spark, "int8_codes", es => Int8Codes(es.head))
     registerFunction(spark, "count_in_array", es => CountInArray(es(0), es(1)))
+    registerFunction(spark, "map_sum_lookup", es => MapSumLookup(es(0), es(1)))
   }
 }

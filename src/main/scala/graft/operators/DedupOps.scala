@@ -584,8 +584,87 @@ object DedupOps {
        |JOIN eg e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
        |GROUP BY 1""".stripMargin
 
+  /** Blocked sorted-neighborhood near-dup detection — the sort-based
+    * classic that complements the hash/LSH family: records are blocked,
+    * sorted within each block on a similarity-preserving key, and each
+    * record is compared only to its next `w = 2` neighbors in that order
+    * (a `lead` window, NOT a self-join). Candidate pairs with token-set
+    * Jaccard ≥ 0.5 are emitted. The acceptance test compares exact
+    * integers (`2·|∩| ≥ |∪|`), and the reported Jaccard is one double
+    * division — bit-identical cross-engine.
+    *
+    * Scale shape: the window partitions by the block key (a prefix of the
+    * normalized text), whose cardinality GROWS with the corpus — blocks
+    * stay small and parallel at 100 TB, unlike a low-cardinality window
+    * funnel. The standard SNM trade-off applies and is the contract:
+    * near-dups whose sort keys land in different blocks (or > w apart)
+    * are missed; the LSH operators (q35–q37) cover those. */
+  /** Generic core over a `(doc_id, norm)` frame — `prefixLen` sizes the
+    * blocks (longer prefix = more, smaller blocks), `w` is the neighbor
+    * horizon. Pairs are unique by construction: each doc lives in exactly
+    * one block and each (position, position+i) combination is generated
+    * once. */
+  def sortedNeighborhoodPairs(docsNormed: DataFrame, prefixLen: Int,
+      w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col("blk")).orderBy(col("norm"), col("doc_id"))
+    val base = docsNormed
+      .withColumn("blk", substring(col("norm"), 1, prefixLen))
+      .withColumn("tset", array_distinct(split(col("norm"), " ")))
+    val nbrs = base.select(
+      Seq(col("doc_id"), col("tset")) ++ (1 to w).flatMap(i => Seq(
+        lead(col("doc_id"), i).over(win).as(s"nid$i"),
+        lead(col("tset"), i).over(win).as(s"nset$i"))): _*)
+    val pairs = (1 to w).map { i =>
+      nbrs.filter(col(s"nid$i").isNotNull)
+        .select(col("doc_id").as("id_a"), col("tset").as("set_a"),
+          col(s"nid$i").as("id_b"), col(s"nset$i").as("set_b"))
+    }.reduce(_ union _)
+    pairs
+      .withColumn("inter",
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("un",
+        (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+      .filter(col("inter") * 2 >= col("un"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        (col("inter").cast("double") / col("un")).as("jaccard"))
+  }
+
+  def q100SortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    sortedNeighborhoodPairs(docsNorm(s, dir), prefixLen = 3, w = 2)
+
+  val q100Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, norm, substr(norm, 1, 3) AS blk,
+      |    list_distinct(string_split(norm, ' ')) AS tset
+      |  FROM (SELECT doc_id,
+      |          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |        FROM documents)),
+      |nb AS (
+      |  SELECT doc_id, tset,
+      |    lead(doc_id, 1) OVER w AS nid1, lead(tset, 1) OVER w AS nset1,
+      |    lead(doc_id, 2) OVER w AS nid2, lead(tset, 2) OVER w AS nset2
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)),
+      |pairs AS (
+      |  SELECT doc_id AS id_a, tset AS set_a, nid1 AS id_b, nset1 AS set_b
+      |  FROM nb WHERE nid1 IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, tset, nid2, nset2 FROM nb WHERE nid2 IS NOT NULL),
+      |sc AS (
+      |  SELECT least(id_a, id_b) AS doc_a, greatest(id_a, id_b) AS doc_b,
+      |    CAST(len(list_intersect(set_a, set_b)) AS BIGINT) AS inter,
+      |    CAST(len(set_a) + len(set_b) AS BIGINT)
+      |      - len(list_intersect(set_a, set_b)) AS un
+      |  FROM pairs)
+      |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
+      |FROM sc WHERE inter * 2 >= un""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
+    QueryDef("q100_sorted_neighborhood", q100SortedNeighborhood, Some(q100Sql)),
     QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
     QueryDef("q89_leakfree_split", q89LeakFreeSplit, Some(q89Sql)),
     QueryDef("q83_triangles", q83Triangles, Some(q83Sql)),

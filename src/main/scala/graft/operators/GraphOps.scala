@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over relation-derived edge lists. The repo's
+  * other graph ops (connected components in [[DedupOps]], triangle counts)
+  * converge by propagation; PageRank adds the weighted-contribution
+  * iteration shape: each round is one shuffle join of ranks onto the edge
+  * list plus one aggregate — the standard distributed PageRank plan
+  * (GraphX-free, pure DataFrame).
+  *
+  * Determinism contract: floating-point PageRank is NOT oracle-checkable —
+  * per-node contribution sums are doubles added in engine- and
+  * partition-order-dependent sequence. Here rank mass is an integer in
+  * units of 1e-12 (rank₀ = 10¹²), contributions are integer division
+  * `rank div out_degree`, and the damping step is `(85·Σ) div 100 +
+  * 0.15·10¹²` — all exact int64 arithmetic (max Σ ≈ #nodes·10¹², ×85 stays
+  * under 2⁶³ for corpora up to ~10⁵ nodes at this scaling; at larger node
+  * counts the unit shrinks accordingly). Every engine computes the
+  * identical lattice point, so the hash gate applies to an ITERATIVE
+  * algorithm — the same fixed-point trick q88 uses for mixture weights.
+  */
+object GraphOps {
+
+  private val RankUnit = 1000000000000L // 10^12
+  private val BaseMass = 150000000000L  // 0.15 * RankUnit
+
+  /** Fixed-iteration integer PageRank over a directed edge list
+    * `(src, dst)`. Every node must have out-degree ≥ 1 (callers build
+    * symmetric edge lists, so no dangling-mass handling is needed).
+    *
+    * The edge⋈degree frame is consumed once per iteration — it is
+    * localCheckpoint'ed so iteration n never re-runs the upstream edge
+    * derivation, and released once the final ranks are materialized
+    * (the [[DedupOps.connectedComponents]] storage-lifecycle pattern).
+    * Each iteration's plan chains off the previous one lazily; with a
+    * small fixed iteration count no per-round checkpoint is needed. */
+  def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+    var ranks = ed.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(RankUnit))
+    for (_ <- 1 to iters) {
+      ranks = ed.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr(s"$BaseMass + (85 * sum(r div d)) div 100").as("r"))
+    }
+    val out = ranks.localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(ed)
+    out
+  }
+
+  /** PageRank over the customer–supplier trade graph: an edge per distinct
+    * (customer, supplier) pair that traded (orders ⋈ lineitem), both
+    * directions, nodes namespaced even/odd so the two key spaces cannot
+    * collide. 3 iterations — high-degree suppliers accumulate rank from
+    * their customer neighborhoods. */
+  def q101PageRank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    pageRankInt(edges, iters = 3)
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        col("r").as("rank_i"))
+  }
+
+  val q101Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT e.dst AS node,
+         |    150000000000 + (85 * CAST(sum(r.r // g.d) AS BIGINT)) // 100 AS r
+         |  FROM edges e JOIN $prev r ON r.node = e.src
+         |  JOIN deg g ON g.src = e.src
+         |  GROUP BY e.dst)"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT DISTINCT src AS node, CAST(1000000000000 AS BIGINT) AS r
+       |  FROM edges),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT node,
+       |  CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  r AS rank_i
+       |FROM r3""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q101_pagerank", q101PageRank, Some(q101Sql)))
+}

@@ -208,8 +208,77 @@ object MiscOps {
       |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
       |GROUP BY o_orderstatus""".stripMargin
 
+  /** Declarative data-quality constraint suite (the Deequ/expectations
+    * shape): six rules over `lineitem` — completeness, two range checks,
+    * an accepted-values check, primary-key uniqueness, and referential
+    * integrity to `orders` — each reported as (rule, violations, total,
+    * pass). All metrics are exact integer counts, so verdicts are
+    * oracle-hashable.
+    *
+    * Scale shape: the five row-local rules compute in ONE full-scan
+    * aggregate (conditional sums fused into a single `HashAggregateExec`
+    * pass — adding a rule adds a column, not a scan); uniqueness rides the
+    * same statement as an exact distinct count; the referential rule is a
+    * left-anti join on the fact's join key (shuffle-partitioned, AQE
+    * skew-splittable — NOT a broadcast of the unbounded orders side). The
+    * single-row metric frames are stacked into the rule/verdict rows at
+    * zero distributed cost. */
+  def q102Constraints(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val rowRules = li.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("l_returnflag").isNull, 1L).otherwise(0L)).as("null_flag"),
+      sum(when(col("l_quantity") >= 1.0 && col("l_quantity") <= 50.0, 0L)
+        .otherwise(1L)).as("qty_oob"),
+      sum(when(col("l_discount") >= 0.0 && col("l_discount") <= 0.6, 0L)
+        .otherwise(1L)).as("disc_oob"),
+      sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
+        .as("bad_flag"),
+      countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"))
+    val orphans = li.join(Tables.orders(s, dir)
+        .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_orphan"))
+    rowRules.crossJoin(orphans).selectExpr(
+      """stack(6,
+        |  'completeness_returnflag', null_flag, n_rows, null_flag = 0,
+        |  'range_quantity',          qty_oob,   n_rows, qty_oob = 0,
+        |  'range_discount',          disc_oob,  n_rows, disc_oob = 0,
+        |  'accepted_returnflag',     bad_flag,  n_rows, bad_flag = 0,
+        |  'unique_pk',               n_rows - n_pk, n_rows, n_rows = n_pk,
+        |  'fk_orders',               n_orphan,  n_rows, n_orphan = 0
+        |) AS (rule, violations, total, pass)""".stripMargin)
+  }
+
+  val q102Sql: String =
+    """WITH a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      |    CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS null_flag,
+      |    CAST(sum(CASE WHEN l_quantity BETWEEN 1.0 AND 50.0 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS qty_oob,
+      |    CAST(sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.6 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS disc_oob,
+      |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS bad_flag,
+      |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_pk
+      |  FROM lineitem),
+      |o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_orphan
+      |  FROM lineitem l LEFT JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey IS NULL)
+      |SELECT r.* FROM a, o, LATERAL (
+      |  SELECT 'completeness_returnflag' AS rule, null_flag AS violations,
+      |    n_rows AS total, null_flag = 0 AS pass
+      |  UNION ALL SELECT 'range_quantity', qty_oob, n_rows, qty_oob = 0
+      |  UNION ALL SELECT 'range_discount', disc_oob, n_rows, disc_oob = 0
+      |  UNION ALL SELECT 'accepted_returnflag', bad_flag, n_rows, bad_flag = 0
+      |  UNION ALL SELECT 'unique_pk', n_rows - n_pk, n_rows, n_rows = n_pk
+      |  UNION ALL SELECT 'fk_orders', n_orphan, n_rows, n_orphan = 0) r""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
+    QueryDef("q102_constraints", q102Constraints, Some(q102Sql)),
     QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)),
     QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),
     QueryDef("q63_date_funcs", q63DateFuncs, Some(q63Sql)),

@@ -275,6 +275,139 @@ object TextOps {
       |  FROM (SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
       |        FROM documents))""".stripMargin
 
+  /** Unigram language-model familiarity scoring — the cheap LM-quality
+    * signal real curation pipelines run before anything perplexity-shaped:
+    * documents dominated by corpus-rare tokens (encoding junk, OCR noise,
+    * off-distribution text) score near 0, boilerplate scores high. The
+    * score is the mean corpus frequency of the document's tokens,
+    * `hit_mass / (n_tokens · N)` with `hit_mass = Σ_t cnt_vocab(t)` —
+    * deliberately NOT log-probability: every quantity stays an exact
+    * integer until ONE final double division, so the result is
+    * bit-identical cross-engine (a Σ log p formulation would sum doubles
+    * in engine-dependent order).
+    *
+    * Scale shape: the vocabulary is capped at the top-64 terms (frequency
+    * desc, term asc — a deterministic cut via `TakeOrderedAndProject`, not
+    * a global window), collapsed to ONE map row and broadcast; scoring is
+    * then a single narrow corpus pass with a per-row codegen'd hash lookup
+    * ([[graft.functions.VectorExprs.MapSumLookup]]) — no token-stream
+    * shuffle and no explode on the scoring side. OOV tokens contribute 0
+    * by the `coalesce`-free contract of the lookup itself. */
+  def q99UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).cast("long").as("n_corpus"))
+    val vocabMap = tf
+      .orderBy(col("tf").desc, col("term").asc).limit(64)
+      .agg(map_from_entries(collect_list(struct(col("term"), col("tf"))))
+        .as("vmap"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+      .crossJoin(broadcast(vocabMap))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        graft.functions.VectorExprs.map_sum_lookup(col("toks"), col("vmap"))
+          .as("hit_mass"),
+        col("n_corpus"))
+      .withColumn("familiarity",
+        col("hit_mass").cast("double") / (col("n_tokens") * col("n_corpus")))
+      .drop("n_corpus")
+  }
+
+  val q99Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, u.term FROM (
+      |    SELECT doc_id,
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+      |        AS toks
+      |    FROM documents) t,
+      |    UNNEST(toks) AS u(term)
+      |  WHERE u.term <> ''),
+      |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY term),
+      |total AS (SELECT CAST(sum(tf) AS BIGINT) AS n_corpus FROM tf),
+      |vocab AS (
+      |  SELECT term, tf FROM (
+      |    SELECT term, tf, row_number() OVER (ORDER BY tf DESC, term) AS r
+      |    FROM tf)
+      |  WHERE r <= 64)
+      |SELECT t.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(coalesce(v.tf, 0)) AS BIGINT) AS hit_mass,
+      |  CAST(sum(coalesce(v.tf, 0)) AS DOUBLE)
+      |    / (count(*) * (SELECT n_corpus FROM total)) AS familiarity
+      |FROM toks t LEFT JOIN vocab v USING (term)
+      |GROUP BY t.doc_id""".stripMargin
+
+  /** Top-k collocations by pointwise mutual information: bigrams whose
+    * joint count beats what their unigram frequencies predict. The score
+    * is the PMI *odds ratio* `c_ab·N / (c_a·c_b)` rather than its log —
+    * same ranking (log is monotone), but the value is ONE double division
+    * of exact integers, bit-identical cross-engine, where `ln` outputs
+    * need not agree between engines at the last ulp.
+    *
+    * Scale shape: bigram and unigram counting are partially-aggregated
+    * shuffles bounded by vocabulary size (never a raw token-stream
+    * shuffle); the min-count gate (≥ 5) prunes the hapax tail BEFORE the
+    * two vocabulary-sized count joins; the final cut is frequency-ordered
+    * top-50 via `TakeOrderedAndProject` (per-partition partial top-k, not
+    * a single-task global sort). Bigrams are formed per-row with an
+    * index-aware `transform` — no self-join of the corpus on position. */
+  def q103PmiBigrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), filter(tokens(col("text")), t => t =!= "").as("toks"))
+    val uni = docs.select(explode(col("toks")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = uni.agg(sum(col("c")).cast("long").as("n_uni"))
+    val bigrams = docs.filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 5)
+    bigrams
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("term").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi_odds",
+        (col("c_ab") * col("n_uni")).cast("double") / (col("c_a") * col("c_b")))
+      .orderBy(col("pmi_odds").desc, col("bg").asc)
+      .limit(50)
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi_odds"))
+  }
+
+  val q103Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+      |      AS toks
+      |  FROM documents
+      |  WHERE regexp_replace(trim(lower(text)), '\s+', ' ', 'g') <> ''),
+      |tok AS (SELECT u.term FROM t, UNNEST(toks) AS u(term)),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+      |total AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+      |bg AS (
+      |  SELECT toks[i] || ' ' || toks[i + 1] AS bg
+      |  FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)),
+      |cab AS (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM bg GROUP BY bg HAVING count(*) >= 5)
+      |SELECT c.bg, c.c_ab, u1.c AS c_a, u2.c AS c_b,
+      |  CAST(c.c_ab * (SELECT n_uni FROM total) AS DOUBLE) / (u1.c * u2.c)
+      |    AS pmi_odds
+      |FROM cab c
+      |JOIN uni u1 ON u1.term = string_split(c.bg, ' ')[1]
+      |JOIN uni u2 ON u2.term = string_split(c.bg, ' ')[2]
+      |ORDER BY pmi_odds DESC, c.bg
+      |LIMIT 50""".stripMargin
+
   /** Content fingerprint: md5 of the normalized text, plus a 60-bit
     * integer form — the primitive under exact dedup. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -376,6 +509,8 @@ object TextOps {
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
     QueryDef("q91_quality_gate", q91QualityGate, Some(q91Sql)),
     QueryDef("q92_vocab_coverage", q92VocabCoverage, Some(q92Sql)),
+    QueryDef("q99_unigram_lm", q99UnigramLm, Some(q99Sql)),
+    QueryDef("q103_pmi_bigrams", q103PmiBigrams, Some(q103Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),
     QueryDef("q51_winnow_fingerprint", q51WinnowFingerprint, Some(q51Sql)))

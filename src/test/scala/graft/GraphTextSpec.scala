@@ -1,0 +1,123 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Semantic properties of the round-5 additions: integer PageRank,
+  * blocked sorted-neighborhood dedup, the MapSumLookup expression and the
+  * unigram-LM / PMI / constraint-suite queries (cross-engine value
+  * equality is covered by the DuckDB gate; these pin the semantics a hash
+  * compare wouldn't explain).
+  */
+class GraphTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("pageRankInt: a symmetric 2-cycle is exactly stationary") {
+    // out-degree 1 both sides: contrib = r div 1 = r, next = 0.15e12 +
+    // (85 r) div 100 — at r = 1e12 every step is exact, so the rank must
+    // stay at the initial mass bit-for-bit, iteration count irrelevant
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = GraphOps.pageRankInt(edges, iters = 3).collect()
+    assert(got.length == 2)
+    got.foreach(r => assert(r.getLong(1) == 1000000000000L))
+  }
+
+  test("pageRankInt: star hub outranks leaves, leaves stay symmetric") {
+    val leaves = (2L to 5L)
+    val edges = leaves.flatMap(l => Seq((1L, l), (l, 1L))).toDF("src", "dst")
+    val ranks = GraphOps.pageRankInt(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = ranks(1L)
+    val leafRanks = leaves.map(ranks)
+    assert(leafRanks.distinct.size == 1) // symmetry ⇒ identical ranks
+    assert(hub > leafRanks.head)         // all leaf mass flows to the hub
+    // total mass ≈ #nodes · 1e12, shrinking only by div-truncation dust
+    val total = ranks.values.sum
+    assert(total <= 5L * 1000000000000L)
+    assert(total > 5L * 1000000000000L - 1000000L)
+  }
+
+  test("sortedNeighborhood: adjacent near-dups pair, far blocks don't") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"), // same block, Jaccard 3/5
+      (3L, "zzz totally different words here")) // other block
+      .toDF("doc_id", "norm")
+    val pairs = DedupOps.sortedNeighborhoodPairs(docs, prefixLen = 3, w = 2)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+    assert(math.abs(pairs.head.getDouble(2) - 0.6) < 1e-12)
+  }
+
+  test("sortedNeighborhood: neighbor horizon w bounds comparisons") {
+    // three identical-ish docs in one block; with w=1 only adjacent ranks
+    // pair (2 pairs), with w=2 the (first, third) pair appears too
+    val docs = Seq(
+      (1L, "aaa one two three"),
+      (2L, "aaa one two three"),
+      (3L, "aaa one two three")).toDF("doc_id", "norm")
+    assert(DedupOps.sortedNeighborhoodPairs(docs, 3, w = 1).count() == 2)
+    assert(DedupOps.sortedNeighborhoodPairs(docs, 3, w = 2).count() == 3)
+  }
+
+  test("map_sum_lookup: missing keys, null tokens, null values add zero") {
+    val df = Seq(
+      (Seq[String]("a", "b", "zzz"), Map("a" -> 10L, "b" -> 5L)),
+      (Seq[String](), Map("a" -> 10L)))
+      .toDF("toks", "vmap")
+    val got = df.select(
+      functions.VectorExprs.map_sum_lookup(col("toks"), col("vmap")))
+      .as[Long].collect()
+    assert(got.toSeq == Seq(15L, 0L))
+    // null array element contributes 0 (SQL-reachable input shape)
+    functions.VectorExprs.registerSql(spark)
+    assert(spark.sql(
+      "SELECT map_sum_lookup(array('a', CAST(NULL AS STRING)), map('a', CAST(7 AS BIGINT)))")
+      .first().getLong(0) == 7L)
+  }
+
+  test("q99 broadcast-map path equals the explode+join formulation") {
+    // the one-pass MapSumLookup scoring must agree with the textbook
+    // two-pass shape (explode, join the vocab, re-aggregate) on real data
+    val fast = TextOps.q99UnigramLm(spark, sfDir)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(
+        graft.functions.TextFns.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("term").agg(count(lit(1)).as("tf"))
+    val vocab = tf.orderBy(col("tf").desc, col("term").asc).limit(64)
+    val slow = toks.join(vocab, Seq("term"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("tf")), lit(0L)).as("hit_mass"))
+    val joined = fast.alias("f")
+      .join(slow.alias("s"), Seq("doc_id"))
+      .filter(col("f.n_tokens") =!= col("s.n_tokens") ||
+        col("f.hit_mass") =!= col("s.hit_mass"))
+    assert(joined.isEmpty)
+    assert(fast.count() == slow.count())
+  }
+
+  test("q103 PMI rows satisfy their own definition") {
+    val rows = TextOps.q103PmiBigrams(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_ab") >= 5L)
+      assert(r.getAs[Double]("pmi_odds") > 0.0)
+    }
+    // emitted in descending score order (ties broken by bigram text)
+    val scores = rows.map(_.getAs[Double]("pmi_odds")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("q102 verdicts are consistent with their violation counts") {
+    val rows = MiscOps.q102Constraints(spark, sfDir).collect()
+    assert(rows.length == 6)
+    val total = Tables.lineitem(spark, sfDir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total") == total)
+      assert(r.getAs[Long]("violations") >= 0L)
+      assert(r.getAs[Boolean]("pass") == (r.getAs[Long]("violations") == 0L))
+    }
+  }
+}
