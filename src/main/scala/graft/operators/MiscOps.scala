@@ -276,8 +276,65 @@ object MiscOps {
       |  UNION ALL SELECT 'unique_pk', n_rows - n_pk, n_rows, n_rows = n_pk
       |  UNION ALL SELECT 'fk_orders', n_orphan, n_rows, n_orphan = 0) r""".stripMargin
 
+  /** CDC merge (SCD-type-1 upsert/delete apply): fold a change stream of
+    * (key, op, payload) rows — op ∈ {D delete, U update, I insert} — into
+    * a base table, last-write-wins per key. This is the lake-maintenance
+    * MERGE primitive under every incremental-ingest pipeline. The change
+    * set here is derived deterministically from the base table (key mod
+    * buckets) so the oracle can reproduce it; a real feed would arrive as
+    * its own source.
+    *
+    * Scale shape: survivors = base ANTI-JOIN changed-keys (a plain
+    * shuffled hash anti-join on the key — AQE skew-splittable, and
+    * deliberately NOT a broadcast: a CDC change stream is unbounded), then
+    * UNION ALL the upsert payloads (no shuffle — union is partition
+    * concatenation). Nothing rewrites untouched rows' payloads, and no
+    * full-table window/sort appears anywhere. */
+  def q105CdcMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("c_acctbal"))
+    val dels = base.filter(col("c_custkey") % 50 === 0)
+      .select(col("c_custkey").as("k"), lit("D").as("op"),
+        col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val upds = base.filter(col("c_custkey") % 50 === 1)
+      .select(col("c_custkey").as("k"), lit("U").as("op"),
+        col("c_name"), lit("UPDATED").as("c_mktsegment"),
+        (col("c_acctbal") + 100.0d).as("c_acctbal"))
+    val ins = base.filter(col("c_custkey") % 50 === 2)
+      .select((col("c_custkey") + 1000000L).as("k"), lit("I").as("op"),
+        concat(lit("new_"), col("c_name")).as("c_name"),
+        lit("NEW").as("c_mktsegment"), col("c_acctbal"))
+    val changes = dels.unionAll(upds).unionAll(ins)
+    val survivors = base.join(
+      changes.select(col("k").as("c_custkey")), Seq("c_custkey"), "left_anti")
+    survivors.unionAll(
+      changes.filter(col("op") =!= "D")
+        .select(col("k").as("c_custkey"), col("c_name"),
+          col("c_mktsegment"), col("c_acctbal")))
+  }
+
+  val q105Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer),
+      |chg AS (
+      |  SELECT c_custkey AS k, 'D' AS op, c_name, c_mktsegment, c_acctbal
+      |  FROM base WHERE c_custkey % 50 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 'U', c_name, 'UPDATED', c_acctbal + 100.0
+      |  FROM base WHERE c_custkey % 50 = 1
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'I', 'new_' || c_name, 'NEW', c_acctbal
+      |  FROM base WHERE c_custkey % 50 = 2)
+      |SELECT b.c_custkey, b.c_name, b.c_mktsegment, b.c_acctbal
+      |FROM base b ANTI JOIN chg c ON b.c_custkey = c.k
+      |UNION ALL
+      |SELECT k, c_name, c_mktsegment, c_acctbal
+      |FROM chg WHERE op <> 'D'""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
+    QueryDef("q105_cdc_merge", q105CdcMerge, Some(q105Sql)),
     QueryDef("q102_constraints", q102Constraints, Some(q102Sql)),
     QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)),
     QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),

@@ -273,6 +273,120 @@ object StatsOps {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
       |FROM grid LEFT JOIN daily ON grid.user_id = daily.user_id AND grid.d = daily.d""".stripMargin
 
+  /** 2-D skyline (Pareto frontier): parts no other part dominates —
+    * lower-or-equal price AND larger-or-equal size, with one strict. The
+    * frontier query behind any price/quality trade-off view.
+    *
+    * A part is dominated iff (a) some STRICTLY cheaper part has size ≥
+    * its own, or (b) some part at the SAME price has strictly larger
+    * size. Both reduce to per-price aggregates: (b) is the per-price max
+    * size; (a) is the running max of that over all strictly-smaller
+    * prices — a PREFIX scan over the price axis. The naive prefix is
+    * `max() OVER (ORDER BY price)`: a single-partition window funneling
+    * every distinct price through one task. Here it's the repo's
+    * finalized-RDD two-pass shape (q90/q91): range-partition the
+    * per-price aggregate, take per-partition maxima (one tiny job,
+    * #partitions rows), broadcast the cross-partition running maxima,
+    * and stream each partition once carrying the strict-prefix max.
+    * Price cardinality GROWS with the corpus, so the prefix structure
+    * must distribute even though the per-price aggregate is far smaller
+    * than the fact table. The final filter joins the (price → gmax,
+    * pmax) frame back on price — a shuffle join, broadcastable when the
+    * price domain is small. */
+  def q106Skyline(s: SparkSession, dir: String): DataFrame =
+    paretoFrontier(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+
+  /** Skyline core over a (p_partkey, p_retailprice, p_size) frame — see
+    * [[q106Skyline]] for the dominance semantics and scale rationale. */
+  def paretoFrontier(part: DataFrame): DataFrame = {
+    val s = part.sparkSession
+    import s.implicits._
+    val perPrice = part.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("gmax"))
+    val sorted = perPrice
+      .repartitionByRange(col("p_retailprice"))
+      .sortWithinPartitions(col("p_retailprice"))
+      .select(col("p_retailprice").as[Double], col("gmax").as[Int])
+    // finalize ONCE (the q90 lesson): both jobs below must see the same
+    // range partitioning, and the shuffle map output is reused
+    val rdd = sorted.rdd
+    val partMaxes = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.foldLeft(Int.MinValue) { case (m, (_, g)) =>
+        math.max(m, g)
+      })
+    }.collect().toMap // #partitions entries — driver-bounded
+    val nParts = partMaxes.size
+    val prefixOf = (0 until nParts).map { pid =>
+      pid -> (0 until pid).foldLeft(Int.MinValue) { (m, p) =>
+        math.max(m, partMaxes(p))
+      }
+    }.toMap
+    val bcPrefix = s.sparkContext.broadcast(prefixOf)
+    val frontier = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var running = bcPrefix.value.getOrElse(pid, Int.MinValue)
+      it.map { case (price, gmax) =>
+        val out = (price, gmax, running)
+        running = math.max(running, gmax)
+        out
+      }
+    }.toDF("p_retailprice", "gmax", "pmax")
+    part.join(frontier, Seq("p_retailprice"))
+      .filter(!(col("pmax") >= col("p_size") || col("gmax") > col("p_size")))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
+  val q106Sql: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+      |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))""".stripMargin
+
+  /** Per-group robust outliers: parts whose price sits more than 2 robust
+    * sigmas (MAD) from their BRAND's median — the per-domain anomaly
+    * gate that survives heavy tails where mean/stddev z-scores break.
+    * Same exact-percentile machinery as the global q77, applied per
+    * brand: two grouped-aggregate passes (median, then MAD of the
+    * residuals), each a vocabulary-sized shuffle with map-side partial
+    * aggregation, then ONE broadcast of the #brands-sized (med, mad)
+    * frame back onto the fact scan — no window, no per-group sort of the
+    * fact table. The comparison `abs(price − med) > 3.0·mad` is a fixed
+    * double-op tree over engine-identical percentile interpolations. */
+  def q107GroupOutliers(s: SparkSession, dir: String): DataFrame =
+    robustOutliers(Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice")))
+
+  /** Per-group robust-outlier core over a (p_partkey, p_brand,
+    * p_retailprice) frame — see [[q107GroupOutliers]]. */
+  def robustOutliers(part: DataFrame): DataFrame = {
+    val med = part.groupBy(col("p_brand"))
+      .agg(expr("percentile(p_retailprice, 0.5)").as("med_price"))
+    val mad = part.join(med, Seq("p_brand"))
+      .groupBy(col("p_brand"))
+      .agg(max(col("med_price")).as("med_price"),
+        expr("percentile(abs(p_retailprice - med_price), 0.5)").as("mad_price"))
+    part.join(broadcast(mad), Seq("p_brand"))
+      .filter(abs(col("p_retailprice") - col("med_price")) >
+        lit(2.0d) * col("mad_price"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        col("med_price"), col("mad_price"))
+  }
+
+  val q107Sql: String =
+    """WITH med AS (
+      |  SELECT p_brand, quantile_cont(p_retailprice, 0.5) AS med_price
+      |  FROM part GROUP BY 1),
+      |mad AS (
+      |  SELECT p.p_brand, max(med_price) AS med_price,
+      |    quantile_cont(abs(p_retailprice - med_price), 0.5) AS mad_price
+      |  FROM part p JOIN med USING (p_brand)
+      |  GROUP BY p.p_brand)
+      |SELECT p.p_partkey, p.p_brand, p.p_retailprice, m.med_price, m.mad_price
+      |FROM part p JOIN mad m USING (p_brand)
+      |WHERE abs(p.p_retailprice - m.med_price) > 2.0 * m.mad_price""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q55_moments", q55Moments, Some(q55Sql)),
     QueryDef("q56_levenshtein", q56Levenshtein, Some(q56Sql)),
@@ -280,5 +394,7 @@ object StatsOps {
     QueryDef("q58_hash_sample", q58HashSample, Some(q58Sql)),
     QueryDef("q59_gap_fill", q59GapFill, Some(q59Sql)),
     QueryDef("q77_mad", q77Mad, Some(q77Sql)),
+    QueryDef("q106_skyline", q106Skyline, Some(q106Sql)),
+    QueryDef("q107_group_outliers", q107GroupOutliers, Some(q107Sql)),
     QueryDef("q86_profile", q86Profile, Some(q86Sql)))
 }

@@ -408,6 +408,110 @@ object TextOps {
       |ORDER BY pmi_odds DESC, c.bg
       |LIMIT 50""".stripMargin
 
+  /** BM25 retrieval over the corpus for a fixed 3-term query — the
+    * lexical-retrieval primitive under RAG-style passage selection and
+    * hard-negative mining. Uses the log-free "odds" idf
+    * `(N - df + 0.5)/(df + 0.5)` (monotone in the standard
+    * `ln`-idf, so the RANKING is BM25's) because `ln` outputs need not
+    * agree between engines at the last ulp; with k1 = 1.2, b = 0.75 the
+    * per-term score reduces to the exact integer rational
+    *
+    *   v_t = 22·S·tf·(2N − 2df + 1) / ((10·S·tf + 3·S + 9·dl·N)·(2df + 1))
+    *
+    * (S = total corpus tokens, N = docs, dl = doc length) — ONE double
+    * division of exact int64s per term (num ≲ 22·S·dl·2N ≈ 3e12 at
+    * sf0.1; overflows int64 only past ~1e6× that), then a sum over the
+    * three terms in fixed left-to-right order, bit-identical
+    * cross-engine. tf = 0 zeroes the numerator, so absent terms
+    * contribute exactly 0.0 with no special-casing.
+    *
+    * Scale shape: corpus stats (N, S, per-term df) are ONE aggregate row
+    * broadcast back; per-doc tf is a per-row `filter(toks, …)` count —
+    * the query's term set is tiny, so there is NO token-stream explode
+    * and NO shuffle anywhere except the final top-20
+    * `TakeOrderedAndProject` (per-partition partial top-k). Two linear
+    * corpus scans total (stats, score). */
+  def q104Bm25(s: SparkSession, dir: String): DataFrame = {
+    def toks = filter(tokens(col("text")), t => t =!= "")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("toks"))
+    bm25(docs, Seq("query", "merge", "fast"), k = 20)
+      .select(col("doc_id"), col("dl"),
+        col("tf_0").as("tf_query"), col("tf_1").as("tf_merge"),
+        col("tf_2").as("tf_fast"), col("score"))
+  }
+
+  /** BM25 core over a (doc_id, toks) frame — see [[q104Bm25]] for the
+    * formula derivation and scale rationale. Emits tf_i columns in term
+    * order plus dl and score; callers rename for presentation. */
+  def bm25(docsIn: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val docs = docsIn.filter(size(col("toks")) > 0)
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("s_tokens") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .as(s"df_$i")
+        }: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val withTf = terms.zipWithIndex.foldLeft(scored) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i",
+        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    }
+    def v(i: Int) =
+      (lit(22L) * col("s_tokens") * col(s"tf_$i") *
+        (lit(2L) * col("n_docs") - lit(2L) * col(s"df_$i") + lit(1L)))
+        .cast("double") /
+        ((lit(10L) * col("s_tokens") * col(s"tf_$i") +
+          lit(3L) * col("s_tokens") + lit(9L) * col("dl") * col("n_docs")) *
+          (lit(2L) * col(s"df_$i") + lit(1L)))
+    withTf
+      .withColumn("score",
+        terms.indices.map(v).reduceLeft(_ + _))
+      .filter(col("score") > 0d)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id") +: col("dl") +:
+        terms.indices.map(i => col(s"tf_$i")) :+ col("score"): _*)
+  }
+
+  val q104Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_filter(
+      |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |        t -> t <> '') AS toks
+      |    FROM documents)
+      |  WHERE len(toks) > 0),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS s_tokens,
+      |    CAST(sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+      |    CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+      |    CAST(sum(CASE WHEN list_contains(toks, 'fast') THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl,
+      |    CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf_0,
+      |    CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf_1,
+      |    CAST(len(list_filter(toks, x -> x = 'fast')) AS BIGINT) AS tf_2
+      |  FROM d)
+      |SELECT doc_id, dl, tf_0 AS tf_query, tf_1 AS tf_merge, tf_2 AS tf_fast,
+      |  CAST(22 * s_tokens * tf_0 * (2 * n_docs - 2 * df_0 + 1) AS DOUBLE)
+      |    / ((10 * s_tokens * tf_0 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_0 + 1))
+      |  + CAST(22 * s_tokens * tf_1 * (2 * n_docs - 2 * df_1 + 1) AS DOUBLE)
+      |    / ((10 * s_tokens * tf_1 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_1 + 1))
+      |  + CAST(22 * s_tokens * tf_2 * (2 * n_docs - 2 * df_2 + 1) AS DOUBLE)
+      |    / ((10 * s_tokens * tf_2 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_2 + 1))
+      |  AS score
+      |FROM tf, st
+      |WHERE tf_0 + tf_1 + tf_2 > 0
+      |ORDER BY score DESC, doc_id
+      |LIMIT 20""".stripMargin
+
   /** Content fingerprint: md5 of the normalized text, plus a 60-bit
     * integer form — the primitive under exact dedup. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -511,6 +615,7 @@ object TextOps {
     QueryDef("q92_vocab_coverage", q92VocabCoverage, Some(q92Sql)),
     QueryDef("q99_unigram_lm", q99UnigramLm, Some(q99Sql)),
     QueryDef("q103_pmi_bigrams", q103PmiBigrams, Some(q103Sql)),
+    QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),
     QueryDef("q51_winnow_fingerprint", q51WinnowFingerprint, Some(q51Sql)))
