@@ -562,7 +562,85 @@ object CurationOps {
       |        FROM documents))
       |WHERE rn <= 64""".stripMargin
 
+  /** Distribution-drift monitor: two-sample chi-square between a
+    * reference corpus slice and a current slice over a 10-bucket
+    * doc-length histogram — the "did my ingest distribution shift"
+    * alarm every continuously-fed training pipeline needs. The slices
+    * here are doc_id parity (deterministic, so the oracle reproduces
+    * them); production feeds would be yesterday/today.
+    *
+    * Emits ONE ROW PER BUCKET with that bucket's chi-square
+    * contribution rather than the summed statistic: the per-bucket
+    * terms are each `(observed·total − side_total·bucket_total)² /
+    * (total·side_total·bucket_total)` — exact int64s until one double
+    * division per side, fixed-order sum of the two sides — while a
+    * cross-BUCKET sum of doubles would accumulate in engine-dependent
+    * order and break the hash gate. (Callers wanting the scalar χ² sum
+    * 10 exact terms however they like.)
+    *
+    * Scale shape: one corpus pass → 10-bucket × 2-side aggregate
+    * (map-side partial combine collapses everything before the
+    * shuffle); totals are a second aggregate over the 10-row frame,
+    * broadcast back. Nothing downstream of the first aggregate scales
+    * with the corpus. */
+  def q108Drift(s: SparkSession, dir: String): DataFrame =
+    chiSquareBuckets(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tokens"))
+      .select(col("doc_id"),
+        least(expr("n_tokens div 20"), lit(9L)).as("bucket"),
+        (col("doc_id") % 2).as("side")))
+
+  /** Chi-square core over a (bucket, side ∈ {0 ref, 1 cur}) frame — see
+    * [[q108Drift]] for the exactness and scale rationale. */
+  def chiSquareBuckets(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("bucket")).agg(
+      sum(when(col("side") === 0, 1L).otherwise(0L)).as("c_ref"),
+      sum(when(col("side") === 1, 1L).otherwise(0L)).as("c_cur"))
+    val totals = counts.agg(
+      sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
+    def term(c: Column, sideTotal: Column) = {
+      val total = col("n_ref") + col("n_cur")
+      val bucketTotal = col("c_ref") + col("c_cur")
+      val dev = c * total - sideTotal * bucketTotal
+      (dev * dev).cast("double") / (total * sideTotal * bucketTotal)
+    }
+    counts.crossJoin(broadcast(totals))
+      .withColumn("chi_term",
+        term(col("c_ref"), col("n_ref")) + term(col("c_cur"), col("n_cur")))
+      .select(col("bucket"), col("c_ref"), col("c_cur"), col("chi_term"))
+  }
+
+  val q108Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      t -> t <> '')) AS BIGINT) // 20, 9) AS bucket,
+      |    doc_id % 2 AS side
+      |  FROM documents),
+      |counts AS (
+      |  SELECT bucket,
+      |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+      |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+      |  FROM b GROUP BY bucket),
+      |tot AS (
+      |  SELECT CAST(sum(c_ref) AS BIGINT) AS n_ref,
+      |    CAST(sum(c_cur) AS BIGINT) AS n_cur
+      |  FROM counts)
+      |SELECT bucket, c_ref, c_cur,
+      |  CAST((c_ref * (n_ref + n_cur) - n_ref * (c_ref + c_cur))
+      |     * (c_ref * (n_ref + n_cur) - n_ref * (c_ref + c_cur)) AS DOUBLE)
+      |    / ((n_ref + n_cur) * n_ref * (c_ref + c_cur))
+      |  + CAST((c_cur * (n_ref + n_cur) - n_cur * (c_ref + c_cur))
+      |     * (c_cur * (n_ref + n_cur) - n_cur * (c_ref + c_cur)) AS DOUBLE)
+      |    / ((n_ref + n_cur) * n_cur * (c_ref + c_cur))
+      |  AS chi_term
+      |FROM counts, tot""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_drift", q108Drift, Some(q108Sql)),
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
     QueryDef("q69_chunk", q69Chunk, Some(q69Sql)),

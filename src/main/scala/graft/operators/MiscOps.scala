@@ -332,9 +332,59 @@ object MiscOps {
       |SELECT k, c_name, c_mktsegment, c_acctbal
       |FROM chg WHERE op <> 'D'""".stripMargin
 
+  /** Incremental aggregate maintenance (materialized-view delta merge):
+    * per-customer order stats kept current by COMBINING the historical
+    * aggregate state with the new batch's aggregate — never rescanning
+    * history rows. The split here is deterministic (orderkey mod 10) so
+    * the oracle — a plain GROUP BY over everything — can verify that
+    * merge(state(history), state(delta)) ≡ recompute(all).
+    *
+    * Correct merging needs ALGEBRAIC accumulators: count and max merge
+    * trivially; the money sum is kept as an exact cents-scaled int64
+    * inside each state (floating-point partial sums would make the
+    * merged result differ from the recompute by accumulation order —
+    * the same reason [[graft.functions.Exact]] exists), converted to
+    * double once at the very end. Per-key cent sums overflow int64 only
+    * past ~9e16 dollars per customer.
+    *
+    * Scale shape: each state is a key-cardinality frame (map-side
+    * partial agg collapses the fact rows); the merge is ONE full-outer
+    * shuffle join of two key-sized frames. At 100 TB the history state
+    * is a stored table and only the delta's fact rows are ever read —
+    * that is the entire point of the operator. */
+  def q109IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderdate"))
+    def state(df: DataFrame): DataFrame =
+      df.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n"),
+        sum(graft.functions.Exact.cents(col("o_totalprice"))).as("sc"),
+        max(col("o_orderdate")).as("mx"))
+    val hist = state(o.filter(col("o_orderkey") % 10 =!= 0))
+      .withColumnsRenamed(Map("n" -> "n_a", "sc" -> "sc_a", "mx" -> "mx_a"))
+    val delta = state(o.filter(col("o_orderkey") % 10 === 0))
+      .withColumnsRenamed(Map("n" -> "n_b", "sc" -> "sc_b", "mx" -> "mx_b"))
+    hist.join(delta, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n_orders"),
+        ((coalesce(col("sc_a"), lit(0L)) + coalesce(col("sc_b"), lit(0L)))
+          .cast("double") / 100.0d).as("sum_total"),
+        greatest(col("mx_a"), col("mx_b")).as("last_order"))
+  }
+
+  val q109Sql: String =
+    """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 100.0 AS sum_total,
+      |  max(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
     QueryDef("q105_cdc_merge", q105CdcMerge, Some(q105Sql)),
+    QueryDef("q109_incremental_agg", q109IncrementalAgg, Some(q109Sql)),
     QueryDef("q102_constraints", q102Constraints, Some(q102Sql)),
     QueryDef("q61_misc_scalars", q61MiscScalars, Some(q61Sql)),
     QueryDef("q62_grouping_id", q62GroupingId, Some(q62Sql)),

@@ -97,6 +97,38 @@ class RetrievalMergeSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("chi-square drift: identical sides score exactly zero") {
+    // same bucket histogram on both sides → every deviation term is 0
+    val frame = (for { b <- 0L to 3L; s <- 0 to 1; _ <- 1 to 5 } yield (b, s))
+      .toDF("bucket", "side")
+    val got = CurationOps.chiSquareBuckets(frame).collect()
+    assert(got.length == 4)
+    got.foreach(r => assert(r.getAs[Double]("chi_term") == 0.0))
+  }
+
+  test("chi-square drift: a shifted bucket carries positive mass") {
+    // ref all in bucket 0, cur all in bucket 1 — max drift, both terms > 0
+    val frame = ((1L to 10L).map(_ => (0L, 0)) ++ (1L to 10L).map(_ => (1L, 1)))
+      .toDF("bucket", "side")
+    val got = CurationOps.chiSquareBuckets(frame).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("chi_term")).toMap
+    assert(got(0L) > 0.0 && got(1L) > 0.0)
+    // the full statistic for a perfect 2x2 split is n (=20)
+    assert(math.abs(got(0L) + got(1L) - 20.0) < 1e-9)
+  }
+
+  test("incremental agg: merged state equals direct recompute") {
+    val merged = MiscOps.q109IncrementalAgg(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(graft.functions.Exact.cents(col("o_totalprice")))
+          .cast("double") / 100.0d).as("t"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(merged == direct)
+  }
+
   test("robust outliers: flags the far point, ignores tight groups") {
     val parts = (
       (1L to 10L).map(i => (i, "A", 10.0)) ++     // tight cluster at 10
