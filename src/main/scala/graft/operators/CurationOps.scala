@@ -581,8 +581,10 @@ object CurationOps {
     * Scale shape: one corpus pass → 10-bucket × 2-side aggregate
     * (map-side partial combine collapses everything before the
     * shuffle); totals are a second aggregate over the 10-row frame,
-    * broadcast back. Nothing downstream of the first aggregate scales
-    * with the corpus. */
+    * broadcast back. The totals branch shares the bucket-agg lineage,
+    * and Spark's exchange reuse resolves it to a `ReusedExchange` of
+    * the same shuffle at runtime (spec-locked), so the corpus is
+    * physically scanned ONCE. */
   def q108Drift(s: SparkSession, dir: String): DataFrame =
     chiSquareBuckets(Tables.documents(s, dir)
       .select(col("doc_id"),

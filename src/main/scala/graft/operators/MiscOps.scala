@@ -284,11 +284,12 @@ object MiscOps {
     * buckets) so the oracle can reproduce it; a real feed would arrive as
     * its own source.
     *
-    * Scale shape: survivors = base ANTI-JOIN changed-keys (a plain
-    * shuffled hash anti-join on the key — AQE skew-splittable, and
-    * deliberately NOT a broadcast: a CDC change stream is unbounded), then
-    * UNION ALL the upsert payloads (no shuffle — union is partition
-    * concatenation). Nothing rewrites untouched rows' payloads, and no
+    * Scale shape: survivors = base ANTI-JOIN changed-keys. No broadcast
+    * is FORCED: size stats decide, so a small change batch broadcasts
+    * (the plan Spark picks locally) while an unbounded CDC backlog
+    * degrades gracefully to a shuffled, AQE-skew-splittable anti-join.
+    * Upsert payloads arrive by UNION ALL (partition concatenation, no
+    * shuffle). Nothing rewrites untouched rows' payloads, and no
     * full-table window/sort appears anywhere. */
   def q105CdcMerge(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir)

@@ -453,11 +453,14 @@ object TextOps {
           sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
             .as(s"df_$i")
         }: _*)
-    val scored = docs.crossJoin(broadcast(stats))
-      .withColumn("dl", size(col("toks")).cast("long"))
-    val withTf = terms.zipWithIndex.foldLeft(scored) { case (df, (t, i)) =>
-      df.withColumn(s"tf_$i",
-        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    // tf/dl are per-row token-array scans independent of the corpus
+    // stats: compute and GATE them below the cross join, so the arrays
+    // are scanned once and non-matching docs never reach the join
+    val withTf = terms.zipWithIndex.foldLeft(
+      docs.withColumn("dl", size(col("toks")).cast("long"))) {
+      case (df, (t, i)) =>
+        df.withColumn(s"tf_$i",
+          size(filter(col("toks"), x => x === lit(t))).cast("long"))
     }
     def v(i: Int) =
       (lit(22L) * col("s_tokens") * col(s"tf_$i") *
@@ -467,9 +470,13 @@ object TextOps {
           lit(3L) * col("s_tokens") + lit(9L) * col("dl") * col("n_docs")) *
           (lit(2L) * col(s"df_$i") + lit(1L)))
     withTf
+      // gate on the integer tf sum, not on score > 0: a score gate
+      // would be pushed into the join condition and evaluate the whole
+      // rational tree twice per row (condition + projection)
+      .filter(terms.indices.map(i => col(s"tf_$i")).reduceLeft(_ + _) > 0L)
+      .crossJoin(broadcast(stats))
       .withColumn("score",
         terms.indices.map(v).reduceLeft(_ + _))
-      .filter(col("score") > 0d)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id") +: col("dl") +:

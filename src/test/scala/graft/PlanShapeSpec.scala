@@ -241,6 +241,39 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q104 bm25: partial top-k cut, no token-stream explode, stats broadcast") {
+    val plan = initialPlan(operators.TextOps.q104Bm25(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // per-doc tf comes from per-row array filters — nothing is exploded
+    // and the token stream is never shuffled
+    assert(!plan.contains("Generate explode"), plan)
+    assert(count(plan, "BroadcastExchange") == 1, plan)
+    // the corpus-stats aggregate is the only shuffle in the plan
+    assert(count(plan, "Exchange SinglePartition") == 1, plan)
+  }
+
+  test("q106 skyline: no Window operator — the prefix max is the two-pass RDD shape") {
+    val plan = initialPlan(operators.StatsOps.q106Skyline(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q108 drift: totals branch reuses the bucket-agg shuffle (one corpus scan)") {
+    val df = operators.CurationOps.q108Drift(spark, sfDir)
+    df.collect() // AQE resolves exchange reuse at runtime
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"), executed)
+  }
+
+  test("q109 incremental agg: states partial-aggregate before the key-sized merge join") {
+    val plan = initialPlan(operators.MiscOps.q109IncrementalAgg(spark, sfDir))
+    // both sides collapse to per-key states below the full-outer merge
+    assert(count(plan, "partial_count") == 2, plan)
+    assert(plan.contains("FullOuter"), plan)
+    // the fact scan prunes to exactly the four columns each state needs
+    assert(!plan.contains("o_orderpriority"), plan)
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
