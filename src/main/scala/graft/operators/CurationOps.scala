@@ -654,5 +654,70 @@ object CurationOps {
     QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)),
     QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)),
     QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)),
-    QueryDef("q96_source_cap", q96SourceCap, Some(q96Sql)))
+    QueryDef("q96_source_cap", q96SourceCap, Some(q96Sql)),
+    QueryDef("q110_pps_sample", q110PpsSample, Some(q110Sql)))
+
+  /** Systematic PPS (probability-proportional-to-size) sampling: pick
+    * ~k documents with inclusion probability proportional to token
+    * count — the "sample big docs more" draw behind token-budgeted eval
+    * sets and mixture probes. A document is selected iff the running
+    * token total crosses a multiple of `step = W div k` inside it
+    * (W = corpus tokens): every quantity is an exact int64, so the
+    * selected set is deterministic and the DuckDB window-sum oracle
+    * reproduces it bit-for-bit. Zero-weight docs can never be chosen.
+    *
+    * The naive cumulative sum — `sum(w) OVER (ORDER BY doc_id)` — is a
+    * single-partition window funnel. This is the repo's finalized-RDD
+    * two-pass prefix shape (q90/q91/q106): range-partition by doc_id,
+    * per-partition weight sums (one tiny job, #partitions longs),
+    * broadcast the prefix offsets, then stream each partition once
+    * carrying the running total. The TOTAL W comes from the same
+    * per-partition sums, so corpus-scan count stays at one. */
+  def q110PpsSample(s: SparkSession, dir: String): DataFrame =
+    ppsSample(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tokens")), k = 50L)
+
+  /** PPS core over a (doc_id, n_tokens) frame — see [[q110PpsSample]]. */
+  def ppsSample(weights: DataFrame, k: Long): DataFrame = {
+    val s = weights.sparkSession
+    import s.implicits._
+    val sorted = weights
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .select(col("doc_id").as[Long], col("n_tokens").as[Long])
+    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_._2).sum)
+    }.collect().sortBy(_._1).map(_._2) // #partitions longs
+    val total = partSums.sum
+    val step = math.max(1L, total / k)
+    val offsets = partSums.scanLeft(0L)(_ + _).init
+    val bcOff = s.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bcOff.value(pid)
+      it.flatMap { case (id, w) =>
+        val before = cum
+        cum += w
+        if (before / step < cum / step) Some((id, w, cum)) else None
+      }
+    }.toDF("doc_id", "n_tokens", "cum_tokens")
+  }
+
+  val q110Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+      |  FROM w),
+      |t AS (SELECT greatest(1, CAST(sum(n_tokens) AS BIGINT) // 50) AS step FROM w)
+      |SELECT doc_id, n_tokens, cum_tokens
+      |FROM c, t
+      |WHERE (cum_tokens - n_tokens) // step < cum_tokens // step""".stripMargin
 }

@@ -129,6 +129,25 @@ class RetrievalMergeSpec extends SparkTestBase {
     assert(merged == direct)
   }
 
+  test("pps sample: matches a local prefix-sum reference, skips zero weights") {
+    val n = 500
+    val rnd = new scala.util.Random(11)
+    val w = (1L to n).map(i => i -> (if (i % 7 == 0) 0L else rnd.nextInt(40) + 1L))
+    val got = CurationOps.ppsSample(w.toDF("doc_id", "n_tokens"), k = 20)
+      .collect().map(_.getLong(0)).toSet
+    // local reference: same integer crossing rule
+    val total = w.map(_._2).sum
+    val step = math.max(1L, total / 20)
+    var cum = 0L
+    val expected = w.flatMap { case (id, wt) =>
+      val before = cum; cum += wt
+      if (before / step < cum / step) Some(id) else None
+    }.toSet
+    assert(got == expected)
+    assert(got.intersect(w.filter(_._2 == 0L).map(_._1).toSet).isEmpty)
+    assert(got.size >= 19 && got.size <= 21) // ~k picks
+  }
+
   test("robust outliers: flags the far point, ignores tight groups") {
     val parts = (
       (1L to 10L).map(i => (i, "A", 10.0)) ++     // tight cluster at 10
