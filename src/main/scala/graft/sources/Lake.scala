@@ -137,6 +137,59 @@ object Lake {
       .saveAsTable(table)
   }
 
+  /** Manifest-based snapshot versioning (time travel) — the minimal core
+    * of what table formats (Iceberg/Delta) provide. Each
+    * `writeVersion` writes its data files under `root/v=<n>/`, then —
+    * only after the data write completes — commits a tiny manifest
+    * `root/_manifests/<n>.json` recording the data path and row count.
+    * Readers resolve versions through MANIFESTS, never by listing data
+    * directories, so a torn write (data present, manifest absent) is
+    * invisible and concurrent readers of older versions are undisturbed
+    * (old data files are never touched). The manifest write is the
+    * commit point: one small file created on close — atomic on HDFS,
+    * last-writer-wins on S3, which is exactly the guarantee level a
+    * single-writer maintenance job needs. All FS access goes through the
+    * Hadoop `FileSystem` resolved from the path, so the scheme may be
+    * `file://`, `hdfs://` or `s3a://`. */
+  def writeVersion(df: DataFrame, root: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
+    val dataPath = s"$root/v=$next"
+    df.write.mode("overwrite").option("compression", "snappy").parquet(dataPath)
+    val rows = spark.read.parquet(dataPath).count()
+    val manifest = s"""{"version": $next, "path": "v=$next", "rows": $rows}"""
+    val mdir = new Path(s"$root/_manifests")
+    if (!fs.exists(mdir)) fs.mkdirs(mdir)
+    val out = fs.create(new Path(mdir, s"$next.json"), /* overwrite = */ false)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    next
+  }
+
+  /** Committed versions in ascending order (manifest listing only). */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    import org.apache.hadoop.fs.Path
+    val mdir = new Path(s"$root/_manifests")
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mdir)) Seq.empty
+    else fs.listStatus(mdir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  /** Read a committed snapshot: the given version, or the latest when
+    * `version < 0`. Fails fast on an uncommitted/unknown version rather
+    * than falling back to a directory listing. */
+  def readVersion(spark: SparkSession, root: String,
+      version: Long = -1L): DataFrame = {
+    val vs = versions(spark, root)
+    require(vs.nonEmpty, s"no committed versions under $root")
+    val v = if (version < 0) vs.last else version
+    require(vs.contains(v), s"version $v not committed under $root (have $vs)")
+    spark.read.parquet(s"$root/v=$v")
+  }
+
   /** Partitioned write with rows CLUSTERED by `sortCols` inside each file
     * (`sortWithinPartitions` — a local sort, no extra shuffle): parquet
     * min/max page stats become selective, so later range predicates on the

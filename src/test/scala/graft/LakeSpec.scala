@@ -171,4 +171,29 @@ class LakeSpec extends SparkTestBase {
     }
     assert(spark.read.parquet(s"$dir/t").count() == 1000L)
   }
+
+  test("versioned snapshots: time travel through manifests, torn writes invisible") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("tt").toFile.getAbsolutePath + "/t"
+    val v1data = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v2data = Seq((1L, "a2"), (3L, "c")).toDF("id", "v")
+    assert(Lake.writeVersion(v1data, root) == 1L)
+    assert(Lake.writeVersion(v2data, root) == 2L)
+    assert(Lake.versions(spark, root) == Seq(1L, 2L))
+    // latest = v2; explicit = v1 — old snapshot untouched by the new write
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(Lake.readVersion(spark, root)) == Set((1L, "a2"), (3L, "c")))
+    assert(rows(Lake.readVersion(spark, root, 1L)) == Set((1L, "a"), (2L, "b")))
+    // torn write: data directory exists but no manifest — invisible
+    Seq((9L, "x")).toDF("id", "v").write.parquet(s"$root/v=3")
+    assert(Lake.versions(spark, root) == Seq(1L, 2L))
+    assert(rows(Lake.readVersion(spark, root)) == Set((1L, "a2"), (3L, "c")))
+    intercept[IllegalArgumentException](Lake.readVersion(spark, root, 3L))
+    // the NEXT commit must not collide with the torn directory... it does
+    // land as v=3's manifest only after a fresh data write there
+    val v4 = Lake.writeVersion(Seq((4L, "d")).toDF("id", "v"), root)
+    assert(v4 == 3L)
+    assert(rows(Lake.readVersion(spark, root)) == Set((4L, "d")))
+  }
 }
