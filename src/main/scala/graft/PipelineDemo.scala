@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * mixture → per-source cap → cluster-aware leakage-free split → PII
   * redaction → token accounting → partitioned lake write →
   * training-window chunking → sequence packing (512-token budget) →
-  * deterministic global shuffle manifest.
+  * deterministic global shuffle manifest → raw-vs-curated drift monitor
+  * (chi-square) → token-proportional PPS eval probe.
   *
   * Every stage is embarrassingly parallel or bucket-shuffled (see each
   * operator's scale notes); nothing collects to the driver. The final
@@ -140,6 +141,28 @@ object PipelineDemo {
       spark.read.parquet(s"$outDir/packed").select("doc_id"), "order:")
     sources.Lake.writePlain(manifest, s"$outDir/manifest")
     counts += "manifest_rows" -> spark.read.parquet(s"$outDir/manifest").count()
+
+    // 13. drift monitor (q108 core): compare the CURATED corpus's length
+    // distribution against the raw ingest — a curation run that skews
+    // the histogram (e.g. a gate silently eating long docs) shows up as
+    // chi-square mass here, the check a production pipeline alarms on
+    val rawB = docs
+      .select(operators.CurationOps.lenBucket(col("text")).as("bucket"),
+        lit(0).as("side"))
+    val curB = spark.read.parquet(s"$outDir/curated")
+      .select(operators.CurationOps.lenBucket(col("text")).as("bucket"),
+        lit(1).as("side"))
+    val drift = operators.CurationOps.chiSquareBuckets(rawB.unionByName(curB))
+    counts += "drift_buckets" -> drift.filter(col("chi_term") > 0d).count()
+
+    // 14. PPS eval probe (q110 core): a token-proportional ~64-doc probe
+    // set drawn from the curated corpus — the deterministic "big docs
+    // sampled more" slice an eval harness reads each run
+    val probe = operators.CurationOps.ppsSample(
+      spark.read.parquet(s"$outDir/curated")
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")), k = 64L)
+    sources.Lake.writePlain(probe, s"$outDir/probe")
+    counts += "probe_docs" -> spark.read.parquet(s"$outDir/probe").count()
     counts.toSeq
   }
 

@@ -587,12 +587,17 @@ object CurationOps {
     * physically scanned ONCE. */
   def q108Drift(s: SparkSession, dir: String): DataFrame =
     chiSquareBuckets(Tables.documents(s, dir)
-      .select(col("doc_id"),
-        size(filter(tokens(col("text")), t => t =!= ""))
-          .cast("long").as("n_tokens"))
-      .select(col("doc_id"),
-        least(expr("n_tokens div 20"), lit(9L)).as("bucket"),
+      .select(lenBucket(col("text")).as("bucket"),
         (col("doc_id") % 2).as("side")))
+
+  /** 10-bucket doc-length histogram key (token count div 20, capped at
+    * 9) — the feature under [[q108Drift]] and PipelineDemo's drift
+    * stage. Floor division of non-negative ints, identical to the
+    * oracle's `// 20`. */
+  def lenBucket(text: Column): Column = {
+    val n = size(filter(tokens(text), t => t =!= "")).cast("long")
+    least(floor(n / lit(20L)).cast("long"), lit(9L))
+  }
 
   /** Chi-square core over a (bucket, side ∈ {0 ref, 1 cur}) frame — see
     * [[q108Drift]] for the exactness and scale rationale. */

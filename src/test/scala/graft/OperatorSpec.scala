@@ -366,6 +366,12 @@ class OperatorSpec extends SparkTestBase {
     assert(manifest.count() == packed.count()
       && byName("manifest_rows") == packed.count())
     assert(manifest.select("pos").distinct().count() == packed.count())
+    // drift monitor produced per-bucket terms; probe is a PPS draw from
+    // the curated corpus (every probe doc is a curated doc)
+    assert(byName.contains("drift_buckets"))
+    val probe = spark.read.parquet(s"$out/probe")
+    assert(probe.count() == byName("probe_docs") && probe.count() > 0)
+    assert(probe.join(back, Seq("doc_id"), "left_anti").count() == 0L)
   }
 
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
