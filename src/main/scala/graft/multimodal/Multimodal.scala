@@ -143,7 +143,63 @@ object Multimodal {
       |FROM documents,
       |  UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)""".stripMargin
 
+  /** Keyframe-hash near-dup detection over the media column — the video
+    * dedup shape: two media items are near-dup candidates when ≥ 2 of
+    * their SAMPLED frames collide byte-for-byte (frame md5) — robust to
+    * appended/trimmed content, which whole-file hashing (q34-style)
+    * misses. Runs on qm2's frame-sampling plumbing, so the only
+    * stub is the codec; the candidate structure is real.
+    *
+    * Scale shape: the join key is the frame digest — pairs exist only
+    * inside a shared frame, never all-pairs. A BOILERPLATE frame (intro
+    * card, silence, test pattern) shared by a constant fraction of the
+    * corpus is the hot-key hazard, so frame document-frequency is capped
+    * at 20 (computed on a frame-cardinality aggregate; such frames carry
+    * no dedup signal — the q51/q70 contract, mirrored in the oracle).
+    * After the cap the per-frame fan-out is ≤ cap², and the pair
+    * aggregate is the same pair-keyed count shape as q35 — no posting
+    * lists anywhere. */
+  def qm3FrameDedup(s: SparkSession, dir: String): DataFrame =
+    frameDedupPairs(s, asMediaTable(Tables.documents(s, dir)))
+
+  /** Generic core over a media table — see [[qm3FrameDedup]]. `dfCap`
+    * bounds the hot-frame fan-out; `minShared` is the match evidence
+    * threshold. */
+  def frameDedupPairs(s: SparkSession, media: DataFrame,
+      minShared: Long = 2L, dfCap: Long = 20L): DataFrame = {
+    val fr = sampleFrames(s, media)
+      .select(col("doc_id"), md5(col("frame")).as("fmd5"))
+      .distinct()
+    val rare = fr.groupBy(col("fmd5")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= dfCap)
+      .select(col("fmd5"))
+    val fd = fr.join(rare, Seq("fmd5"))
+    fd.select(col("fmd5"), col("doc_id").as("doc_a"))
+      .join(fd.select(col("fmd5"), col("doc_id").as("doc_b")), Seq("fmd5"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared_frames"))
+      .filter(col("n_shared_frames") >= minShared)
+  }
+
+  val qm3Sql: String =
+    """WITH fr AS (
+      |  SELECT DISTINCT doc_id,
+      |    md5(substr(text, CAST(f AS INT) * 32 + 1, 32)) AS fmd5
+      |  FROM documents,
+      |    UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)),
+      |rare AS (
+      |  SELECT fmd5 FROM fr GROUP BY fmd5
+      |  HAVING count(*) BETWEEN 2 AND 20)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared_frames
+      |FROM fr a JOIN fr b ON a.fmd5 = b.fmd5 AND a.doc_id < b.doc_id
+      |JOIN rare r ON r.fmd5 = a.fmd5
+      |GROUP BY 1, 2
+      |HAVING count(*) >= 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
-    QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)))
+    QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)),
+    QueryDef("qm3_frame_dedup", qm3FrameDedup, Some(qm3Sql)))
 }

@@ -208,7 +208,64 @@ object EventOps {
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin
 
+  /** Drift TIMELINE: per-day × event-type chi-square contributions
+    * against the corpus-wide type distribution — [[CurationOps.q108Drift]]
+    * extended over the time axis, i.e. the "which day did the feed shift,
+    * and in which class" monitor a continuously-ingesting pipeline pages
+    * on. Expected count for (day, type) is n_day·n_type/N; the emitted
+    * term is the exact-integer deviation `dev = c_obs·N − n_day·n_type`
+    * squared over `N·n_day·n_type`.
+    *
+    * Exactness: every count product stays int64 (dev ≲ c·N; at sf0.1
+    * ~1e10); dev is cast to double (exact: < 2^53) and squared IN DOUBLE
+    * — squaring first would overflow int64 at this event volume — then
+    * ONE correctly-rounded division by the exact int64 denominator. No
+    * cross-row accumulation of doubles anywhere (callers wanting a
+    * per-day scalar sum that day's ≤ #types exact terms).
+    *
+    * Scale shape: ONE events pass into a (day × type)-cardinality
+    * aggregate with map-side partial combine; day totals, type totals,
+    * and the grand total are re-aggregates of that tiny frame (its
+    * shuffle output is reused, not a second scan), broadcast back onto
+    * it. Nothing larger than #days×#types rows exists downstream of the
+    * first aggregate. */
+  def q113DriftTimeline(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy(col("d"), col("event_type"))
+      .agg(count(lit(1)).as("c_obs"))
+    val dayTot = obs.groupBy(col("d")).agg(sum(col("c_obs")).as("n_day"))
+    val typeTot = obs.groupBy(col("event_type"))
+      .agg(sum(col("c_obs")).as("n_type"))
+    val grand = obs.agg(sum(col("c_obs")).as("n_all"))
+    val dev = col("c_obs") * col("n_all") - col("n_day") * col("n_type")
+    obs.join(broadcast(dayTot), Seq("d"))
+      .join(broadcast(typeTot), Seq("event_type"))
+      .crossJoin(broadcast(grand))
+      .withColumn("chi_term",
+        (dev.cast("double") * dev.cast("double")) /
+          (col("n_all") * col("n_day") * col("n_type")).cast("double"))
+      .select(col("d"), col("event_type"), col("c_obs"),
+        col("n_day"), col("n_type"), col("chi_term"))
+  }
+
+  val q113Sql: String =
+    """WITH obs AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type,
+      |    CAST(count(*) AS BIGINT) AS c_obs
+      |  FROM events GROUP BY 1, 2),
+      |dt AS (SELECT d, CAST(sum(c_obs) AS BIGINT) AS n_day FROM obs GROUP BY d),
+      |tt AS (SELECT event_type, CAST(sum(c_obs) AS BIGINT) AS n_type
+      |       FROM obs GROUP BY event_type),
+      |g AS (SELECT CAST(sum(c_obs) AS BIGINT) AS n_all FROM obs)
+      |SELECT obs.d, obs.event_type, c_obs, n_day, n_type,
+      |  CAST(c_obs * n_all - n_day * n_type AS DOUBLE)
+      |    * CAST(c_obs * n_all - n_day * n_type AS DOUBLE)
+      |    / CAST(n_all * n_day * n_type AS DOUBLE) AS chi_term
+      |FROM obs JOIN dt USING (d) JOIN tt USING (event_type), g""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q113_drift_timeline", q113DriftTimeline, Some(q113Sql)),
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
     QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),
     QueryDef("q26_sessionize", q26Sessionize, Some(q26Sql)),

@@ -257,10 +257,211 @@ object SimilarityOps {
       |      AS rn
       |  FROM scored) WHERE rn <= 10""".stripMargin
 
+  /** Reciprocal-rank fusion of a lexical (BM25) and a semantic (dense
+    * kNN) ranking — the hybrid-retrieval merge behind RAG passage
+    * selection: `rrf(d) = Σ_lists 1/(60 + rank_list(d))`, which rewards
+    * agreement between retrievers without comparing their incomparable
+    * scores. Both input rankings are top-20 for ONE fixed query (the
+    * q104 term set; dense query = the document-0 embedding, vec_id being
+    * the corpus's doc_id key for `embeddings`).
+    *
+    * Exactness: each RRF term is one correctly-rounded double division
+    * of small exact integers, and the two-list sum is a FIXED two-term
+    * expression tree (lexical + semantic, absent list → exactly 0.0) —
+    * no order-dependent accumulation, so the fused scores and the final
+    * (score desc, doc_id) ranking hash-match the oracle.
+    *
+    * Scale shape: each branch ends in its own bounded top-k (BM25's
+    * `TakeOrderedAndProject`, kNN's broadcast-query corpus scan + top-k)
+    * — the only frames that reach the fusion are two k-row lists, so the
+    * full-outer join, re-rank window, and final sort are all O(k) no
+    * matter the corpus size. The ranks-within-k windows run on k-row
+    * frames (single task by construction — bounded by the retrieval k,
+    * not the corpus). */
+  def q111RrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = TextOps.bm25(
+      Tables.documents(s, dir).select(col("doc_id"),
+        filter(graft.functions.TextFns.tokens(col("text")), t => t =!= "")
+          .as("toks")),
+      Seq("query", "merge", "fast"), k = 20)
+      .select(col("doc_id"), row_number().over(wLex).cast("long").as("r_lex"))
+    val e = quantized(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("q").as("qq"), col("n2").as("qn2"))
+    val wSem = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    val sem = e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(20)
+      .select(col("vec_id").as("doc_id"),
+        row_number().over(wSem).cast("long").as("r_sem"))
+    val wF = Window.orderBy(col("rrf_score").desc, col("doc_id").asc)
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score",
+        coalesce(lit(1.0d) / (lit(60L) + col("r_lex")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(60L) + col("r_sem")), lit(0.0d)))
+      .withColumn("final_rank", row_number().over(wF).cast("long"))
+      .filter(col("final_rank") <= 20)
+      .select(col("doc_id"), col("r_lex"), col("r_sem"),
+        col("rrf_score"), col("final_rank"))
+  }
+
+  val q111Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl
+      |  FROM (
+      |    SELECT doc_id,
+      |      list_filter(
+      |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |        t -> t <> '') AS toks
+      |    FROM documents)
+      |  WHERE len(toks) > 0),
+      |st AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS s_tokens,
+      |    CAST(sum(CASE WHEN list_contains(toks, 'query') THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+      |    CAST(sum(CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END) AS BIGINT) AS df_1,
+      |    CAST(sum(CASE WHEN list_contains(toks, 'fast') THEN 1 ELSE 0 END) AS BIGINT) AS df_2
+      |  FROM d),
+      |tf AS (
+      |  SELECT doc_id, dl,
+      |    CAST(len(list_filter(toks, x -> x = 'query')) AS BIGINT) AS tf_0,
+      |    CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS tf_1,
+      |    CAST(len(list_filter(toks, x -> x = 'fast')) AS BIGINT) AS tf_2
+      |  FROM d),
+      |bscore AS (
+      |  SELECT doc_id,
+      |    CAST(22 * s_tokens * tf_0 * (2 * n_docs - 2 * df_0 + 1) AS DOUBLE)
+      |      / ((10 * s_tokens * tf_0 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_0 + 1))
+      |    + CAST(22 * s_tokens * tf_1 * (2 * n_docs - 2 * df_1 + 1) AS DOUBLE)
+      |      / ((10 * s_tokens * tf_1 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_1 + 1))
+      |    + CAST(22 * s_tokens * tf_2 * (2 * n_docs - 2 * df_2 + 1) AS DOUBLE)
+      |      / ((10 * s_tokens * tf_2 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_2 + 1))
+      |    AS score
+      |  FROM tf, st
+      |  WHERE tf_0 + tf_1 + tf_2 > 0),
+      |lex AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+      |  FROM bscore ORDER BY score DESC, doc_id LIMIT 20),
+      |qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+      |sem AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_sem
+      |  FROM (
+      |    SELECT c.vec_id AS doc_id,
+      |      CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+      |        / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+      |    FROM n qs JOIN n c ON qs.vec_id = 0 AND c.vec_id <> 0)
+      |  ORDER BY cos DESC, doc_id LIMIT 20),
+      |fused AS (
+      |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, r_lex, r_sem,
+      |    coalesce(1.0 / (60 + r_lex), 0.0) + coalesce(1.0 / (60 + r_sem), 0.0)
+      |      AS rrf_score
+      |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+      |SELECT doc_id, r_lex, r_sem, rrf_score,
+      |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+      |    AS final_rank
+      |FROM fused
+      |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Semantic decontamination: flag corpus vectors whose embedding is
+    * near-duplicate (cosine ≥ 0.4) of any EVAL-set vector — the
+    * embedding-space sibling of the lexical q70: n-gram overlap misses
+    * paraphrased benchmark leakage; this catches it. The eval set is a
+    * deterministic ~5% hash-slice (as q70's bench slice), standing in for
+    * a real benchmark embedding table.
+    *
+    * Scale shape: candidates come from a hyperplane-LSH BAND join (4
+    * bands × 2 bits — OR-banding holds recall at the 0.4 operating
+    * point where a single 8-bit signature would miss nearly everything),
+    * and the join is BIPARTITE: banded corpus ⋈ banded eval on
+    * (band, key). The eval side is a constant fraction of the corpus
+    * (benchmarks are bounded; Spark's stats may broadcast it), so there
+    * is no corpus×corpus pair volume anywhere — candidate volume is
+    * corpus × (eval bucket density). Verification is the exact
+    * quantized cosine; a candidate pair found by several bands is
+    * deduplicated BEFORE the per-vector aggregate, so multiplicity
+    * can't inflate the match count. max() over identical doubles is
+    * order-safe (no accumulation). */
+  def q112SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.quantized_dot
+    val bandsN = 4; val bitsPerBand = 2
+    val pl = planesFor(bandsN * bitsPerBand)
+    val bands = (0 until bandsN).map { bnd =>
+      val key = (0 until bitsPerBand).map { p =>
+        val plane = array(
+          pl(bnd * bitsPerBand + p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
+        when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(bnd.toLong).as("band"), key.as("key"))
+    }
+    def banded(df: DataFrame) =
+      df.select(col("vec_id"), col("q"), col("n2"),
+        explode(array(bands: _*)).as("b"))
+        .select(col("vec_id"), col("q"), col("n2"),
+          col("b.band").as("band"), col("b.key").as("key"))
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    val isEval =
+      pmod(graft.functions.TextFns.hash60(
+        concat(lit("eval:"), col("vec_id").cast("string"))), lit(100)) < 5
+    val ev = banded(e.filter(isEval))
+      .select(col("band"), col("key"), col("vec_id").as("eval_id"),
+        col("q").as("qe"), col("n2").as("ne2"))
+    banded(e.filter(!isEval))
+      .join(ev, Seq("band", "key"))
+      .select(col("vec_id"), col("eval_id"), col("q"), col("qe"),
+        col("n2"), col("ne2"))
+      .distinct() // a pair agreeing in several bands counts once
+      .withColumn("cos", quantized_dot(col("q"), col("qe")).cast("double")
+        / sqrt((col("n2") * col("ne2")).cast("double")))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+  }
+
+  val q112Sql: String = {
+    val pl = planesFor(8)
+    def keyExpr(bnd: Int) = (0 until 2).map { p =>
+      val lits = pl(bnd * 2 + p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * ($lits)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    val bandRows = (0 until 4).map { bnd =>
+      s"SELECT vec_id, q, n2, $bnd AS band, ${keyExpr(bnd)} AS key FROM n"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+       |banded AS (
+       |  $bandRows),
+       |cand AS (
+       |  SELECT DISTINCT c.vec_id, e.vec_id AS eval_id, c.q AS qc, e.q AS qe,
+       |    c.n2 AS nc2, e.n2 AS ne2
+       |  FROM banded c JOIN banded e ON c.band = e.band AND c.key = e.key
+       |  WHERE CAST('0x' || substr(md5('eval:' || e.vec_id), 1, 15) AS BIGINT) % 100 < 5
+       |    AND CAST('0x' || substr(md5('eval:' || c.vec_id), 1, 15) AS BIGINT) % 100 >= 5),
+       |verified AS (
+       |  SELECT vec_id, eval_id,
+       |    CAST(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * qe[i])) AS DOUBLE)
+       |      / sqrt(CAST(nc2 * ne2 AS DOUBLE)) AS cos
+       |  FROM cand)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       |  max(cos) AS max_cos
+       |FROM verified WHERE cos >= 0.4
+       |GROUP BY vec_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
     QueryDef("q93_knn_int8", q93KnnInt8, Some(q93Sql)),
     QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),
     QueryDef("q48_dim_stats", q48DimStats, Some(q48Sql)),
+    QueryDef("q111_rrf_hybrid", q111RrfHybrid, Some(q111Sql)),
+    QueryDef("q112_semantic_decontam", q112SemanticDecontam, Some(q112Sql)),
     QueryDef("q52_knn_ivf", q52KnnIvf, None))
 }

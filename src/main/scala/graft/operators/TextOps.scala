@@ -519,6 +519,50 @@ object TextOps {
       |ORDER BY score DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  /** Per-language top-5 bigrams by count — grouped heavy hitters over a
+    * grouped corpus: the "what does each domain's text actually look
+    * like" profile used to spot boilerplate and template drift per
+    * slice. Runs on the custom bounded-heap top-k operator
+    * ([[graft.plans.TopKPerKey]]): the PARTIAL pass caps each language
+    * at k rows per map task BEFORE the shuffle, so the (lang, bigram)
+    * count frame — vocabulary²-bounded but still large — never funnels
+    * a whole language's count rows through one window task (the
+    * `row_number() OVER (PARTITION BY lang)` plan the oracle uses would;
+    * lang is low-cardinality by construction, the same funnel q91
+    * eliminated). Bigram counting itself is a map-side-combining
+    * aggregate of per-row array work — the token stream shuffles only
+    * as (lang, bigram, partial count) rows. */
+  def q114LangTopBigrams(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("lang"), col("bg")).agg(count(lit(1)).as("c"))
+    graft.plans.TopKPerKey.perKey(counts, keys = Seq("lang"),
+      order = Seq("c" -> true, "bg" -> false), k = 5)
+  }
+
+  val q114Sql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |    list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT lang, toks FROM t WHERE len(toks) >= 2),
+      |bg AS (
+      |  SELECT lang, toks[i] || ' ' || toks[i + 1] AS bg
+      |  FROM f, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+      |c AS (SELECT lang, bg, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2)
+      |SELECT lang, bg, c FROM (
+      |  SELECT lang, bg, c,
+      |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, bg) AS rn
+      |  FROM c)
+      |WHERE rn <= 5""".stripMargin
+
   /** Content fingerprint: md5 of the normalized text, plus a 60-bit
     * integer form — the primitive under exact dedup. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -622,6 +666,7 @@ object TextOps {
     QueryDef("q92_vocab_coverage", q92VocabCoverage, Some(q92Sql)),
     QueryDef("q99_unigram_lm", q99UnigramLm, Some(q99Sql)),
     QueryDef("q103_pmi_bigrams", q103PmiBigrams, Some(q103Sql)),
+    QueryDef("q114_lang_top_bigrams", q114LangTopBigrams, Some(q114Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),
