@@ -305,6 +305,55 @@ object StreamingOps {
       .toDF("doc_id", "source")
   }
 
+  /** One change of the streaming CDC feed; `seq` is the change's
+    * total-order position (a log offset / commit LSN in production). */
+  final case class CdcChange(k: Long, seq: Long, op: String, payload: String)
+  /** Current materialized row for a key after applying a change. */
+  final case class CdcState(k: Long, seq: Long, deleted: Boolean,
+      payload: String)
+
+  /** Streaming CDC upsert view — the ONLINE tier of the batch q105
+    * MERGE: a change feed of (key, seq, op ∈ I/U/D, payload) folds into
+    * a continuously-current keyed view. State per key is ONE (seq,
+    * deleted, payload) record — bounded by live key cardinality, not
+    * feed length. Last-write-wins by `seq`: within a trigger changes
+    * apply in seq order (batch iterators carry no ordering promise, so
+    * the trigger's changes are sorted); ACROSS triggers a stale change
+    * (seq ≤ state's) is DROPPED rather than applied — the out-of-order
+    * delivery guard replication consumers need. Deletes tombstone the
+    * key (retained so a late stale update cannot resurrect it; eviction
+    * of old tombstones would ride a watermark in production).
+    *
+    * Emits the key's state after each trigger that changed it
+    * (update-mode semantics); the latest emission per key IS the
+    * materialized view, which the spec proves equal to the batch fold
+    * of the same change set. */
+  def upsertStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .as[CdcChange]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[CdcChange], state: GroupState[CdcState]) =>
+          var cur = state.getOption.getOrElse(CdcState(k, Long.MinValue,
+            deleted = true, payload = null))
+          val before = cur.seq
+          it.toArray.sortBy(_.seq).foreach { c =>
+            if (c.seq > cur.seq) // stale changes dropped, never applied
+              cur = CdcState(k, c.seq, c.op == "D",
+                if (c.op == "D") null else c.payload)
+          }
+          state.update(cur)
+          if (cur.seq != before) Iterator.single(cur) else Iterator.empty
+      }
+      .toDF()
+  }
+
   /** Append-mode parquet lake sink (stateless/dedup streams): files
     * accumulate per micro-batch; exactly-once via the sink's own
     * checkpoint-coordinated file manifest. */

@@ -275,6 +275,42 @@ class StreamingSpec extends SparkTestBase {
       (6L, "c"), (9L, "c")), got)
   }
 
+  test("streaming CDC upsert view equals the batch fold; stale changes dropped") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("supsert").toString
+    val src = s"$tmp/src"
+    // (k, seq, op, payload) in three delivery files; key 2 is deleted then
+    // receives a STALE update (seq 3 < 5) that must not resurrect it; key 3
+    // receives an in-trigger out-of-order pair that must apply in seq order
+    val chunks = Seq(
+      Seq((1L, 1L, "I", "a1"), (2L, 2L, "I", "b1")),
+      Seq((2L, 5L, "D", null: String), (3L, 7L, "U", "c2"), (3L, 6L, "I", "c1")),
+      Seq((2L, 3L, "U", "b2"), (1L, 9L, "U", "a2")))
+    chunks.foreach { rows =>
+      rows.toDF("k", "seq", "op", "payload").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val emitted = StreamingOps.runToMemory(spark,
+      StreamingOps.upsertStream(spark, src), "upsert_stream", "update")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    // the latest emission per key is the materialized view
+    val view = emitted.groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
+      .filterNot(_._3).map(e => e._1 -> e._4).toMap
+    // batch fold reference: max-seq change wins, deletes remove the key
+    val all = chunks.flatten
+    val ref = all.groupBy(_._1).flatMap { case (k, cs) =>
+      val last = cs.maxBy(_._2)
+      if (last._3 == "D") None else Some(k -> last._4)
+    }
+    assert(view == ref, s"view=$view ref=$ref")
+    // the stale key-2 update produced NO emission (state seq unchanged)
+    assert(!emitted.exists(e => e._1 == 2L && e._2 == 3L))
+    // key 3's in-trigger pair applied in seq order: final payload c2 at seq 7
+    assert(emitted.filter(_._1 == 3L).maxBy(_._2)._4 == "c2")
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
