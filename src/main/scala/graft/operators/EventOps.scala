@@ -232,6 +232,12 @@ object EventOps {
   def q113DriftTimeline(s: SparkSession, dir: String): DataFrame = {
     val obs = Tables.events(s, dir)
       .select(to_date(col("ts")).as("d"), col("event_type"))
+      // explicit null-key filter: the inner joins below drop null keys
+      // anyway, but stating it HERE makes all four aggregate branches'
+      // scan+filter sub-plans identical, so the (d, type) shuffle is
+      // planned once and the marginals read it as ReusedExchange — one
+      // events scan instead of four (spec-locked)
+      .filter(col("d").isNotNull && col("event_type").isNotNull)
       .groupBy(col("d"), col("event_type"))
       .agg(count(lit(1)).as("c_obs"))
     val dayTot = obs.groupBy(col("d")).agg(sum(col("c_obs")).as("n_day"))

@@ -274,6 +274,42 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("o_orderpriority"), plan)
   }
 
+  test("q111 rrf: both branches end in bounded top-k; no cartesian anywhere") {
+    val plan = initialPlan(operators.SimilarityOps.q111RrfHybrid(spark, sfDir))
+    // the dense branch's global top-20 is a partial top-k merge, not a
+    // single-task global sort of the scored corpus
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q112 semantic decontam: banded equi-join, no cartesian, no window") {
+    val plan = initialPlan(
+      operators.SimilarityOps.q112SemanticDecontam(spark, sfDir))
+    // candidates only via the (band, key) equi-join of the two banded sides
+    assert(count(plan, "band") > 0, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q113 drift timeline: marginals reuse the (day,type) agg shuffle") {
+    val df = operators.EventOps.q113DriftTimeline(spark, sfDir)
+    df.collect() // AQE resolves exchange reuse at runtime
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"), executed)
+  }
+
+  test("q114 grouped heavy hitters: heap operator, no per-lang window funnel") {
+    val plan = initialPlan(operators.TextOps.q114LangTopBigrams(spark, sfDir))
+    assert(count(plan, "TopKPerKey") == 2, plan) // partial + final
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("qm3 frame dedup: pairs ride the frame-digest join, never a cartesian") {
+    val plan = initialPlan(multimodal.Multimodal.qm3FrameDedup(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(count(plan, "fmd5") > 0, plan)
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
