@@ -7,7 +7,8 @@ import org.apache.spark.sql.functions._
   * library — the workflow a 100 TB corpus actually runs, demonstrating
   * that the pieces compose: ingest → per-domain quality percentile gate →
   * language filter → repetition filter → exact dedup → near-dup removal
-  * (MinHash-LSH) → benchmark-contamination removal → temperature domain
+  * (MinHash-LSH) → benchmark-contamination removal (lexical n-gram +
+  * semantic embedding near-match) → temperature domain
   * mixture → per-source cap → cluster-aware leakage-free split → PII
   * redaction → token accounting → partitioned lake write →
   * training-window chunking → sequence packing (512-token budget) →
@@ -72,11 +73,19 @@ object PipelineDemo {
     val clean = stage("decontaminated",
       nearDeduped.join(contaminated, Seq("doc_id"), "left_anti"))
 
+    // 6.2 SEMANTIC decontamination (q112): embedding-space near-matches
+    // of the eval set — paraphrased benchmark leakage the n-gram overlap
+    // of stage 6 cannot see (vec_id keys the same doc_id space)
+    val semContaminated = operators.SimilarityOps.q112SemanticDecontam(spark, sfDir)
+      .select(col("vec_id").as("doc_id"))
+    val semClean = stage("semantic_decontaminated",
+      clean.join(semContaminated, Seq("doc_id"), "left_anti"))
+
     // 6.5 domain-mixture sampling (q88): temperature-flatten the
     // language mix before the split
     val mixKept = operators.CurationOps.q88DomainMixture(spark, sfDir)
       .select(col("doc_id"))
-    val mixed = stage("mixture_sampled", clean.join(mixKept, Seq("doc_id")))
+    val mixed = stage("mixture_sampled", semClean.join(mixKept, Seq("doc_id")))
 
     // 6.6 per-source cap (q96): bound any single source's contribution
     // (the over-represented-crawl pressure valve; salted-hash order keeps

@@ -352,6 +352,10 @@ class OperatorSpec extends SparkTestBase {
     val losers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
       .select(col("doc_b").as("doc_id")).distinct()
     assert(back.join(losers, Seq("doc_id")).count() == 0L)
+    // semantic decontamination removed every embedding-space eval match
+    val semFlagged = operators.SimilarityOps.q112SemanticDecontam(spark, sfDir)
+      .select(col("vec_id").as("doc_id"))
+    assert(back.join(semFlagged, Seq("doc_id")).count() == 0L)
     // leakage-free split: no written doc is in the eval side of q89
     val evalSide = operators.DedupOps.q89LeakFreeSplit(spark, sfDir)
       .filter(col("split") === "eval").select("doc_id")
