@@ -660,7 +660,9 @@ object CurationOps {
     QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)),
     QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)),
     QueryDef("q96_source_cap", q96SourceCap, Some(q96Sql)),
-    QueryDef("q110_pps_sample", q110PpsSample, Some(q110Sql)))
+    QueryDef("q110_pps_sample", q110PpsSample, Some(q110Sql)),
+    QueryDef("q115_curriculum", q115Curriculum, Some(q115Sql)),
+    QueryDef("q116_token_budget", q116TokenBudget, Some(q116Sql)))
 
   /** Systematic PPS (probability-proportional-to-size) sampling: pick
     * ~k documents with inclusion probability proportional to token
@@ -709,6 +711,140 @@ object CurationOps {
       }
     }.toDF("doc_id", "n_tokens", "cum_tokens")
   }
+
+  /** Curriculum interleave: a deterministic training order that
+    * round-robins difficulty buckets — position `rank_in_bucket · B +
+    * bucket` walks easy→hard repeatedly, the standard anti-"all the hard
+    * docs land in one epoch stretch" curriculum shuffle. Difficulty here
+    * is the 10-bucket length feature ([[lenBucket]]); `curriculum_pos`
+    * is a strict total order (unique by construction: rank is unique
+    * within a bucket and positions of different buckets differ mod B).
+    *
+    * The per-bucket rank is NOT `row_number() OVER (PARTITION BY
+    * bucket)` — bucket count is FIXED at 10, so that window funnels a
+    * tenth of the corpus through each of 10 tasks at 100 TB. It is the
+    * q91 two-pass distributed-rank shape keyed by bucket: range-partition
+    * + sort by (bucket, doc_id) — each bucket spans MANY ordered
+    * partitions — finalize ONE RDD, count rows per (partition, bucket)
+    * in a cheap first job, broadcast the per-bucket prefix offsets, and
+    * stream each partition once emitting the running rank. */
+  def q115Curriculum(s: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.documents(s, dir)
+      .select(col("doc_id"), lenBucket(col("text")).as("bucket")), buckets = 10)
+
+  /** Curriculum core over a (doc_id, bucket) frame — see
+    * [[q115Curriculum]]. */
+  def curriculumOrder(items: DataFrame, buckets: Int): DataFrame = {
+    val s = items.sparkSession
+    import s.implicits._
+    val sorted = items
+      .repartitionByRange(col("bucket"), col("doc_id"))
+      .sortWithinPartitions(col("bucket"), col("doc_id"))
+      .select(col("doc_id").as[Long], col("bucket").as[Long])
+    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      it.foreach { case (_, b) => m.update(b, m.getOrElse(b, 0L) + 1L) }
+      m.iterator.map { case (b, n) => (pid, b, n) }
+    }.collect() // ≤ #partitions × #buckets rows — driver-bounded
+    val offsets = counts.groupBy(_._2).iterator.flatMap { case (b, cs) =>
+      val byPid = cs.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, off) => (pid, b) -> off }.iterator
+    }.toMap
+    val bcOff = s.sparkContext.broadcast(offsets)
+    val nB = buckets.toLong
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value
+      var curB = -1L; var rank = 0L
+      it.map { case (id, b) =>
+        if (b != curB) { curB = b; rank = off.getOrElse((pid, b), 0L) }
+        val out = (id, b, rank, rank * nB + b)
+        rank += 1
+        out
+      }
+    }.toDF("doc_id", "bucket", "rank_in_bucket", "curriculum_pos")
+  }
+
+  val q115Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    least(CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      t -> t <> '')) AS BIGINT) // 20, 9) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1
+      |    AS BIGINT) AS rank_in_bucket,
+      |  CAST((row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) * 10
+      |    + bucket AS BIGINT) AS curriculum_pos
+      |FROM b""".stripMargin
+
+  /** Token-budget corpus assembly: walk the deterministic shuffle order
+    * (the q90 salted-hash key) and keep documents until the running
+    * token total reaches the budget — "give me a reproducible ~1M-token
+    * slice" for eval sets, ablations, and budget-matched comparisons.
+    * A document is kept iff the total BEFORE it is under budget, so the
+    * slice overshoots by at most one document (the standard contract);
+    * zero-token docs inside the window are kept (they cost nothing).
+    *
+    * Same finalized-RDD two-pass prefix shape as q110: range-partition
+    * by the shuffle key, per-partition token sums (one tiny job),
+    * broadcast prefix offsets, one streaming pass carrying the running
+    * total. The naive `sum() OVER (ORDER BY k)` is the single-partition
+    * window funnel. */
+  def q116TokenBudget(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetHead(Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tokens")), budget = 5000L, salt = "shuf:")
+
+  /** Budget-head core over a (doc_id, n_tokens) frame — see
+    * [[q116TokenBudget]]. */
+  def tokenBudgetHead(weights: DataFrame, budget: Long,
+      salt: String): DataFrame = {
+    val s = weights.sparkSession
+    import s.implicits._
+    val sorted = weights
+      .select(col("doc_id"),
+        hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"),
+        col("n_tokens"))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .sortWithinPartitions(col("k"), col("doc_id"))
+      .select(col("doc_id").as[Long], col("k").as[Long],
+        col("n_tokens").as[Long])
+    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
+    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_._3).sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _).init
+    val bcOff = s.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = bcOff.value(pid)
+      // a partition whose offset already exceeds the budget streams no
+      // rows (the iterator short-circuits on the first check)
+      it.flatMap { case (id, k, w) =>
+        val before = cum
+        cum += w
+        if (before < budget) Some((id, k, w, cum)) else None
+      }
+    }.toDF("doc_id", "k", "n_tokens", "cum_tokens")
+  }
+
+  val q116Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5('shuf:' || doc_id), 1, 15) AS BIGINT) AS k,
+      |    CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, k, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY k, doc_id) AS BIGINT) AS cum_tokens
+      |  FROM w)
+      |SELECT doc_id, k, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens - n_tokens < 5000""".stripMargin
 
   val q110Sql: String =
     """WITH w AS (

@@ -382,8 +382,79 @@ object MiscOps {
       |  max(o_orderdate) AS last_order
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** Snapshot diff — the "what changed between table versions" audit
+    * query behind every lake-maintenance review (pairs with
+    * [[graft.sources.Lake.writeVersion]]'s time travel: read two
+    * committed versions, diff them; `LakeSpec` exercises exactly that
+    * composition). Emits one row per key whose presence or payload
+    * differs: `added` (new version only), `removed` (old only), or
+    * `changed` (both, any payload column differing under null-safe
+    * equality). Unchanged keys produce NOTHING — the diff's size tracks
+    * the churn, not the table.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key (both sides
+    * key-partitioned, AQE-skew-splittable; no broadcast is forced since
+    * neither snapshot is bounded) and a row-local classification — no
+    * window, no sort, no driver state. The declared query derives both
+    * versions deterministically from `customer` (key mod 50 slices) so
+    * the oracle reproduces them.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, key: String,
+      payload: Seq[String]): DataFrame = {
+    val av = a.select(col(key) +: lit(true).as("in_a") +:
+      payload.map(c => col(c).as(s"a_$c")): _*)
+    val bv = b.select(col(key) +: lit(true).as("in_b") +:
+      payload.map(c => col(c).as(s"b_$c")): _*)
+    val differs = payload.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduceLeft(_ || _)
+    av.join(bv, Seq(key), "full_outer")
+      .withColumn("change",
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(differs, "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(key) +: col("change") +:
+        payload.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
+  }
+
+  def q117SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val v1 = base.filter(col("c_custkey") % 50 =!= 2)
+    val v2 = base.filter(col("c_custkey") % 50 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 50 === 1, col("c_acctbal") + 100.0d)
+          .otherwise(col("c_acctbal")))
+    snapshotDiff(v1, v2, "c_custkey", Seq("c_mktsegment", "c_acctbal"))
+  }
+
+  val q117Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      |v1 AS (SELECT * FROM base WHERE c_custkey % 50 <> 2),
+      |v2 AS (
+      |  SELECT c_custkey, c_mktsegment,
+      |    CASE WHEN c_custkey % 50 = 1 THEN c_acctbal + 100.0 ELSE c_acctbal END
+      |      AS c_acctbal
+      |  FROM base WHERE c_custkey % 50 <> 0)
+      |SELECT coalesce(v1.c_custkey, v2.c_custkey) AS c_custkey,
+      |  CASE WHEN v1.c_custkey IS NULL THEN 'added'
+      |       WHEN v2.c_custkey IS NULL THEN 'removed'
+      |       WHEN v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+      |         OR v1.c_acctbal IS DISTINCT FROM v2.c_acctbal THEN 'changed'
+      |  END AS change,
+      |  v1.c_mktsegment AS a_c_mktsegment, v2.c_mktsegment AS b_c_mktsegment,
+      |  v1.c_acctbal AS a_c_acctbal, v2.c_acctbal AS b_c_acctbal
+      |FROM v1 FULL OUTER JOIN v2 ON v1.c_custkey = v2.c_custkey
+      |WHERE CASE WHEN v1.c_custkey IS NULL THEN 'added'
+      |           WHEN v2.c_custkey IS NULL THEN 'removed'
+      |           WHEN v1.c_mktsegment IS DISTINCT FROM v2.c_mktsegment
+      |             OR v1.c_acctbal IS DISTINCT FROM v2.c_acctbal THEN 'changed'
+      |      END IS NOT NULL""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
+    QueryDef("q117_snapshot_diff", q117SnapshotDiff, Some(q117Sql)),
     QueryDef("q105_cdc_merge", q105CdcMerge, Some(q105Sql)),
     QueryDef("q109_incremental_agg", q109IncrementalAgg, Some(q109Sql)),
     QueryDef("q102_constraints", q102Constraints, Some(q102Sql)),

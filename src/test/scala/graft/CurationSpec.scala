@@ -254,6 +254,60 @@ class CurationSpec extends SparkTestBase {
     assert(!plan.contains("NestedLoop"), plan)
   }
 
+  test("q115: curriculum order is a round-robin interleave with per-bucket ranks") {
+    import org.apache.spark.sql.expressions.Window
+    val got = CurationOps.q115Curriculum(spark, sfDir)
+    val rows = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // positions are unique and encode (rank, bucket) exactly
+    assert(rows.map(_._4).distinct.length == rows.length)
+    rows.foreach { case (_, b, rk, pos) => assert(pos == rk * 10 + b) }
+    // matches the window reference (safe at spec scale)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), CurationOps.lenBucket(col("text")).as("bucket"))
+      .withColumn("rank_in_bucket", (row_number().over(w) - 1).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows.map(t => (t._1, t._2, t._3)).toSet == ref)
+    // walking positions round-robins buckets: consecutive same-bucket
+    // picks are always ≥ #occupied-buckets apart in the position order
+    val byBucket = rows.groupBy(_._2).values
+    byBucket.foreach { bs =>
+      val ps = bs.map(_._4).sorted
+      ps.zip(ps.tail).foreach { case (p, q) => assert(q - p == 10L) }
+    }
+  }
+
+  test("q116: budget head is the exact prefix of the shuffle order") {
+    val got = CurationOps.q116TokenBudget(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val inOrder = got.sortBy(t => (t._2, t._1))
+    // cum_tokens is the running sum in (k, doc_id) order
+    var cum = 0L
+    inOrder.foreach { case (_, _, n, c) => cum += n; assert(c == cum) }
+    // every kept doc started under budget, and the slice is a PREFIX:
+    // either it reaches the budget or it is the whole corpus
+    assert(inOrder.forall { case (_, _, n, c) => c - n < 5000L })
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(inOrder.last._4 >= 5000L || inOrder.length.toLong == nDocs)
+  }
+
+  test("snapshotDiff: classifies added/removed/changed, null-safe, drops unchanged") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 1.0), (2L, "y", 2.0), (3L, null: String, 3.0),
+      (4L, "gone", 4.0)).toDF("k", "seg", "bal")
+    val b = Seq((1L, "x", 1.0),                      // unchanged
+      (2L, "y", 2.5),                                 // changed value
+      (3L, "now-set", 3.0),                           // null → value = changed
+      (5L, "new", 5.0))                               // added
+      .toDF("k", "seg", "bal")
+    val got = graft.operators.MiscOps.snapshotDiff(a, b, "k", Seq("seg", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "changed",
+      4L -> "removed", 5L -> "added"), got.toString)
+  }
+
   test("q74: stratified rates land near their targets and are deterministic") {
     val e = Tables.events(spark, sfDir)
     val got = CurationOps.q74StratifiedSample(spark, sfDir)

@@ -196,4 +196,18 @@ class LakeSpec extends SparkTestBase {
     assert(v4 == 3L)
     assert(rows(Lake.readVersion(spark, root)) == Set((4L, "d")))
   }
+
+  test("snapshotDiff over two committed versions reports exactly the churn") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("ttdiff").toFile.getAbsolutePath + "/t"
+    Lake.writeVersion(Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "seg", "bal"), root)
+    Lake.writeVersion(Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+      .toDF("id", "seg", "bal"), root)
+    val got = graft.operators.MiscOps.snapshotDiff(
+      Lake.readVersion(spark, root, 1L), Lake.readVersion(spark, root, 2L),
+      "id", Seq("seg", "bal"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), got)
+  }
 }

@@ -66,6 +66,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("streaming CDC upsert equals the batch fold on random change feeds") {
+    import spark.implicits._
+    // random feed over 12 keys with out-of-order/stale sequence numbers
+    // and random deletes, delivered as 4 files; (k, seq) is unique — a
+    // replication log never assigns one offset twice, and an in-trigger
+    // seq tie would be a nondeterministic apply order by construction
+    val changes = Seq.fill(120) {
+      (rnd.nextInt(12).toLong, rnd.nextInt(40).toLong,
+        Seq("I", "U", "D")(rnd.nextInt(3)),
+        "p" + rnd.nextInt(100))
+    }.groupBy(c => (c._1, c._2)).map(_._2.head).toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("supsert_prop").toString
+    val src = s"$tmp/src"
+    changes.grouped((changes.size + 3) / 4).foreach { rows =>
+      rows.toDF("k", "seq", "op", "payload").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val emitted = streaming.StreamingOps.runToMemory(spark,
+      streaming.StreamingOps.upsertStream(spark, src), "upsert_prop", "update")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) null else r.getString(3)))
+    val view = emitted.groupBy(_._1).map { case (_, es) => es.maxBy(_._2) }
+      .filterNot(_._3).map(e => e._1 -> e._4).toMap
+    // batch fold: the max-seq change wins outright (seqs unique per key)
+    val ref = changes.groupBy(_._1).flatMap { case (k, cs) =>
+      val last = cs.maxBy(_._2)
+      if (last._3 == "D") None else Some(k -> last._4)
+    }
+    assert(view == ref, s"view=$view ref=$ref")
+  }
+
   test("distinct is idempotent and order-insensitive") {
     import spark.implicits._
     val xs = Seq.fill(500)(rnd.nextInt(50)).toDF("x")
