@@ -168,6 +168,50 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(out(2) == "no pii here at all")
   }
 
+  test("tokenBudgetHead: zero-weight docs kept inside the window, empty input empty") {
+    val w = Seq((1L, 0L), (2L, 10L), (3L, 0L), (4L, 10L)).toDF("doc_id", "n_tokens")
+    // budget 15: the whole shuffle-ordered prefix until cum ≥ 15; every
+    // zero-weight doc before the crossing is kept (before < budget)
+    val got = operators.CurationOps.tokenBudgetHead(w, budget = 15L, salt = "t:")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.nonEmpty && got.map(_._2).max >= 15L)
+    val empty = operators.CurationOps.tokenBudgetHead(
+      spark.emptyDataset[(Long, Long)].toDF("doc_id", "n_tokens"),
+      budget = 5L, salt = "t:")
+    assert(empty.count() == 0L)
+  }
+
+  test("curriculumOrder: single-bucket input degenerates to plain ranking") {
+    val items = (1L to 7L).map(i => (i, 3L)).toDF("doc_id", "bucket")
+    val got = operators.CurationOps.curriculumOrder(items, buckets = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == (0L to 6L), got.toSeq) // ranks 0..n-1
+    got.foreach { case (_, rk, pos) => assert(pos == rk * 10 + 3) }
+    assert(operators.CurationOps.curriculumOrder(
+      spark.emptyDataset[(Long, Long)].toDF("doc_id", "bucket"), 10).count() == 0L)
+  }
+
+  test("frameDedupPairs: sub-frame media and empty tables produce no pairs") {
+    val tiny = multimodal.Multimodal.asMediaTable(
+      Seq((1L, "short", "s"), (2L, "short", "s")).toDF("doc_id", "text", "source"))
+    assert(multimodal.Multimodal.frameDedupPairs(spark, tiny).count() == 0L)
+    val none = multimodal.Multimodal.asMediaTable(
+      Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source"))
+    assert(multimodal.Multimodal.frameDedupPairs(spark, none).count() == 0L)
+  }
+
+  test("snapshotDiff of identical or empty snapshots is empty") {
+    val a = Seq((1L, "x", 1.0), (2L, null: String, 2.0)).toDF("k", "s", "b")
+    assert(operators.MiscOps.snapshotDiff(a, a, "k", Seq("s", "b")).count() == 0L)
+    val e = Seq.empty[(Long, String, Double)].toDF("k", "s", "b")
+    assert(operators.MiscOps.snapshotDiff(e, e, "k", Seq("s", "b")).count() == 0L)
+    // one empty side classifies everything as added/removed
+    val add = operators.MiscOps.snapshotDiff(e, a, "k", Seq("s", "b"))
+      .collect().map(_.getString(1)).toSet
+    assert(add == Set("added"))
+  }
+
   test("exact sums over an empty relation are null, not zero or a crash") {
     val empty = spark.emptyDataset[Long].toDF("x")
     val r = empty.agg(
