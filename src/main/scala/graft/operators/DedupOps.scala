@@ -512,6 +512,53 @@ object DedupOps {
        |SELECT src AS doc_id, min(dst) AS cluster_id
        |FROM reach GROUP BY src""".stripMargin
 
+  /** Cluster canonical selection: from every near-dup cluster keep its
+    * BEST member — argmax quality with a doc_id tiebreak — not an
+    * arbitrary one (the q36 "drop the larger id" convention loses the
+    * better copy whenever the cleaner rewrite has the higher id; real
+    * curation keeps the highest-quality representative). Emits each
+    * cluster's canonical doc with the cluster size for audit.
+    *
+    * Scale shape: the cluster map is PAIRS-bounded (near-dups only, from
+    * the bucket-bounded q36→q64 pipeline), the quality join is key-keyed,
+    * and the per-cluster argmax runs on the bounded-heap TopKPerKey
+    * operator (partial pass caps each cluster at 1 row per map task
+    * BEFORE the shuffle — a giant boilerplate cluster ships #tasks rows,
+    * not its membership). Cluster sizes are a second tiny aggregate of
+    * the same map. Quality doubles are the engine-identical q32 formula,
+    * so the argmax (and hence the hash) is deterministic cross-engine. */
+  def q118ClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    val clusters = q64DedupClusters(s, dir)
+    val quality = TextOps.scoredDocs(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val best = graft.plans.TopKPerKey.perKey(
+      clusters.join(quality, Seq("doc_id")),
+      keys = Seq("cluster_id"),
+      order = Seq("quality" -> true, "doc_id" -> false), k = 1)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    best.join(sizes, Seq("cluster_id"))
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("quality"), col("n_members"))
+  }
+
+  val q118Sql: String =
+    s"""WITH clusters AS (
+       |${q64Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |scored AS (${TextOps.scoredSql}),
+       |ranked AS (
+       |  SELECT c.cluster_id, c.doc_id, s.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |                       ORDER BY s.quality DESC, c.doc_id) AS rn
+       |  FROM clusters c JOIN scored s ON s.doc_id = c.doc_id),
+       |sizes AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM clusters GROUP BY cluster_id)
+       |SELECT r.cluster_id, r.doc_id AS keep_id, r.quality, z.n_members
+       |FROM ranked r JOIN sizes z ON z.cluster_id = r.cluster_id
+       |WHERE r.rn = 1""".stripMargin
+
   /** Leakage-free train/eval split: assignment is decided per NEAR-DUP
     * CLUSTER (q64's components; unpaired docs are their own singleton
     * cluster), so two near-duplicate documents can never land on opposite
@@ -666,6 +713,7 @@ object DedupOps {
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q100_sorted_neighborhood", q100SortedNeighborhood, Some(q100Sql)),
     QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
+    QueryDef("q118_cluster_canonical", q118ClusterCanonical, Some(q118Sql)),
     QueryDef("q89_leakfree_split", q89LeakFreeSplit, Some(q89Sql)),
     QueryDef("q83_triangles", q83Triangles, Some(q83Sql)),
     QueryDef("q35_ngram_jaccard", q35NgramJaccard, Some(q35Sql)),

@@ -563,6 +563,63 @@ object TextOps {
       |  FROM c)
       |WHERE rn <= 5""".stripMargin
 
+  /** Duplicate n-gram fraction: per document, the share of its DISTINCT
+    * word 3-grams that also occur in at least one OTHER document — the
+    * RefinedWeb/Dolma-style cross-document repetition signal (q68 is the
+    * WITHIN-document counterpart). High values flag boilerplate and
+    * template families that per-doc quality scores miss.
+    *
+    * Scale shape: grams travel as fused 64-bit hashes (Gram3Hash64 — no
+    * gram strings allocated or shuffled; counts are hash-agnostic under
+    * injectivity, the q70 contract). The df aggregate partial-combines
+    * map-side and keys by gram hash; only df ≥ 2 grams survive into the
+    * numerator join (the overwhelmingly-unique tail never re-shuffles),
+    * and the join key's skew is AQE-splittable. The denominator is
+    * per-row array work — no second gram-stream pass. One exact double
+    * division per doc. */
+  def q119DupGramFrac(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val grams = docs.select(col("doc_id"), explode(array_distinct(
+      graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+    val shared = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select(col("g"))
+    val num = grams.join(shared, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    docs
+      .select(col("doc_id"), size(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks"))))
+        .cast("long").as("n_grams"))
+      .join(num, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("dup_gram_frac",
+        col("n_shared").cast("double") / col("n_grams"))
+  }
+
+  val q119Sql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |  string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+       |    AS toks FROM documents),
+       |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |shared AS (SELECT g FROM sh GROUP BY g HAVING count(*) >= 2),
+       |num AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM sh JOIN shared USING (g) GROUP BY doc_id),
+       |den AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM sh GROUP BY doc_id)
+       |SELECT den.doc_id, den.n_grams,
+       |  coalesce(num.n_shared, 0) AS n_shared,
+       |  CAST(coalesce(num.n_shared, 0) AS DOUBLE) / den.n_grams
+       |    AS dup_gram_frac
+       |FROM den LEFT JOIN num ON num.doc_id = den.doc_id""".stripMargin
+
   /** Content fingerprint: md5 of the normalized text, plus a 60-bit
     * integer form — the primitive under exact dedup. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -667,6 +724,7 @@ object TextOps {
     QueryDef("q99_unigram_lm", q99UnigramLm, Some(q99Sql)),
     QueryDef("q103_pmi_bigrams", q103PmiBigrams, Some(q103Sql)),
     QueryDef("q114_lang_top_bigrams", q114LangTopBigrams, Some(q114Sql)),
+    QueryDef("q119_dup_gram_frac", q119DupGramFrac, Some(q119Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),

@@ -120,4 +120,49 @@ class GraphTextSpec extends SparkTestBase {
       assert(r.getAs[Boolean]("pass") == (r.getAs[Long]("violations") == 0L))
     }
   }
+
+  test("q118: canonical is each cluster's max-quality member, sizes audit") {
+    val clusters = DedupOps.q64DedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val quality = TextOps.scoredDocs(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val got = DedupOps.q118ClusterCanonical(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val byCluster = clusters.groupBy(_._2)
+    assert(got.length == byCluster.size) // one canonical per cluster
+    got.foreach { case (cid, keep, q, n) =>
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(keep))
+      assert(n == members.length.toLong)
+      assert(q == quality(keep))
+      // argmax with doc_id tiebreak
+      val best = members.minBy(m => (-quality(m), m))
+      assert(keep == best, s"cluster $cid kept $keep, best is $best")
+    }
+  }
+
+  test("q119: fractions are valid and zero exactly for docs with no shared grams") {
+    val got = TextOps.q119DupGramFrac(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (_, nGrams, nShared, frac) =>
+      assert(nGrams > 0 && nShared >= 0 && nShared <= nGrams)
+      assert(frac == nShared.toDouble / nGrams)
+    }
+    // cross-check one side: a doc with frac 0 shares no gram with anyone
+    // (recompute gram sets locally for a few docs)
+    import graft.functions.TextFns
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val df = grams.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    val refShared = grams.groupBy(_._1).view
+      .mapValues(_.count(g => df(g._2) >= 2).toLong).toMap
+    got.foreach { case (id, _, nShared, _) =>
+      assert(nShared == refShared.getOrElse(id, 0L), s"doc $id")
+    }
+  }
 }
