@@ -662,7 +662,8 @@ object CurationOps {
     QueryDef("q96_source_cap", q96SourceCap, Some(q96Sql)),
     QueryDef("q110_pps_sample", q110PpsSample, Some(q110Sql)),
     QueryDef("q115_curriculum", q115Curriculum, Some(q115Sql)),
-    QueryDef("q116_token_budget", q116TokenBudget, Some(q116Sql)))
+    QueryDef("q116_token_budget", q116TokenBudget, Some(q116Sql)),
+    QueryDef("q120_token_mixture", q120TokenMixture, Some(q120Sql)))
 
   /** Systematic PPS (probability-proportional-to-size) sampling: pick
     * ~k documents with inclusion probability proportional to token
@@ -845,6 +846,83 @@ object CurationOps {
       |  FROM w)
       |SELECT doc_id, k, n_tokens, cum_tokens
       |FROM c WHERE cum_tokens - n_tokens < 5000""".stripMargin
+
+  /** Token-budgeted domain mixture: every language contributes AT MOST a
+    * fixed token budget, drawn in the deterministic shuffle order — the
+    * form mixtures are actually specified in (token shares, not doc
+    * counts; a domain of long documents would otherwise dominate a
+    * doc-count mixture like q88). Keep rule per domain = the q116 prefix
+    * contract: a doc is kept iff its language's running total BEFORE it
+    * is under budget, so each domain overshoots by at most one document.
+    *
+    * Scale shape: the grouped version of q116's two-pass prefix —
+    * range-partition + sort by (lang, k, doc_id) so each language is a
+    * contiguous ordered run ACROSS partitions, finalize ONE RDD,
+    * per-(partition, lang) token sums in a cheap first job (driver
+    * volume ≤ #partitions × #langs), broadcast per-lang prefix offsets,
+    * stream each partition once carrying per-lang running totals. The
+    * naive `sum() OVER (PARTITION BY lang ORDER BY k)` funnels each
+    * whole language through one window task (the q91 finding). */
+  def q120TokenMixture(s: SparkSession, dir: String): DataFrame =
+    tokenBudgetMixture(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tokens")), budgetPerDomain = 2000L,
+      salt = "mixshuf:")
+
+  /** Grouped budget-head core over a (doc_id, lang, n_tokens) frame —
+    * see [[q120TokenMixture]]. */
+  def tokenBudgetMixture(weights: DataFrame, budgetPerDomain: Long,
+      salt: String): DataFrame = {
+    val s = weights.sparkSession
+    import s.implicits._
+    val sorted = weights
+      .select(col("doc_id"), col("lang"),
+        hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"),
+        col("n_tokens"))
+      .repartitionByRange(col("lang"), col("k"), col("doc_id"))
+      .sortWithinPartitions(col("lang"), col("k"), col("doc_id"))
+      .select(col("doc_id").as[Long], col("lang").as[String],
+        col("k").as[Long], col("n_tokens").as[Long])
+    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, l, _, n) => m.update(l, m.getOrElse(l, 0L) + n) }
+      m.iterator.map { case (l, n) => (pid, l, n) }
+    }.collect() // ≤ #partitions × #langs — driver-bounded
+    val offsets = sums.groupBy(_._2).iterator.flatMap { case (l, cs) =>
+      val byPid = cs.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
+        .map { case (pid, off) => (pid, l) -> off }.iterator
+    }.toMap
+    val bcOff = s.sparkContext.broadcast(offsets)
+    rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOff.value
+      var curLang: String = null; var cum = 0L
+      it.flatMap { case (id, l, k, n) =>
+        if (l != curLang) { curLang = l; cum = off.getOrElse((pid, l), 0L) }
+        val before = cum
+        cum += n
+        if (before < budgetPerDomain) Some((id, l, k, n, cum)) else None
+      }
+    }.toDF("doc_id", "lang", "k", "n_tokens", "cum_tokens")
+  }
+
+  val q120Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5('mixshuf:' || doc_id), 1, 15) AS BIGINT) AS k,
+      |    CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, lang, k, n_tokens,
+      |    CAST(sum(n_tokens) OVER (
+      |      PARTITION BY lang ORDER BY k, doc_id) AS BIGINT) AS cum_tokens
+      |  FROM w)
+      |SELECT doc_id, lang, k, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens - n_tokens < 2000""".stripMargin
 
   val q110Sql: String =
     """WITH w AS (

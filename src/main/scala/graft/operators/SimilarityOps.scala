@@ -257,6 +257,50 @@ object SimilarityOps {
       |      AS rn
       |  FROM scored) WHERE rn <= 10""".stripMargin
 
+  /** Hard-negative mining: for each query vector, the top-5 most-similar
+    * vectors with a DIFFERENT label — the highest-cosine non-positives
+    * that contrastive embedding training needs (easy negatives teach
+    * nothing; same-label neighbors are positives, not negatives). The
+    * label column stands in for the positive-set relation; in production
+    * it is the near-dup cluster id (q64) or the source query group.
+    *
+    * Scale shape: identical to q39's broadcast-query corpus scan — the
+    * label inequality rides the join filter, everything stays one pass
+    * over the corpus with a per-query bounded top-k. */
+  def q121HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("q").as("qq"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    e.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"), col("cos"), col("rn"))
+  }
+
+  val q121Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, q,
+      |        list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+      |scored AS (
+      |  SELECT qs.vec_id AS q_id, c.vec_id AS neg_id, c.label AS neg_label,
+      |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+      |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+      |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.label <> qs.label)
+      |SELECT q_id, neg_id, neg_label, cos, rn FROM (
+      |  SELECT q_id, neg_id, neg_label, cos,
+      |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neg_id)
+      |      AS BIGINT) AS rn
+      |  FROM scored) WHERE rn <= 5""".stripMargin
+
   /** Reciprocal-rank fusion of a lexical (BM25) and a semantic (dense
     * kNN) ranking — the hybrid-retrieval merge behind RAG passage
     * selection: `rrf(d) = Σ_lists 1/(60 + rank_list(d))`, which rewards
@@ -462,6 +506,7 @@ object SimilarityOps {
     QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),
     QueryDef("q48_dim_stats", q48DimStats, Some(q48Sql)),
     QueryDef("q111_rrf_hybrid", q111RrfHybrid, Some(q111Sql)),
+    QueryDef("q121_hard_negatives", q121HardNegatives, Some(q121Sql)),
     QueryDef("q112_semantic_decontam", q112SemanticDecontam, Some(q112Sql)),
     QueryDef("q52_knn_ivf", q52KnnIvf, None))
 }

@@ -305,6 +305,41 @@ object StreamingOps {
       .toDF("doc_id", "source")
   }
 
+  /** Streaming per-domain token budget — the ONLINE tier of the batch
+    * q120 mixture: each language's admitted token total is ONE counter
+    * of state (bounded by #domains, not volume), and a document is
+    * admitted iff its language's total BEFORE it is under budget (the
+    * q116/q120 prefix contract, so each domain overshoots by at most
+    * one doc). A stream must decide online, so order is
+    * first-in-arrival (per trigger restored to doc_id order — batch
+    * iterators carry no ordering promise), where batch q120 uses the
+    * salted-hash order. */
+  def tokenBudgetStream(spark: SparkSession, srcDir: String,
+      budgetPerDomain: Long, filesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("doc_id").as[Long], col("lang").as[String],
+        col("n_tokens").as[Long])
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (lang: String, it: Iterator[(Long, String, Long)],
+            state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val out = it.toArray.sortBy(_._1).flatMap { case (id, _, n) =>
+            val before = cum
+            cum += n
+            if (before < budgetPerDomain) Some((id, lang, n, cum)) else None
+          }
+          state.update(cum)
+          out.iterator
+      }
+      .toDF("doc_id", "lang", "n_tokens", "cum_tokens")
+  }
+
   /** One change of the streaming CDC feed; `seq` is the change's
     * total-order position (a log offset / commit LSN in production). */
   final case class CdcChange(k: Long, seq: Long, op: String, payload: String)

@@ -308,6 +308,27 @@ class CurationSpec extends SparkTestBase {
       4L -> "removed", 5L -> "added"), got.toString)
   }
 
+  test("q120: every domain stops within one doc of its token budget") {
+    val got = CurationOps.q120TokenMixture(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      val inOrder = rows.sortBy(t => (t._3, t._1))
+      var cum = 0L
+      inOrder.foreach { case (_, _, _, n, c) =>
+        cum += n
+        assert(c == cum, s"$lang cumulative mismatch")
+        assert(c - n < 2000L, s"$lang admitted past budget")
+      }
+      // the prefix either reaches the budget or the domain ran dry
+      val domainTotal = Tables.documents(spark, sfDir)
+        .filter(col("lang") === lang).count() // docs, not tokens — cheap proxy
+      assert(inOrder.last._5 >= 2000L || inOrder.length == domainTotal.toInt,
+        s"$lang stopped early")
+    }
+  }
+
   test("q74: stratified rates land near their targets and are deterministic") {
     val e = Tables.events(spark, sfDir)
     val got = CurationOps.q74StratifiedSample(spark, sfDir)

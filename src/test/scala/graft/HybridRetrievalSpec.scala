@@ -55,6 +55,24 @@ class HybridRetrievalSpec extends SparkTestBase {
     }
   }
 
+  test("q121: hard negatives exclude the query's label and rank by cosine") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = SimilarityOps.q121HardNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(got.nonEmpty)
+    got.foreach { case (qId, negId, negLabel, _, _) =>
+      assert(labels(negId) == negLabel && negLabel != labels(qId))
+    }
+    got.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1L to byRank.length).toSeq)
+      val cs = byRank.map(_._4)
+      cs.zip(cs.drop(1)).foreach { case (a, b) => assert(a >= b) }
+    }
+  }
+
   test("q113: marginal totals are consistent and chi terms recompute exactly") {
     val rows = EventOps.q113DriftTimeline(spark, sfDir).collect()
     assert(rows.nonEmpty)

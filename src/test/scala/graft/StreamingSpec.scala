@@ -311,6 +311,30 @@ class StreamingSpec extends SparkTestBase {
     assert(emitted.filter(_._1 == 3L).maxBy(_._2)._4 == "c2")
   }
 
+  test("streaming token budget admits the first-arrival prefix per domain") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("stok").toString
+    val src = s"$tmp/src"
+    // budget 100/domain; langs interleave across three delivery files
+    val chunks = Seq(
+      Seq((1L, "en", 60L), (2L, "fr", 90L)),
+      Seq((3L, "en", 30L), (4L, "fr", 50L), (5L, "en", 30L)),
+      Seq((6L, "en", 10L), (7L, "fr", 10L)))
+    chunks.foreach { rows =>
+      rows.toDF("doc_id", "lang", "n_tokens").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.tokenBudgetStream(spark, src, budgetPerDomain = 100L),
+      "tok_budget")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // en: 60 → 90 → 120 (doc 5 admitted at before=90, crosses); doc 6 not
+    // fr: 90 → 140 (doc 4 admitted at before=90, crosses); doc 7 not
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), got)
+    assert(got(5L) == 120L && got(4L) == 140L, got)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
