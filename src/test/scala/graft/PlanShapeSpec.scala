@@ -310,6 +310,37 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(plan, "fmd5") > 0, plan)
   }
 
+  test("AQE really splits a skewed shuffle join — the degradation path q70/q102/q105/q112 lean on") {
+    // Several operators route hot keys through shuffle JOINS precisely
+    // because AQE's OptimizeSkewedJoin can split them (and window/
+    // aggregation buffers, which it cannot split, are avoided). This
+    // executes that claim: a 97%-one-key fact joined to a dim under
+    // thresholds scaled to spec data must plan isSkew=true sub-partitions.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "20KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    import org.apache.spark.sql.functions.{col, when}
+    try {
+      val fact = spark.range(0, 60000, 1, 8)
+        .select(when(col("id") % 100 < 97, 7L).otherwise(col("id") % 100)
+          .as("k"), col("id").as("v"))
+      val dim = spark.range(0, 100, 1, 4)
+        .select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = fact.join(dim, Seq("k"))
+      assert(j.collect().length == 60000) // drives THIS plan's AQE
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), plan.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
