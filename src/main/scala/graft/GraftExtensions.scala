@@ -21,6 +21,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => plans.TopKPerKey.TopKStrategy)
     ext.injectOptimizerRule(_ => plans.TopKPerKey.TopKRewrite)
+    ext.injectPlannerStrategy(_ => plans.GlobalRank.GlobalRankStrategy)
+    // in this batch the rule iterates with ColumnPruning, so the Project
+    // it inserts under a GlobalRankPlan folds into the scan
+    ext.injectOptimizerRule(_ => plans.GlobalRank.GlobalRankPruning)
     ext.injectFunction((FunctionIdentifier("quantized_dot"),
       info("quantized_dot", "exact int64 dot of 1e-3-quantized float vectors"),
       (es: Seq[Expression]) => functions.VectorExprs.QuantizedDot(es(0), es(1))))

@@ -498,30 +498,26 @@ object CurationOps {
     * sort; partition i's keys all precede partition i+1's), (2) count
     * rows per partition (a #partitions-long driver value) and stream each
     * partition once adding prefix-offset + local position. Crucially both
-    * passes run over ONE finalized RDD (`zipWithIndex`): re-executing the
-    * Dataset for each pass would NOT guarantee identical partitioning
+    * passes must run over ONE materialized partitioning: re-executing the
+    * Dataset per pass would NOT guarantee identical partitioning
     * (RangePartitioner's sample seed incorporates the per-execution RDD
     * id, and AQE may coalesce the two executions differently), which
-    * could leave duplicates/gaps in `pos`. */
+    * could leave duplicates/gaps in `pos`. That guarantee is now enforced
+    * STRUCTURALLY by the [[graft.plans.GlobalRank]] physical operator
+    * (both passes inside one exec over one shuffle dependency). */
   /** Generic two-pass global index over an id frame — see
-    * [[q90GlobalShuffle]] for semantics and scale rationale. */
-  def globalShuffleIndex(items: DataFrame, salt: String): DataFrame = {
-    val s = items.sparkSession
-    import s.implicits._
-    val sorted = items
-      .select(col("doc_id"),
-        hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"))
-      .repartitionByRange(col("k"), col("doc_id"))
-      .sortWithinPartitions(col("k"), col("doc_id"))
-      .select(col("doc_id").as[Long], col("k").as[Long])
-    // `.rdd` finalizes the physical plan once; zipWithIndex then runs its
-    // per-partition count job and the position-assignment job over that
-    // single RDD, so both see the same partitions. The range shuffle's map
-    // output is reused between the two jobs — the input is scanned once.
-    sorted.rdd.zipWithIndex()
-      .map { case ((id, k), pos) => (id, k, pos) }
-      .toDF("doc_id", "k", "pos")
-  }
+    * [[q90GlobalShuffle]] for semantics and scale rationale. Runs on the
+    * [[graft.plans.GlobalRank]] physical operator (the plan-level form of
+    * the finalized-RDD `zipWithIndex` this helper originally hand-rolled;
+    * the one-shuffle-dependency determinism guarantee now lives inside
+    * the exec, and the plan stays in Dataset land — prunable, AQE-visible,
+    * spec-proven equal to the RDD formulation in `GlobalRankSpec`). */
+  def globalShuffleIndex(items: DataFrame, salt: String): DataFrame =
+    graft.plans.GlobalRank.withPosition(
+      items.select(col("doc_id"),
+        hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k")),
+      order = Seq("k" -> false, "doc_id" -> false))
+      .select(col("doc_id"), col("k"), col("pos"))
 
   def q90GlobalShuffle(s: SparkSession, dir: String): DataFrame =
     globalShuffleIndex(Tables.documents(s, dir).select(col("doc_id")), "shuf:")
@@ -734,38 +730,16 @@ object CurationOps {
       .select(col("doc_id"), lenBucket(col("text")).as("bucket")), buckets = 10)
 
   /** Curriculum core over a (doc_id, bucket) frame — see
-    * [[q115Curriculum]]. */
-  def curriculumOrder(items: DataFrame, buckets: Int): DataFrame = {
-    val s = items.sparkSession
-    import s.implicits._
-    val sorted = items
-      .repartitionByRange(col("bucket"), col("doc_id"))
-      .sortWithinPartitions(col("bucket"), col("doc_id"))
-      .select(col("doc_id").as[Long], col("bucket").as[Long])
-    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
-      it.foreach { case (_, b) => m.update(b, m.getOrElse(b, 0L) + 1L) }
-      m.iterator.map { case (b, n) => (pid, b, n) }
-    }.collect() // ≤ #partitions × #buckets rows — driver-bounded
-    val offsets = counts.groupBy(_._2).iterator.flatMap { case (b, cs) =>
-      val byPid = cs.sortBy(_._1)
-      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
-        .map { case (pid, off) => (pid, b) -> off }.iterator
-    }.toMap
-    val bcOff = s.sparkContext.broadcast(offsets)
-    val nB = buckets.toLong
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      val off = bcOff.value
-      var curB = -1L; var rank = 0L
-      it.map { case (id, b) =>
-        if (b != curB) { curB = b; rank = off.getOrElse((pid, b), 0L) }
-        val out = (id, b, rank, rank * nB + b)
-        rank += 1
-        out
-      }
-    }.toDF("doc_id", "bucket", "rank_in_bucket", "curriculum_pos")
-  }
+    * [[q115Curriculum]]. The per-bucket rank rides the
+    * [[graft.plans.GlobalRank]] exec (group reset per bucket); the
+    * interleave position is then plain codegen arithmetic. */
+  def curriculumOrder(items: DataFrame, buckets: Int): DataFrame =
+    graft.plans.GlobalRank.withPosition(items,
+      order = Seq("doc_id" -> false), group = Seq("bucket"),
+      posName = "rank_in_bucket")
+      .select(col("doc_id"), col("bucket"), col("rank_in_bucket"),
+        (col("rank_in_bucket") * buckets + col("bucket"))
+          .as("curriculum_pos"))
 
   val q115Sql: String =
     """WITH b AS (
@@ -801,36 +775,20 @@ object CurationOps {
           .cast("long").as("n_tokens")), budget = 5000L, salt = "shuf:")
 
   /** Budget-head core over a (doc_id, n_tokens) frame — see
-    * [[q116TokenBudget]]. */
+    * [[q116TokenBudget]]. The running total rides the
+    * [[graft.plans.GlobalRank]] exec; the keep-while-under-budget gate is
+    * then a per-row filter on the inclusive sum (`cum − n < budget` ⟺
+    * the total BEFORE this doc was under budget). */
   def tokenBudgetHead(weights: DataFrame, budget: Long,
-      salt: String): DataFrame = {
-    val s = weights.sparkSession
-    import s.implicits._
-    val sorted = weights
-      .select(col("doc_id"),
+      salt: String): DataFrame =
+    graft.plans.GlobalRank.withPosition(
+      weights.select(col("doc_id"),
         hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"),
-        col("n_tokens"))
-      .repartitionByRange(col("k"), col("doc_id"))
-      .sortWithinPartitions(col("k"), col("doc_id"))
-      .select(col("doc_id").as[Long], col("k").as[Long],
-        col("n_tokens").as[Long])
-    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
-    val partSums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(pid -> it.map(_._3).sum)
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = partSums.scanLeft(0L)(_ + _).init
-    val bcOff = s.sparkContext.broadcast(offsets)
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cum = bcOff.value(pid)
-      // a partition whose offset already exceeds the budget streams no
-      // rows (the iterator short-circuits on the first check)
-      it.flatMap { case (id, k, w) =>
-        val before = cum
-        cum += w
-        if (before < budget) Some((id, k, w, cum)) else None
-      }
-    }.toDF("doc_id", "k", "n_tokens", "cum_tokens")
-  }
+        col("n_tokens")),
+      order = Seq("k" -> false, "doc_id" -> false),
+      sumCol = Some("n_tokens"), cumName = "cum_tokens")
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .select(col("doc_id"), col("k"), col("n_tokens"), col("cum_tokens"))
 
   val q116Sql: String =
     """WITH w AS (
@@ -871,42 +829,19 @@ object CurationOps {
       salt = "mixshuf:")
 
   /** Grouped budget-head core over a (doc_id, lang, n_tokens) frame —
-    * see [[q120TokenMixture]]. */
+    * see [[q120TokenMixture]]. The per-domain running total is the
+    * [[graft.plans.GlobalRank]] exec's group-reset sum. */
   def tokenBudgetMixture(weights: DataFrame, budgetPerDomain: Long,
-      salt: String): DataFrame = {
-    val s = weights.sparkSession
-    import s.implicits._
-    val sorted = weights
-      .select(col("doc_id"), col("lang"),
+      salt: String): DataFrame =
+    graft.plans.GlobalRank.withPosition(
+      weights.select(col("doc_id"), col("lang"),
         hash60(concat(lit(salt), col("doc_id").cast("string"))).as("k"),
-        col("n_tokens"))
-      .repartitionByRange(col("lang"), col("k"), col("doc_id"))
-      .sortWithinPartitions(col("lang"), col("k"), col("doc_id"))
-      .select(col("doc_id").as[Long], col("lang").as[String],
-        col("k").as[Long], col("n_tokens").as[Long])
-    val rdd = sorted.rdd // finalize ONCE (q90 lesson)
-    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { case (_, l, _, n) => m.update(l, m.getOrElse(l, 0L) + n) }
-      m.iterator.map { case (l, n) => (pid, l, n) }
-    }.collect() // ≤ #partitions × #langs — driver-bounded
-    val offsets = sums.groupBy(_._2).iterator.flatMap { case (l, cs) =>
-      val byPid = cs.sortBy(_._1)
-      byPid.map(_._1).zip(byPid.scanLeft(0L)(_ + _._3).init)
-        .map { case (pid, off) => (pid, l) -> off }.iterator
-    }.toMap
-    val bcOff = s.sparkContext.broadcast(offsets)
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      val off = bcOff.value
-      var curLang: String = null; var cum = 0L
-      it.flatMap { case (id, l, k, n) =>
-        if (l != curLang) { curLang = l; cum = off.getOrElse((pid, l), 0L) }
-        val before = cum
-        cum += n
-        if (before < budgetPerDomain) Some((id, l, k, n, cum)) else None
-      }
-    }.toDF("doc_id", "lang", "k", "n_tokens", "cum_tokens")
-  }
+        col("n_tokens")),
+      order = Seq("k" -> false, "doc_id" -> false), group = Seq("lang"),
+      sumCol = Some("n_tokens"), cumName = "cum_tokens")
+      .filter(col("cum_tokens") - col("n_tokens") < budgetPerDomain)
+      .select(col("doc_id"), col("lang"), col("k"), col("n_tokens"),
+        col("cum_tokens"))
 
   val q120Sql: String =
     """WITH w AS (

@@ -193,14 +193,13 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
     // pos follows the (k, doc_id) order globally
     assert(rows.sortBy(r => (r._2, r._1)).map(_._3).toSeq == (0L until n).toSeq)
-    // and the shape is a distributed range sort feeding ONE finalized RDD
-    // whose zipWithIndex assigns positions (not a 1-partition window, and
-    // not two independent Dataset executions that could partition
-    // differently)
+    // and the shape is the GlobalRank exec over a range exchange (not a
+    // 1-partition window, and not two independent Dataset executions
+    // that could partition differently — the exec runs both passes over
+    // one shuffle dependency)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), p)
-    val dbg = df.rdd.toDebugString
-    assert(dbg.contains("ZippedWithIndexRDD"), dbg)
+    assert(p.contains("GlobalRank") && p.contains("rangepartitioning"), p)
   }
 
   test("q91: quality gate keeps ~top-80% per language, never emptying one") {

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** The GlobalRank physical operator: distributed global rank / running
+  * sum with a declared range distribution — correctness against window
+  * references, plan shape (range exchange, no single-task window), and
+  * equality with the RDD-level machinery it formalizes (q90).
+  */
+class GlobalRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val rnd = new Random(7)
+
+  test("pos equals the single-partition row_number reference on random data") {
+    val df = Seq.fill(500)((rnd.nextInt(1000).toLong, rnd.nextLong()))
+      .toDF("k", "v").repartition(7)
+    val got = plans.GlobalRank.withPosition(df, Seq("k" -> false, "v" -> false))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w = Window.orderBy(col("k"), col("v"))
+    val want = df.withColumn("pos", row_number().over(w).cast("long") - 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+  }
+
+  test("group reset and running sum equal their window references") {
+    val df = Seq.fill(400)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong,
+      rnd.nextInt(20).toLong)).toDF("g", "k", "w")
+      .distinct().repartition(6)
+    val got = plans.GlobalRank.withPosition(df,
+      order = Seq("k" -> false), group = Seq("g"), sumCol = Some("w"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    val win = Window.partitionBy(col("g")).orderBy(col("k"), col("w"))
+    val want = df
+      .withColumn("pos", row_number().over(win).cast("long") - 1)
+      .withColumn("cum", sum(col("w")).over(win))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+  }
+
+  test("descending order and duplicate order keys still produce a dense 0..n-1 pos") {
+    val df = Seq.fill(300)((rnd.nextInt(10).toLong, rnd.nextInt(4).toLong))
+      .toDF("a", "b").repartition(5)
+    val got = plans.GlobalRank.withPosition(df,
+      Seq("a" -> true, "b" -> false)).collect()
+    assert(got.map(_.getLong(2)).sorted.toSeq == (0L until got.length.toLong))
+    // pos order agrees with (a desc, b asc) up to tie permutation: the
+    // (a, b) sequence read in pos order must be sorted under that order
+    val inPos = got.sortBy(_.getLong(2)).map(r => (-r.getLong(0), r.getLong(1)))
+    assert(inPos.toSeq == inPos.sorted.toSeq)
+  }
+
+  test("matches the RDD-level q90 machinery exactly (same keys, same order)") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val keyed = docs.select(col("doc_id"),
+      graft.functions.TextFns.hash60(concat(lit("shuf:"),
+        col("doc_id").cast("string"))).as("k"))
+    val viaExec = plans.GlobalRank.withPosition(keyed,
+      Seq("k" -> false, "doc_id" -> false))
+      .select(col("doc_id"), col("k"), col("pos"))
+    val viaRdd = operators.CurationOps.q90GlobalShuffle(spark, sfDir)
+    assert(viaExec.exceptAll(viaRdd).isEmpty && viaRdd.exceptAll(viaExec).isEmpty)
+  }
+
+  test("plan: range exchange feeds the exec; no Window, no single-partition funnel") {
+    val df = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"))
+    val ranked = plans.GlobalRank.withPosition(df,
+      Seq("n_chars" -> false, "doc_id" -> false))
+    ranked.collect()
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("extensions session: column pruning reaches the scan under the exec") {
+    val s2 = org.apache.spark.sql.GraftShims
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val df = s2.read.parquet(s"$sfDir/documents.parquet")
+    val ranked = plans.GlobalRank.withPosition(df,
+      Seq("doc_id" -> false)).select("doc_id", "pos")
+    val scans = ranked.queryExecution.executedPlan.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.initialPlan
+      case p => p
+    }.flatMap(_.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    })
+    assert(scans.nonEmpty)
+    assert(scans.head.schema.fieldNames.toSet == Set("doc_id"),
+      scans.head.schema.fieldNames.mkString(","))
+    assert(ranked.collect().length == df.count().toInt)
+  }
+
+  test("empty and single-row inputs") {
+    val e = spark.emptyDataset[(Long, Long)].toDF("a", "b")
+    assert(plans.GlobalRank.withPosition(e, Seq("a" -> false)).count() == 0L)
+    val one = Seq((5L, 9L)).toDF("a", "b")
+    val got = plans.GlobalRank.withPosition(one, Seq("a" -> false),
+      sumCol = Some("b")).collect().head
+    assert(got.getLong(2) == 0L && got.getLong(3) == 9L)
+  }
+}
