@@ -357,6 +357,41 @@ object CurationOps {
       |WHERE CAST('0x' || substr(md5('strat:' || event_id), 1, 15) AS BIGINT) % 1000
       |  < CASE event_type WHEN 'view' THEN 50 WHEN 'purchase' THEN 400 ELSE 150 END""".stripMargin
 
+  /** Exact-k per-stratum deterministic sample: the fixed-BUDGET
+    * counterpart of q74's fixed-RATE sampler — "give me exactly 25
+    * documents per language, reproducibly" (eval-set carving, per-domain
+    * inspection pulls, labeling batches). Order within a stratum is a
+    * salted content hash with a doc_id tiebreak, so the draw is uniform,
+    * stable across runs/engines, and independent of input order.
+    *
+    * Scale shape: runs on the bounded-heap [[graft.plans.TopKPerKey]]
+    * operator — the PARTIAL pass caps each stratum at k rows per map
+    * task BEFORE the shuffle, so at 100 TB each task contributes at most
+    * k·#langs rows and the final per-stratum merge touches
+    * #partitions·k rows, not the corpus. The oracle's
+    * `row_number() OVER (PARTITION BY lang ORDER BY hash)` form would
+    * funnel each language's whole doc set through one window task —
+    * exactly the q91-class funnel, avoided by construction. */
+  def q124StratumSample(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        hash60(concat(lit("smp:"), col("doc_id").cast("string")))
+          .as("smp_key"))
+    graft.plans.TopKPerKey.perKey(keyed, keys = Seq("lang"),
+      order = Seq("smp_key" -> false, "doc_id" -> false), k = 25)
+  }
+
+  val q124Sql: String =
+    """SELECT doc_id, lang, smp_key FROM (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || substr(md5('smp:' || doc_id), 1, 15) AS BIGINT)
+      |      AS smp_key,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY CAST('0x' || substr(md5('smp:' || doc_id), 1, 15) AS BIGINT),
+      |               doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 25""".stripMargin
+
   /** Sequence packing — the pre-training data-prep step that assembles
     * documents into fixed-token-budget training sequences: docs are
     * assigned to shards, ordered within each shard, and greedily packed —
@@ -652,6 +687,7 @@ object CurationOps {
     QueryDef("q72_tfidf", q72Tfidf, Some(q72Sql)),
     QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
     QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)),
+    QueryDef("q124_stratum_sample", q124StratumSample, Some(q124Sql)),
     QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)),
     QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)),
     QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)),

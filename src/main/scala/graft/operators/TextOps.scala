@@ -620,6 +620,155 @@ object TextOps {
        |    AS dup_gram_frac
        |FROM den LEFT JOIN num ON num.doc_id = den.doc_id""".stripMargin
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995,
+    * the standard n-gram smoothing) — the LM primitive under
+    * perplexity-style corpus filters when no neural LM is in the loop.
+    * With discount d = 3/4 and c_ab ≥ 1 the textbook form
+    *
+    *   P(w2|w1) = (c_ab − d)/cl_a + (d·n1r_a/cl_a)·(n1l_b/nbb)
+    *
+    * reduces to the exact integer rational
+    *
+    *   ((4·c_ab − 3)·nbb + 3·n1r_a·n1l_b) / (4·cl_a·nbb)
+    *
+    * — ONE double division of int64s, bit-identical cross-engine (the
+    * usual Σ log p form would sum doubles in engine-dependent order).
+    * cl_a = Σ_x c(w1,x) is the left-context mass, n1r_a = N1+(w1•) the
+    * right-continuation count, n1l_b = N1+(•w2) the left-continuation
+    * count, nbb = N1+(••) the distinct-bigram-type count. Numerator
+    * magnitude is c_ab·nbb — overflows int64 only past ~10^9 bigram
+    * types × 10^9 max count; at that scale swap the two products to
+    * double (ranking unchanged, last-ulp parity lost).
+    *
+    * Scale shape: every aggregate is vocabulary-bounded with map-side
+    * partial combine — the raw token stream shuffles ONCE as
+    * (w1, w2, partial count) rows and never again. cl/n1r come from the
+    * bigram-TYPE table in one grouped pass (not a second corpus scan);
+    * the w1/w2 joins key on single words, so hot function words skew the
+    * join — the AQE-splittable shape, not a posting-list buffer. Final
+    * cut is `TakeOrderedAndProject` (per-partition partial top-k, no
+    * global single-task sort). */
+  def q122KneserNey(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val cab = docs
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val cl = cab.groupBy(col("w1"))
+      .agg(sum(col("c_ab")).cast("long").as("cl_a"),
+        count(lit(1)).as("n1r_a"))
+    val n1l = cab.groupBy(col("w2")).agg(count(lit(1)).as("n1l_b"))
+    val nbb = cab.agg(count(lit(1)).as("nbb"))
+    cab.filter(col("c_ab") >= 5)
+      .join(cl, Seq("w1"))
+      .join(n1l, Seq("w2"))
+      .crossJoin(broadcast(nbb))
+      .withColumn("p_kn",
+        ((lit(4L) * col("c_ab") - lit(3L)) * col("nbb") +
+          lit(3L) * col("n1r_a") * col("n1l_b")).cast("double") /
+          (lit(4L) * col("cl_a") * col("nbb")))
+      .orderBy(col("p_kn").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+      .select(col("w1"), col("w2"), col("c_ab"), col("cl_a"),
+        col("n1r_a"), col("n1l_b"), col("p_kn"))
+  }
+
+  val q122Sql: String =
+    """WITH t AS (
+      |  SELECT list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+      |bg AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM f, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+      |cab AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM bg GROUP BY 1, 2),
+      |cl AS (
+      |  SELECT w1, CAST(sum(c_ab) AS BIGINT) AS cl_a,
+      |    CAST(count(*) AS BIGINT) AS n1r_a
+      |  FROM cab GROUP BY 1),
+      |n1l AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l_b FROM cab GROUP BY 1),
+      |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM cab)
+      |SELECT c.w1, c.w2, c.c_ab, cl.cl_a, cl.n1r_a, n1l.n1l_b,
+      |  CAST((4 * c.c_ab - 3) * nbb.nbb + 3 * cl.n1r_a * n1l.n1l_b AS DOUBLE)
+      |    / (4 * cl.cl_a * nbb.nbb) AS p_kn
+      |FROM cab c JOIN cl USING (w1) JOIN n1l USING (w2) CROSS JOIN nbb
+      |WHERE c.c_ab >= 5
+      |ORDER BY p_kn DESC, c.w1, c.w2
+      |LIMIT 50""".stripMargin
+
+  /** Per-source content novelty: the fraction of each source's DISTINCT
+    * word 3-grams that appear in NO other source — the source-value
+    * signal behind "is this crawl slice adding anything the corpus
+    * doesn't already have", the first question of acquisition triage.
+    * Low exclusivity = the source is re-serving content already covered
+    * elsewhere (mirrors, syndication); the complement of q119's
+    * cross-DOCUMENT repetition, aggregated at provenance granularity.
+    *
+    * Scale shape: grams travel as fused 64-bit hashes (Gram3Hash64 — no
+    * gram strings shuffled; counts are hash-agnostic under injectivity,
+    * the q70/q119 contract). The (source, g) dedup and the per-gram
+    * source-count aggregate both partial-combine map-side, and the
+    * per-gram buffer is bounded by #sources BY CONSTRUCTION (a count,
+    * never a posting list — the q70 lesson). The exclusive-gram
+    * attribution rides `min(source)` inside the same grouped pass (when
+    * n_src = 1, min IS the owning source), so no join back onto the
+    * gram stream; the only rows that re-shuffle are the df=1 winners.
+    * Two passes over the deduped gram stream (totals, exclusives) —
+    * each a narrow count shuffle, never the raw token stream. */
+  def q123SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+      .groupBy(col("source"), col("g")).agg(count(lit(1)).as("_n"))
+      .select(col("source"), col("g"))
+    val perGram = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_src"), min(col("source")).as("only_src"))
+    val excl = perGram.filter(col("n_src") === 1L)
+      .groupBy(col("only_src").as("source"))
+      .agg(count(lit(1)).as("n_exclusive"))
+    grams.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+      .join(excl, Seq("source"), "left")
+      .select(col("source"), col("n_grams"),
+        coalesce(col("n_exclusive"), lit(0L)).as("n_exclusive"))
+      .withColumn("exclusive_frac",
+        col("n_exclusive").cast("double") / col("n_grams"))
+  }
+
+  val q123Sql: String =
+    s"""WITH t AS (SELECT source,
+       |  string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+       |    AS toks FROM documents),
+       |f AS (SELECT source, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |sg AS (
+       |  SELECT DISTINCT source,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |pg AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_src, min(source) AS only_src
+       |  FROM sg GROUP BY g),
+       |ex AS (
+       |  SELECT only_src AS source, CAST(count(*) AS BIGINT) AS n_exclusive
+       |  FROM pg WHERE n_src = 1 GROUP BY 1),
+       |tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_grams
+       |  FROM sg GROUP BY 1)
+       |SELECT tot.source, tot.n_grams,
+       |  coalesce(ex.n_exclusive, 0) AS n_exclusive,
+       |  CAST(coalesce(ex.n_exclusive, 0) AS DOUBLE) / tot.n_grams
+       |    AS exclusive_frac
+       |FROM tot LEFT JOIN ex ON ex.source = tot.source""".stripMargin
+
   /** Content fingerprint: md5 of the normalized text, plus a 60-bit
     * integer form — the primitive under exact dedup. */
   def q33Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -725,6 +874,8 @@ object TextOps {
     QueryDef("q103_pmi_bigrams", q103PmiBigrams, Some(q103Sql)),
     QueryDef("q114_lang_top_bigrams", q114LangTopBigrams, Some(q114Sql)),
     QueryDef("q119_dup_gram_frac", q119DupGramFrac, Some(q119Sql)),
+    QueryDef("q122_kneser_ney", q122KneserNey, Some(q122Sql)),
+    QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),

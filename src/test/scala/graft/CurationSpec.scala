@@ -341,4 +341,29 @@ class CurationSpec extends SparkTestBase {
     val again = CurationOps.q74StratifiedSample(spark, sfDir)
     assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
   }
+
+  test("q124: exactly k per stratum, equal to the window reference, deterministic") {
+    import graft.functions.TextFns
+    import org.apache.spark.sql.expressions.Window
+    val got = CurationOps.q124StratumSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val sizes = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.length.toLong == math.min(25L, sizes(lang)), lang)
+    }
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("smp_key").asc, col("doc_id").asc)
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        TextFns.hash60(concat(lit("smp:"), col("doc_id").cast("string")))
+          .as("smp_key"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 25)
+      .drop("rn").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == ref.toSet)
+    val again = CurationOps.q124StratumSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
 }

@@ -165,4 +165,72 @@ class GraphTextSpec extends SparkTestBase {
       assert(nShared == refShared.getOrElse(id, 0L), s"doc $id")
     }
   }
+
+  test("q122: matches a plain-Scala Kneser-Ney build and sums to 1 per context") {
+    import graft.functions.TextFns
+    // independent reimplementation from the raw token arrays
+    val toks = Tables.documents(spark, sfDir)
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .collect().map(_.getSeq[String](0).filter(_.nonEmpty).toArray)
+      .filter(_.length >= 2)
+    val cab = scala.collection.mutable.Map.empty[(String, String), Long]
+    toks.foreach { t =>
+      var i = 0
+      while (i < t.length - 1) {
+        cab.updateWith((t(i), t(i + 1)))(c => Some(c.getOrElse(0L) + 1L))
+        i += 1
+      }
+    }
+    val cl = cab.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1r = cab.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1l = cab.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nbb = cab.size.toLong
+    def pkn(w1: String, w2: String, c: Long): Double =
+      ((4L * c - 3L) * nbb + 3L * n1r(w1) * n1l(w2)).toDouble /
+        (4L * cl(w1) * nbb)
+    val expected = cab.iterator.filter(_._2 >= 5L)
+      .map { case ((w1, w2), c) => (w1, w2, c, pkn(w1, w2, c)) }.toSeq
+      .sortBy { case (w1, w2, _, p) => (-p, w1, w2) }.take(50)
+      .map { case (w1, w2, c, p) => (w1, w2, c, cl(w1), n1r(w1), n1l(w2), p) }
+    val got = TextOps.q122KneserNey(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == expected, s"${got.take(3).toSeq} vs ${expected.take(3)}")
+    // the textbook property the rational form must preserve: the full
+    // interpolated distribution Σ_w2 P(w2|w1) — seen mass + λ(w1)·(tail
+    // continuation mass) — is exactly 1 for every context
+    cab.keys.map(_._1).toSeq.distinct.take(20).foreach { w1 =>
+      val seen = cab.iterator.filter(_._1._1 == w1).toSeq
+      val seenMass = seen.map { case ((a, b), c) => pkn(a, b, c) }.sum
+      val lambda = 3.0 * n1r(w1) / (4.0 * cl(w1))
+      val seenCont = seen.map { case ((_, b), _) => n1l(b).toDouble / nbb }.sum
+      val total = seenMass + lambda * (1.0 - seenCont)
+      assert(math.abs(total - 1.0) < 1e-9, s"$w1: $total")
+    }
+  }
+
+  test("q123: matches per-source gram-set arithmetic done on the raw strings") {
+    import graft.functions.TextFns
+    // reference over gram STRINGS (the engine shuffles 64-bit hashes; count
+    // equality here exercises the injectivity contract end-to-end)
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toArray))
+      .filter(_._2.length >= 3)
+    val bySrc = rows.groupBy(_._1).view.mapValues { ds =>
+      ds.iterator.flatMap(_._2.sliding(3).map(_.mkString(" "))).toSet
+    }.toMap
+    val srcOf = bySrc.toSeq.flatMap { case (s0, gs) => gs.iterator.map(_ -> s0) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val got = TextOps.q123SourceNovelty(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length == bySrc.size)
+    got.foreach { case (src, nGrams, nExcl, frac) =>
+      val gs = bySrc(src)
+      val excl = gs.count(g => srcOf(g) == Seq(src)).toLong
+      assert(nGrams == gs.size.toLong, s"$src grams")
+      assert(nExcl == excl, s"$src exclusive")
+      assert(frac == excl.toDouble / gs.size)
+    }
+  }
 }

@@ -304,6 +304,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q122 Kneser-Ney: partial-aggregated counts, partial top-k cut, no window") {
+    val plan = initialPlan(operators.TextOps.q122KneserNey(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q123 source novelty: per-gram buffers are counts, never posting lists") {
+    val plan = initialPlan(operators.TextOps.q123SourceNovelty(spark, sfDir))
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("collect_set"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q124 stratum sample: heap operator, no per-lang window funnel") {
+    val plan = initialPlan(operators.CurationOps.q124StratumSample(spark, sfDir))
+    assert(count(plan, "TopKPerKey") == 2, plan) // partial + final
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("qm3 frame dedup: pairs ride the frame-digest join, never a cartesian") {
     val plan = initialPlan(multimodal.Multimodal.qm3FrameDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
