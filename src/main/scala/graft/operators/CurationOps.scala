@@ -392,6 +392,44 @@ object CurationOps {
       |  FROM documents)
       |WHERE rn <= 25""".stripMargin
 
+  /** Sequential Poisson sampling (Ohlsson 1998, the order-sampling PPS
+    * estimator official statistics runs): each item draws a uniform key
+    * from a salted content hash and is ranked by `key / weight` — the k
+    * smallest win, giving inclusion probability ≈ proportional to
+    * weight. The SHUFFLE-FREE counterpart of q110's systematic PPS: no
+    * prefix pass, no range partition — ranking keys are pure per-row
+    * arithmetic, so the whole draw is scan → project →
+    * `TakeOrderedAndProject` (per-partition partial top-k, merged on
+    * the driver; k rows per map task is the only memory). Use q110 when
+    * the estimator must be EXACTLY systematic-PPS; use this when one
+    * pass over 100 TB is the budget. The ranking key is ONE double
+    * division of exact int64s (hash / tokens), bit-identical
+    * cross-engine; doc_id breaks ties. */
+  def q125SeqPoisson(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tokens"),
+        hash60(concat(lit("sps:"), col("doc_id").cast("string"))).as("h"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("skey", col("h").cast("double") / col("n_tokens"))
+      .orderBy(col("skey").asc, col("doc_id").asc)
+      .limit(50)
+      .select(col("doc_id"), col("n_tokens"), col("skey"))
+
+  val q125Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST('0x' || substr(md5('sps:' || doc_id), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, CAST(h AS DOUBLE) / n_tokens AS skey
+      |FROM d WHERE n_tokens > 0
+      |ORDER BY skey, doc_id
+      |LIMIT 50""".stripMargin
+
   /** Sequence packing — the pre-training data-prep step that assembles
     * documents into fixed-token-budget training sequences: docs are
     * assigned to shards, ordered within each shard, and greedily packed —
@@ -688,6 +726,7 @@ object CurationOps {
     QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
     QueryDef("q74_stratified_sample", q74StratifiedSample, Some(q74Sql)),
     QueryDef("q124_stratum_sample", q124StratumSample, Some(q124Sql)),
+    QueryDef("q125_seq_poisson", q125SeqPoisson, Some(q125Sql)),
     QueryDef("q87_pack_sequences", q87PackSequences, Some(q87Sql)),
     QueryDef("q88_domain_mixture", q88DomainMixture, Some(q88Sql)),
     QueryDef("q90_global_shuffle", q90GlobalShuffle, Some(q90Sql)),

@@ -270,7 +270,52 @@ object EventOps {
       |    / CAST(n_all * n_day * n_type AS DOUBLE) AS chi_term
       |FROM obs JOIN dt USING (d) JOIN tt USING (event_type), g""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current type) — the behavioral-model primitive
+    * under session simulation, anomaly scoring, and funnel design (q76
+    * measures ONE fixed path; this measures every edge at once).
+    *
+    * Scale shape: the `lead` window partitions by `user_id` — an
+    * UNBOUNDED-cardinality key, so partitions stay small at any corpus
+    * size (the opposite of the q91-class low-cardinality funnel; same
+    * reasoning as q75/q76). Pair counting is a partial-aggregating
+    * shuffle bounded by #types²; the per-source totals join touches only
+    * that tiny count table (broadcast). The probability is one exact
+    * int64 division; ties in event ordering are broken by event_id so
+    * the sequence — and therefore every count — is deterministic. */
+  def q127Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val c = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = c.groupBy(col("from_type"))
+      .agg(sum(col("c")).cast("long").as("n_from"))
+    c.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("c"), col("n_from"),
+        (col("c").cast("double") / col("n_from")).as("p"))
+  }
+
+  val q127Sql: String =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS c
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(c) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.c, t.n_from,
+      |  CAST(c.c AS DOUBLE) / t.n_from AS p
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q127_transitions", q127Transitions, Some(q127Sql)),
     QueryDef("q113_drift_timeline", q113DriftTimeline, Some(q113Sql)),
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
     QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),

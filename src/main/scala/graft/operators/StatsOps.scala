@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.Exact._
+import graft.functions.TextFns.tokens
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -387,7 +388,75 @@ object StatsOps {
       |FROM part p JOIN mad m USING (p_brand)
       |WHERE abs(p.p_retailprice - m.med_price) > 2.0 * m.mad_price""".stripMargin
 
+  /** Per-group OLS regression (the `regr_slope`/`regr_intercept`/`regr_r2`
+    * SQL-surface family): fit chars ~ tokens per language over the
+    * documents table. Spark's built-in `regr_*` aggregates accumulate
+    * doubles in partition order — split-dependent low bits, useless
+    * against a hash oracle (the q55 moments problem). Here every moment
+    * (n, Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer summed as
+    * DECIMAL(38,0) — 128-bit headroom, so per-group moment products stay
+    * exact past 1e9-row groups where raw int64 products overflow — and
+    * the closed forms are single divisions of exactly-representable
+    * values:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    *   intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+    *   r²        = num² / (den_x · den_y)
+    *
+    * (numerators/denominators cast to double AFTER exact integer
+    * arithmetic; IEEE nearest-rounding of the same integer is identical
+    * cross-engine, and the double multiply/divide tree has a fixed
+    * order). ONE partial-aggregating pass, one row per group — the
+    * narrowest possible 100 TB shape. */
+  def q126GroupRegression(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val base = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("x"),
+        col("n_chars").as("y"))
+    val m = base.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d38) * col("y")).cast(d38)).as("sxy"),
+      sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"),
+      sum((col("y").cast(d38) * col("y")).cast(d38)).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    m.select(col("lang"), col("n"),
+      (num / denX).as("slope"),
+      ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / denX)
+        .as("intercept"),
+      (num * num / (denX * denY)).as("r2"))
+  }
+
+  val q126Sql: String =
+    """WITH b AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      t -> t <> '')) AS BIGINT) AS x,
+      |    n_chars AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM b GROUP BY lang)
+      |SELECT lang, n,
+      |  CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |  CAST(sy * sxx - sx * sxy AS DOUBLE)
+      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    AS r2
+      |FROM m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q126_group_regression", q126GroupRegression, Some(q126Sql)),
     QueryDef("q55_moments", q55Moments, Some(q55Sql)),
     QueryDef("q56_levenshtein", q56Levenshtein, Some(q56Sql)),
     QueryDef("q57_percentiles", q57Percentiles, Some(q57Sql)),

@@ -239,6 +239,69 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q126: exact-integer OLS agrees with Spark's builtin regr_* aggregates") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.tokens
+    val got = operators.StatsOps.q126GroupRegression(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val want = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("double").as("x"),
+        col("n_chars").cast("double").as("y"))
+      .groupBy("lang")
+      .agg(expr("regr_slope(y, x)").as("sl"),
+        expr("regr_intercept(y, x)").as("ic"),
+        expr("regr_r2(y, x)").as("r2"))
+      .collect()
+    assert(want.length == got.size && want.nonEmpty)
+    want.foreach { r =>
+      val g = got(r.getString(0))
+      assert(math.abs(g.getAs[Double]("slope") - r.getDouble(1)) < 1e-6, r)
+      assert(math.abs(g.getAs[Double]("intercept") - r.getDouble(2)) < 1e-4, r)
+      assert(math.abs(g.getAs[Double]("r2") - r.getDouble(3)) < 1e-6, r)
+    }
+  }
+
+  test("q127: transition rows are a row-stochastic matrix over all adjacent pairs") {
+    import org.apache.spark.sql.functions._
+    val got = operators.EventOps.q127Transitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (from, rows) =>
+      assert(rows.map(_._3).sum == rows.head._4, s"$from: counts != n_from")
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, s"$from: not stochastic")
+      rows.foreach { case (_, _, c, nFrom, p) =>
+        assert(p == c.toDouble / nFrom)
+      }
+    }
+    // every adjacent pair in every user sequence is counted exactly once:
+    // total transitions = Σ_users (n_events − 1)
+    val perUser = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .agg(sum(col("count") - 1)).collect()(0).getLong(0)
+    assert(got.map(_._3).sum == perUser)
+  }
+
+  test("q125: sequential-Poisson draw equals the full-sort reference, keys exact") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val got = operators.CurationOps.q125SeqPoisson(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 50)
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(TextFns.tokens(col("text")), t => t =!= ""))
+          .cast("long").as("w"),
+        TextFns.hash60(concat(lit("sps:"), col("doc_id").cast("string")))
+          .as("h"))
+      .filter(col("w") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map { case (id, w, h) => (id, w, h.toDouble / w) }
+      .sortBy { case (id, _, k) => (k, id) }.take(50)
+    assert(got.toSeq == ref.toSeq)
+  }
+
   test("hash sampling is deterministic and near the nominal rate") {
     val total = Tables.documents(spark, sfDir).count().toDouble
     val a = operators.StatsOps.q58HashSample(spark, sfDir)

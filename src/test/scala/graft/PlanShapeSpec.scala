@@ -324,6 +324,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q125 sequential Poisson: scan -> partial top-k, zero shuffles of the corpus") {
+    val plan = initialPlan(operators.CurationOps.q125SeqPoisson(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange"), plan) // the whole draw is one narrow pass
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q126 group regression: one partial-aggregating pass, no window, no join") {
+    val plan = initialPlan(operators.StatsOps.q126GroupRegression(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "HashAggregate") == 2, plan) // partial + final
+  }
+
+  test("q127 transitions: user-keyed window, type-squared counts, broadcast totals") {
+    val plan = initialPlan(operators.EventOps.q127Transitions(spark, sfDir))
+    // the only Window partitions by user_id (unbounded cardinality)
+    assert(plan.contains("user_id"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("qm3 frame dedup: pairs ride the frame-digest join, never a cartesian") {
     val plan = initialPlan(multimodal.Multimodal.qm3FrameDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
