@@ -198,8 +198,81 @@ object Multimodal {
       |GROUP BY 1, 2
       |HAVING count(*) >= 2""".stripMargin
 
+  /** STUB — stands in for an audio frame-energy computation (RMS over
+    * decoded PCM). Deterministic: sum of unsigned byte values, so the
+    * DuckDB oracle reproduces it from character codes on ASCII text. */
+  def fakeEnergy(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var e = 0L
+    var i = from
+    while (i < until) { e += (bytes(i) & 0xff); i += 1 }
+    e
+  }
+
+  /** Per-frame energies at stride 1 (every fixed-size frame, unlike
+    * [[sampleFrames]]'s every-k-th): one `flatMap` pass over the binary
+    * column, constant memory per partition. */
+  def frameEnergies(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (0 until bytes.length / frameBytes).map { f =>
+          (id, f.toLong, fakeEnergy(bytes, f * frameBytes, (f + 1) * frameBytes))
+        }
+      }
+      .toDF("doc_id", "frame_no", "energy")
+  }
+
+  /** Activity segmentation over the media byte stream — the
+    * voice-activity-detection shape of audio curation: frames above an
+    * energy threshold are "active", and maximal runs of consecutive
+    * active frames become segments (the units later stages transcribe,
+    * embed, or cut on). Classic gaps-and-islands: group key is
+    * `frame_no − row_number()` within each doc, constant along a
+    * consecutive run. Only the codec is stubbed ([[fakeEnergy]]); the
+    * segmentation plumbing — frame explode, threshold gate, island
+    * window, per-segment aggregate — is the real pipeline.
+    *
+    * Scale shape: the window partitions by `doc_id` — unbounded
+    * cardinality, so partitions stay ≤ frames-per-media-item at any
+    * corpus size (never the q91-class low-cardinality funnel), and the
+    * threshold gate drops inactive frames BEFORE the shuffle. */
+  def qm4AudioSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val en = frameEnergies(s, asMediaTable(Tables.documents(s, dir)))
+      .filter(col("energy") >= 3050L)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_no"))
+    en.withColumn("grp", col("frame_no") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("frame_no")).as("seg_start"),
+        max(col("frame_no")).as("seg_end"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).cast("long").as("seg_energy"))
+      .drop("grp")
+  }
+
+  val qm4Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, (i - 1) // 32 AS f, unicode(substr(text, i, 1)) AS v
+      |  FROM documents,
+      |    UNNEST(generate_series(1, (length(text) // 32) * 32)) AS g(i)),
+      |en AS (
+      |  SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS energy
+      |  FROM ch GROUP BY 1, 2),
+      |act AS (
+      |  SELECT doc_id, f, energy,
+      |    f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+      |  FROM en WHERE energy >= 3050)
+      |SELECT doc_id, CAST(min(f) AS BIGINT) AS seg_start,
+      |  CAST(max(f) AS BIGINT) AS seg_end,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(energy) AS BIGINT) AS seg_energy
+      |FROM act GROUP BY doc_id, grp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
     QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)),
-    QueryDef("qm3_frame_dedup", qm3FrameDedup, Some(qm3Sql)))
+    QueryDef("qm3_frame_dedup", qm3FrameDedup, Some(qm3Sql)),
+    QueryDef("qm4_audio_segments", qm4AudioSegments, Some(qm4Sql)))
 }

@@ -518,6 +518,43 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("qm4: segments are maximal active runs with exact energies") {
+    import org.apache.spark.sql.functions._
+    val segs = multimodal.Multimodal.qm4AudioSegments(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(segs.nonEmpty)
+    // independent reimplementation from the raw text bytes
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val ref = docs.flatMap { case (id, bytes) =>
+      val energies = (0 until bytes.length / 32).map { f =>
+        (f.toLong, (f * 32 until (f + 1) * 32).map(bytes(_) & 0xff).sum.toLong)
+      }
+      val active = energies.filter(_._2 >= 3050L)
+      // split into maximal consecutive runs
+      active.foldLeft(List.empty[List[(Long, Long)]]) {
+        case (acc @ (run @ ((lastF, _) :: _)) :: rest, fe)
+            if fe._1 == lastF + 1 => (fe :: run) :: rest
+        case (acc, fe) => List(fe) :: acc
+      }.map { run =>
+        val fs = run.map(_._1)
+        (id, fs.min, fs.max, run.size.toLong, run.map(_._2).sum)
+      }
+    }
+    assert(segs.toSet == ref.toSet)
+    assert(segs.length == ref.length)
+    // maximality: within a doc no two segments are adjacent or overlap
+    segs.groupBy(_._1).values.foreach { ss =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1, s"${a} ${b} not maximal")
+        case _ =>
+      }
+    }
+  }
+
   test("multimodal resize downsamples deterministically by the factor") {
     import org.apache.spark.sql.functions._
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
