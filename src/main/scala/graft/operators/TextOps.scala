@@ -724,14 +724,20 @@ object TextOps {
     * gram stream; the only rows that re-shuffle are the df=1 winners.
     * Two passes over the deduped gram stream (totals, exclusives) —
     * each a narrow count shuffle, never the raw token stream. */
-  def q123SourceNovelty(s: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(s, dir)
+  /** Deduplicated (source, gram-hash) stream — shared by q123 (novelty)
+    * and q128 (overlap matrix). Grams travel as fused 64-bit hashes; the
+    * dedup is a partial-combining aggregate, never a posting list. */
+  def sourceGrams(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("source"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(array_distinct(
         graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
       .groupBy(col("source"), col("g")).agg(count(lit(1)).as("_n"))
       .select(col("source"), col("g"))
+
+  def q123SourceNovelty(s: SparkSession, dir: String): DataFrame = {
+    val grams = sourceGrams(s, dir)
     val perGram = grams.groupBy(col("g"))
       .agg(count(lit(1)).as("n_src"), min(col("source")).as("only_src"))
     val excl = perGram.filter(col("n_src") === 1L)
@@ -768,6 +774,60 @@ object TextOps {
        |  CAST(coalesce(ex.n_exclusive, 0) AS DOUBLE) / tot.n_grams
        |    AS exclusive_frac
        |FROM tot LEFT JOIN ex ON ex.source = tot.source""".stripMargin
+
+  /** Pairwise source-overlap matrix: for every source pair, how many
+    * distinct word 3-grams they share and what fraction of EACH side's
+    * gram set that is — the mirror/syndication detector at provenance
+    * granularity (q123 says "source X adds little new"; this says WHERE
+    * its content already lives: a high asymmetric fraction means X is
+    * largely contained in Y). Containment is directional, so both
+    * fractions are emitted.
+    *
+    * Scale shape: rides [[sourceGrams]] (hashed, deduped,
+    * partial-combined). The pair stage is a self-EQUI-join on the gram
+    * hash — per-gram fan-out is `n_src choose 2`, bounded by source
+    * CARDINALITY squared (sources are a curated registry, tens to
+    * hundreds — never corpus-scale), and the hot-gram join key is
+    * AQE-skew-splittable. The pair aggregate emits ≤ #sources² rows;
+    * totals join back as a broadcast. No posting lists, no cartesian. */
+  def q128SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val grams = sourceGrams(s, dir)
+    val tot = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    grams.select(col("g"), col("source").as("source_a"))
+      .join(grams.select(col("g"), col("source").as("source_b")), Seq("g"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("source_a"),
+        col("n").as("n_a"))), Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"),
+        col("n").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") / col("n_a")).as("frac_a"),
+        (col("n_shared").cast("double") / col("n_b")).as("frac_b"))
+  }
+
+  val q128Sql: String =
+    s"""WITH t AS (SELECT source,
+       |  string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+       |    AS toks FROM documents),
+       |f AS (SELECT source, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |sg AS (
+       |  SELECT DISTINCT source,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |tot AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY 1)
+       |SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared, ta.n AS n_a, tb.n AS n_b,
+       |  CAST(count(*) AS DOUBLE) / ta.n AS frac_a,
+       |  CAST(count(*) AS DOUBLE) / tb.n AS frac_b
+       |FROM sg a
+       |JOIN sg b ON a.g = b.g AND a.source < b.source
+       |JOIN tot ta ON ta.source = a.source
+       |JOIN tot tb ON tb.source = b.source
+       |GROUP BY 1, 2, ta.n, tb.n""".stripMargin
 
   /** Content fingerprint: md5 of the normalized text, plus a 60-bit
     * integer form — the primitive under exact dedup. */
@@ -876,6 +936,7 @@ object TextOps {
     QueryDef("q119_dup_gram_frac", q119DupGramFrac, Some(q119Sql)),
     QueryDef("q122_kneser_ney", q122KneserNey, Some(q122Sql)),
     QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
+    QueryDef("q128_source_overlap", q128SourceOverlap, Some(q128Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),
     QueryDef("q33_fingerprint", q33Fingerprint, Some(q33Sql)),
     QueryDef("q50_bpe_tokens", q50BpeTokens, Some(q50Sql)),

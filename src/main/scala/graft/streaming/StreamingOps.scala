@@ -406,6 +406,51 @@ object StreamingOps {
 
   /** Run a streaming frame to completion against the (static) parquet
     * input via the in-memory sink; returns the materialized result. */
+  /** Streaming per-user transition feed — the ONLINE tier of the batch
+    * q127 Markov matrix: each user's state is the single latest event
+    * `(ts_us, event_id, event_type)` (one record per live user, never a
+    * history), and every arriving event emits the `(from, to)` edge
+    * from the stored predecessor — including across trigger boundaries,
+    * which is what the state exists for. Within a trigger the batch
+    * iterator carries no ordering promise, so events are restored to
+    * `(ts_us, event_id)` order; a LATE arrival (older than the stored
+    * state) is dropped without emitting or rewinding — the
+    * `upsertStream` stale-drop contract, since re-emitting history
+    * would double-count edges downstream. Downstream aggregation of the
+    * emitted pairs reproduces q127's counts when the feed is in order
+    * per user. */
+  def transitionStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("user_id").as[Long], col("ts_us").as[Long],
+        col("event_id").as[Long], col("event_type").as[String])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[(Long, Long, Long, String)],
+            state: GroupState[(Long, Long, String)]) =>
+          var last = state.getOption
+          val out = it.toArray.sortBy(e => (e._2, e._3))
+            .flatMap { case (_, ts, eid, et) =>
+              val newer = last.forall { case (lts, leid, _) =>
+                ts > lts || (ts == lts && eid > leid)
+              }
+              if (newer) {
+                val edge = last.map { case (_, _, ltype) => (uid, ltype, et) }
+                last = Some((ts, eid, et))
+                edge
+              } else None // late arrival: dropped, state not rewound
+            }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF("user_id", "from_type", "to_type")
+  }
+
   def runToMemory(spark: SparkSession, frame: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
     val q: StreamingQuery = frame.writeStream

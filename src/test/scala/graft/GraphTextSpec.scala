@@ -233,4 +233,30 @@ class GraphTextSpec extends SparkTestBase {
       assert(frac == excl.toDouble / gs.size)
     }
   }
+
+  test("q128: overlap matrix matches pairwise gram-set intersections") {
+    import graft.functions.TextFns
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("source"), TextFns.tokens(col("text")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1).toArray))
+      .filter(_._2.length >= 3)
+    val bySrc = rows.groupBy(_._1).view.mapValues { ds =>
+      ds.iterator.flatMap(_._2.sliding(3).map(_.mkString(" "))).toSet
+    }.toMap
+    val got = TextOps.q128SourceOverlap(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      shared = (bySrc(a) intersect bySrc(b)).size.toLong if shared > 0
+    } yield (a, b) -> shared).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case ((a, b), (shared, nA, nB, fracA, fracB)) =>
+      assert(shared == expected((a, b)), s"$a/$b")
+      assert(nA == bySrc(a).size.toLong && nB == bySrc(b).size.toLong)
+      assert(fracA == shared.toDouble / nA && fracB == shared.toDouble / nB)
+    }
+  }
 }

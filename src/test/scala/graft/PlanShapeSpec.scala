@@ -318,6 +318,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("q123 source novelty: totals branch reuses the gram-dedup shuffle at runtime") {
+    // the exclusives branch and the totals branch consume the same
+    // (source, g) dedup aggregate; AQE must stitch them into ONE exchange
+    // (ReusedExchange) so the corpus is scanned and the gram stream
+    // shuffled exactly once — same contract as q108/q113
+    val df = operators.TextOps.q123SourceNovelty(spark, sfDir)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange"), executed)
+  }
+
+  test("q128 source overlap: pairs ride the gram equi-join; totals broadcast back") {
+    val plan = initialPlan(operators.TextOps.q128SourceOverlap(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(count(plan, "BroadcastHashJoin") >= 2, plan) // the two totals joins
+  }
+
   test("q124 stratum sample: heap operator, no per-lang window funnel") {
     val plan = initialPlan(operators.CurationOps.q124StratumSample(spark, sfDir))
     assert(count(plan, "TopKPerKey") == 2, plan) // partial + final

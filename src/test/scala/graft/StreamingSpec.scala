@@ -335,6 +335,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got(5L) == 120L && got(4L) == 140L, got)
   }
 
+  test("streaming transitions bridge trigger boundaries and drop late arrivals") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("strans").toString
+    val src = s"$tmp/src"
+    // (user_id, ts_us, event_id, event_type) over three delivery files;
+    // user 1's b->c edge spans the file-1/file-2 trigger boundary, and
+    // file 3 carries a LATE event (ts 15 < state ts 30) that must emit
+    // nothing and leave the c->a edge intact
+    val chunks = Seq(
+      Seq((1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (2L, 10L, 3L, "x")),
+      Seq((1L, 30L, 4L, "c"), (2L, 40L, 5L, "y")),
+      Seq((1L, 15L, 6L, "late"), (1L, 50L, 7L, "a")))
+    chunks.foreach { rows =>
+      rows.toDF("user_id", "ts_us", "event_id", "event_type").coalesce(1)
+        .write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.transitionStream(spark, src), "trans_stream")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = Seq(
+      (1L, "a", "b"), (1L, "b", "c"), (1L, "c", "a"), (2L, "x", "y"))
+    assert(got.sorted.toSeq == expected.sorted, got.toSeq)
+    // aggregated pairs match the batch lead-window reference on the
+    // same rows MINUS the dropped late event (the documented contract)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lead}
+    val all = chunks.flatten.filterNot(_._3 == 6L)
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val ref = all.withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type"), col("to_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(p => p).view.mapValues(_.length).toMap
+    val gotCounts = got.map(t => (t._2, t._3)).groupBy(p => p)
+      .view.mapValues(_.length).toMap
+    assert(gotCounts == ref)
+  }
+
   test("streaming dedup emits each (user_id, event_id) once") {
     val stream = StreamingOps.eventsStream(spark, sfDir)
     val got = StreamingOps.runToMemory(spark,
