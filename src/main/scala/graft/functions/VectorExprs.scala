@@ -339,6 +339,83 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Fused covariance-pair expansion (q132): quantize the vector to the
+    * 1e-3 grid, then emit ONE flat primitive `array<long>` holding the
+    * m(m+1)/2 upper-triangle products q_i·q_j (row-major, i ≤ j) followed
+    * by the m raw codes q_i — so a single posexplode feeds BOTH the
+    * pair-moment aggregate and the per-dim sum aggregate from one pass.
+    * Replaces a nested `transform(…, transform(…, struct(i, j, p)))` +
+    * `flatten`: higher-order functions are CodegenFallback, which made
+    * 2 144 interpreted lambda invocations + struct boxings per row; this
+    * is one codegen'd O(m²/2) primitive loop writing longs.
+    *
+    * Flat-position contract (the consumer inverts it on the AGGREGATED
+    * 2 144-row side, closed-form): products occupy positions
+    * offset(i) = m·i − i(i−1)/2 through offset(i) + (m−i) − 1, so
+    * i = ⌊(2m+1 − √((2m+1)² − 8·pos)) / 2⌋ and j = pos − offset(i) + i;
+    * at boundaries the discriminant is the perfect square (2m+1−2i)², so
+    * IEEE sqrt is exact there and the floor is deterministic. Positions
+    * ≥ m(m+1)/2 carry the raw q_i for the centering sums. */
+  case class CovPairProducts(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"cov_pair_products expects array<float>, got ${t.catalogString}")
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val m = x.numElements()
+      val q = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        q(i) = math.floor(x.getFloat(i).toDouble * Scale + 0.5).toLong
+        i += 1
+      }
+      val out = new Array[Long](m * (m + 1) / 2 + m)
+      var k = 0
+      i = 0
+      while (i < m) {
+        var j = i
+        while (j < m) {
+          out(k) = q(i) * q(j); k += 1; j += 1
+        }
+        i += 1
+      }
+      System.arraycopy(q, 0, out, k, m)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val k = ctx.freshName("k")
+        val m = ctx.freshName("m")
+        val q = ctx.freshName("q")
+        val out = ctx.freshName("out")
+        s"""
+           |int $m = $a.numElements();
+           |long[] $q = new long[$m];
+           |for (int $i = 0; $i < $m; $i++) {
+           |  $q[$i] = (long) Math.floor(((double) $a.getFloat($i)) * $Scale + 0.5);
+           |}
+           |long[] $out = new long[$m * ($m + 1) / 2 + $m];
+           |int $k = 0;
+           |for (int $i = 0; $i < $m; $i++) {
+           |  for (int $j = $i; $j < $m; $j++) {
+           |    $out[$k++] = $q[$i] * $q[$j];
+           |  }
+           |}
+           |System.arraycopy($q, 0, $out, $k, $m);
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+           |  .fromPrimitiveArray($out);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.GraftShims.{registerFunction, toColumn, toExpression}
 
   def quantized_dot(a: Column, b: Column): Column =
@@ -356,6 +433,9 @@ object VectorExprs {
   def count_in_array(a: Column, b: Column): Column =
     toColumn(CountInArray(toExpression(a), toExpression(b)))
 
+  def cov_pair_products(a: Column): Column =
+    toColumn(CovPairProducts(toExpression(a)))
+
   def map_sum_lookup(a: Column, b: Column): Column =
     toColumn(MapSumLookup(toExpression(a), toExpression(b)))
 
@@ -367,6 +447,7 @@ object VectorExprs {
     registerFunction(spark, "long_dot", es => LongDot(es(0), es(1)))
     registerFunction(spark, "int8_codes", es => Int8Codes(es.head))
     registerFunction(spark, "count_in_array", es => CountInArray(es(0), es(1)))
+    registerFunction(spark, "cov_pair_products", es => CovPairProducts(es.head))
     registerFunction(spark, "map_sum_lookup", es => MapSumLookup(es(0), es(1)))
   }
 }

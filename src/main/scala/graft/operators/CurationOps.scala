@@ -715,7 +715,95 @@ object CurationOps {
       |  AS chi_term
       |FROM counts, tot""".stripMargin
 
+  /** DSIR-style data selection with importance resampling (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS): score every raw-pool document by its
+    * log-likelihood ratio under unigram bag-of-words models of a TARGET
+    * distribution vs the RAW distribution, so resampling by the weight
+    * shifts the pool toward the target domain. The target here is the
+    * deterministic 5% hash split q70 uses as its benchmark stand-in;
+    * Laplace +1 smoothing over the joint vocabulary on both sides.
+    *
+    * Cross-engine exactness: this is the suite's ONE transcendental.
+    * Each per-WORD log-ratio ln((c_t+1)(R+V) / ((c_r+1)(T+V))) takes an
+    * exact-int64-ratio double (bit-identical in both engines) through
+    * `ln` and is immediately quantized to a 2^-14 grid
+    * (⌊ln·16384⌋, BIGINT); per-document weights are then pure integer
+    * sums. A cross-engine mismatch needs the two engines' `ln` (both
+    * ≤ 1 ulp from correctly rounded) to straddle a grid line — the
+    * result must land within ~2^-52·|ln| of a multiple of 2^-14,
+    * probability ~5e-12 per vocab word. The quantization lives on the
+    * VOCAB-BOUNDED weight table, never on per-row math.
+    *
+    * Scale shape: the term-count table is vocabulary-bounded with
+    * map-side combine (the raw token stream shuffles once as partial
+    * counts); totals are a broadcast scalar row. The scoring join keys
+    * on term — stop-word heat is AQE-splittable join skew, not a buffer
+    * — and the per-doc rollup keys on doc_id (unbounded cardinality).
+    * Weight sums ride DECIMAL(38,0) (|lw| ≤ ~3e5 per token ⇒ int64
+    * would clip only past ~3e13 tokens per document, but decimal costs
+    * nothing here). */
+  def q130DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val isTarget = pmod(hash60(concat(lit("bench:"),
+      col("doc_id").cast("string"))), lit(100)) < 5
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(filter(tokens(col("text")), t => t =!= "")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast("long").as("ct"),
+      sum(when(col("tgt"), 0L).otherwise(1L)).cast("long").as("cr"))
+    val tot = counts.agg(
+      sum(col("ct")).cast("long").as("t_tot"),
+      sum(col("cr")).cast("long").as("r_tot"),
+      count(lit(1)).as("v"))
+    val weights = counts.crossJoin(broadcast(tot))
+      .select(col("term"), floor(log(
+        ((col("ct") + 1) * (col("r_tot") + col("v"))).cast("double") /
+          ((col("cr") + 1) * (col("t_tot") + col("v"))).cast("double")) *
+        16384).cast("long").as("lw"))
+    toks.filter(!col("tgt"))
+      .join(weights, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lw").cast(d38)).cast("long").as("w_sum"))
+      .withColumn("w_avg", col("w_sum").cast("double") / col("n_toks"))
+  }
+
+  val q130Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5('bench:' || doc_id), 1, 15) AS BIGINT)
+       |      % 100 < 5 AS tgt,
+       |    u.term
+       |  FROM (SELECT doc_id, $toksSql AS tk FROM documents) t,
+       |    UNNEST(tk) AS u(term)
+       |  WHERE u.term <> ''),
+       |c AS (
+       |  SELECT term,
+       |    CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM toks GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
+       |    CAST(sum(cr) AS BIGINT) AS r_tot,
+       |    CAST(count(*) AS BIGINT) AS v
+       |  FROM c),
+       |w AS (
+       |  SELECT term,
+       |    CAST(floor(ln(CAST((ct + 1) * (r_tot + v) AS DOUBLE)
+       |      / CAST((cr + 1) * (t_tot + v) AS DOUBLE)) * 16384) AS BIGINT)
+       |      AS lw
+       |  FROM c CROSS JOIN tot)
+       |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       |  CAST(sum(w.lw) AS BIGINT) AS w_sum,
+       |  CAST(sum(w.lw) AS DOUBLE) / count(*) AS w_avg
+       |FROM toks JOIN w USING (term)
+       |WHERE NOT tgt
+       |GROUP BY toks.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
     QueryDef("q108_drift", q108Drift, Some(q108Sql)),
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),

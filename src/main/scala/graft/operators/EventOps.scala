@@ -314,7 +314,64 @@ object EventOps {
       |  CAST(c.c AS DOUBLE) / t.n_from AS p
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  /** Weekly cohort-retention matrix — the standard product-analytics
+    * rollup: users are cohorted by the week of their FIRST event, and
+    * each (cohort_week, week_offset) cell reports how many of that
+    * cohort's users were active `offset` weeks later, as a count and as
+    * a fraction of cohort size. Week identity is `date_trunc('week')`
+    * (ISO Monday in both engines); the offset is exact integer
+    * microsecond arithmetic (`unix_micros` / 604.8e9), so every cell is
+    * exact int64 and the retention fraction is ONE double division.
+    *
+    * Scale shape: both the first-event aggregate and the active-week
+    * dedup key on user_id (unbounded cardinality — the anti-funnel);
+    * their join keys on user_id too, so hot users are join skew (AQE
+    * shape), not a buffer. The matrix aggregate output is bounded by
+    * #weeks² and the cohort-size table by #weeks, so the final
+    * enrichment is a broadcast. One pass over events for each of the
+    * two aggregates — and Spark's exchange reuse shares the user_id
+    * shuffle when the planner lines the two subtrees up. */
+  def q131CohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val firstw = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_w"))
+    val activew = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      .distinct()
+    val cohortN = firstw.groupBy(col("cohort_w"))
+      .agg(count(lit(1)).as("cohort_n"))
+    activew.join(firstw, Seq("user_id"))
+      .select(col("cohort_w"),
+        ((unix_micros(col("w")) - unix_micros(col("cohort_w"))) /
+          lit(604800000000L)).cast("long").as("week_offset"))
+      .groupBy(col("cohort_w"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(cohortN), Seq("cohort_w"))
+      .select(col("cohort_w"), col("week_offset"), col("n_active"),
+        col("cohort_n"),
+        (col("n_active").cast("double") / col("cohort_n")).as("retention"))
+  }
+
+  val q131Sql: String =
+    """WITH fw AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+      |  FROM events GROUP BY user_id),
+      |aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events),
+      |cn AS (SELECT cohort_w, CAST(count(*) AS BIGINT) AS cohort_n
+      |       FROM fw GROUP BY 1),
+      |cells AS (
+      |  SELECT fw.cohort_w,
+      |    (epoch_us(aw.w) - epoch_us(fw.cohort_w)) // 604800000000
+      |      AS week_offset,
+      |    CAST(count(*) AS BIGINT) AS n_active
+      |  FROM aw JOIN fw USING (user_id)
+      |  GROUP BY 1, 2)
+      |SELECT c.cohort_w, c.week_offset, c.n_active, cn.cohort_n,
+      |  CAST(c.n_active AS DOUBLE) / cn.cohort_n AS retention
+      |FROM cells c JOIN cn USING (cohort_w)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),
     QueryDef("q127_transitions", q127Transitions, Some(q127Sql)),
     QueryDef("q113_drift_timeline", q113DriftTimeline, Some(q113Sql)),
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),

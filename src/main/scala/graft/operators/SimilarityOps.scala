@@ -500,7 +500,83 @@ object SimilarityOps {
        |GROUP BY vec_id""".stripMargin
   }
 
+  /** Embedding covariance matrix (upper triangle) — the statistical
+    * primitive under PCA whitening, dimension-collapse diagnostics
+    * ("is the encoder using all 64 dims?"), and anisotropy measurement.
+    * Values ride the file's 1e-3 quantization contract, so every
+    * S_i = Σ q_i and S_ij = Σ q_i·q_j is exact integer arithmetic
+    * (|q| ≤ ~600 ⇒ |q_i·q_j| < 4e5; sums go through DECIMAL(38,0), so
+    * the shape survives trillion-row corpora where int64 would clip).
+    * The covariance (n·S_ij − S_i·S_j)/n²·10⁻⁶ is evaluated as the same
+    * double-division sequence in both engines — bit-identical.
+    *
+    * Scale shape: per row, ONE codegen'd expression
+    * ([[graft.functions.VectorExprs.CovPairProducts]]) writes the
+    * 64·65/2 = 2080 upper-triangle products PLUS the 64 raw codes into a
+    * flat primitive long array (Spark's own `transform`/`flatten` HOFs
+    * are CodegenFallback — the first cut of this operator paid 2 144
+    * interpreted lambda calls and struct boxings per row, 4 s at sf0.1);
+    * a single posexplode feeds ONE partial-combining aggregate, so each
+    * map task emits at most 2 144 partial rows regardless of row count —
+    * shuffle volume is #tasks × 2 144, INDEPENDENT of corpus size — and
+    * the pair-moment and centering-sum branches both read that one
+    * aggregate (same subtree ⇒ the exchange is runtime-reused, not
+    * recomputed; the enrichment joins broadcast 64 rows). The (i, j)
+    * indices are recovered from the flat position closed-form on the
+    * 2 080-row POST-aggregate side (exactness argued at the expression's
+    * doc). The anti-pattern this avoids is collecting vectors to the
+    * driver or a gramian via a single-task reduce: the matrix is a plain
+    * distributed hash aggregate. */
+  def q132EmbedCovariance(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val m = 64
+    val nPairs = m * (m + 1) / 2
+    val agg = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+      .select(posexplode(
+        graft.functions.VectorExprs.cov_pair_products(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(d38)).as("sv"))
+    val sums = agg.filter(col("pos") >= nPairs)
+      .select((col("pos") - nPairs).cast("long").as("d"), col("sv").as("s"))
+    // invert the flat upper-triangle position: at block boundaries the
+    // discriminant is the perfect square (2m+1-2i)^2, so sqrt is exact
+    // and the floor deterministic (see CovPairProducts doc)
+    val iCol = floor((lit(2 * m + 1) -
+      sqrt((lit((2 * m + 1) * (2 * m + 1)) - lit(8) * col("pos"))
+        .cast("double"))) / 2).cast("long")
+    agg.filter(col("pos") < nPairs)
+      .withColumn("i", iCol)
+      .withColumn("j", (col("pos") - (lit(m) * col("i") -
+        (col("i") * (col("i") - 1)) / 2) + col("i")).cast("long"))
+      .join(broadcast(sums.select(col("d").as("i"), col("s").as("si"))),
+        Seq("i"))
+      .join(broadcast(sums.select(col("d").as("j"), col("s").as("sj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("n"),
+        ((col("n").cast(d38) * col("sv") - col("si") * col("sj"))
+          .cast("double") / col("n") / col("n") / lit(1e6)).as("cov"))
+  }
+
+  val q132Sql: String =
+    """WITH q AS (
+      |  SELECT list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |pr AS (
+      |  SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+      |    CAST(count(*) AS BIGINT) AS n, sum(q[i + 1] * q[j + 1]) AS spq
+      |  FROM q, UNNEST(range(0, 64)) u(i), UNNEST(range(0, 64)) v(j)
+      |  WHERE i <= j GROUP BY 1, 2),
+      |sm AS (
+      |  SELECT CAST(i AS BIGINT) AS i, sum(q[i + 1]) AS s
+      |  FROM q, UNNEST(range(0, 64)) u(i) GROUP BY 1)
+      |SELECT pr.i, pr.j, pr.n,
+      |  CAST(pr.n * pr.spq - a.s * b.s AS DOUBLE) / pr.n / pr.n / 1e6 AS cov
+      |FROM pr JOIN sm a ON a.i = pr.i JOIN sm b ON b.i = pr.j""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_embed_covariance", q132EmbedCovariance, Some(q132Sql)),
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
     QueryDef("q93_knn_int8", q93KnnInt8, Some(q93Sql)),
     QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),

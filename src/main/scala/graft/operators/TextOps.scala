@@ -705,6 +705,80 @@ object TextOps {
       |ORDER BY p_kn DESC, c.w1, c.w2
       |LIMIT 50""".stripMargin
 
+  /** Per-document bigram fluency — the LM-based quality filter (the
+    * CCNet / Wenzek et al. 2020 shape: score every document under a
+    * corpus-level language model and gate the low-likelihood tail) with
+    * q122's bigram table as the model. Per document it reports how much
+    * of its bigram stream the corpus LM recognises: `mass` = Σ corpus
+    * frequency of each bigram token, `common_frac` = fraction of bigram
+    * tokens whose TYPE count clears the q122 support cut (c_ab ≥ 5), and
+    * `mean_freq` = mass / n_bigrams. Low common_frac ⇒ the document is
+    * built from word transitions the corpus has essentially never seen —
+    * the perplexity-filter signal without a single transcendental: every
+    * output is an exact int64 or ONE double division of int64s
+    * (a Σ log p form would sum doubles in engine-dependent order; the
+    * frequency-mass form is bit-identical cross-engine by construction).
+    *
+    * Scale shape: the bigram-TYPE table aggregates with map-side combine,
+    * so ITS shuffle carries only per-task partial type counts
+    * (vocabulary²-bounded per task, cheap); the full (doc_id, w1, w2)
+    * stream shuffles exactly once, for the scoring join. (The two
+    * exchanges can't be runtime-shared à la q123 — the aggregate's has a
+    * partial-aggregate below it — so the corpus tokenizes twice; the
+    * second pass is the price of keeping the type table an aggregate
+    * rather than a per-partition posting structure.) Hot
+    * function-word bigrams skew the join key — the AQE-splittable shape,
+    * never an aggregation buffer. The per-doc rollup keys on doc_id
+    * (unbounded cardinality — the anti-funnel). Every doc bigram appears
+    * in the type table by construction, so the final join is inner. */
+  def q129BigramFluency(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val bg = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cab = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    bg.join(cab, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("c_ab").cast(d38)).cast("long").as("mass"),
+        sum(when(col("c_ab") >= 5, 1L).otherwise(0L)).cast("long")
+          .as("n_common"))
+      .withColumn("mean_freq",
+        col("mass").cast("double") / col("n_bigrams"))
+      .withColumn("common_frac",
+        col("n_common").cast("double") / col("n_bigrams"))
+  }
+
+  val q129Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+      |bg AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM f, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)),
+      |cab AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab
+      |  FROM bg GROUP BY 1, 2)
+      |SELECT bg.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(c.c_ab) AS BIGINT) AS mass,
+      |  CAST(sum(CASE WHEN c.c_ab >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_common,
+      |  CAST(sum(c.c_ab) AS DOUBLE) / count(*) AS mean_freq,
+      |  CAST(sum(CASE WHEN c.c_ab >= 5 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS common_frac
+      |FROM bg JOIN cab c ON bg.w1 = c.w1 AND bg.w2 = c.w2
+      |GROUP BY bg.doc_id""".stripMargin
+
   /** Per-source content novelty: the fraction of each source's DISTINCT
     * word 3-grams that appear in NO other source — the source-value
     * signal behind "is this crawl slice adding anything the corpus
@@ -935,6 +1009,7 @@ object TextOps {
     QueryDef("q114_lang_top_bigrams", q114LangTopBigrams, Some(q114Sql)),
     QueryDef("q119_dup_gram_frac", q119DupGramFrac, Some(q119Sql)),
     QueryDef("q122_kneser_ney", q122KneserNey, Some(q122Sql)),
+    QueryDef("q129_bigram_fluency", q129BigramFluency, Some(q129Sql)),
     QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
     QueryDef("q128_source_overlap", q128SourceOverlap, Some(q128Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),

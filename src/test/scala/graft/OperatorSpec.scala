@@ -567,6 +567,115 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q129: fluency mass identities — Σ mass = Σ c², n_bigrams = tokens − 1") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.tokens
+    val got = TextOps.q129BigramFluency(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.nonEmpty)
+    // per-doc bigram count is exactly (#non-empty tokens − 1)
+    val nToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= "")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_bigrams") == nToks(id) - 1, id)
+      val frac = r.getAs[Double]("common_frac")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Double]("mean_freq") ==
+        r.getAs[Long]("mass").toDouble / r.getAs[Long]("n_bigrams"))
+    }
+    // each bigram token of a type with count c contributes c to mass, so
+    // the corpus-wide mass total collapses to Σ_types c² — an identity
+    // that only holds if the join matched every bigram exactly once
+    val sumMass = got.values.map(_.getAs[Long]("mass")).sum
+    val sumC2 = {
+      val bg = Tables.documents(spark, sfDir)
+        .select(filter(tokens(col("text")), t => t =!= "").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws("", element_at(col("toks"), i),
+            element_at(col("toks"), i + 1)))).as("b"))
+      bg.groupBy("b").count().agg(sum(col("count") * col("count")))
+        .collect()(0).getLong(0)
+    }
+    assert(sumMass == sumC2)
+  }
+
+  test("q130: DSIR weights exclude the target split and decompose exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val got = CurationOps.q130DsirWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val target = Tables.documents(spark, sfDir)
+      .filter(pmod(TextFns.hash60(concat(lit("bench:"),
+        col("doc_id").cast("string"))), lit(100)) < 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(target.nonEmpty)
+    assert(got.map(_._1).toSet.intersect(target).isEmpty)
+    got.foreach { case (id, n, sum, avg) =>
+      assert(n > 0, id)
+      assert(avg == sum.toDouble / n, id)
+    }
+    // every non-target doc with ≥1 token is scored (the weight table
+    // covers the joint vocabulary, so the scoring join drops nothing)
+    val rawDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(TextFns.tokens(col("text")), t => t =!= "")).as("n"))
+      .filter(col("n") > 0)
+      .collect().map(_.getLong(0)).filterNot(target).toSet
+    assert(got.map(_._1).toSet == rawDocs)
+  }
+
+  test("q131: cohort week-0 retention is exactly 1.0 and users partition") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.q131CohortRetention(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.nonEmpty)
+    // a user is always active in their own first week
+    val w0 = got.filter(_._2 == 0L)
+    assert(w0.nonEmpty)
+    w0.foreach { case (_, _, nAct, nCoh, ret) =>
+      assert(nAct == nCoh); assert(ret == 1.0)
+    }
+    got.foreach { case (_, off, nAct, nCoh, ret) =>
+      assert(off >= 0L)
+      assert(nAct <= nCoh)
+      assert(ret == nAct.toDouble / nCoh)
+    }
+    // cohorts partition the user base
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(got.filter(_._2 == 0L).map(_._4).sum == users)
+  }
+
+  test("q132: covariance diagonal equals var_pop of the quantized values") {
+    import org.apache.spark.sql.functions._
+    val got = SimilarityOps.q132EmbedCovariance(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("cov")).toMap
+    assert(got.size == 64 * 65 / 2)
+    val q = Tables.embeddings(spark, sfDir)
+      .select(posexplode(transform(col("embedding"),
+        x => floor(x.cast("double") * 1000 + 0.5).cast("long")))
+        .as(Seq("pos", "qv")))
+    val want = q.groupBy("pos")
+      .agg(var_pop(col("qv")).as("v")).collect()
+      .map(r => r.getInt(0).toLong -> r.getDouble(1)).toMap
+    want.foreach { case (i, v) =>
+      assert(math.abs(got((i, i)) - v / 1e6) < 1e-9, s"dim $i")
+    }
+    // one off-diagonal cell against the builtin covar_pop
+    val c01 = Tables.embeddings(spark, sfDir)
+      .select(
+        floor(element_at(col("embedding"), 1).cast("double") * 1000 + 0.5)
+          .as("a"),
+        floor(element_at(col("embedding"), 2).cast("double") * 1000 + 0.5)
+          .as("b"))
+      .agg(covar_pop(col("a"), col("b"))).collect()(0).getDouble(0)
+    assert(math.abs(got((0L, 1L)) - c01 / 1e6) < 1e-9)
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
     val f = multimodal.Multimodal.extractFeatures(spark, media).collect()

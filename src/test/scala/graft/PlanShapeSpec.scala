@@ -401,6 +401,51 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q129 bigram fluency: combined type counts, one full-stream shuffle") {
+    val plan = withoutAutoBroadcast {
+      initialPlan(operators.TextOps.q129BigramFluency(spark, sfDir))
+    }
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("Window"), plan)
+    // type-table build partial-aggregates BELOW its exchange (map-side
+    // combine: its shuffle is vocab²-bounded per task), scoring join is
+    // the shuffle join AQE can skew-split on hot function-word bigrams
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(count(plan, "HashAggregate") >= 4, plan)
+  }
+
+  test("q130 DSIR: vocab-bounded weight table, no window, no posting lists") {
+    val plan = withoutAutoBroadcast {
+      initialPlan(operators.CurationOps.q130DsirWeights(spark, sfDir))
+    }
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // intrinsic strategy: term-keyed scoring join is a shuffle join (the
+    // vocab table is unbounded at corpus scale — must not force-broadcast)
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q131 cohort retention: user-keyed aggregates, broadcast cohort sizes") {
+    val plan = initialPlan(operators.EventOps.q131CohortRetention(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan) // the #weeks-bounded sizes
+    assert(plan.contains("user_id"), plan)
+  }
+
+  test("q132 covariance: partial-combining aggregate, matrix-bounded shuffle") {
+    val plan = initialPlan(operators.SimilarityOps.q132EmbedCovariance(spark, sfDir))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    // pairs + sums each plan partial+final hash aggregates: map tasks emit
+    // ≤ 2080 partial rows each, so shuffle volume is independent of N
+    assert(count(plan, "HashAggregate") >= 4, plan)
+    assert(count(plan, "BroadcastHashJoin") >= 2, plan) // 64-row sum joins
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
