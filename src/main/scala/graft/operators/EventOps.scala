@@ -370,8 +370,61 @@ object EventOps {
       |  CAST(c.n_active AS DOUBLE) / cn.cohort_n AS retention
       |FROM cells c JOIN cn USING (cohort_w)""".stripMargin
 
+  /** Last-touch attribution: every purchase is attributed to the user's
+    * LATEST preceding click within a 7-day lookback — the standard
+    * marketing-attribution join, done without a self-join: one window
+    * pass per user carries the running "latest click so far"
+    * (max over a 1-preceding frame of `CASE WHEN click THEN ts END`), so
+    * each purchase row reads its attribution in place. Gap arithmetic is
+    * exact integer microseconds; rows with no in-window click report
+    * attributed = false with a NULL gap (the unreachable-spend signal).
+    *
+    * Scale shape: the single window partitions by user_id — unbounded
+    * cardinality, the anti-funnel — and replaces the naive
+    * purchases⋈clicks range self-join, which fans out per (purchase,
+    * click) pair before filtering to the max. One shuffle, no join at
+    * all. Ordering ties break on event_id, so attribution is
+    * deterministic. */
+  def q134LastTouch(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", unix_micros(col("ts"))))
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (unix_micros(col("ts")) - col("last_click_us")).as("gap_us"))
+      .withColumn("attributed",
+        col("gap_us").isNotNull && col("gap_us") <= lit(604800000000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("attributed"), col("gap_us")).as("gap_us"),
+        col("attributed"))
+  }
+
+  val q134Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS last_click_us
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id, user_id, ts,
+      |    epoch_us(ts) - last_click_us AS gap_us
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, ts,
+      |  CASE WHEN gap_us IS NOT NULL AND gap_us <= 604800000000
+      |       THEN gap_us END AS gap_us,
+      |  gap_us IS NOT NULL AND gap_us <= 604800000000 AS attributed
+      |FROM p""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),
+    QueryDef("q134_last_touch", q134LastTouch, Some(q134Sql)),
     QueryDef("q127_transitions", q127Transitions, Some(q127Sql)),
     QueryDef("q113_drift_timeline", q113DriftTimeline, Some(q113Sql)),
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),

@@ -849,6 +849,78 @@ object TextOps {
        |    AS exclusive_frac
        |FROM tot LEFT JOIN ex ON ex.source = tot.source""".stripMargin
 
+  /** Ingest novelty decay: split the corpus into ingest shards and
+    * report, per shard, how many of its distinct word 3-grams are NOVEL —
+    * first claimed by that shard — versus already covered by earlier
+    * shards, plus the cumulative distinct-gram curve. This is the
+    * diminishing-returns curve of data acquisition ("how much does the
+    * next crawl batch actually add?"), the over-TIME complement of q123's
+    * per-source exclusivity. Shards here are the deterministic
+    * `doc_id mod 10` (in production: the crawl/ingest date).
+    *
+    * Scale shape: grams ride fused 64-bit hashes; the (shard, g) dedup
+    * and the per-gram `min(shard)` attribution are both partial-combining
+    * aggregates whose per-gram state is ONE long (never a posting list —
+    * the q70/q123 discipline). Catalyst makes the attribution branch
+    * cheaper than written: `min` is duplicate-insensitive, so
+    * `RemoveRedundantAggregates` elides the (shard, g) dedup under it —
+    * that branch is ONE direct shuffle of partial mins keyed by g (which
+    * is also why the two branches share no exchange: their subtrees
+    * legitimately differ, unlike q123's count-based pair). The curve
+    * itself is #shards rows, so the cumulative window runs on a bounded
+    * single partition — the one place a global window is fine. */
+  def q133NoveltyDecay(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(pmod(col("doc_id"), lit(10L)).as("shard"),
+        tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("shard"), explode(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+      .groupBy(col("shard"), col("g")).agg(count(lit(1)).as("_n"))
+      .select(col("shard"), col("g"))
+    val novel = grams.groupBy(col("g"))
+      .agg(min(col("shard")).as("shard"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("n_novel"))
+    val present = grams.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_gram_types"))
+    import org.apache.spark.sql.expressions.Window
+    present.join(novel, Seq("shard"), "left")
+      .select(col("shard"), col("n_gram_types"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novel_frac",
+        col("n_novel").cast("double") / col("n_gram_types"))
+      .withColumn("cum_types",
+        sum(col("n_novel")).over(
+          Window.orderBy(col("shard"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+  }
+
+  val q133Sql: String =
+    s"""WITH t AS (SELECT doc_id % 10 AS shard,
+       |  string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+       |    AS toks FROM documents),
+       |f AS (SELECT shard, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |sg AS (
+       |  SELECT DISTINCT shard,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |nv AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_novel FROM (
+       |    SELECT g, min(shard) AS shard FROM sg GROUP BY g)
+       |  GROUP BY shard),
+       |pr AS (
+       |  SELECT shard, CAST(count(*) AS BIGINT) AS n_gram_types
+       |  FROM sg GROUP BY shard)
+       |SELECT pr.shard, pr.n_gram_types,
+       |  coalesce(nv.n_novel, 0) AS n_novel,
+       |  CAST(coalesce(nv.n_novel, 0) AS DOUBLE) / pr.n_gram_types
+       |    AS novel_frac,
+       |  CAST(sum(coalesce(nv.n_novel, 0)) OVER (ORDER BY pr.shard
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS cum_types
+       |FROM pr LEFT JOIN nv ON nv.shard = pr.shard""".stripMargin
+
   /** Pairwise source-overlap matrix: for every source pair, how many
     * distinct word 3-grams they share and what fraction of EACH side's
     * gram set that is — the mirror/syndication detector at provenance
@@ -1010,6 +1082,7 @@ object TextOps {
     QueryDef("q119_dup_gram_frac", q119DupGramFrac, Some(q119Sql)),
     QueryDef("q122_kneser_ney", q122KneserNey, Some(q122Sql)),
     QueryDef("q129_bigram_fluency", q129BigramFluency, Some(q129Sql)),
+    QueryDef("q133_novelty_decay", q133NoveltyDecay, Some(q133Sql)),
     QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
     QueryDef("q128_source_overlap", q128SourceOverlap, Some(q128Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),

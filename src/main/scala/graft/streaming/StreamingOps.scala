@@ -451,6 +451,30 @@ object StreamingOps {
       .toDF("user_id", "from_type", "to_type")
   }
 
+  /** Streaming covariance moments — the online tier of batch q132: as
+    * embedding vectors arrive, maintain the exact (n, Σ q_i·q_j) moment
+    * table the covariance matrix derives from. Each micro-batch runs the
+    * same codegen'd [[graft.functions.VectorExprs.CovPairProducts]]
+    * expansion + posexplode, and the complete-mode aggregate keeps ONE
+    * row of state per flat position — 2 144 (count, decimal sum) pairs
+    * for 64 dims, O(d²) state INDEPENDENT of stream length. Because
+    * integer/decimal sums are associative, the moments after consuming a
+    * bounded feed are bit-identical to the batch aggregate
+    * (spec-asserted); the final centering divisions are a consumer-side
+    * projection, exactly as in q132. */
+  def covarianceStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 1): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(posexplode(
+        graft.functions.VectorExprs.cov_pair_products(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+  }
+
   def runToMemory(spark: SparkSession, frame: DataFrame, name: String,
       outputMode: String = "append"): DataFrame = {
     val q: StreamingQuery = frame.writeStream

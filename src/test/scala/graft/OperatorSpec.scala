@@ -676,6 +676,56 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(got((0L, 1L)) - c01 / 1e6) < 1e-9)
   }
 
+  test("q133: novelty decay partitions the gram universe; shard 0 all-novel") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns.tokens
+    val got = TextOps.q133NoveltyDecay(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.nonEmpty)
+    // every gram present in shard 0 has min-shard 0, so shard 0 is 100% novel
+    assert(got.head._1 == 0L && got.head._2 == got.head._3)
+    // novel counts partition the distinct-gram universe
+    val universe = Tables.documents(spark, sfDir)
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+      .distinct().count()
+    assert(got.map(_._3).sum == universe)
+    assert(got.last._5 == universe) // cumulative curve tops out at the universe
+    // cumulative is the running sum of novel counts, monotone
+    got.foldLeft(0L) { case (acc, (_, _, nv, _, cum)) =>
+      assert(cum == acc + nv); cum
+    }
+  }
+
+  test("q134: window attribution equals the naive purchases-x-clicks join") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.q134LastTouch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> Option(r.get(3)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+    val want = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("cus")),
+        Seq("user_id"), "left")
+      .groupBy(col("event_id"), col("us"))
+      .agg(max(when(col("cus") < col("us"), col("cus"))).as("last"))
+      .select(col("event_id"),
+        when(col("us") - col("last") <= 604800000000L,
+          col("us") - col("last")).as("gap"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, gap) => assert(want(id) == gap, id) }
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
     val f = multimodal.Multimodal.extractFeatures(spark, media).collect()

@@ -446,6 +446,28 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(plan, "BroadcastHashJoin") >= 2, plan) // 64-row sum joins
   }
 
+  test("q133 novelty decay: min branch elides the dedup; no posting lists") {
+    val plan = initialPlan(operators.TextOps.q133NoveltyDecay(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("collect_list"), plan)
+    // RemoveRedundantAggregates: min(shard) is duplicate-insensitive, so
+    // the attribution branch shuffles partial mins keyed by g directly —
+    // exactly one exchange partitioned by g alone
+    assert(count(plan, "partial_min") >= 1, plan)
+    assert(count(plan, "hashpartitioning\\(g#\\d+L, ") == 1, plan)
+    // the only Window is the cumulative curve over the #shards-row
+    // aggregate output — its input is bounded, not the corpus
+    assert(count(plan, "Window") <= 1, plan)
+  }
+
+  test("q134 last touch: one user-keyed window, no self-join anywhere") {
+    val plan = initialPlan(operators.EventOps.q134LastTouch(spark, sfDir))
+    assert(!plan.contains("Join"), plan) // the naive shape is purchases x clicks
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(count(plan, "Window") == 1, plan)
+    assert(plan.contains("user_id"), plan)
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")

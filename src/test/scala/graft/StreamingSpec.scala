@@ -384,4 +384,27 @@ class StreamingSpec extends SparkTestBase {
       .select("user_id", "event_id").distinct().count()
     assert(got.count() == n)
   }
+
+  test("streaming covariance moments converge to the batch aggregate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val chunks = java.nio.file.Files.createTempDirectory("scov").toString + "/e"
+    val emb = Tables.embeddings(spark, sfDir)
+    // three arrival chunks -> three micro-batches of state maintenance
+    (0 until 3).foreach { i =>
+      emb.filter(pmod(col("vec_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(chunks)
+    }
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.covarianceStream(spark, chunks), "cov_stream", "complete")
+    val want = emb
+      .select(posexplode(
+        graft.functions.VectorExprs.cov_pair_products(col("embedding")))
+        .as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast(DecimalType(38, 0))).as("sv"))
+    assert(got.count() == 64 * 65 / 2 + 64)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
