@@ -575,8 +575,45 @@ object SimilarityOps {
       |  CAST(pr.n * pr.spq - a.s * b.s AS DOUBLE) / pr.n / pr.n / 1e6 AS cov
       |FROM pr JOIN sm a ON a.i = pr.i JOIN sm b ON b.i = pr.j""".stripMargin
 
+  /** ANN recall harness — retrieval-quality evaluation as a first-class
+    * operator: per probe query, the fraction of the exact brute-force
+    * top-k (q39, the ground truth) that the LSH index (q40) actually
+    * returned. A production ANN deployment re-measures this continuously
+    * on a probe set; here it is an oracle-checked query like everything
+    * else (recall is a ratio of exact integer counts — no approximation
+    * in the METRIC even though the measured system approximates).
+    *
+    * Scale shape: pure composition — both inputs are already
+    * #probes × k bounded results of scale-audited queries, so the hit
+    * semi-join and rollups touch only tiny frames; the heavy lifting
+    * (corpus scans) happens inside q39/q40 with their locked plans. */
+  def q136AnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = q39KnnBrute(s, dir).select(col("q_id"), col("neighbor_id"))
+    val approx = q40KnnLsh(s, dir).select(col("q_id"), col("neighbor_id"))
+    val hits = truth.join(approx, Seq("q_id", "neighbor_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_truth"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("n_truth"))
+  }
+
+  lazy val q136Sql: String =
+    s"""WITH t AS (SELECT q_id, neighbor_id FROM ($q39Sql)),
+       |a AS (SELECT q_id, neighbor_id FROM ($q40Sql)),
+       |h AS (
+       |  SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM t JOIN a USING (q_id, neighbor_id) GROUP BY 1),
+       |n AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_truth
+       |      FROM t GROUP BY 1)
+       |SELECT n.q_id, n.n_truth, coalesce(h.n_hits, 0) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_truth AS recall
+       |FROM n LEFT JOIN h ON h.q_id = n.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q132_embed_covariance", q132EmbedCovariance, Some(q132Sql)),
+    QueryDef("q136_ann_recall", q136AnnRecall, Some(q136Sql)),
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
     QueryDef("q93_knn_int8", q93KnnInt8, Some(q93Sql)),
     QueryDef("q40_knn_lsh", q40KnnLsh, Some(q40Sql)),

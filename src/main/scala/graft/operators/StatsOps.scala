@@ -455,7 +455,52 @@ object StatsOps {
       |    AS r2
       |FROM m""".stripMargin
 
+  /** Equi-depth decile histogram of order totals — the quantile-binning
+    * primitive under feature bucketization and data-skew diagnostics
+    * (q85 is the fixed-WIDTH histogram; this is the fixed-DEPTH one:
+    * bucket populations are equal by construction, boundaries adapt to
+    * the distribution). Bucket assignment is `(pos·10) div n` over the
+    * exact global rank — pure integer math, no percentile estimation.
+    *
+    * Scale shape: the global rank rides the [[graft.plans.GlobalRank]]
+    * physical operator — a RANGE exchange + two passes (per-partition
+    * counts broadcast as prefix offsets, then one streaming pass), never
+    * the `row_number() OVER (ORDER BY …)` single-task funnel the oracle
+    * uses (`WindowExec` requires AllTuples). Ordering is (cents,
+    * orderkey) — exact and deterministic. The row count arrives from one
+    * column-pruned count job (a scalar, not per-row driver state); the
+    * bucket rollup is a 10-group partial-combining aggregate. */
+  def q135GlobalNtile(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        graft.functions.Exact.cents(col("o_totalprice")).as("price_c"))
+    val n = base.count()
+    graft.plans.GlobalRank.withPosition(base,
+      Seq(("price_c", false), ("o_orderkey", false)))
+      .withColumn("bucket", expr(s"(pos * 10) div ${n}L"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("price_c")).as("lo_cents"),
+        max(col("price_c")).as("hi_cents"))
+  }
+
+  val q135Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      |  FROM orders),
+      |r AS (
+      |  SELECT price_c,
+      |    row_number() OVER (ORDER BY price_c, o_orderkey) - 1 AS pos,
+      |    (SELECT count(*) FROM b) AS n
+      |  FROM b)
+      |SELECT (pos * 10) // n AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(price_c) AS lo_cents, max(price_c) AS hi_cents
+      |FROM r GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q135_global_ntile", q135GlobalNtile, Some(q135Sql)),
     QueryDef("q126_group_regression", q126GroupRegression, Some(q126Sql)),
     QueryDef("q55_moments", q55Moments, Some(q55Sql)),
     QueryDef("q56_levenshtein", q56Levenshtein, Some(q56Sql)),

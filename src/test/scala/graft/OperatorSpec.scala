@@ -726,6 +726,44 @@ class OperatorSpec extends SparkTestBase {
     got.foreach { case (id, gap) => assert(want(id) == gap, id) }
   }
 
+  test("q135: equi-depth buckets are balanced, ordered, and exhaustive") {
+    val got = StatsOps.q135GlobalNtile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 10L))
+    val n = Tables.orders(spark, sfDir).count()
+    assert(got.map(_._2).sum == n)
+    // (pos*10) div n puts either floor(n/10) or ceil(n/10) rows per bucket
+    got.foreach { case (b, rows, _, _) =>
+      assert(rows == n / 10 || rows == n / 10 + 1, s"bucket $b: $rows")
+    }
+    // depth boundaries are ordered and non-overlapping (ties permitting)
+    got.sliding(2).foreach {
+      case Array((_, _, _, hi), (_, _, lo2, _)) => assert(hi <= lo2)
+      case _ =>
+    }
+  }
+
+  test("q136: recall agrees with a driver-side set intersection") {
+    val got = SimilarityOps.q136AnnRecall(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val truth = SimilarityOps.q39KnnBrute(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = SimilarityOps.q40KnnLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (q, (nTruth, nHits, recall)) =>
+      val want = truth(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(nTruth == truth(q).size, q)
+      assert(nHits == want, q)
+      assert(recall == nHits.toDouble / nTruth)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
     val f = multimodal.Multimodal.extractFeatures(spark, media).collect()

@@ -468,6 +468,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("user_id"), plan)
   }
 
+  test("q135 equi-depth deciles: GlobalRank exec, never a global window") {
+    val plan = initialPlan(operators.StatsOps.q135GlobalNtile(spark, sfDir))
+    assert(plan.contains("GlobalRank"), plan)
+    assert(!plan.contains("Window"), plan) // the oracle's single-task shape
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
