@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // in this batch the rule iterates with ColumnPruning, so the Project
     // it inserts under a GlobalRankPlan folds into the scan
     ext.injectOptimizerRule(_ => plans.GlobalRank.GlobalRankPruning)
+    // naive global row_number() windows compile to the range-exchange
+    // operator (rank-bounded top-k shapes are deliberately left alone)
+    ext.injectOptimizerRule(_ => plans.GlobalRank.GlobalWindowRewrite)
     ext.injectFunction((FunctionIdentifier("quantized_dot"),
       info("quantized_dot", "exact int64 dot of 1e-3-quantized float vectors"),
       (es: Seq[Expression]) => functions.VectorExprs.QuantizedDot(es(0), es(1))))

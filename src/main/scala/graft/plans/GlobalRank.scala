@@ -201,11 +201,92 @@ object GlobalRank {
     }
   }
 
-  /** Register the strategy + pruning rule on a session (idempotent).
-    * Note: via this programmatic path the pruning rule runs in the LAST
-    * optimizer batch, where an inserted Project no longer folds into the
-    * scan — activate through `spark.sql.extensions=graft.GraftExtensions`
-    * to have it iterate with Spark's own ColumnPruning (spec-locked). */
+  /** Optimizer rewrite: a Window node computing ONLY `row_number()` with
+    * an EMPTY partition spec — the plan shape of user-written
+    * `row_number().over(Window.orderBy(...))` / SQL
+    * `row_number() OVER (ORDER BY …)` — compiles to [[GlobalRankPlan]]
+    * plus a projection that rebuilds each window alias as
+    * `cast(pos + 1 as int)` UNDER ITS ORIGINAL exprId, so downstream
+    * references are untouched and the output schema (row_number is
+    * IntegerType, overflowing at 2³¹ exactly like the built-in) is
+    * byte-identical. The user writes the naive single-task funnel;
+    * the session plans the range-exchange two-pass operator.
+    *
+    * Two deliberate non-rewrites:
+    *  - windows directly under a rank-BOUNDING Filter
+    *    (`row_number() <= k`): those belong to the top-k machinery
+    *    (Spark's InferWindowGroupLimit; TopKRewrite for the grouped
+    *    form), where a partial per-partition limit beats materializing
+    *    the full global rank;
+    *  - any other window function in the node (rank/dense_rank differ on
+    *    ties; size-based functions need the whole relation) — the node
+    *    stays on the built-in path. */
+  object GlobalWindowRewrite extends Rule[LogicalPlan]
+      with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Alias, Cast, CurrentRow, IntegerLiteral, Literal, NamedExpression, RowFrame, RowNumber, SpecifiedWindowFrame, UnboundedPreceding, WindowExpression, WindowSpecDefinition}
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+    import org.apache.spark.sql.types.IntegerType
+
+    /** All window expressions iff every one is a global row_number over
+      * the standard running frame. */
+    private def rowNumAliases(exprs: Seq[NamedExpression]): Option[Seq[Alias]] = {
+      val as = exprs.collect {
+        case a @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(Seq(), _,
+              SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow))),
+            _) => a
+      }
+      if (as.nonEmpty && as.length == exprs.length) Some(as) else None
+    }
+
+    /** Windows sitting directly under a Filter that bounds their
+      * row_number by an integer literal — the top-k shape, left alone. */
+    private def boundedWindows(plan: LogicalPlan): Set[LogicalPlan] =
+      plan.collect {
+        case Filter(cond, w: Window)
+            if rowNumAliases(w.windowExpressions).exists { as =>
+              val attrs = as.map(_.toAttribute)
+              splitConjunctivePredicates(cond).exists {
+                case LessThan(e, IntegerLiteral(_)) => attrs.exists(e.semanticEquals)
+                case LessThanOrEqual(e, IntegerLiteral(_)) => attrs.exists(e.semanticEquals)
+                case EqualTo(e, IntegerLiteral(_)) => attrs.exists(e.semanticEquals)
+                case GreaterThan(IntegerLiteral(_), e) => attrs.exists(e.semanticEquals)
+                case GreaterThanOrEqual(IntegerLiteral(_), e) => attrs.exists(e.semanticEquals)
+                case EqualTo(IntegerLiteral(_), e) => attrs.exists(e.semanticEquals)
+                case _ => false
+              }
+            } => w
+      }.toSet
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val skip = boundedWindows(plan)
+      plan.transformUp {
+        case w @ Window(exprs, Seq(), order, child, _)
+            if order.nonEmpty && !skip.contains(w) &&
+              order.flatMap(_.references).forall(child.outputSet.contains) =>
+          rowNumAliases(exprs) match {
+            case Some(aliases) =>
+              val pos = AttributeReference("_grank_pos", LongType,
+                nullable = false)()
+              val rebuilt = aliases.map { a =>
+                Alias(Cast(Add(pos, Literal(1L)), IntegerType), a.name)(
+                  a.exprId, a.qualifier, None)
+              }
+              Project(child.output ++ rebuilt,
+                GlobalRankPlan(order, Nil, None, pos, None, child))
+            case None => w
+          }
+      }
+    }
+  }
+
+  /** Register the strategy + pruning/rewrite rules on a session
+    * (idempotent). Note: via this programmatic path the rules run in the
+    * LAST optimizer batch, where an inserted Project no longer folds into
+    * the scan — activate through
+    * `spark.sql.extensions=graft.GraftExtensions` to have them iterate
+    * with Spark's own ColumnPruning (spec-locked). */
   def enable(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GlobalRankStrategy)) {
       spark.experimental.extraStrategies =
@@ -214,6 +295,10 @@ object GlobalRank {
     if (!spark.experimental.extraOptimizations.contains(GlobalRankPruning)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ GlobalRankPruning
+    }
+    if (!spark.experimental.extraOptimizations.contains(GlobalWindowRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ GlobalWindowRewrite
     }
   }
 

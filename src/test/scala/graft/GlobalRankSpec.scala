@@ -100,6 +100,48 @@ class GlobalRankSpec extends SparkTestBase {
     assert(ranked.collect().length == df.count().toInt)
   }
 
+  test("extensions session compiles a naive global row_number to the exec") {
+    val s2 = org.apache.spark.sql.GraftShims
+      .sessionWithExtensions(spark, new GraftExtensions())
+    def frame(s: org.apache.spark.sql.SparkSession) =
+      s.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rn"))
+    val rewritten = frame(s2)
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRank"), plan)
+    assert(!plan.contains("Window"), plan) // no single-task funnel left
+    // values identical to the built-in path, schema included (int rn)
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = frame(spark).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("rank-bounded global windows are NOT rewritten (top-k path wins)") {
+    val s2 = org.apache.spark.sql.GraftShims
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val df = s2.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rn") <= 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalRank"), plan)
+    assert(df.collect().length == 5)
+  }
+
+  test("mixed global window functions stay on the built-in path") {
+    val s2 = org.apache.spark.sql.GraftShims
+      .sessionWithExtensions(spark, new GraftExtensions())
+    val w = Window.orderBy(col("n_chars").desc, col("doc_id"))
+    val df = s2.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pr", percent_rank().over(w))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("GlobalRank"), plan)
+    assert(df.count() > 0)
+  }
+
   test("empty and single-row inputs") {
     val e = spark.emptyDataset[(Long, Long)].toDF("a", "b")
     assert(plans.GlobalRank.withPosition(e, Seq("a" -> false)).count() == 0L)
