@@ -55,10 +55,20 @@ object PipelineDemo {
       langKept.join(rep, Seq("doc_id")).filter(col("dup3_frac") <= 0.9)
         .drop("dup3_frac"))
 
+    // 3.5 LM fluency gate (q129 core): drop documents built from word
+    // transitions the corpus's own bigram LM has essentially never seen
+    // (the CCNet perplexity-filter signal, log-free) — the
+    // garbled/boilerplate text that per-doc repetition stats can't see
+    val flu = operators.TextOps.q129BigramFluency(spark, sfDir)
+      .select(col("doc_id"), col("common_frac"))
+    val fluKept = stage("fluency_filter",
+      repKept.join(flu, Seq("doc_id")).filter(col("common_frac") >= 0.2)
+        .drop("common_frac"))
+
     // 4. exact dedup: keep the smallest doc_id per content fingerprint
     val keep = operators.DedupOps.q34DedupExact(spark, sfDir)
       .select(col("keep_id").as("doc_id"))
-    val exactDeduped = stage("exact_dedup", repKept.join(keep, Seq("doc_id")))
+    val exactDeduped = stage("exact_dedup", fluKept.join(keep, Seq("doc_id")))
 
     // 5. near-dup removal: drop the larger id of every MinHash-LSH pair
     val nearDupLosers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
@@ -87,12 +97,30 @@ object PipelineDemo {
       .select(col("doc_id"))
     val mixed = stage("mixture_sampled", semClean.join(mixKept, Seq("doc_id")))
 
+    // 6.55 DSIR target-affinity selection (q130 core): drop the
+    // bottom-20% most raw-like documents of the raw pool by mean
+    // per-token target-vs-raw log-ratio — the same bottom-percentile
+    // philosophy as the q91 quality gate (an absolute log-ratio cut
+    // would empty or keep everything as the target prior shifts). The
+    // rank rides the GlobalRank range-exchange operator; the inner join
+    // also removes the target split itself from the train pool (eval
+    // material must not be trainable)
+    val dsirScored = operators.CurationOps.q130DsirWeights(spark, sfDir)
+      .select(col("doc_id"),
+        (col("w_sum").cast("double") / col("n_toks")).as("w_avg"))
+    val nRaw = dsirScored.count()
+    val dsirKept = stage("dsir_selected",
+      mixed.join(plans.GlobalRank.withPosition(dsirScored,
+        Seq("w_avg" -> false, "doc_id" -> false))
+        .filter(col("pos") >= lit(nRaw / 5)).select("doc_id"),
+        Seq("doc_id")))
+
     // 6.6 per-source cap (q96): bound any single source's contribution
     // (the over-represented-crawl pressure valve; salted-hash order keeps
     // the cut reproducible and ingest-order-independent)
     val capKept = operators.CurationOps.q96SourceCap(spark, sfDir)
       .select(col("doc_id"))
-    val capped = stage("source_capped", mixed.join(capKept, Seq("doc_id")))
+    val capped = stage("source_capped", dsirKept.join(capKept, Seq("doc_id")))
 
     // 7. deterministic holdout split — LEAKAGE-FREE (q89): assignment is
     // per near-dup CLUSTER, so surviving near-dups of a held-out doc can
@@ -172,6 +200,14 @@ object PipelineDemo {
         .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens")), k = 64L)
     sources.Lake.writePlain(probe, s"$outDir/probe")
     counts += "probe_docs" -> spark.read.parquet(s"$outDir/probe").count()
+
+    // 15. ANN index health (q136 core): recall of the LSH index against
+    // exact brute-force ground truth on the probe queries — the
+    // eval-harness metric a production retrieval deployment re-measures
+    // and alarms on after every index rebuild
+    val recall = operators.SimilarityOps.q136AnnRecall(spark, sfDir)
+    counts += "ann_mean_recall_pct" ->
+      math.round(recall.agg(avg(col("recall"))).collect()(0).getDouble(0) * 100)
     counts.toSeq
   }
 

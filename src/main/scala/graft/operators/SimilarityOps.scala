@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   * Scale design: the brute-force path broadcasts the (small) query set and
   * scans the corpus once — linear, no shuffle of the corpus. The LSH path
   * buckets the corpus by an 8-bit random-hyperplane signature (fixed
-  * md5-derived planes) so each probe touches ~1/256 of the data; at 100 TB
-  * the bucket id becomes the shuffle/partition key and queries join only
-  * their bucket.
+  * md5-derived planes) and MULTI-PROBES: each query visits its own bucket
+  * plus the 8 at Hamming distance 1 (Lv et al. 2007) — ~9/256 of the data
+  * per query, buying most of the recall extra hash tables would with zero
+  * extra index memory; at 100 TB the bucket id becomes the
+  * shuffle/partition key and queries join only their probe buckets.
+  * Absolute recall of the 8-bit single-table index is still modest (the
+  * q136 harness measures it honestly); the production path at scale is
+  * more bits + more tables or the IVF route (q52) — the STRUCTURE here is
+  * the point, the parameters are corpus-sized.
   */
 object SimilarityOps {
 
@@ -93,16 +99,26 @@ object SimilarityOps {
       when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     val eb = e.withColumn("bucket", bucket)
-    val queries = eb.select(col("vec_id").as("q_id"), col("q").as("qq"),
-      col("n2").as("qn2"), col("bucket"))
-      .filter(col("q_id") < 5)
+    // multi-probe (Lv et al. 2007, "Multi-Probe LSH"): each query probes
+    // its own bucket PLUS the 8 buckets at Hamming distance 1 — a 9×
+    // increase in probe keys on the (tiny, broadcast) QUERY side that
+    // buys most of the recall extra hash tables would, with ZERO extra
+    // index memory and an unchanged one-bucket-per-vector corpus layout.
+    // Probe buckets are distinct XOR masks, so no candidate pair repeats.
+    val queries = eb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("bucket").as("b0"),
+        explode(array((lit(0L) +: (0 until 8).map(p => lit(1L << p))): _*))
+          .as("m"))
+      .select(col("q_id"), col("qq"), col("qn2"),
+        col("b0").bitwiseXOR(col("m")).as("bucket"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     eb.join(broadcast(queries), Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
       .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= 3)
+      .filter(col("rn") <= 10)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rn"))
   }
 
@@ -122,15 +138,19 @@ object SimilarityOps {
        |  SELECT vec_id, q, n2,
        |    $bucketExpr AS bucket
        |  FROM n),
+       |probes AS (
+       |  SELECT vec_id AS q_id, q AS qq, n2 AS qn2, xor(bucket, u.m) AS bucket
+       |  FROM b, UNNEST([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS u(m)
+       |  WHERE vec_id < 5),
        |scored AS (
-       |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
-       |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
-       |  FROM b qs JOIN b c ON qs.bucket = c.bucket AND qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
+       |  SELECT qs.q_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, len(qs.qq) + 1), i -> qs.qq[i] * c.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(qs.qn2 * c.n2 AS DOUBLE)) AS cos
+       |  FROM probes qs JOIN b c ON qs.bucket = c.bucket AND c.vec_id <> qs.q_id)
        |SELECT q_id, neighbor_id, cos, rn FROM (
        |  SELECT q_id, neighbor_id, cos,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
-       |  FROM scored) WHERE rn <= 3""".stripMargin
+       |  FROM scored) WHERE rn <= 10""".stripMargin
   }
 
   /** Per-dimension corpus statistics via posexplode: exact quantized sums

@@ -110,7 +110,7 @@ class OperatorSpec extends SparkTestBase {
   test("knn LSH results are a subset of correct cosine ordering in-bucket") {
     val rows = SimilarityOps.q40KnnLsh(spark, sfDir).collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.getLong(3) <= 3))
+    assert(rows.forall(_.getLong(3) <= 10))
   }
 
   test("custom TopKPerKey operator equals the window row_number form") {
