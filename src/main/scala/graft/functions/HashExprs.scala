@@ -217,6 +217,56 @@ object HashExprs {
       copy(child = newChild)
   }
 
+  /** [[Gram3Hash64]] generalized to k-token windows: one chained-XXH64
+    * long per window start, no window string ever allocated. k is a
+    * construction-time literal (the span-dedup family sizes it per
+    * operator: 3 for contamination grams, 10 for Lee et al.-style
+    * repeated-span detection). Null elements hash as a -1 sentinel, same
+    * contract as the 3-gram form. */
+  case class GramKHash64(child: Expression, k: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k >= 1, s"gramk_hash64 needs k >= 1, got $k")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"gramk_hash64 expects array<string>, got ${t.catalogString}")
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val g = n - (k - 1)
+      if (g <= 0) {
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Long])
+      }
+      val out = new Array[Long](g)
+      var i = 0
+      while (i < g) {
+        var h = 42L
+        var j = 0
+        while (j < k) {
+          val t = arr.getUTF8String(i + j)
+          h = if (t == null) {
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(-1L, h)
+          } else {
+            org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h)
+          }
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.GraftShims.{registerFunction, toColumn, toExpression}
 
   def md5long60(c: Column, prefix: String = ""): Column =
@@ -230,6 +280,9 @@ object HashExprs {
 
   def gram3_hash64(c: Column): Column =
     toColumn(Gram3Hash64(toExpression(c)))
+
+  def gramk_hash64(c: Column, k: Int): Column =
+    toColumn(GramKHash64(toExpression(c), k))
 
   /** SQL-text registration (`SELECT md5long60(x) ...`; the seeded form is
     * expressed in SQL as `md5long60(concat(seed, x))`, identical value). */

@@ -921,6 +921,63 @@ object TextOps {
        |    AS cum_types
        |FROM pr LEFT JOIN nv ON nv.shard = pr.shard""".stripMargin
 
+  /** Corpus-level repeated-span coverage — the exact-substring dedup
+    * signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better") at fixed span length: for every document,
+    * the fraction of its 10-token windows whose exact span occurs at
+    * least twice in the WHOLE corpus (within- or cross-document — a doc
+    * repeating itself counts, matching the suffix-array formulation's
+    * "any second occurrence"). High coverage marks boilerplate,
+    * templated, or near-duplicated text that survives document-level
+    * dedup; the 10-token span is long enough that chance collisions of
+    * natural text are negligible. Complements q119 (3-gram, cross-doc
+    * distinct) and q51 (winnowed fingerprints) as the long-span member
+    * of the repetition family.
+    *
+    * Scale shape: spans ride [[graft.functions.HashExprs.GramKHash64]]
+    * (k = 10) — one chained-XXH64 long per window start, no span string
+    * allocated; counts are hash-agnostic under 64-bit injectivity, so
+    * the string-span oracle matches. The span-count aggregate
+    * partial-combines map-side (per-key state is ONE long); the scoring
+    * join keys on the span hash — a viral span is AQE-splittable join
+    * skew, never a buffer — and the per-doc rollup keys on doc_id. Same
+    * two-pass-over-the-token-stream shape as q129, at span rather than
+    * bigram granularity. */
+  def q137RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.HashExprs.gramk_hash64(
+        filter(tokens(col("text")), t => t =!= ""), 10).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    wins.join(counts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_repeated"))
+      .withColumn("rep_frac",
+        col("n_repeated").cast("double") / col("n_windows"))
+  }
+
+  val q137Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 10),
+      |w AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+9], ' ') AS g
+      |  FROM f, UNNEST(range(1, n - 8)) AS u(i)),
+      |c AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY g)
+      |SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_repeated,
+      |  CAST(sum(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      |    AS rep_frac
+      |FROM w JOIN c USING (g)
+      |GROUP BY w.doc_id""".stripMargin
+
   /** Pairwise source-overlap matrix: for every source pair, how many
     * distinct word 3-grams they share and what fraction of EACH side's
     * gram set that is — the mirror/syndication detector at provenance
@@ -1083,6 +1140,7 @@ object TextOps {
     QueryDef("q122_kneser_ney", q122KneserNey, Some(q122Sql)),
     QueryDef("q129_bigram_fluency", q129BigramFluency, Some(q129Sql)),
     QueryDef("q133_novelty_decay", q133NoveltyDecay, Some(q133Sql)),
+    QueryDef("q137_repeated_spans", q137RepeatedSpans, Some(q137Sql)),
     QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
     QueryDef("q128_source_overlap", q128SourceOverlap, Some(q128Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),

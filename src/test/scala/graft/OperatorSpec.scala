@@ -764,6 +764,41 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q137: span-window identities and gramk(3) == gram3") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashExprs, TextFns}
+    val got = TextOps.q137RepeatedSpans(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.nonEmpty)
+    val nToks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(TextFns.tokens(col("text")), t => t =!= "")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every doc with >= 10 tokens appears, with exactly n-9 windows
+    nToks.filter(_._2 >= 10).foreach { case (id, n) =>
+      val (w, rep, frac) = got(id)
+      assert(w == n - 9, id)
+      assert(rep <= w && frac == rep.toDouble / w, id)
+    }
+    assert(got.keySet == nToks.filter(_._2 >= 10).keySet)
+    // Σ per-doc repeated windows == Σ over span types with count>=2 of count
+    val spans = Tables.documents(spark, sfDir)
+      .select(explode(HashExprs.gramk_hash64(
+        filter(TextFns.tokens(col("text")), t => t =!= ""), 10)).as("h"))
+      .groupBy("h").count()
+    val wantRep = spans.filter(col("count") >= 2)
+      .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
+    assert(got.values.map(_._2).sum == wantRep)
+    // the k-generalized hash agrees with the fused 3-gram expression
+    val both = Tables.documents(spark, sfDir)
+      .select(TextFns.tokens(col("text")).as("toks"))
+      .select(HashExprs.gram3_hash64(col("toks")).as("a"),
+        HashExprs.gramk_hash64(col("toks"), 3).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(both == 0L)
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
     val f = multimodal.Multimodal.extractFeatures(spark, media).collect()
