@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline composed from the operator
   * library — the workflow a 100 TB corpus actually runs, demonstrating
   * that the pieces compose: ingest → per-domain quality percentile gate →
-  * language filter → repetition filter → exact dedup → near-dup removal
+  * language filter → repetition filter → fluency gate → corpus-wide
+  * boilerplate-span gate → exact dedup → near-dup removal
   * (MinHash-LSH) → benchmark-contamination removal (lexical n-gram +
   * semantic embedding near-match) → temperature domain
   * mixture → per-source cap → cluster-aware leakage-free split → PII
   * redaction → token accounting → partitioned lake write →
   * training-window chunking → sequence packing (512-token budget) →
   * deterministic global shuffle manifest → raw-vs-curated drift monitor
-  * (chi-square) → token-proportional PPS eval probe.
+  * (chi-square) → mergeable token-length quantile profile →
+  * token-proportional PPS eval probe.
   *
   * Every stage is embarrassingly parallel or bucket-shuffled (see each
   * operator's scale notes); nothing collects to the driver. The final
@@ -65,10 +67,23 @@ object PipelineDemo {
       repKept.join(flu, Seq("doc_id")).filter(col("common_frac") >= 0.2)
         .drop("common_frac"))
 
+    // 3.6 boilerplate gate (q137 core): drop docs most of whose 10-token
+    // spans repeat ELSEWHERE in the corpus — templated/syndicated text
+    // that within-doc repetition (stage 3) cannot see and document-level
+    // dedup (stages 4–5) only removes when whole documents match. Left
+    // join: docs under 10 tokens have no spans and cannot be boilerplate.
+    val spans = operators.TextOps.q137RepeatedSpans(spark, sfDir)
+      .select(col("doc_id"), col("rep_frac"))
+    val boilerKept = stage("boilerplate_filter",
+      fluKept.join(spans, Seq("doc_id"), "left")
+        .filter(coalesce(col("rep_frac"), lit(0.0)) <= 0.95)
+        .drop("rep_frac"))
+
     // 4. exact dedup: keep the smallest doc_id per content fingerprint
     val keep = operators.DedupOps.q34DedupExact(spark, sfDir)
       .select(col("keep_id").as("doc_id"))
-    val exactDeduped = stage("exact_dedup", fluKept.join(keep, Seq("doc_id")))
+    val exactDeduped = stage("exact_dedup",
+      boilerKept.join(keep, Seq("doc_id")))
 
     // 5. near-dup removal: drop the larger id of every MinHash-LSH pair
     val nearDupLosers = operators.DedupOps.q36MinhashLsh(spark, sfDir)
@@ -191,6 +206,18 @@ object PipelineDemo {
         lit(1).as("side"))
     val drift = operators.CurationOps.chiSquareBuckets(rawB.unionByName(curB))
     counts += "drift_buckets" -> drift.filter(col("chi_term") > 0d).count()
+
+    // 13.5 token-length profile (q139 core): p50 of the curated corpus's
+    // token counts via the mergeable histogram sketch — the length
+    // profile a run sizes its packing budget against. Integer bin counts
+    // merge across shards/days, so at 100 TB this is an incremental
+    // aggregate, not a nightly global sort.
+    val tokP50 = operators.StatsOps.histQuantile(
+        spark.read.parquet(s"$outDir/curated")
+          .select(col("n_bpe_tokens").as("v")))
+      .filter(col("q_pct") === 50L)
+      .collect()(0).getAs[Double]("est")
+    counts += "token_p50" -> math.round(tokP50)
 
     // 14. PPS eval probe (q110 core): a token-proportional ~64-doc probe
     // set drawn from the curated corpus — the deterministic "big docs

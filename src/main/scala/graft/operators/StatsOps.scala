@@ -499,8 +499,96 @@ object StatsOps {
       |  min(price_c) AS lo_cents, max(price_c) AS hi_cents
       |FROM r GROUP BY 1""".stripMargin
 
+  /** Mergeable histogram quantiles — the DISTRIBUTED-SKETCH member of
+    * the quantile family (q57 is the exact sort-based one, q135 the
+    * exact-rank equi-depth one): 1000 fixed-width bins over the
+    * cents-integer price domain, quantile estimates by linear
+    * interpolation inside the target bin. Because bin counts are
+    * associative INTEGERS, the sketch is deterministic under any
+    * partitioning / merge order — unlike t-digest or GK, whose state
+    * depends on arrival order — which is what makes it oracle-hashable
+    * AND what makes it safe as a streaming/incremental aggregate.
+    *
+    * Scale shape: two narrow partial-combining passes (min/max/count,
+    * then bin counts — per-task state ≤ 1000 longs), a cumulative sum
+    * over the ≤ 1000-row bin table (bounded, never corpus-sized — the
+    * q133-class "window over ≤ #bins rows" shape), and a 5×bins bounded
+    * join for the quantile lookup. No global sort anywhere; q57's exact
+    * percentile needs one. Estimate arithmetic: the bin lower edge is
+    * kept as an exact integer numerator (`vmin·1000 + bin·range`, ≤
+    * 2e10 — representable exactly in double at any corpus size since
+    * it depends on the DATA RANGE, not the row count), and the final
+    * double expression is written identically in the oracle, so IEEE
+    * determinism gives a bit-identical hash. */
+  /** Generic form: `values` is any single-column frame of longs named
+    * `v`; output is invariant to its partitioning (spec-asserted). */
+  def histQuantile(values: DataFrame): DataFrame = {
+    val s = values.sparkSession
+    import s.implicits._
+    val v = values
+    val stats = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"))
+      .withColumn("rng", greatest(col("vmax") - col("vmin"), lit(1L)))
+    val bins = v.crossJoin(broadcast(stats))
+      .select(least(expr("((v - vmin) * 1000) div rng"),
+        lit(999L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("bin_n"))
+    val cum = bins.withColumn("cum",
+      sum(col("bin_n")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin")).rowsBetween(Long.MinValue, 0)))
+    val quantiles = Seq(25L, 50L, 75L, 90L, 99L).toDF("q_pct")
+      .crossJoin(broadcast(stats))
+      .withColumn("target", expr("(q_pct * n + 99) div 100"))
+    quantiles.join(broadcast(cum),
+        col("cum") >= col("target") &&
+          (col("cum") - col("bin_n")) < col("target"))
+      .select(col("q_pct"), col("bin"), col("bin_n"),
+        ((col("vmin") * 1000L + col("bin") * col("rng")).cast("double")
+          + (col("target") - (col("cum") - col("bin_n"))).cast("double")
+            / col("bin_n").cast("double") * col("rng").cast("double"))
+          ./(lit(1000.0)).as("est"))
+  }
+
+  def q139HistQuantile(s: SparkSession, dir: String): DataFrame =
+    histQuantile(Tables.lineitem(s, dir)
+      .filter(col("l_extendedprice").isNotNull)
+      .select(graft.functions.Exact.cents(col("l_extendedprice")).as("v")))
+      .withColumnRenamed("est", "est_cents")
+
+  val q139Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |s AS (
+      |  SELECT min(v) AS vmin, max(v) AS vmax,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    greatest(max(v) - min(v), 1) AS rng
+      |  FROM v),
+      |b AS (
+      |  SELECT least(((v - vmin) * 1000) // rng, 999) AS bin,
+      |    CAST(count(*) AS BIGINT) AS bin_n
+      |  FROM v, s GROUP BY 1),
+      |c AS (
+      |  SELECT bin, bin_n,
+      |    sum(bin_n) OVER (ORDER BY bin
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM b),
+      |q(q_pct) AS (VALUES (25), (50), (75), (90), (99)),
+      |t AS (
+      |  SELECT CAST(q_pct AS BIGINT) AS q_pct,
+      |    (q_pct * n + 99) // 100 AS target, vmin, rng
+      |  FROM q, s)
+      |SELECT t.q_pct, c.bin, c.bin_n,
+      |  (CAST(t.vmin * 1000 + c.bin * t.rng AS DOUBLE)
+      |    + CAST(t.target - (c.cum - c.bin_n) AS DOUBLE)
+      |      / CAST(c.bin_n AS DOUBLE) * CAST(t.rng AS DOUBLE)) / 1000.0
+      |    AS est_cents
+      |FROM t JOIN c ON c.cum >= t.target
+      |  AND (c.cum - c.bin_n) < t.target""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q135_global_ntile", q135GlobalNtile, Some(q135Sql)),
+    QueryDef("q139_hist_quantile", q139HistQuantile, Some(q139Sql)),
     QueryDef("q126_group_regression", q126GroupRegression, Some(q126Sql)),
     QueryDef("q55_moments", q55Moments, Some(q55Sql)),
     QueryDef("q56_levenshtein", q56Levenshtein, Some(q56Sql)),

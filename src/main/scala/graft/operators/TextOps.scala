@@ -978,6 +978,81 @@ object TextOps {
       |FROM w JOIN c USING (g)
       |GROUP BY w.doc_id""".stripMargin
 
+  /** Exact phrase search: for each phrase in a (small, user-supplied)
+    * list, every document containing it token-for-token, with the
+    * occurrence count (overlapping occurrences each count — the windows
+    * slide by one token). Matching is on the NORMALIZED token sequence
+    * (same trim/lower/collapse as every text operator), so "Sort  Merge
+    * JOIN" finds "sort merge join" — the semantics a `LIKE '%…%'` scan
+    * cannot give without re-normalizing the whole corpus per query.
+    *
+    * Scale shape: the corpus side is ONE scan — per document the fused
+    * [[graft.functions.HashExprs.GramKHash64]] windows for every
+    * DISTINCT phrase length are emitted from a single projection (no
+    * phrase-count-many passes), and the phrase side is a
+    * #phrases-row broadcast, so the join is a map-side probe: corpus
+    * rows never shuffle at all and the only exchange is the final
+    * (phrase, doc_id) hit-count aggregate, whose cardinality is
+    * matches, not windows. Phrase hashes are computed BY THE SAME
+    * EXPRESSION on the normalized phrase text (a phrase of k tokens has
+    * exactly one k-window), so corpus/query agreement is by
+    * construction, not by reimplementation. 64-bit span-hash equality
+    * stands in for string equality — the q137 injectivity contract. */
+  def phraseSearch(docs: DataFrame, rawPhrases: Seq[String]): DataFrame = {
+    import graft.functions.HashExprs.gramk_hash64
+    val phrases = rawPhrases.distinct // a duplicate would double-count hits
+    // Driver-side token COUNTS only (the hash never leaves the
+    // expression): same whitespace split as normText.
+    val lens: Seq[Int] = phrases
+      .map(_.trim.toLowerCase.split("\\s+").count(_.nonEmpty))
+      .filter(_ >= 1).distinct.sorted
+    require(lens.nonEmpty, "phraseSearch needs at least one non-empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pdf = phrases.toDF("phrase")
+      .withColumn("ptoks", filter(tokens(col("phrase")), t => t =!= ""))
+    val phraseKeys = lens.map { l =>
+      pdf.filter(size(col("ptoks")) === l)
+        .select(col("phrase"), lit(l.toLong).as("len"),
+          element_at(gramk_hash64(col("ptoks"), l), 1).as("h"))
+    }.reduce(_.union(_))
+    val winCol = flatten(array(lens.map { l =>
+      transform(gramk_hash64(col("toks"), l),
+        h => struct(lit(l.toLong).as("len"), h.as("h")))
+    }: _*))
+    docs
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .select(col("doc_id"), explode(winCol).as("w"))
+      .select(col("doc_id"), col("w.len").as("len"), col("w.h").as("h"))
+      .join(broadcast(phraseKeys), Seq("len", "h"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Declared phrase-search query: five fixed 3-token phrases over the
+    * corpus (chosen to have hits at every test scale). */
+  def q138PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(s, dir), Seq(
+      "table scan merge", "big order scan", "stream spark window",
+      "sort merge join", "hash join order"))
+
+  val q138Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+      |w AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+      |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+      |p(phrase) AS (VALUES ('table scan merge'), ('big order scan'),
+      |  ('stream spark window'), ('sort merge join'), ('hash join order'))
+      |SELECT p.phrase, w.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM w JOIN p ON w.g = p.phrase
+      |GROUP BY p.phrase, w.doc_id""".stripMargin
+
   /** Pairwise source-overlap matrix: for every source pair, how many
     * distinct word 3-grams they share and what fraction of EACH side's
     * gram set that is — the mirror/syndication detector at provenance
@@ -1141,6 +1216,7 @@ object TextOps {
     QueryDef("q129_bigram_fluency", q129BigramFluency, Some(q129Sql)),
     QueryDef("q133_novelty_decay", q133NoveltyDecay, Some(q133Sql)),
     QueryDef("q137_repeated_spans", q137RepeatedSpans, Some(q137Sql)),
+    QueryDef("q138_phrase_search", q138PhraseSearch, Some(q138Sql)),
     QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
     QueryDef("q128_source_overlap", q128SourceOverlap, Some(q128Sql)),
     QueryDef("q104_bm25", q104Bm25, Some(q104Sql)),

@@ -228,6 +228,55 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("rate_pm"))
   }
 
+  /** Streaming phrase search — the ONLINE tier of batch
+    * [[graft.operators.TextOps.phraseSearch]], with ZERO streaming
+    * state. Batch phraseSearch's (phrase, doc_id) hit count is row-local
+    * (every window of a document lives in its one row), so the streaming
+    * form needs no aggregate at all: phrase hashes are computed ONCE by
+    * the same GramKHash64 expression over a #phrases-row local frame
+    * (one bounded collect — the q71-gate pattern) and inlined as
+    * literals, and each micro-batch row counts its own matching windows
+    * with a pure column expression. No join, no shuffle, no state;
+    * append-mode output. The spec asserts the streamed hits are exactly
+    * the batch phraseSearch rows. */
+  def phraseMatchStream(spark: SparkSession, srcDir: String,
+      rawPhrases: Seq[String], filesPerTrigger: Int = 2): DataFrame = {
+    import graft.functions.TextFns
+    import graft.functions.HashExprs.gramk_hash64
+    import spark.implicits._
+    val phrases = rawPhrases.distinct
+    val lens: Seq[Int] = phrases
+      .map(_.trim.toLowerCase.split("\\s+").count(_.nonEmpty))
+      .filter(_ >= 1).distinct.sorted
+    require(lens.nonEmpty, "phraseMatchStream needs a non-empty phrase")
+    val pdf = phrases.toDF("phrase")
+      .withColumn("ptoks",
+        filter(TextFns.tokens(col("phrase")), t => t =!= ""))
+    val keys: Seq[(String, Int, Long)] = lens.flatMap { l =>
+      pdf.filter(size(col("ptoks")) === l)
+        .select(col("phrase"), element_at(gramk_hash64(col("ptoks"), l), 1))
+        .collect().map(r => (r.getString(0), l, r.getLong(1)))
+    }
+    val schema = spark.read.parquet(srcDir).schema
+    val base = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("doc_id"),
+        filter(TextFns.tokens(col("text")), t => t =!= "").as("toks"))
+    val withWins = lens.foldLeft(base) { (df, l) =>
+      df.withColumn(s"w$l", gramk_hash64(col("toks"), l))
+    }
+    val hitCols = keys.map { case (p, l, h) =>
+      struct(lit(p).as("phrase"),
+        size(filter(col(s"w$l"), x => x === lit(h))).cast("long")
+          .as("n_hits"))
+    }
+    withWins
+      .select(col("doc_id"), explode(array(hitCols: _*)).as("m"))
+      .select(col("m.phrase").as("phrase"), col("doc_id"),
+        col("m.n_hits").as("n_hits"))
+      .filter(col("n_hits") > 0)
+  }
+
   /** One packed item of the incremental sequence packer. */
   final case class PackItem(doc_id: Long, shard: Long, n_tok: Long)
   final case class PackedItem(doc_id: Long, shard: Long, bin: Long, fill: Long)

@@ -799,6 +799,74 @@ class OperatorSpec extends SparkTestBase {
     assert(both == 0L)
   }
 
+  test("q138: phrase search counts overlaps, normalizes, handles mixed lengths") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.TextFns
+    val docs = Seq(
+      (1L, "a a a a b"),          // "a a" occurs 3x (overlapping), "a a a" 2x
+      (2L, "Sort  MERGE join\tnow"), // normalization: case + whitespace
+      (3L, "b c d"),              // no hits
+      (4L, "a a")                 // exactly one "a a", too short for "a a a"
+    ).toDF("doc_id", "text")
+    val got = TextOps.phraseSearch(docs,
+        Seq("a a", "a a a", "sort merge join", "zzz"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a a", 1L) -> 3L, ("a a a", 1L) -> 2L, ("a a", 4L) -> 1L,
+      ("sort merge join", 2L) -> 1L))
+    // declared query agrees with a string-window recount at this scale
+    val want = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        filter(TextFns.tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("toks")) - 3),
+        i => concat_ws(" ", col("toks")(i), col("toks")(i + 1),
+          col("toks")(i + 2)))).as("g"))
+      .filter(col("g").isin("table scan merge", "big order scan",
+        "stream spark window", "sort merge join", "hash join order"))
+      .groupBy(col("g"), col("doc_id")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val decl = TextOps.q138PhraseSearch(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(decl == want)
+  }
+
+  test("q139: histogram quantiles are partition-invariant and bin-width exact") {
+    import org.apache.spark.sql.functions._
+    val rows = StatsOps.q139HistQuantile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(25L, 50L, 75L, 90L, 99L))
+    // estimates are monotone in the quantile and inside the data range
+    val cents = Tables.lineitem(spark, sfDir)
+      .select(graft.functions.Exact.cents(col("l_extendedprice")).as("v"))
+    val Array(vmin, vmax, n) = cents
+      .agg(min("v"), max("v"), count(lit(1))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    assert(rows.sliding(2).forall(p => p(0)._4 <= p(1)._4))
+    rows.foreach { case (_, bin, _, est) =>
+      assert(bin >= 0 && bin <= 999)
+      assert(est >= vmin - 1e-9 && est <= vmax + 1e-9)
+    }
+    // sketch error bound: |est - exact percentile| <= one bin width (cents)
+    val binWidth = math.max(vmax - vmin, 1L) / 1000.0
+    val sorted = cents.orderBy("v").collect().map(_.getLong(0))
+    rows.foreach { case (q, _, _, est) =>
+      val exact = sorted((((q * n + 99) / 100) - 1).toInt)
+      assert(math.abs(est - exact) <= binWidth + 1e-6,
+        s"q$q est=$est exact=$exact")
+    }
+    // mergeable: bit-identical output whatever the INPUT partitioning
+    val Seq(a, b) = Seq(1, 13).map { k =>
+      StatsOps.histQuantile(cents.repartition(k))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sortBy(_._1).toSeq
+    }
+    assert(a == b && a == rows.toSeq)
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
     val f = multimodal.Multimodal.extractFeatures(spark, media).collect()

@@ -475,6 +475,36 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q138 phrase search: corpus never shuffles before the broadcast probe") {
+    withoutAutoBroadcast {
+      val plan = initialPlan(operators.TextOps.q138PhraseSearch(spark, sfDir))
+      // phrase side is an explicit broadcast; the window stream is probed
+      // map-side — a sort-merge join here would shuffle every corpus window
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      // the only exchange below the final aggregate is the broadcast +
+      // the (phrase, doc_id) hit-count hash exchange
+      assert(count(plan, "Exchange hashpartitioning") == 1, plan)
+    }
+  }
+
+  test("q139 histogram quantiles: no corpus sort, bounded window only") {
+    withoutAutoBroadcast {
+      val plan = initialPlan(operators.StatsOps.q139HistQuantile(spark, sfDir))
+      // both corpus passes are partial-combining hash aggregates; the only
+      // Sort feeds the <=1000-row bin window, never lineitem itself
+      assert(!plan.contains("GlobalRank"), plan)
+      assert(count(plan, "Window") == 1, plan)
+      assert(plan.contains("partial_min"), plan) // pass 1 partial-combines
+      assert(plan.contains("partial_count"), plan) // bin counts too
+      // stats rides to both passes as a broadcast; the 5 x <=1000 quantile
+      // lookup is a broadcast nested-loop — nothing data-sized ever joins
+      assert(!plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")

@@ -190,6 +190,29 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming phrase match equals batch phrase search, stateless") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("sphrase").toString
+    val src = s"$tmp/src"
+    val docs = Tables.documents(spark, sfDir)
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val phrases = Seq("table scan merge", "big order scan",
+      "stream spark window", "sort merge join", "hash join order")
+    val streamed = StreamingOps.phraseMatchStream(spark, src, phrases,
+      filesPerTrigger = 1)
+    // stateless: no state store operators in the streaming plan
+    val out = s"$tmp/hits"
+    StreamingOps.runAppendToLake(spark, streamed, out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out).select("phrase", "doc_id", "n_hits")
+    val want = operators.TextOps.phraseSearch(docs, phrases)
+      .select("phrase", "doc_id", "n_hits")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("incremental packing across triggers equals the batch q87 packer") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("spack").toString
