@@ -709,8 +709,63 @@ object DedupOps {
       |SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / un AS jaccard
       |FROM sc WHERE inter * 2 >= un""".stripMargin
 
+  /** Incremental-ingest triage — the PRODUCTION dedup shape: a new feed
+    * arrives against an EXISTING corpus and every feed document gets a
+    * disposition, not just membership in a survivors list: `admitted`
+    * (first sighting of the content), `dup_of_corpus` (content already
+    * in the corpus — the corpus copy wins unconditionally), or
+    * `dup_in_feed` (another feed doc with the same fingerprint and a
+    * smaller doc_id wins — q34's within-batch tiebreak applied only
+    * among new docs). The existing/new split here is a deterministic
+    * 70/30 hash of doc_id (the testdata has no ingest-day column; a
+    * real deployment keys the split on arrival time).
+    *
+    * Scale shape: ONE fingerprint-keyed aggregate over the feed (min
+    * doc_id) and ONE shuffle join of feed fingerprints against corpus
+    * fingerprints — md5 keys are uniform so neither shuffle skews, and
+    * the corpus side is projected to (fp) before the join: at 100 TB
+    * the probe reads a column-pruned fingerprint index, never corpus
+    * text. No windows, no broadcast of either unbounded side. */
+  /** Generic form: `fps` is (doc_id, fp, is_old). */
+  def ingestTriage(fps: DataFrame): DataFrame = {
+    val corpus = fps.filter(col("is_old")).select(col("fp")).distinct()
+    val feed = fps.filter(!col("is_old")).select(col("doc_id"), col("fp"))
+    val feedMin = feed.groupBy(col("fp")).agg(min(col("doc_id")).as("min_id"))
+    feed.join(feedMin, Seq("fp"))
+      .join(corpus.withColumn("in_corpus", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("in_corpus").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("min_id"), lit("dup_in_feed"))
+          .otherwise(lit("admitted")).as("status"))
+  }
+
+  def q140IngestTriage(s: SparkSession, dir: String): DataFrame =
+    ingestTriage(docsNorm(s, dir)
+      .select(col("doc_id"), md5(col("norm")).as("fp"),
+        (pmod(graft.functions.TextFns.hash60(
+          concat(lit("old:"), col("doc_id").cast("string"))),
+          lit(10L)) < 7L).as("is_old")))
+
+  val q140Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+      |    CAST('0x' || substr(md5('old:' || doc_id), 1, 15) AS BIGINT)
+      |      % 10 < 7 AS is_old
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM n WHERE is_old),
+      |feed AS (SELECT doc_id, fp FROM n WHERE NOT is_old),
+      |fm AS (SELECT fp, min(doc_id) AS min_id FROM feed GROUP BY fp)
+      |SELECT feed.doc_id, feed.fp,
+      |  CASE WHEN corpus.fp IS NOT NULL THEN 'dup_of_corpus'
+      |       WHEN feed.doc_id <> fm.min_id THEN 'dup_in_feed'
+      |       ELSE 'admitted' END AS status
+      |FROM feed JOIN fm ON feed.fp = fm.fp
+      |LEFT JOIN corpus ON feed.fp = corpus.fp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
+    QueryDef("q140_ingest_triage", q140IngestTriage, Some(q140Sql)),
     QueryDef("q100_sorted_neighborhood", q100SortedNeighborhood, Some(q100Sql)),
     QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
     QueryDef("q118_cluster_canonical", q118ClusterCanonical, Some(q118Sql)),

@@ -314,6 +314,67 @@ object EventOps {
       |  CAST(c.c AS DOUBLE) / t.n_from AS p
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  /** Association rules over per-user event-type sets — market-basket
+    * mining at pair depth: for every ORDERED type pair (ante → cons),
+    * support = P(user did both), confidence = P(cons | ante), and
+    * lift = confidence / P(cons). Lift > 1 marks genuinely associated
+    * behaviors (q127's transition matrix is the SEQUENTIAL view — who
+    * does b right after a; this is the co-occurrence view — who does b
+    * at all, given a, in any order).
+    *
+    * Scale shape: the distinct (user, type) set is one user-keyed
+    * aggregate; the per-user pair fan-out is bounded by #types² — the
+    * q127 contract: event-type is a VOCABULARY, not an id space — so
+    * the self-join emits ≤ T² rows per user and the rule table itself
+    * is ≤ T² rows. Singles counts ride a broadcast. All three metrics
+    * are single divisions of exact int64 products (n_both·N never
+    * overflows: both factors are user counts). */
+  def q141AssocRules(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val singles = ut.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_single"))
+    val both = ut.as("a")
+      .join(ut.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("ante"),
+        col("b.event_type").as("cons"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(singles.withColumnRenamed("event_type", "ante")
+        .withColumnRenamed("n_single", "n_ante")), Seq("ante"))
+      .join(broadcast(singles.withColumnRenamed("event_type", "cons")
+        .withColumnRenamed("n_single", "n_cons")), Seq("cons"))
+      .crossJoin(broadcast(totals))
+      .select(col("ante"), col("cons"), col("n_both"),
+        (col("n_both").cast("double") / col("n_users")).as("support"),
+        (col("n_both").cast("double") / col("n_ante")).as("confidence"),
+        ((col("n_both") * col("n_users")).cast("double")
+          / (col("n_ante") * col("n_cons"))).as("lift"))
+  }
+
+  val q141Sql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |      FROM ut),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_single
+      |      FROM ut GROUP BY 1),
+      |b AS (
+      |  SELECT a.event_type AS ante, b.event_type AS cons,
+      |    CAST(count(*) AS BIGINT) AS n_both
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT b.ante, b.cons, b.n_both,
+      |  CAST(b.n_both AS DOUBLE) / n.n_users AS support,
+      |  CAST(b.n_both AS DOUBLE) / sa.n_single AS confidence,
+      |  CAST(b.n_both * n.n_users AS DOUBLE)
+      |    / (sa.n_single * sc.n_single) AS lift
+      |FROM b JOIN s sa ON b.ante = sa.event_type
+      |JOIN s sc ON b.cons = sc.event_type, n""".stripMargin
+
   /** Weekly cohort-retention matrix — the standard product-analytics
     * rollup: users are cohorted by the week of their FIRST event, and
     * each (cohort_week, week_offset) cell reports how many of that
@@ -426,6 +487,7 @@ object EventOps {
     QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),
     QueryDef("q134_last_touch", q134LastTouch, Some(q134Sql)),
     QueryDef("q127_transitions", q127Transitions, Some(q127Sql)),
+    QueryDef("q141_assoc_rules", q141AssocRules, Some(q141Sql)),
     QueryDef("q113_drift_timeline", q113DriftTimeline, Some(q113Sql)),
     QueryDef("q24_tumbling_window", q24Tumbling, Some(q24Sql)),
     QueryDef("q25_sliding_window", q25Sliding, Some(q25Sql)),

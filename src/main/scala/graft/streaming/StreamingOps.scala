@@ -277,6 +277,49 @@ object StreamingOps {
       .filter(col("n_hits") > 0)
   }
 
+  /** Streaming ingest triage — the ONLINE tier of batch
+    * [[graft.operators.DedupOps.ingestTriage]]: a live document feed is
+    * labeled against a STATIC corpus fingerprint set (stream–static
+    * left join, re-planned per micro-batch) plus per-fingerprint
+    * first-seen state for within-feed duplicates
+    * (`flatMapGroupsWithState`, ONE boolean per fingerprint ever seen).
+    * The online contract is necessarily FIRST-ARRIVAL-wins where the
+    * batch form is min-doc_id-wins — a stream cannot know a smaller id
+    * is coming; the spec feeds docs in id order, where the two
+    * contracts coincide. Within one micro-batch the group iterator is
+    * ordered by doc_id so replays are deterministic. */
+  def triageStream(spark: SparkSession, srcDir: String,
+      corpusFps: DataFrame, filesPerTrigger: Int = 2): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.functions.TextFns
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("doc_id"), md5(TextFns.normText(col("text"))).as("fp"))
+      .join(corpusFps.select(col("fp")).distinct()
+        .withColumn("in_corpus", lit(true)), Seq("fp"), "left")
+      .select(col("doc_id").as[Long], col("fp").as[String],
+        coalesce(col("in_corpus"), lit(false)).as[Boolean])
+    feed.groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(Long, String, Boolean)],
+            state: GroupState[Boolean]) =>
+          val sorted = rows.toSeq.sortBy(_._1)
+          val out = sorted.zipWithIndex.map { case ((id, _, inCorpus), i) =>
+            val status =
+              if (inCorpus) "dup_of_corpus"
+              else if (state.getOption.getOrElse(false) || i > 0) "dup_in_feed"
+              else "admitted"
+            (id, fp, status)
+          }
+          if (sorted.exists(!_._3)) state.update(true)
+          out.iterator
+      }
+      .toDF("doc_id", "fp", "status")
+  }
+
   /** One packed item of the incremental sequence packer. */
   final case class PackItem(doc_id: Long, shard: Long, n_tok: Long)
   final case class PackedItem(doc_id: Long, shard: Long, bin: Long, fill: Long)

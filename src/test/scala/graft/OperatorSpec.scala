@@ -867,6 +867,68 @@ class OperatorSpec extends SparkTestBase {
     assert(a == b && a == rows.toSeq)
   }
 
+  test("q140: ingest triage labels every feed doc with the right disposition") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // fingerprints A,B are in the corpus; C,D arrive only in the feed;
+    // C arrives twice (within-feed dup), B arrives twice in the feed too
+    val fps = Seq(
+      (1L, "A", true), (2L, "B", true),          // existing corpus
+      (10L, "B", false), (11L, "B", false),      // both corpus dups
+      (12L, "C", false), (13L, "C", false),      // first admitted, second feed-dup
+      (14L, "D", false)                          // admitted
+    ).toDF("doc_id", "fp", "is_old")
+    val got = DedupOps.ingestTriage(fps)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(10L -> "dup_of_corpus", 11L -> "dup_of_corpus",
+      12L -> "admitted", 13L -> "dup_in_feed", 14L -> "admitted"))
+    // declared query: one row per feed doc, statuses are consistent with
+    // independently recomputed corpus/feed fingerprint sets
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(graft.functions.TextFns.normText(col("text"))).as("fp"),
+        (pmod(graft.functions.TextFns.hash60(
+          concat(lit("old:"), col("doc_id").cast("string"))),
+          lit(10L)) < 7L).as("is_old"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val corpusFps = all.filter(_._3).map(_._2).toSet
+    val feedRows = all.filter(!_._3)
+    val decl = DedupOps.q140IngestTriage(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(decl.size == feedRows.length)
+    feedRows.foreach { case (id, fp, _) =>
+      val want =
+        if (corpusFps(fp)) "dup_of_corpus"
+        else if (feedRows.filter(_._2 == fp).map(_._1).min != id) "dup_in_feed"
+        else "admitted"
+      assert(decl(id) == want, s"doc $id")
+    }
+  }
+
+  test("q141: association rules match hand-computed metrics, lift symmetric") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.q141AssocRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got.nonEmpty)
+    // recompute from the raw distinct (user, type) sets
+    val ut = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byUser = ut.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nUsers = byUser.size.toLong
+    val singles = ut.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    got.foreach { case ((a, b), (nBoth, sup, conf, lift)) =>
+      val wantBoth = byUser.values.count(s => s(a) && s(b)).toLong
+      assert(nBoth == wantBoth, s"$a->$b")
+      assert(sup == nBoth.toDouble / nUsers)
+      assert(conf == nBoth.toDouble / singles(a))
+      assert(lift == (nBoth * nUsers).toDouble / (singles(a) * singles(b)))
+      // lift and support are symmetric; confidence need not be
+      assert(got((b, a))._1 == nBoth && got((b, a))._4 == lift)
+    }
+  }
+
   test("multimodal features are deterministic 8-dim unit-mass histograms") {
     val media = multimodal.Multimodal.asMediaTable(Tables.documents(spark, sfDir))
     val f = multimodal.Multimodal.extractFeatures(spark, media).collect()

@@ -213,6 +213,37 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming triage equals batch ingest triage for id-ordered arrival") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val tmp = java.nio.file.Files.createTempDirectory("striage").toString
+    val src = s"$tmp/src"
+    val docs = Tables.documents(spark, sfDir)
+    val isOld = pmod(TextFns.hash60(
+      concat(lit("old:"), col("doc_id").cast("string"))), lit(10L)) < 7L
+    val corpusFps = docs.filter(isOld)
+      .select(md5(TextFns.normText(col("text"))).as("fp"))
+    val feedDocs = docs.filter(!isOld)
+    // three files in ascending doc_id ranges, so arrival order == id order
+    val ids = feedDocs.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0))
+    val cuts = Seq(ids(ids.length / 3), ids(2 * ids.length / 3))
+    Seq(col("doc_id") < cuts(0),
+      col("doc_id") >= cuts(0) && col("doc_id") < cuts(1),
+      col("doc_id") >= cuts(1)).foreach { p =>
+      feedDocs.filter(p).coalesce(1).write.mode("append").parquet(src)
+    }
+    val out = s"$tmp/triaged"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.triageStream(spark, src, corpusFps, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = operators.DedupOps.q140IngestTriage(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("incremental packing across triggers equals the batch q87 packer") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("spack").toString
