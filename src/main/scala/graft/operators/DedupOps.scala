@@ -763,9 +763,58 @@ object DedupOps {
       |FROM feed JOIN fm ON feed.fp = fm.fp
       |LEFT JOIN corpus ON feed.fp = corpus.fp""".stripMargin
 
+  /** Head–tail overlap pairs — the SPLIT-DOCUMENT reconstruction signal:
+    * doc A's trailing k tokens equal doc B's leading k tokens, the
+    * boundary fingerprint left when one source document was sharded into
+    * two records (crawler pagination, chunked exports, log rotation).
+    * Matched pairs are merge candidates BEFORE dedup: two halves of one
+    * document look like neither an exact nor a near dup, so every other
+    * member of this family misses them. The declared query uses k = 3
+    * (the testdata's docs are short); production corpora would use the
+    * q137 span length.
+    *
+    * Scale shape: per document exactly TWO fused span hashes (the first
+    * and last k-token windows, each hashed directly via GramKHash64 on a
+    * k-token slice — no window stream, no explode), then ONE self-join
+    * keyed on the 64-bit hash: keys are hash-uniform and the per-doc
+    * index is 2 longs — the cheapest member of the dedup family. A
+    * viral boundary (a boilerplate opening shared by many docs) is join
+    * skew on a single key, AQE-splittable, never an aggregation
+    * buffer. */
+  def headTailPairs(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.HashExprs.gramk_hash64
+    val base = docs
+      .select(col("doc_id"), filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        element_at(gramk_hash64(slice(col("toks"), 1, k), k), 1).as("head_h"),
+        element_at(gramk_hash64(slice(col("toks"), -k, k), k), 1).as("tail_h"))
+    base.as("a").join(base.as("b"),
+        col("a.tail_h") === col("b.head_h") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  }
+
+  def q142HeadTailOverlap(s: SparkSession, dir: String): DataFrame =
+    headTailPairs(Tables.documents(s, dir), 3)
+
+  val q142Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+      |h AS (SELECT doc_id, array_to_string(toks[1:3], ' ') AS head,
+      |        array_to_string(toks[n-2:n], ' ') AS tail
+      |      FROM f)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM h a JOIN h b ON a.tail = b.head AND a.doc_id <> b.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q140_ingest_triage", q140IngestTriage, Some(q140Sql)),
+    QueryDef("q142_head_tail_overlap", q142HeadTailOverlap, Some(q142Sql)),
     QueryDef("q100_sorted_neighborhood", q100SortedNeighborhood, Some(q100Sql)),
     QueryDef("q64_dedup_clusters", q64DedupClusters, Some(q64Sql)),
     QueryDef("q118_cluster_canonical", q118ClusterCanonical, Some(q118Sql)),

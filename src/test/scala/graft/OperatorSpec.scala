@@ -905,6 +905,39 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q142: head-tail pairs find the split-document boundary, nothing else") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z a b c"),   // tail "a b c"
+      (2L, "a b c q r"),     // head "a b c"  -> pair (1, 2)
+      (3L, "a b"),           // too short for k=3
+      (4L, "a b c"),         // head == tail "a b c": pairs with 1 and 2
+      (5L, "q r s t")        // unrelated
+    ).toDF("doc_id", "text")
+    val got = DedupOps.headTailPairs(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 4's head AND tail are "a b c": it both continues 1 and precedes
+    // 2; the self-pair (4,4) is excluded
+    assert(got == Set((1L, 2L), (1L, 4L), (4L, 2L)), got)
+    // declared query agrees with a string-slice recount
+    val strPairs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        filter(graft.functions.TextFns.tokens(col("text")),
+          t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), 1, 3)).as("head"),
+        concat_ws(" ", slice(col("toks"), -3, 3)).as("tail"))
+    val want = strPairs.as("a").join(strPairs.as("b"),
+        col("a.tail") === col("b.head") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val decl = DedupOps.q142HeadTailOverlap(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(decl == want && decl.nonEmpty)
+  }
+
   test("q141: association rules match hand-computed metrics, lift symmetric") {
     import org.apache.spark.sql.functions._
     val got = EventOps.q141AssocRules(spark, sfDir).collect()
