@@ -57,5 +57,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "distinct 60-bit winnowing fingerprints (8-gram, window 16)"),
       (es: Seq[Expression]) =>
         functions.HashExprs.WinnowFingerprints(es.head, 8, 16)))
+    ext.injectFunction((FunctionIdentifier("char_stats"),
+      info("char_stats",
+        "[n_chars, distinct_chars, sum(count^2), max(count)] char moments"),
+      (es: Seq[Expression]) => functions.TextExprs.CharStats(es.head)))
   }
 }

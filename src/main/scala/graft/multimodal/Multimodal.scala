@@ -270,9 +270,123 @@ object Multimodal {
       |  CAST(sum(energy) AS BIGINT) AS seg_energy
       |FROM act GROUP BY doc_id, grp""".stripMargin
 
+  /** Chunk-level storage dedup over the media byte stream — the
+    * content-addressed-store shape (restic/casync/VAST-style): blobs are
+    * cut into fixed 64-byte chunks, chunks are addressed by hash, and a
+    * chunk stored once serves every blob that contains it. Per source:
+    * chunk instances, distinct chunk addresses, bytes before/after
+    * dedup, and the saving fraction — the capacity-planning row for a
+    * media lake where the same asset arrives via N crawls.
+    *
+    * Scale shape: chunks explode from the binary column (bounded per
+    * blob by size/64 — no cross-row state), hash addresses are uniform
+    * (md5 — no aggregation skew), and the dedup is two partial-combining
+    * aggregates keyed on (source, hash) then source. Nothing pairwise:
+    * a blob duplicated a million times costs one hash group, not 10¹²
+    * comparisons. `bytes_stored` sums max(len) per address — same hash
+    * = same bytes, so max is just "count each address once".
+    *
+    * Fixed-size chunking is the declared query because a SQL oracle can
+    * reproduce it; real stores use content-defined boundaries so an
+    * INSERTION only re-chunks one neighborhood — that variant is
+    * [[gearChunks]], spec-verified for exactly that shift resilience
+    * (fixed chunking loses every boundary after an insert; CDC keeps
+    * most). */
+  def qm5ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    chunkDedup(asMediaTable(Tables.documents(s, dir)))
+
+  /** See [[qm5ChunkDedup]]; operates on any (media binary, meta) table. */
+  def chunkDedup(media: DataFrame): DataFrame = {
+    val idx = sequence(lit(0L),
+      floor((length(col("media")) - lit(1)) / lit(64)).cast("long"))
+    media.filter(length(col("media")) > 0)
+      .select(col("meta.origin").as("source"), col("media"),
+        explode(idx).as("i"))
+      .select(col("source"),
+        md5(col("media").substr((col("i") * 64 + 1).cast("int"), lit(64)))
+          .as("h"),
+        least(lit(64L), length(col("media")) - col("i") * 64).as("len"))
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).cast("long").as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("len")).cast("long").as("bytes_total"),
+        sum(col("len")).cast("long").as("bytes_stored"))
+      .withColumn("saving_frac", lit(1.0) -
+        col("bytes_stored").cast("double") / col("bytes_total").cast("double"))
+  }
+
+  val qm5Sql: String =
+    """WITH ch AS (
+      |  SELECT source,
+      |    md5(substring(text, CAST((i - 1) * 64 + 1 AS INT), 64)) AS h,
+      |    least(64, length(text) - (i - 1) * 64) AS len
+      |  FROM documents,
+      |    UNNEST(generate_series(1, (length(text) - 1) // 64 + 1)) AS u(i)
+      |  WHERE length(text) > 0),
+      |g AS (
+      |  SELECT source, h, count(*) AS c, max(len) AS len
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(sum(c) AS BIGINT) AS n_chunks,
+      |  CAST(count(*) AS BIGINT) AS n_distinct,
+      |  CAST(sum(c * len) AS BIGINT) AS bytes_total,
+      |  CAST(sum(len) AS BIGINT) AS bytes_stored,
+      |  1.0 - CAST(sum(len) AS DOUBLE) / CAST(sum(c * len) AS DOUBLE)
+      |    AS saving_frac
+      |FROM g GROUP BY source""".stripMargin
+
+  /** Content-defined chunk boundaries via a Gear rolling hash (the
+    * FastCDC family): the boundary test consults only the last 8 bytes
+    * of state, so an edit re-chunks just its own neighborhood — the
+    * property fixed-size chunking lacks (one inserted byte shifts every
+    * later boundary and kills all dedup downstream of the edit).
+    * Deterministic gear table (md5 of the byte value), min/max bounds
+    * cap chunk-size variance. Returns (offset, length) pairs that
+    * exactly tile the input. Not SQL-expressible → spec-verified
+    * (tiling + shift resilience) rather than oracle-checked; runs
+    * per-row inside `mapPartitions` in a real ingest, same as the other
+    * codec stages here. */
+  def gearChunks(bytes: Array[Byte], mask: Long = 0x3fL,
+      min: Int = 16, max: Int = 256): Seq[(Int, Int)] = {
+    if (bytes.isEmpty) return Nil
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h << 1) + gearTable(bytes(i) & 0xff)
+      val len = i - start + 1
+      if ((len >= min && (h & mask) == 0L) || len >= max) {
+        out += ((start, len))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += ((start, bytes.length - start))
+    out.toSeq
+  }
+
+  /** 256-entry gear table: first 8 bytes of md5 of the byte value —
+    * deterministic across JVMs (no Random seed to disagree on). */
+  private lazy val gearTable: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(256) { b =>
+      md.reset()
+      val d = md.digest(Array(b.toByte))
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    }
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
     QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)),
     QueryDef("qm3_frame_dedup", qm3FrameDedup, Some(qm3Sql)),
-    QueryDef("qm4_audio_segments", qm4AudioSegments, Some(qm4Sql)))
+    QueryDef("qm4_audio_segments", qm4AudioSegments, Some(qm4Sql)),
+    QueryDef("qm5_chunk_dedup", qm5ChunkDedup, Some(qm5Sql)))
 }

@@ -802,8 +802,58 @@ object CurationOps {
        |WHERE NOT tgt
        |GROUP BY toks.doc_id""".stripMargin
 
+  /** Context-length planning: for each candidate training context length
+    * (the packing budget), how much of the corpus survives truncation —
+    * docs over budget, tokens kept (Σ min(n, B)), and the kept fraction.
+    * This is the curve a pipeline owner reads BEFORE sizing q87's packer
+    * or q69's chunker: pick the smallest context whose kept_frac clears
+    * the target instead of paying attention-quadratic cost for tail
+    * tokens that a larger window would barely add.
+    *
+    * Scale shape: ONE corpus pass; the 4 candidate budgets ride a
+    * per-row literal-array explode (4× row fan-out of a 2-column
+    * projection — no join, no second scan), then a partial-combining
+    * aggregate onto 4 groups. Token sums travel as decimal(38,0) (exact
+    * at any corpus size, immune to int64 overflow at 100 TB where
+    * Σ tokens ≈ 2e13 is fine but a later ·10³ data growth is not). */
+  def q144ContextBudget(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.documents(s, dir)
+      .select(size(filter(tokens(col("text")), t => t =!= ""))
+        .cast("long").as("n_tok"))
+      .select(col("n_tok"),
+        explode(array(Seq(256L, 512L, 1024L, 2048L).map(lit): _*)).as("budget"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > col("budget"), 1L).otherwise(0L))
+          .cast("long").as("docs_truncated"),
+        sum(col("n_tok").cast(d38)).cast("long").as("tokens_total"),
+        sum(least(col("n_tok"), col("budget")).cast(d38)).cast("long")
+          .as("tokens_kept"))
+      .withColumn("kept_frac",
+        col("tokens_kept").cast("double") / col("tokens_total").cast("double"))
+  }
+
+  val q144Sql: String =
+    s"""WITH t AS (
+       |  SELECT len(list_filter($toksSql, x -> x <> '')) AS n_tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT n_tok, CAST(budget AS BIGINT) AS budget
+       |  FROM t, UNNEST([256, 512, 1024, 2048]) AS u(budget))
+       |SELECT budget,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN n_tok > budget THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_truncated,
+       |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       |  CAST(sum(least(n_tok, budget)) AS BIGINT) AS tokens_kept,
+       |  CAST(sum(least(n_tok, budget)) AS DOUBLE)
+       |    / CAST(sum(n_tok) AS DOUBLE) AS kept_frac
+       |FROM b GROUP BY budget""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
+    QueryDef("q144_context_budget", q144ContextBudget, Some(q144Sql)),
     QueryDef("q108_drift", q108Drift, Some(q108Sql)),
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),

@@ -1202,8 +1202,59 @@ object TextOps {
       |GROUP BY 1, 2
       |HAVING count(*) >= 5""".stripMargin
 
+  /** Per-document character-diversity moments — the low-entropy/spam
+    * gate: collision probability Σc²/n² (Simpson index over the char
+    * distribution; a monotone transform of Rényi-2 entropy, so it ranks
+    * documents exactly like an entropy filter with NO transcendental —
+    * every column is an exact int64 or a division of exact int64s, the
+    * cross-engine determinism contract) and top-char fraction max(c)/n.
+    * High coll_prob / top_frac = the same few characters over and over:
+    * padding, ASCII art, base64 walls, key-mashing.
+    *
+    * Scale shape: the moments come from the one-pass [[TextExprs.CharStats]]
+    * codegen expression, so the whole query is scan → project → done:
+    * ZERO exchanges (plan-locked). The relational formulation the oracle
+    * uses — explode one row per CHARACTER, shuffle that stream on
+    * (doc_id, ch), aggregate twice — moves O(total chars) rows through
+    * the cluster fabric to compute a row-local quantity; at 100 TB that
+    * is the difference between a map-only pass and a corpus-sized
+    * shuffle. The division pair n·n is formed in DOUBLE on both engines
+    * (n² overflows int64 at ~3 G chars/doc; the double product is
+    * correctly rounded and engine-identical). */
+  def q143CharDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        graft.functions.TextExprs.char_stats(col("text")).as("cs"))
+      .select(col("doc_id"),
+        element_at(col("cs"), 1).as("n_chars"),
+        element_at(col("cs"), 2).as("distinct_chars"),
+        element_at(col("cs"), 3).as("sum_sq"),
+        element_at(col("cs"), 4).as("top_count"))
+      .withColumn("coll_prob", col("sum_sq").cast("double") /
+        (col("n_chars").cast("double") * col("n_chars").cast("double")))
+      .withColumn("top_frac",
+        col("top_count").cast("double") / col("n_chars").cast("double"))
+
+  val q143Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, substring(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+      |  WHERE length(text) > 0),
+      |c AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(sum(c) AS BIGINT) AS n_chars,
+      |  CAST(count(*) AS BIGINT) AS distinct_chars,
+      |  CAST(sum(c * c) AS BIGINT) AS sum_sq,
+      |  CAST(max(c) AS BIGINT) AS top_count,
+      |  CAST(sum(c * c) AS DOUBLE)
+      |    / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS coll_prob,
+      |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
+      |FROM c GROUP BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
+    QueryDef("q143_char_diversity", q143CharDiversity, Some(q143Sql)),
     QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
     QueryDef("q91_quality_gate", q91QualityGate, Some(q91Sql)),

@@ -982,4 +982,105 @@ class OperatorSpec extends SparkTestBase {
       assert(math.abs(r.getAs[Double]("mass") - 1.0) < 1e-3)
     }
   }
+
+  test("q143: char_stats matches hand-computed moments, ASCII and beyond") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // "aab": n=3, distinct=2, sumSq=2²+1=5, top=2; "ééa" exercises the
+    // non-ASCII fallback with the same moment profile
+    val rows = Seq("aab", "ééa", "zzzz", "abc")
+      .toDF("text")
+      .select(graft.functions.TextExprs.char_stats(col("text")).as("cs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == Seq(3L, 2L, 5L, 2L))
+    assert(rows(1) == Seq(3L, 2L, 5L, 2L))
+    assert(rows(2) == Seq(4L, 1L, 16L, 4L))
+    assert(rows(3) == Seq(3L, 3L, 3L, 1L))
+    // declared query ≡ the relational recount (explode chars, aggregate)
+    val decl = TextOps.q143CharDiversity(spark, sfDir)
+      .select("doc_id", "n_chars", "distinct_chars", "sum_sq", "top_count")
+    val recount = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n_chars"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * col("c")).cast("long").as("sum_sq"),
+        max(col("c")).as("top_count"))
+    assert(decl.exceptAll(recount).isEmpty && recount.exceptAll(decl).isEmpty)
+    assert(decl.count() > 0)
+  }
+
+  test("q144: kept/lost token accounting is exact at every budget") {
+    import org.apache.spark.sql.functions._
+    val got = CurationOps.q144ContextBudget(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("budget") -> r).toMap
+    assert(got.keySet == Set(256L, 512L, 1024L, 2048L))
+    val nTok = Tables.documents(spark, sfDir)
+      .select(size(filter(graft.functions.TextFns.tokens(col("text")),
+        t => t =!= "")).cast("long").as("n"))
+      .collect().map(_.getLong(0))
+    got.foreach { case (b, r) =>
+      assert(r.getAs[Long]("n_docs") == nTok.length)
+      assert(r.getAs[Long]("docs_truncated") == nTok.count(_ > b))
+      assert(r.getAs[Long]("tokens_total") == nTok.sum)
+      assert(r.getAs[Long]("tokens_kept") == nTok.map(math.min(_, b)).sum)
+    }
+    // budgets are nested: kept tokens must be monotone in the budget
+    val kept = got.toSeq.sortBy(_._1).map(_._2.getAs[Long]("tokens_kept"))
+    assert(kept == kept.sorted)
+  }
+
+  test("qm5: duplicate blobs dedup to one stored chunk set") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val text = ("x" * 64) + ("y" * 30) // 2 chunks: one full, one tail
+    val docs = Seq((1L, text, "en", "s0", 94L), (2L, text, "en", "s0", 94L),
+        (3L, "z" * 10, "en", "s1", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = multimodal.Multimodal
+      .chunkDedup(multimodal.Multimodal.asMediaTable(docs))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s0 = got("s0")
+    assert(s0.getAs[Long]("n_chunks") == 4L)
+    assert(s0.getAs[Long]("n_distinct") == 2L)
+    assert(s0.getAs[Long]("bytes_total") == 188L)
+    assert(s0.getAs[Long]("bytes_stored") == 94L)
+    assert(math.abs(s0.getAs[Double]("saving_frac") - 0.5) < 1e-12)
+    val s1 = got("s1")
+    assert(s1.getAs[Long]("n_chunks") == 1L &&
+      s1.getAs[Long]("bytes_stored") == 10L &&
+      s1.getAs[Double]("saving_frac") == 0.0)
+  }
+
+  test("gearChunks: boundaries tile the input and survive an insertion") {
+    // deterministic pseudo-random payload (no global Random state)
+    var seed = 0x9e3779b97f4a7c15L
+    val bytes = Array.fill(4096) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 56).toByte
+    }
+    val chunks = multimodal.Multimodal.gearChunks(bytes)
+    // exact tiling: consecutive offsets, lengths sum to the input
+    assert(chunks.head._1 == 0)
+    chunks.sliding(2).foreach {
+      case Seq((o1, l1), (o2, _)) => assert(o1 + l1 == o2)
+      case _ =>
+    }
+    assert(chunks.map(_._2).sum == bytes.length)
+    // every chunk except the last respects the min/max bounds
+    chunks.init.foreach { case (_, l) => assert(l >= 16 && l <= 256) }
+    def hashes(bs: Array[Byte]) = multimodal.Multimodal.gearChunks(bs)
+      .map { case (o, l) => java.util.Arrays.hashCode(bs.slice(o, o + l)) }
+      .toSet
+    // one byte inserted at the front: CDC re-syncs and keeps most chunks…
+    val shifted = 0x42.toByte +: bytes
+    val common = hashes(bytes).intersect(hashes(shifted))
+    assert(common.size * 2 > chunks.size, s"${common.size} of ${chunks.size}")
+    // …while fixed-size chunking keeps NONE (every boundary moved)
+    def fixed(bs: Array[Byte]) =
+      bs.grouped(64).map(java.util.Arrays.hashCode).toSet
+    assert(fixed(bytes).intersect(fixed(shifted)).isEmpty)
+  }
 }

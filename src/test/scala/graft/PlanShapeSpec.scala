@@ -364,6 +364,31 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q143 char diversity: zero exchanges — the whole query lives in the scan stage") {
+    val plan = initialPlan(operators.TextOps.q143CharDiversity(spark, sfDir))
+    assert(count(plan, "Exchange") == 0, plan)
+    assert(plan.contains("char_stats") || plan.contains("charstats") ||
+      plan.contains("CharStats"), plan)
+    // and the one-pass expression stays inside whole-stage codegen — the
+    // `*(1)` span marker on the Project that computes charstats
+    assert(plan.contains("*(1) Project") && plan.contains("charstats"), plan)
+  }
+
+  test("q144 context budget: one scan, no join — budgets ride a literal explode") {
+    val plan = initialPlan(operators.CurationOps.q144ContextBudget(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(count(plan, "Scan parquet") == 1, plan)
+    assert(count(plan, "HashAggregate") == 2, plan) // partial + final, 4 groups
+  }
+
+  test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
+    val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // chunk → (source,hash) → source: two aggregates, each partial+final
+    assert(count(plan, "HashAggregate") == 4, plan)
+  }
+
   test("qm3 frame dedup: pairs ride the frame-digest join, never a cartesian") {
     val plan = initialPlan(multimodal.Multimodal.qm3FrameDedup(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
