@@ -295,8 +295,11 @@ object Multimodal {
   def qm5ChunkDedup(s: SparkSession, dir: String): DataFrame =
     chunkDedup(asMediaTable(Tables.documents(s, dir)))
 
-  /** See [[qm5ChunkDedup]]; operates on any (media binary, meta) table. */
-  def chunkDedup(media: DataFrame): DataFrame = {
+  /** The (source, chunk-hash, chunk-len) instance stream both dedup
+    * tiers aggregate — pure per-row select/explode, so it runs
+    * identically over a batch frame and a streaming micro-batch (the
+    * by-construction agreement `chunkDedupStream`'s spec relies on). */
+  def chunkStream(media: DataFrame): DataFrame = {
     val idx = sequence(lit(0L),
       floor((length(col("media")) - lit(1)) / lit(64)).cast("long"))
     media.filter(length(col("media")) > 0)
@@ -306,6 +309,11 @@ object Multimodal {
         md5(col("media").substr((col("i") * 64 + 1).cast("int"), lit(64)))
           .as("h"),
         least(lit(64L), length(col("media")) - col("i") * 64).as("len"))
+  }
+
+  /** See [[qm5ChunkDedup]]; operates on any (media binary, meta) table. */
+  def chunkDedup(media: DataFrame): DataFrame = {
+    chunkStream(media)
       .groupBy(col("source"), col("h"))
       .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
       .groupBy(col("source"))

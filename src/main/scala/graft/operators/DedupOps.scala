@@ -811,8 +811,124 @@ object DedupOps {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       |FROM h a JOIN h b ON a.tail = b.head AND a.doc_id <> b.doc_id""".stripMargin
 
+  /** Asymmetric CONTAINMENT pairs — "doc A is (mostly) inside doc B":
+    * Broder's containment measure |fp(A) ∩ fp(B)| / |fp(A)| over q51's
+    * winnowing fingerprints. Jaccard-family dedup misses exactly this
+    * case: a short document quoted whole inside a long one has tiny
+    * Jaccard (the union is dominated by B) but containment ≈ 1. This is
+    * the quote/wrapper-page/excerpt signal — the member of the dedup
+    * family that is deliberately NOT symmetric (both directions are
+    * emitted and scored by their own denominator).
+    *
+    * The shared count uses RARE fingerprints only (document frequency
+    * 2–20, enforced inside the aggregation buffer exactly as q51 — a
+    * boilerplate fingerprint costs O(cap), never O(corpus)); the
+    * denominator is ALL of A's fingerprints, so boilerplate-only overlap
+    * scores low by construction. Threshold 0.3 — candidates for a
+    * verify pass, like q36's band matches.
+    *
+    * Scale shape: identical to q51 (one fused-expression pass per doc,
+    * bucket-bounded pair generation, pair-keyed aggregate) plus one
+    * doc-keyed count join — no new unbounded structure. */
+  def q145Containment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.widen(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        explode(graft.functions.HashExprs.winnow_fingerprints(
+          col("norm"), gram = 8, window = 16)).as("mh"))
+    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
+    val grouped = fp
+      .select(col("mh").as[Long], col("doc_id").as[Long])
+      .groupByKey(_._1)
+      .agg(new TypedOps.BoundedDocList(cap = 20, minSize = 2)
+        .toColumn.name("docs"))
+      .toDF("mh", "docs")
+      .filter(size(col("docs")) > 0)
+    grouped
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(nfp.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      .withColumn("containment",
+        col("n_shared").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= 0.3)
+  }
+
+  val q145Sql: String =
+    """WITH nd AS (
+      |  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i,
+      |    CAST('0x' || substr(md5(substr(norm, i, 8)), 1, 15) AS BIGINT) AS h
+      |  FROM nd, UNNEST(generate_series(1, length(norm) - 7)) AS g(i)),
+      |wins AS (
+      |  SELECT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |                 ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh
+      |  FROM grams),
+      |fp AS (SELECT DISTINCT doc_id, mh FROM wins),
+      |nfp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM fp GROUP BY 1),
+      |rare AS (SELECT mh FROM fp GROUP BY mh HAVING count(*) BETWEEN 2 AND 20),
+      |sh AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(count(*) AS BIGINT) AS n_shared
+      |  FROM fp a JOIN fp b ON a.mh = b.mh AND a.doc_id <> b.doc_id
+      |  JOIN rare r ON r.mh = a.mh
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared, na.n_a,
+      |  CAST(n_shared AS DOUBLE) / CAST(na.n_a AS DOUBLE) AS containment
+      |FROM sh JOIN nfp na ON na.doc_id = sh.doc_a
+      |WHERE CAST(n_shared AS DOUBLE) / CAST(na.n_a AS DOUBLE) >= 0.3""".stripMargin
+
+  /** Duplicate-cluster size profile — the curation REPORT over q64's
+    * near-dup clusters: how many clusters of each size, how many
+    * documents they tie up, and what corpus fraction that is. This row
+    * set is what decides dedup policy (a corpus whose duplication lives
+    * in two giant clusters needs boilerplate handling; one with many
+    * pairs needs canonical selection), and it is the number quoted in
+    * every dataset card ("X% of documents had a near duplicate").
+    *
+    * Scale shape: two nested tiny aggregates over the pairs-bounded
+    * cluster map (clusters ≤ near-dup docs ≪ corpus), plus ONE
+    * broadcast of the 1-row corpus count — nothing here scales with
+    * corpus size except the already-bounded q64 input. Singleton docs
+    * (no near-dup edge) are by construction absent from q64's map, so
+    * sizes start at 2. */
+  def q146ClusterSizes(s: SparkSession, dir: String): DataFrame = {
+    val total = Tables.documents(s, dir).agg(count(lit(1)).as("n_corpus"))
+    q64DedupClusters(s, dir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .withColumn("corpus_frac",
+        col("n_docs").cast("double") / col("n_corpus").cast("double"))
+      .drop("n_corpus")
+  }
+
+  val q146Sql: String =
+    s"""WITH c AS (
+       |${q64Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |s AS (
+       |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+       |  FROM c GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents)
+       |SELECT cluster_size,
+       |  CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       |  CAST(cluster_size * count(*) AS DOUBLE) / CAST(n_corpus AS DOUBLE)
+       |    AS corpus_frac
+       |FROM s, t GROUP BY cluster_size, n_corpus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
+    QueryDef("q145_containment", q145Containment, Some(q145Sql)),
+    QueryDef("q146_cluster_sizes", q146ClusterSizes, Some(q146Sql)),
     QueryDef("q140_ingest_triage", q140IngestTriage, Some(q140Sql)),
     QueryDef("q142_head_tail_overlap", q142HeadTailOverlap, Some(q142Sql)),
     QueryDef("q100_sorted_neighborhood", q100SortedNeighborhood, Some(q100Sql)),

@@ -320,6 +320,44 @@ object StreamingOps {
       .toDF("doc_id", "fp", "status")
   }
 
+  /** Streaming chunk-registry dedup — the ONLINE tier of batch
+    * [[graft.multimodal.Multimodal.qm5ChunkDedup]]: media blobs arrive
+    * in micro-batches, are cut into the SAME fixed 64-byte chunk stream
+    * (shared builder — agreement by construction), and a per-
+    * (source, chunk-address) boolean carried across triggers marks
+    * addresses already stored. One row per chunk INSTANCE with its
+    * `stored` verdict: exactly the first instance of each address in
+    * each source stores, every later one dedups — so per-batch write
+    * accounting (bytes actually written vs saved) is a plain aggregate
+    * of the output. State is one boolean per distinct address — the
+    * content-addressed store's index, the irreducible state of the
+    * operator (the index IS what makes a store deduplicating). */
+  def chunkDedupStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+    val chunks = graft.multimodal.Multimodal
+      .chunkStream(graft.multimodal.Multimodal.asMediaTable(feed))
+      .select(col("source").as[String], col("h").as[String],
+        col("len").as[Long])
+    chunks.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, (String, String, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, String), rows: Iterator[(String, String, Long)],
+            state: GroupState[Boolean]) =>
+          val seen = state.getOption.getOrElse(false)
+          val out = rows.zipWithIndex.map { case ((src, h, len), i) =>
+            (src, h, len, !seen && i == 0)
+          }.toVector
+          if (!seen) state.update(true)
+          out.iterator
+      }
+      .toDF("source", "h", "len", "stored")
+  }
+
   /** One packed item of the incremental sequence packer. */
   final case class PackItem(doc_id: Long, shard: Long, n_tok: Long)
   final case class PackedItem(doc_id: Long, shard: Long, bin: Long, fill: Long)

@@ -1054,6 +1054,54 @@ class OperatorSpec extends SparkTestBase {
       s1.getAs[Double]("saving_frac") == 0.0)
   }
 
+  test("q145: containment matches a direct recount and is honestly asymmetric") {
+    import org.apache.spark.sql.functions._
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(graft.functions.HashExprs.winnow_fingerprints(
+          graft.functions.TextFns.normText(col("text")), 8, 16)).as("mh"))
+    val nfp = fp.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rare = fp.groupBy("mh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 20)).select("mh")
+    val shared = fp.join(rare, "mh").as("a")
+      .join(fp.join(rare, "mh").as("b"),
+        col("a.mh") === col("b.mh") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = shared.collect {
+      case ((a, b), sh) if sh.toDouble / nfp(a) >= 0.3 =>
+        (a, b) -> (sh, nfp(a))
+    }.toMap
+    val got = DedupOps.q145Containment(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("n_a")))).toMap
+    assert(got == want && got.nonEmpty)
+    // asymmetry is real in the data: some pair passes in one direction only
+    assert(got.keys.exists { case (a, b) => !got.contains((b, a)) })
+  }
+
+  test("q146: cluster-size profile books every clustered doc exactly once") {
+    import org.apache.spark.sql.functions._
+    val clusters = DedupOps.q64DedupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val want = clusters.groupBy(_._2).values.map(_.size.toLong)
+      .groupBy(identity).map { case (sz, g) => sz -> g.size.toLong }
+    val got = DedupOps.q146ClusterSizes(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("corpus_frac"))))
+      .toMap
+    assert(got.map { case (sz, (nc, _, _)) => sz -> nc } == want)
+    got.foreach { case (sz, (nc, nd, frac)) =>
+      assert(sz >= 2) // singletons never enter the cluster map
+      assert(nd == sz * nc)
+      assert(frac > 0 && frac < 1)
+    }
+    assert(got.values.map(_._2).sum == clusters.length.toLong)
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

@@ -381,6 +381,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(plan, "HashAggregate") == 2, plan) // partial + final, 4 groups
   }
 
+  test("q145/q146: containment rides the q51 bucket shape; the corpus count is a broadcast") {
+    val p145 = initialPlan(operators.DedupOps.q145Containment(spark, sfDir))
+    assert(!p145.contains("CartesianProduct"), p145)
+    assert(p145.toLowerCase.contains("winnow"), p145)
+    val p146 = withoutAutoBroadcast {
+      initialPlan(operators.DedupOps.q146ClusterSizes(spark, sfDir))
+    }
+    // the 1-row total joins via broadcast even with auto-broadcast off
+    assert(p146.contains("BroadcastNestedLoopJoin"), p146)
+    assert(!p146.contains("CartesianProduct"), p146)
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)

@@ -461,4 +461,33 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == 64 * 65 / 2 + 64)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("streaming chunk registry reproduces batch qm5 storage accounting") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("schunk").toString
+    val src = s"$tmp/src"
+    // two arrival files → the registry must carry state across triggers
+    val docs = Tables.documents(spark, sfDir)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 === 1).coalesce(1)
+      .write.mode("append").parquet(src)
+    val out = s"$tmp/chunks"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.chunkDedupStream(spark, src, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("stored"), 1L).otherwise(0L)).as("n_distinct"),
+        sum(col("len")).as("bytes_total"),
+        sum(when(col("stored"), col("len")).otherwise(0L)).as("bytes_stored"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = multimodal.Multimodal.qm5ChunkDedup(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_distinct"),
+          r.getAs[Long]("bytes_total"), r.getAs[Long]("bytes_stored")))).toMap
+    assert(got == want && got.nonEmpty)
+  }
 }
