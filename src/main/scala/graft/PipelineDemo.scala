@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-data curation pipeline composed from the operator
   * library — the workflow a 100 TB corpus actually runs, demonstrating
   * that the pieces compose: ingest → per-domain quality percentile gate →
-  * language filter → repetition filter → fluency gate → corpus-wide
+  * language filter → repetition filter → char-diversity gate →
+  * fluency gate → corpus-wide
   * boilerplate-span gate → exact dedup → near-dup removal
   * (MinHash-LSH) → benchmark-contamination removal (lexical n-gram +
   * semantic embedding near-match) → temperature domain
@@ -57,6 +58,16 @@ object PipelineDemo {
       langKept.join(rep, Seq("doc_id")).filter(col("dup3_frac") <= 0.9)
         .drop("dup3_frac"))
 
+    // 3.2 char-diversity gate (q143 core): drop low-entropy walls —
+    // padding, ASCII art, key-mashing — via the one-pass Simpson
+    // collision probability; zero exchanges, so the gate is free
+    val diversity = operators.TextOps.q143CharDiversity(spark, sfDir)
+      .select(col("doc_id"), col("coll_prob"), col("top_frac"))
+    val divKept = stage("diversity_filter",
+      repKept.join(diversity, Seq("doc_id"))
+        .filter(col("coll_prob") <= 0.2 && col("top_frac") <= 0.5)
+        .drop("coll_prob", "top_frac"))
+
     // 3.5 LM fluency gate (q129 core): drop documents built from word
     // transitions the corpus's own bigram LM has essentially never seen
     // (the CCNet perplexity-filter signal, log-free) — the
@@ -64,7 +75,7 @@ object PipelineDemo {
     val flu = operators.TextOps.q129BigramFluency(spark, sfDir)
       .select(col("doc_id"), col("common_frac"))
     val fluKept = stage("fluency_filter",
-      repKept.join(flu, Seq("doc_id")).filter(col("common_frac") >= 0.2)
+      divKept.join(flu, Seq("doc_id")).filter(col("common_frac") >= 0.2)
         .drop("common_frac"))
 
     // 3.6 boilerplate gate (q137 core): drop docs most of whose 10-token
@@ -218,6 +229,23 @@ object PipelineDemo {
       .filter(col("q_pct") === 50L)
       .collect()(0).getAs[Double]("est")
     counts += "token_p50" -> math.round(tokP50)
+
+    // 13.6 context-length planning (q144 core): fraction of curated
+    // tokens a 512-token training window keeps — read against token_p50
+    // when sizing the packer; one pass over the curated lake copy
+    val ctx = spark.read.parquet(s"$outDir/curated")
+      .agg((sum(least(col("n_bpe_tokens"), lit(512L))).cast("double") * 100
+        / sum(col("n_bpe_tokens"))).as("pct"))
+      .collect()(0).getAs[Double]("pct")
+    counts += "ctx512_kept_pct" -> math.round(ctx)
+
+    // 13.7 split-document audit (q142 core): head–tail boundary pairs in
+    // the RAW feed — records arriving as halves of one source document.
+    // Reported, not auto-merged: merge policy is a human call, but the
+    // count belongs in every ingest report because neither exact nor
+    // near dedup can see these pairs.
+    counts += "split_doc_pairs" ->
+      operators.DedupOps.q142HeadTailOverlap(spark, sfDir).count()
 
     // 14. PPS eval probe (q110 core): a token-proportional ~64-doc probe
     // set drawn from the curated corpus — the deterministic "big docs

@@ -12,6 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** DuckDB snippet for the filtered token array — exactly
+    * `filter(tokens(text), _ =!= "")` on the Spark side. */
+  private val toksFilteredSql =
+    "list_filter(string_split(regexp_replace(trim(lower(text)), " +
+      "'\\s+', ' ', 'g'), ' '), x -> x <> '')"
+
   /** Token-count / length statistics per document. The average token
     * length is derived from exact integer counts (chars minus separators
     * over tokens), so the double division is bit-identical cross-engine. */
@@ -1252,9 +1258,138 @@ object TextOps {
       |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac
       |FROM c GROUP BY doc_id""".stripMargin
 
+  /** One iteration of BPE tokenizer TRAINING (Sennrich et al. 2016):
+    * adjacent-symbol-pair counts over the word-frequency table, at merge
+    * step 0 where every word is its characters plus an end-of-word
+    * marker. The top pair is the next merge rule; a training driver
+    * applies it and re-runs — at corpus scale each iteration is exactly
+    * this query, which is why tokenizer training belongs in the engine
+    * (the 100 TB corpus never leaves the cluster; only the ≤50-row merge
+    * table comes back). `pair_count` is the Σ word-freq BPE objective;
+    * `n_occurrences` counts occurrences across word TYPES (a pair can
+    * repeat inside one word: "aaa" → (a,a) twice).
+    *
+    * Scale shape: the word-frequency aggregate is vocabulary-bounded
+    * with map-side combine (the token stream's only shuffle); pairs are
+    * generated per-ROW from the word string (explode of a transform —
+    * no position self-join) and re-aggregate onto the symbol-pair
+    * vocabulary (tiny); the final cut is `TakeOrderedAndProject`
+    * (partial per-partition top-k, plan-locked — not a global sort). */
+  def q147BpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(filter(tokens(col("text")), t => t =!= "")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // symbols at merge step 0: characters plus the end-of-word marker
+    val syms = concat(split(col("w"), ""), array(lit("</w>")))
+    words
+      .select(col("freq"), syms.as("cs"))
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("cs")) - 1),
+        i => struct(element_at(col("cs"), i).as("a"),
+          element_at(col("cs"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("left_sym"), col("p.b").as("right_sym"))
+      .agg(sum(col("freq")).cast("long").as("pair_count"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy(col("pair_count").desc, col("left_sym").asc,
+        col("right_sym").asc)
+      .limit(50)
+  }
+
+  val q147Sql: String =
+    s"""WITH w AS (
+       |  SELECT u.w AS w, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT $toksFilteredSql AS toks FROM documents) t,
+       |    UNNEST(toks) AS u(w)
+       |  GROUP BY 1),
+       |p AS (
+       |  SELECT freq, substring(w, CAST(i AS INT), 1) AS a,
+       |    CASE WHEN i = length(w) THEN '</w>'
+       |         ELSE substring(w, CAST(i + 1 AS INT), 1) END AS b
+       |  FROM w, UNNEST(generate_series(1, length(w))) AS g(i))
+       |SELECT a AS left_sym, b AS right_sym,
+       |  CAST(sum(freq) AS BIGINT) AS pair_count,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM p GROUP BY 1, 2
+       |ORDER BY pair_count DESC, left_sym, right_sym
+       |LIMIT 50""".stripMargin
+
+  /** Skip-gram co-occurrence table with window 2 — the word2vec/GloVe
+    * statistic: ordered (word, context) pairs where the context follows
+    * within 2 positions, scored by the PMI odds ratio
+    * `c_wc·N / (c_w·c_ctx)` (log-free per the q103 convention — same
+    * ranking as PMI, exact-integer determinism). q103's adjacent-bigram
+    * PMI is the phrase/collocation signal; the windowed table is the
+    * distributional-semantics signal (what trains embeddings), and its
+    * marginals are the CO-OCCURRENCE marginals (row/column sums of the
+    * unfiltered table), not unigram counts — so lift is a calibrated
+    * odds ratio over the pair distribution.
+    *
+    * Scale shape: pairs are generated per-ROW by a nested index
+    * `transform` (2n−3 pairs per doc — never a corpus self-join on
+    * position); they aggregate straight onto the vocabulary²-bounded
+    * co-occurrence table with map-side combine. N comes from closed
+    * form Σ(2n−3) (one narrow aggregate — no second pass over the pair
+    * stream), marginals from the cooc table itself (tiny re-aggregates;
+    * the repeated subtree shares its shuffle via exchange reuse). Final
+    * cut = `TakeOrderedAndProject`. Hot function words skew the pair
+    * JOIN keys — AQE-splittable, never an aggregation buffer. */
+  def q148SkipGram(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = docs
+      .select(explode(flatten(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => transform(
+          sequence(i + 1, least(i + lit(2), size(col("toks")))),
+          j => struct(element_at(col("toks"), i).as("w"),
+            element_at(col("toks"), j).as("ctx")))))).as("p"))
+      .select(col("p.w").as("w"), col("p.ctx").as("ctx"))
+    val cooc = pairs.groupBy(col("w"), col("ctx"))
+      .agg(count(lit(1)).as("c_wc"))
+    val nPairs = docs
+      .agg(sum(size(col("toks")).cast("long") * 2 - 3).cast("long")
+        .as("n_pairs"))
+    val cw = cooc.groupBy(col("w")).agg(sum(col("c_wc")).cast("long").as("c_w"))
+    val cc = cooc.groupBy(col("ctx"))
+      .agg(sum(col("c_wc")).cast("long").as("c_ctx"))
+    cooc.filter(col("c_wc") >= 5)
+      .join(cw, Seq("w")).join(cc, Seq("ctx"))
+      .crossJoin(broadcast(nPairs))
+      .select(col("w"), col("ctx"), col("c_wc"), col("c_w"), col("c_ctx"),
+        ((col("c_wc") * col("n_pairs")).cast("double")
+          / (col("c_w") * col("c_ctx"))).as("lift"))
+      .orderBy(col("lift").desc, col("w").asc, col("ctx").asc)
+      .limit(100)
+  }
+
+  val q148Sql: String =
+    s"""WITH t AS (
+       |  SELECT $toksFilteredSql AS toks FROM documents),
+       |f AS (SELECT toks FROM t WHERE len(toks) >= 2),
+       |p AS (
+       |  SELECT toks[i] AS w, toks[j] AS ctx
+       |  FROM f,
+       |    UNNEST(generate_series(1, len(toks) - 1)) AS g(i),
+       |    UNNEST(generate_series(i + 1, least(i + 2, len(toks)))) AS h(j)),
+       |n AS (SELECT CAST(sum(2 * len(toks) - 3) AS BIGINT) AS n_pairs FROM f),
+       |cooc AS (
+       |  SELECT w, ctx, CAST(count(*) AS BIGINT) AS c_wc FROM p GROUP BY 1, 2),
+       |cw AS (SELECT w, CAST(sum(c_wc) AS BIGINT) AS c_w FROM cooc GROUP BY 1),
+       |cc AS (SELECT ctx, CAST(sum(c_wc) AS BIGINT) AS c_ctx
+       |       FROM cooc GROUP BY 1)
+       |SELECT co.w, co.ctx, co.c_wc, cw.c_w, cc.c_ctx,
+       |  CAST(co.c_wc * n.n_pairs AS DOUBLE) / (cw.c_w * cc.c_ctx) AS lift
+       |FROM cooc co JOIN cw USING (w) JOIN cc USING (ctx) CROSS JOIN n
+       |WHERE co.c_wc >= 5
+       |ORDER BY lift DESC, co.w, co.ctx
+       |LIMIT 100""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
     QueryDef("q143_char_diversity", q143CharDiversity, Some(q143Sql)),
+    QueryDef("q147_bpe_pairs", q147BpePairs, Some(q147Sql)),
+    QueryDef("q148_skipgram", q148SkipGram, Some(q148Sql)),
     QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
     QueryDef("q91_quality_gate", q91QualityGate, Some(q91Sql)),

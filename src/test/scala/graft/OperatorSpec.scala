@@ -1102,6 +1102,53 @@ class OperatorSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum == clusters.length.toLong)
   }
 
+  test("q147: BPE pair counts equal an in-driver recount of the merge objective") {
+    import org.apache.spark.sql.functions._
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(filter(graft.functions.TextFns.tokens(col("text")),
+        t => t =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val acc = scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+    words.foreach { case (w, f) =>
+      val cs = w.map(_.toString) :+ "</w>"
+      cs.sliding(2).foreach { case Seq(a, b) =>
+        val (pc, occ) = acc.getOrElse((a, b), (0L, 0L))
+        acc((a, b)) = (pc + f, occ + 1)
+      }
+    }
+    val want = acc.toSeq
+      .map { case ((a, b), (pc, occ)) => (a, b, pc, occ) }
+      .sortBy { case (a, b, pc, _) => (-pc, a, b) }.take(50)
+    val got = TextOps.q147BpePairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q148: skip-gram lift equals an in-driver window-2 recount") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .select(filter(graft.functions.TextFns.tokens(col("text")),
+        t => t =!= "").as("toks"))
+      .collect().map(_.getSeq[String](0)).filter(_.length >= 2)
+    val cooc = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.foreach { toks =>
+      for (i <- toks.indices; j <- (i + 1) to math.min(i + 2, toks.length - 1))
+        cooc((toks(i), toks(j))) = cooc.getOrElse((toks(i), toks(j)), 0L) + 1
+    }
+    val nPairs = docs.map(t => 2L * t.length - 3).sum
+    val cw = cooc.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val cc = cooc.groupBy(_._1._2).map { case (c, m) => c -> m.values.sum }
+    val want = cooc.toSeq.collect { case ((w, c), n) if n >= 5 =>
+      (w, c, n, cw(w), cc(c), (n * nPairs).toDouble / (cw(w) * cc(c)))
+    }.sortBy { case (w, c, _, _, _, l) => (-l, w, c) }.take(100)
+    val got = TextOps.q148SkipGram(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

@@ -393,6 +393,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p146.contains("CartesianProduct"), p146)
   }
 
+  test("q147/q148: per-row pair generation, partial top-k cut, no position self-join") {
+    val p147 = initialPlan(operators.TextOps.q147BpePairs(spark, sfDir))
+    assert(p147.contains("TakeOrderedAndProject"), p147)
+    assert(!p147.contains("CartesianProduct") && !p147.contains("SortMergeJoin"), p147)
+    assert(count(p147, "Scan parquet") == 1, p147)
+    val p148 = initialPlan(operators.TextOps.q148SkipGram(spark, sfDir))
+    assert(p148.contains("TakeOrderedAndProject"), p148)
+    assert(!p148.contains("CartesianProduct"), p148)
+    // N is a closed-form aggregate broadcast, never a pair-stream rescan
+    assert(p148.contains("BroadcastNestedLoopJoin"), p148)
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)
