@@ -391,10 +391,67 @@ object Multimodal {
     }
   }
 
+  /** Per-frame compressibility profile of the media byte stream — the
+    * storage/transcode planner's signal: frames with few distinct byte
+    * values are redundant (compress/delta-encode them; in audio terms,
+    * silence/tones), frames near the entropy ceiling are already-coded
+    * payload (recompressing wastes CPU). Frame = 64 consecutive bytes
+    * (full frames only); diversity = distinct byte values per frame via
+    * the same [[graft.functions.TextExprs.CharStats]] one-pass
+    * expression q143 uses — here applied INSIDE a per-row `transform`
+    * over the frame index, so a blob's whole profile (frame count, low-
+    * diversity count, min/total diversity) is computed row-locally:
+    * ZERO exchanges before the final per-doc projection (plan-locked).
+    * The low threshold (≤ 17 distinct of 64) sits at the corpus's ~10th
+    * percentile — the "flag the redundant tail" calibration.
+    *
+    * Byte/char equivalence on this corpus is the qm1-verified printable-
+    * ASCII contract; on real binary media the same plumbing runs over
+    * `binary` frames with a byte-histogram expression. */
+  def qm6FrameDiversity(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextExprs.char_stats
+    val nFrames = floor(length(col("text")) / lit(64)).cast("long")
+    val divs = transform(sequence(lit(0L), nFrames - 1),
+      f => element_at(
+        char_stats(col("text").substr((f * 64 + 1).cast("int"), lit(64))), 2))
+    Tables.documents(s, dir)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), divs.as("d"))
+      .select(col("doc_id"),
+        size(col("d")).cast("long").as("n_frames"),
+        size(filter(col("d"), x => x <= 17)).cast("long").as("n_low"),
+        array_min(col("d")).as("min_distinct"),
+        aggregate(col("d"), lit(0L), (acc, x) => acc + x).as("sum_distinct"))
+      .withColumn("low_frac",
+        col("n_low").cast("double") / col("n_frames").cast("double"))
+      .withColumn("mean_distinct",
+        col("sum_distinct").cast("double") / col("n_frames").cast("double"))
+  }
+
+  val qm6Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, (i - 1) // 64 AS f, substring(text, CAST(i AS INT), 1) AS c
+      |  FROM documents,
+      |    UNNEST(generate_series(1, (length(text) // 64) * 64)) AS g(i)
+      |  WHERE length(text) >= 64),
+      |d AS (
+      |  SELECT doc_id, f, CAST(count(DISTINCT c) AS BIGINT) AS nd
+      |  FROM ch GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(sum(CASE WHEN nd <= 17 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(min(nd) AS BIGINT) AS min_distinct,
+      |  CAST(sum(nd) AS BIGINT) AS sum_distinct,
+      |  CAST(sum(CASE WHEN nd <= 17 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS low_frac,
+      |  CAST(sum(nd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_distinct
+      |FROM d GROUP BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
     QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)),
     QueryDef("qm3_frame_dedup", qm3FrameDedup, Some(qm3Sql)),
     QueryDef("qm4_audio_segments", qm4AudioSegments, Some(qm4Sql)),
-    QueryDef("qm5_chunk_dedup", qm5ChunkDedup, Some(qm5Sql)))
+    QueryDef("qm5_chunk_dedup", qm5ChunkDedup, Some(qm5Sql)),
+    QueryDef("qm6_frame_diversity", qm6FrameDiversity, Some(qm6Sql)))
 }

@@ -586,8 +586,79 @@ object StatsOps {
       |FROM t JOIN c ON c.cum >= t.target
       |  AND (c.cum - c.bin_n) < t.target""".stripMargin
 
+  /** Deterministic Poisson bootstrap — error bars on a corpus statistic
+    * from ONE pass (Chamandy et al. / Kleiner's online bootstrap shape):
+    * each of 32 replicates reweights every document by a Poisson(1)-
+    * distributed integer derived from a SEEDED HASH of (replicate,
+    * doc_id) — no RNG state, so the replicate set is reproducible
+    * cross-engine and across retries (the property streaming/resumable
+    * jobs need; `rand()` re-rolls per task attempt). The spread of
+    * `mean_tok` across the 32 rows IS the sampling distribution of the
+    * corpus mean-tokens-per-doc; the query emits per-replicate rows
+    * rather than a variance scalar because a cross-replicate double sum
+    * would be order-dependent — callers aggregate the 32 doubles
+    * however they like, deterministically, on 32 rows.
+    *
+    * Poisson(1) pmf quantized on u = h mod 10000: thresholds
+    * 3679/7358/9197/9810 (cumulative e⁻¹/k!, k = 0..3; the ≥4 tail gets
+    * weight 4 — error < 0.4% of mass, irrelevant for error-bar use).
+    *
+    * Scale shape: one corpus pass, 32× fan-out of a 2-column projection
+    * (explode of a literal sequence — no join), partial-combining
+    * aggregate onto 32 groups; sums travel as decimal(38,0). At 100 TB
+    * this is THE way to put a confidence interval on a corpus stat —
+    * 32 independent re-reads would cost 3.2 PB of scan. */
+  def q150Bootstrap(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(1L), lit(32L))).as("r"))
+      .withColumn("u", pmod(graft.functions.TextFns.hash60(
+        concat(lit("boot"), col("r").cast("string"), lit(":"),
+          col("doc_id").cast("string"))), lit(10000L)))
+      .withColumn("w",
+        when(col("u") < 3679, 0L).when(col("u") < 7358, 1L)
+          .when(col("u") < 9197, 2L).when(col("u") < 9810, 3L)
+          .otherwise(4L))
+      .groupBy(col("r"))
+      .agg(sum(col("w").cast(d38)).cast("long").as("n_eff"),
+        sum((col("w") * col("n_tok")).cast(d38)).cast("long")
+          .as("boot_tokens"))
+      .filter(col("n_eff") > 0)
+      .withColumn("mean_tok",
+        col("boot_tokens").cast("double") / col("n_eff").cast("double"))
+  }
+
+  val q150Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '')) AS n_tok
+      |  FROM documents),
+      |e AS (
+      |  SELECT doc_id, n_tok, r
+      |  FROM t, UNNEST(generate_series(1, 32)) AS g(r)),
+      |u AS (
+      |  SELECT r, n_tok,
+      |    CAST('0x' || substr(md5('boot' || CAST(r AS VARCHAR) || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10000 AS u
+      |  FROM e),
+      |w AS (
+      |  SELECT r, n_tok,
+      |    CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+      |         WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3 ELSE 4 END AS w
+      |  FROM u)
+      |SELECT r, CAST(sum(w) AS BIGINT) AS n_eff,
+      |  CAST(sum(w * n_tok) AS BIGINT) AS boot_tokens,
+      |  CAST(sum(w * n_tok) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_tok
+      |FROM w GROUP BY r HAVING sum(w) > 0""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q135_global_ntile", q135GlobalNtile, Some(q135Sql)),
+    QueryDef("q150_bootstrap", q150Bootstrap, Some(q150Sql)),
     QueryDef("q139_hist_quantile", q139HistQuantile, Some(q139Sql)),
     QueryDef("q126_group_regression", q126GroupRegression, Some(q126Sql)),
     QueryDef("q55_moments", q55Moments, Some(q55Sql)),

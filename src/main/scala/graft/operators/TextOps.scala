@@ -1385,11 +1385,66 @@ object TextOps {
        |ORDER BY lift DESC, co.w, co.ctx
        |LIMIT 100""".stripMargin
 
+  /** Code-switching / language-mixture detection at TOKEN granularity —
+    * the signal q31's document-level vote hides: a half-en half-es doc
+    * gets one confident doc label but is low-value for monolingual
+    * training. Marker-token OCCURRENCES (not distinct types — a doc
+    * that says "the" 40 times is more en-anchored than one that says it
+    * once) are counted per language list; `switch_frac` is the marked
+    * mass NOT explained by the dominant language. The 0.3 flag is the
+    * curation gate; the raw counts ride along for recalibration.
+    *
+    * Scale shape: pure per-row array work against three tiny literal
+    * lists — zero exchanges, same class as q143 (the oracle recounts
+    * relationally; the engine never leaves the scan stage). */
+  def q149CodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    val en = Seq("the", "a", "fast", "slow", "small", "big")
+    val es = Seq("data", "table", "row", "query", "line")
+    val fr = Seq("join", "merge", "sort", "hash", "group")
+    def hits(words: Seq[String]) =
+      size(filter(tokens(col("text")),
+        t => array_contains(array(words.map(lit): _*), t))).cast("long")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        hits(en).as("s_en"), hits(es).as("s_es"), hits(fr).as("s_fr"))
+      .withColumn("n_marked", col("s_en") + col("s_es") + col("s_fr"))
+      .withColumn("switch_frac",
+        when(col("n_marked") === 0, lit(0.0)).otherwise(
+          (col("n_marked") - greatest(col("s_en"), col("s_es"), col("s_fr")))
+            .cast("double") / col("n_marked").cast("double")))
+      .withColumn("is_mixed", col("switch_frac") >= 0.3)
+  }
+
+  val q149Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksFilteredSql AS toks FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(toks, x -> list_contains(
+       |      ['the','a','fast','slow','small','big'], x))) AS BIGINT) AS s_en,
+       |    CAST(len(list_filter(toks, x -> list_contains(
+       |      ['data','table','row','query','line'], x))) AS BIGINT) AS s_es,
+       |    CAST(len(list_filter(toks, x -> list_contains(
+       |      ['join','merge','sort','hash','group'], x))) AS BIGINT) AS s_fr
+       |  FROM t)
+       |SELECT doc_id, s_en, s_es, s_fr,
+       |  s_en + s_es + s_fr AS n_marked,
+       |  CASE WHEN s_en + s_es + s_fr = 0 THEN 0.0
+       |       ELSE CAST(s_en + s_es + s_fr - greatest(s_en, s_es, s_fr)
+       |                 AS DOUBLE)
+       |            / CAST(s_en + s_es + s_fr AS DOUBLE) END AS switch_frac,
+       |  CASE WHEN s_en + s_es + s_fr = 0 THEN 0.0
+       |       ELSE CAST(s_en + s_es + s_fr - greatest(s_en, s_es, s_fr)
+       |                 AS DOUBLE)
+       |            / CAST(s_en + s_es + s_fr AS DOUBLE) END >= 0.3
+       |    AS is_mixed
+       |FROM h""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
     QueryDef("q143_char_diversity", q143CharDiversity, Some(q143Sql)),
     QueryDef("q147_bpe_pairs", q147BpePairs, Some(q147Sql)),
     QueryDef("q148_skipgram", q148SkipGram, Some(q148Sql)),
+    QueryDef("q149_code_switch", q149CodeSwitch, Some(q149Sql)),
     QueryDef("q31_lang_id", q31LangId, Some(q31Sql)),
     QueryDef("q32_quality_score", q32Quality, Some(q32Sql)),
     QueryDef("q91_quality_gate", q91QualityGate, Some(q91Sql)),

@@ -1149,6 +1149,84 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q149: switch_frac is the non-dominant marked mass, recounted relationally") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(filter(
+        graft.functions.TextFns.tokens(col("text")), t => t =!= "")).as("t"))
+    val en = Seq("the", "a", "fast", "slow", "small", "big")
+    val es = Seq("data", "table", "row", "query", "line")
+    val fr = Seq("join", "merge", "sort", "hash", "group")
+    val want = toks.groupBy("doc_id")
+      .agg(sum(when(col("t").isin(en: _*), 1L).otherwise(0L)).as("s_en"),
+        sum(when(col("t").isin(es: _*), 1L).otherwise(0L)).as("s_es"),
+        sum(when(col("t").isin(fr: _*), 1L).otherwise(0L)).as("s_fr"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val got = TextOps.q149CodeSwitch(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (id, sEn, sEs, sFr) = (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))
+      assert(want(id) == ((sEn, sEs, sFr)))
+      val marked = sEn + sEs + sFr
+      val expect = if (marked == 0) 0.0
+        else (marked - Seq(sEn, sEs, sFr).max).toDouble / marked
+      assert(r.getAs[Double]("switch_frac") == expect)
+      assert(r.getAs[Boolean]("is_mixed") == (expect >= 0.3))
+    }
+  }
+
+  test("q150: bootstrap replicates equal an in-driver seeded-hash recount") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.unsafe.types.UTF8String
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(filter(
+        graft.functions.TextFns.tokens(col("text")), t => t =!= ""))
+        .cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (1L to 32L).map { r =>
+      val ws = base.map { case (id, n) =>
+        val u = graft.functions.HashExprs.md5Long60(
+          Array.empty, UTF8String.fromString(s"boot$r:$id")) % 10000
+        val w = if (u < 3679) 0L else if (u < 7358) 1L
+          else if (u < 9197) 2L else if (u < 9810) 3L else 4L
+        (w, w * n)
+      }
+      val (nEff, tok) = (ws.map(_._1).sum, ws.map(_._2).sum)
+      r -> ((nEff, tok, tok.toDouble / nEff))
+    }.filter(_._2._1 > 0).toMap
+    val got = StatsOps.q150Bootstrap(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got == want && got.size == 32)
+    // the replicates genuinely differ — the spread is a real distribution
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
+  test("qm6: frame diversity profile matches the relational recount") {
+    import org.apache.spark.sql.functions._
+    val want = Tables.documents(spark, sfDir)
+      .filter(length(col("text")) >= 64)
+      .select(col("doc_id"), explode(sequence(lit(0L),
+        floor(length(col("text")) / lit(64)).cast("long") - 1)).as("f"),
+        col("text"))
+      .select(col("doc_id"), col("f"),
+        explode(split(col("text").substr((col("f") * 64 + 1).cast("int"),
+          lit(64)), "")).as("c"))
+      .filter(col("c") =!= "")
+      .groupBy("doc_id", "f").agg(countDistinct(col("c")).as("nd"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("nd") <= 17, 1L).otherwise(0L)).as("n_low"),
+        min(col("nd")).as("min_distinct"),
+        sum(col("nd")).cast("long").as("sum_distinct"))
+    val got = multimodal.Multimodal.qm6FrameDiversity(spark, sfDir)
+      .select("doc_id", "n_frames", "n_low", "min_distinct", "sum_distinct")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

@@ -405,6 +405,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p148.contains("BroadcastNestedLoopJoin"), p148)
   }
 
+  test("q149/q150/qm6: per-row gates stay exchange-free; bootstrap is one pass") {
+    val p149 = initialPlan(operators.TextOps.q149CodeSwitch(spark, sfDir))
+    assert(count(p149, "Exchange") == 0, p149)
+    val pm6 = initialPlan(multimodal.Multimodal.qm6FrameDiversity(spark, sfDir))
+    assert(count(pm6, "Exchange") == 0, pm6)
+    assert(pm6.contains("charstats"), pm6)
+    val p150 = initialPlan(operators.StatsOps.q150Bootstrap(spark, sfDir))
+    assert(!p150.contains("Join"), p150)
+    assert(count(p150, "Scan parquet") == 1, p150)
+    assert(count(p150, "HashAggregate") == 2, p150) // partial + final, 32 groups
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)
