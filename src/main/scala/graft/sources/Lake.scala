@@ -190,6 +190,58 @@ object Lake {
     spark.read.parquet(s"$root/v=$v")
   }
 
+  /** FILE-level min/max data skipping — the second half of what
+    * `writeClustered` sets up. Parquet row-group stats only help once a
+    * file is already opened; at 100 TB the win is never SCHEDULING most
+    * files at all, which is why every table format (Iceberg/Delta)
+    * keeps per-file column ranges in its manifest. `writeWithStats`
+    * range-partitions the frame on a long-typed column (so file ranges
+    * are disjoint by construction — the layout that makes skipping
+    * maximally selective), writes, then records per-file min/max in a
+    * `_skipstats` side table with ONE metadata-cheap pass over the
+    * written files (`input_file_name()` aggregate — no driver loop over
+    * footers). Underscore-prefixed, so plain readers of the table never
+    * see it.
+    *
+    * [[skippingFiles]] resolves a range predicate against the manifest
+    * (tiny: one row per FILE); [[readSkipping]] reads only the
+    * surviving files and re-applies the exact predicate (stats prune
+    * conservatively; the residual filter keeps semantics exact). */
+  def writeWithStats(df: DataFrame, path: String, statsCol: String,
+      numFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    df.repartitionByRange(numFiles, col(statsCol))
+      .sortWithinPartitions(statsCol)
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(statsCol)).cast("long").as("lo"),
+        max(col(statsCol)).cast("long").as("hi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_skipstats")
+  }
+
+  /** (files whose [lo, hi] intersects [lo, hi], total data files). */
+  def skippingFiles(spark: SparkSession, path: String,
+      lo: Long, hi: Long): (Seq[String], Int) = {
+    val st = spark.read.parquet(s"$path/_skipstats")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    (st.filter { case (_, flo, fhi) => fhi >= lo && flo <= hi }
+      .map(_._1).toSeq, st.length)
+  }
+
+  /** Range read through the skip manifest: only intersecting files are
+    * ever scheduled; the residual filter restores exactness. */
+  def readSkipping(spark: SparkSession, path: String, statsCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (files, _) = skippingFiles(spark, path, lo, hi)
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(statsCol).between(lo, hi))
+  }
+
   /** Partitioned write with rows CLUSTERED by `sortCols` inside each file
     * (`sortWithinPartitions` — a local sort, no extra shuffle): parquet
     * min/max page stats become selective, so later range predicates on the

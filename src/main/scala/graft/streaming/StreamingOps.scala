@@ -175,6 +175,13 @@ object StreamingOps {
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
       .withColumn("text", graft.operators.CurationOps.redact(col("text")))
       .filter(size(TextFns.tokens(col("text"))) >= 3)
+      // char-diversity spam gate (q143's thresholds) — per-row, stateless,
+      // so the stream gets it for free like the batch pipeline does
+      .withColumn("cs", graft.functions.TextExprs.char_stats(col("text")))
+      .filter(element_at(col("cs"), 3).cast("double") <=
+        lit(0.2) * element_at(col("cs"), 1).cast("double")
+          * element_at(col("cs"), 1).cast("double"))
+      .drop("cs")
       .withColumn("fp", md5(TextFns.normText(col("text"))))
       .dropDuplicates("fp")
       .select("doc_id", "fp", "text", "lang", "source")

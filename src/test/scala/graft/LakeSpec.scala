@@ -210,4 +210,29 @@ class LakeSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), got)
   }
+
+  test("file-skipping manifest prunes most files on a narrow range, exactly") {
+    import org.apache.spark.sql.functions._
+    val path = Files.createTempDirectory("skip").toFile.getAbsolutePath + "/t"
+    val orders = graft.Tables.orders(spark, sfDir)
+    Lake.writeWithStats(orders, path, "o_orderkey", numFiles = 8)
+    val keys = orders.agg(min("o_orderkey"), max("o_orderkey")).collect()(0)
+    val (loAll, hiAll) = (keys.getLong(0), keys.getLong(1))
+    // a narrow slice near the low end: only ~1 of 8 range files overlaps
+    val hi = loAll + (hiAll - loAll) / 10
+    val (files, total) = Lake.skippingFiles(spark, path, loAll, hi)
+    assert(total == 8, s"expected 8 data files, manifest has $total")
+    assert(files.nonEmpty && files.size <= 2, s"${files.size} of $total")
+    // pruned read ≡ full-scan filter
+    val got = Lake.readSkipping(spark, path, "o_orderkey", loAll, hi)
+    val want = spark.read.parquet(path)
+      .filter(col("o_orderkey").between(loAll, hi))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0)
+    // an out-of-range probe schedules zero files and returns empty
+    val (none, _) = Lake.skippingFiles(spark, path, hiAll + 1, hiAll + 100)
+    assert(none.isEmpty)
+    assert(Lake.readSkipping(spark, path, "o_orderkey",
+      hiAll + 1, hiAll + 100).count() == 0)
+  }
 }

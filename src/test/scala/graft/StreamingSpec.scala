@@ -462,6 +462,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("curated stream drops a low-diversity spam wall, keeps normal text") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("sdiv").toString
+    val src = s"$tmp/src"
+    Seq(
+      (1L, "a perfectly ordinary sentence about engines and data", "en", "s0"),
+      (2L, "x x x x x x x x x x x x x x x x x x x x x x x x", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(src)
+    val out = s"$tmp/out"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.curatedDocsStream(spark, src, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val ids = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // doc 2 is "x"/" " only: coll_prob ≈ 0.5 > 0.2 → gated; doc 1 survives
+    assert(ids == Set(1L), ids)
+  }
+
   test("streaming chunk registry reproduces batch qm5 storage accounting") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("schunk").toString
