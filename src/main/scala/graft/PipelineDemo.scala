@@ -276,6 +276,12 @@ object PipelineDemo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        // InferFiltersFromGenerate re-evaluates EXPENSIVE generator
+        // children (fused winnow/gram expressions) twice in synthesized
+        // pre-filters that inner Generate makes redundant — measured
+        // q145 4.9 -> 3.2 s at sf0.1, neutral elsewhere (SCALING.md)
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     curate(spark, sfDir, outDir).foreach { case (k, n) =>

@@ -827,31 +827,58 @@ object DedupOps {
     * scores low by construction. Threshold 0.3 — candidates for a
     * verify pass, like q36's band matches.
     *
-    * Scale shape: identical to q51 (one fused-expression pass per doc,
-    * bucket-bounded pair generation, pair-keyed aggregate) plus one
-    * doc-keyed count join — no new unbounded structure. */
+    * Scale shape: STRICTLY one corpus pass — the winnowing expression
+    * evaluates once per doc, the denominator n_a = size(fingerprints) is
+    * computed per-ROW and rides every exploded fingerprint into the
+    * bucket aggregate ([[TypedOps.BoundedDocPayloadList]] keeps it next
+    * to the doc id), so scoring needs NO second winnow pass and NO count
+    * join (the first cut of this operator had both: a second full
+    * winnow evaluation doubled its bench time — measured 4.8 s → this
+    * shape, see SCALING.md). Bucket bounding and the pair-keyed
+    * aggregate are exactly q51's. */
   def q145Containment(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val fp = Tables.widen(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), normText(col("text")).as("norm"))
+    val base = Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"),
-        explode(graft.functions.HashExprs.winnow_fingerprints(
-          col("norm"), gram = 8, window = 16)).as("mh"))
-    val nfp = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_a"))
-    val grouped = fp
-      .select(col("mh").as[Long], col("doc_id").as[Long])
+        graft.functions.HashExprs.winnow_fingerprints(
+          normText(col("text")), gram = 8, window = 16).as("fps"))
+      .select(col("doc_id"), size(col("fps")).cast("long").as("n_a"),
+        explode(col("fps")).as("mh"))
+    val grouped = base
+      .select(col("mh").as[Long], col("doc_id").as[Long], col("n_a").as[Long])
       .groupByKey(_._1)
-      .agg(new TypedOps.BoundedDocList(cap = 20, minSize = 2)
-        .toColumn.name("docs"))
-      .toDF("mh", "docs")
-      .filter(size(col("docs")) > 0)
+      .agg(new TypedOps.BoundedDocPayloadList(cap = 20, minSize = 2)
+        .toColumn.name("flat"))
+      .toDF("mh", "flat")
+      .filter(size(col("flat")) > 0)
+      // un-flatten the stride-2 (doc_id, n_a) buffer into struct pairs.
+      // The empty-buffer guard must live INSIDE the expression: filters
+      // inferred from the downstream explode get pushed past the
+      // size>0 filter and would evaluate the transform on empty
+      // buffers, where the un-guarded sequence(0, -1) DESCENDS.
+      .select(when(size(col("flat")) < 2,
+          array().cast("array<struct<_1:bigint,_2:bigint>>"))
+        .otherwise(transform(
+          sequence(lit(0), (size(col("flat")) / 2).cast("int") - 1),
+          k => struct(element_at(col("flat"), k * 2 + 1).as("_1"),
+            element_at(col("flat"), k * 2 + 2).as("_2")))).as("docs"))
     grouped
-      .select(explode(col("docs")).as("doc_a"), col("docs"))
-      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-      .filter(col("doc_a") =!= col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a._1") < col("b._1"))
+      .groupBy(col("a._1").as("doc_lo"), col("b._1").as("doc_hi"),
+        col("a._2").as("n_lo"), col("b._2").as("n_hi"))
       .agg(count(lit(1)).as("n_shared"))
-      .join(nfp.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+      // the shared count is symmetric: aggregate each unordered pair ONCE
+      // (half the pair-shuffle), then emit both directed rows, each
+      // scored by its own denominator
+      .select(explode(array(
+        struct(col("doc_lo").as("doc_a"), col("doc_hi").as("doc_b"),
+          col("n_shared"), col("n_lo").as("n_a")),
+        struct(col("doc_hi").as("doc_a"), col("doc_lo").as("doc_b"),
+          col("n_shared"), col("n_hi").as("n_a")))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.n_shared"),
+        col("p.n_a"))
       .withColumn("containment",
         col("n_shared").cast("double") / col("n_a").cast("double"))
       .filter(col("containment") >= 0.3)

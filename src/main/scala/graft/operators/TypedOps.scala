@@ -149,6 +149,40 @@ object TypedOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
   }
 
+  /** [[BoundedDocList]] carrying a per-doc PAYLOAD long (q145: the doc's
+    * total fingerprint count) through the bucket, so downstream scoring
+    * needs no second corpus pass and no count join — input rows are
+    * (bucket key, doc_id, payload), buckets keep at most cap+1 entries
+    * and overflow/undersized buckets finish empty, exactly as
+    * [[BoundedDocList]]. */
+  final class BoundedDocPayloadList(cap: Int, minSize: Int)
+      extends Aggregator[(Long, Long, Long),
+        scala.collection.mutable.ArrayBuffer[Long], Seq[Long]] {
+    import scala.collection.mutable
+    // (doc_id, payload) pairs FLATTENED at stride 2: the buffer stays a
+    // primitive-long array through serde — a tuple buffer boxes every
+    // element and measured ~2 s slower on q145's fingerprint stream
+    override def zero: mutable.ArrayBuffer[Long] =
+      mutable.ArrayBuffer.empty[Long]
+    override def reduce(b: mutable.ArrayBuffer[Long],
+        a: (Long, Long, Long)): mutable.ArrayBuffer[Long] = {
+      if (b.size <= 2 * cap) { b += a._2; b += a._3 }
+      b
+    }
+    override def merge(b1: mutable.ArrayBuffer[Long],
+        b2: mutable.ArrayBuffer[Long]): mutable.ArrayBuffer[Long] = {
+      val need = 2 * (cap + 1) - b1.size
+      if (need > 0) b1 ++= b2.take(need)
+      b1
+    }
+    override def finish(r: mutable.ArrayBuffer[Long]): Seq[Long] =
+      if (r.size >= 2 * minSize && r.size <= 2 * cap) r.toSeq else Seq.empty
+    override def bufferEncoder: Encoder[mutable.ArrayBuffer[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
   /** Corpus-wide top-10 tokens via the SpaceSaving aggregator. Capacity
     * 256 exceeds the fixture vocabulary, so the sketch is exact here and
     * the DuckDB GROUP BY oracle matches bit-for-bit; at real scale one

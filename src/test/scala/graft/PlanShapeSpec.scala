@@ -384,7 +384,11 @@ class PlanShapeSpec extends SparkTestBase {
   test("q145/q146: containment rides the q51 bucket shape; the corpus count is a broadcast") {
     val p145 = initialPlan(operators.DedupOps.q145Containment(spark, sfDir))
     assert(!p145.contains("CartesianProduct"), p145)
-    assert(p145.toLowerCase.contains("winnow"), p145)
+    // one-pass: a single scan and no join at all (the denominator rides
+    // the bucket aggregate as a payload; both directed rows come from
+    // ONE unordered-pair aggregate)
+    assert(!p145.contains("Join"), p145)
+    assert(count(p145, "Scan parquet") == 1, p145)
     val p146 = withoutAutoBroadcast {
       initialPlan(operators.DedupOps.q146ClusterSizes(spark, sfDir))
     }

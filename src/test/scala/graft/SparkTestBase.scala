@@ -12,6 +12,9 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // match the production mains: see the Bench/Verify builders
+    .config("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
