@@ -483,8 +483,113 @@ object EventOps {
       |  gap_us IS NOT NULL AND gap_us <= 604800000000 AS attributed
       |FROM p""".stripMargin
 
+  /** Behavioral motif mining: the top 3-step event sequences across all
+    * users — q127's Markov transitions tell you P(next | current); the
+    * motif table tells you which longer paths actually dominate (the
+    * signup→view→purchase vs error→error→error distinction a product
+    * or fraud team reads daily). Consecutive per-user steps only, with
+    * the (ts, event_id) total order making ties deterministic.
+    *
+    * Scale shape: two `lead`s over a user-keyed window (unbounded key
+    * cardinality — partitions stay ≤ one user's events at any scale),
+    * then a partial-combining aggregate bounded by #event-types³ and a
+    * `TakeOrderedAndProject` top-20. No self-join on position, no
+    * per-user list materialization (a collect_list formulation would
+    * put a bot user's whole history in one buffer). */
+  def q151SeqMotifs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      .limit(20)
+  }
+
+  val q151Sql: String =
+    """WITH p AS (
+      |  SELECT event_type AS e1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS e2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS e3
+      |  FROM events)
+      |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS c
+      |FROM p WHERE e3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY c DESC, e1, e2, e3
+      |LIMIT 20""".stripMargin
+
+  /** Linear-decay multi-touch attribution — q134's last-touch gives 100%
+    * of the credit to one click; production attribution spreads it over
+    * every touch in the window, weighted by recency. The decay is
+    * LINEAR in whole hours (w = 24 − ⌊Δ/1h⌋ ∈ [1, 24], exact integer
+    * division on both engines) rather than exponential: e^−Δ ranks
+    * identically within the window but sums DOUBLES in engine-dependent
+    * order, while integer weight masses are exact. Credit is reported
+    * in weight units per channel (mass and share); per-conversion
+    * normalization would divide before summing — the order-dependent
+    * double sum this suite never emits.
+    *
+    * Scale shape: purchases ⋈ touches keyed on user_id (unbounded key —
+    * per-user work is |purchases_u|·|touches_u|, the same bound the
+    * funnel/retention family carries; a bot user is join skew, AQE-
+    * splittable), pre-filtered to the 24 h window on the JOIN condition
+    * so the pair stream never widens; then a #channels-bounded
+    * aggregate and a 1-row broadcast for the share. */
+  def q152DecayAttribution(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+    val touches = ev
+      .filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("channel"))
+    val weighted = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("p_us") &&
+        col("p_us") - col("t_us") < lit(86400000000L))
+      .withColumn("w",
+        lit(24L) - expr("(p_us - t_us) div 3600000000"))
+    val perChannel = weighted.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("w").cast(d38)).cast("long").as("w_mass"))
+    val total = perChannel
+      .agg(sum(col("w_mass").cast(d38)).cast("long").as("w_total"))
+    perChannel.crossJoin(broadcast(total))
+      .select(col("channel"), col("n_touches"), col("w_mass"),
+        (col("w_mass").cast("double") / col("w_total").cast("double"))
+          .as("w_share"))
+  }
+
+  val q152Sql: String =
+    """WITH pu AS (
+      |  SELECT user_id, epoch_us(ts) AS p_us FROM events
+      |  WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, epoch_us(ts) AS t_us, event_type AS channel
+      |  FROM events WHERE event_type IN ('click', 'view', 'signup')),
+      |wts AS (
+      |  SELECT channel, 24 - (pu.p_us - t.t_us) // 3600000000 AS w
+      |  FROM pu JOIN t USING (user_id)
+      |  WHERE t.t_us < pu.p_us AND pu.p_us - t.t_us < 86400000000),
+      |c AS (
+      |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+      |    CAST(sum(w) AS BIGINT) AS w_mass
+      |  FROM wts GROUP BY 1),
+      |tot AS (SELECT CAST(sum(w_mass) AS BIGINT) AS w_total FROM c)
+      |SELECT channel, n_touches, w_mass,
+      |  CAST(w_mass AS DOUBLE) / CAST(w_total AS DOUBLE) AS w_share
+      |FROM c, tot""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),
+    QueryDef("q151_seq_motifs", q151SeqMotifs, Some(q151Sql)),
+    QueryDef("q152_decay_attribution", q152DecayAttribution, Some(q152Sql)),
     QueryDef("q134_last_touch", q134LastTouch, Some(q134Sql)),
     QueryDef("q127_transitions", q127Transitions, Some(q127Sql)),
     QueryDef("q141_assoc_rules", q141AssocRules, Some(q141Sql)),

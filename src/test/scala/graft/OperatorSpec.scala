@@ -1227,6 +1227,60 @@ class OperatorSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("q151: top motifs equal an in-driver sliding-window recount") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val motifs = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    ev.groupBy(_._1).values.foreach { g =>
+      val seq = g.sortBy(e => (e._2, e._3)).map(_._4).toSeq
+      seq.sliding(3).filter(_.length == 3).foreach { m =>
+        val k = (m(0), m(1), m(2))
+        motifs(k) = motifs.getOrElse(k, 0L) + 1
+      }
+    }
+    val want = motifs.toSeq.map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(20)
+    val got = EventOps.q151SeqMotifs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q152: decay attribution masses equal an in-driver recount") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    byUser.values.foreach { g =>
+      val purchases = g.filter(_._3 == "purchase")
+      val touches = g.filter(e => Set("click", "view", "signup")(e._3))
+      for ((_, pUs, _) <- purchases; (_, tUs, ch) <- touches
+           if tUs < pUs && pUs - tUs < 86400000000L) {
+        val w = 24L - (pUs - tUs) / 3600000000L
+        val (n, m) = acc.getOrElse(ch, (0L, 0L))
+        acc(ch) = (n + 1, m + w)
+      }
+    }
+    val total = acc.values.map(_._2).sum
+    val got = EventOps.q152DecayAttribution(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got.keySet == acc.keySet)
+    got.foreach { case (ch, (n, m, share)) =>
+      assert(acc(ch) == ((n, m)))
+      assert(share == m.toDouble / total)
+      assert(m >= n && m <= 24 * n) // every weight in [1, 24]
+    }
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

@@ -421,6 +421,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(p150, "HashAggregate") == 2, p150) // partial + final, 32 groups
   }
 
+  test("q151/q152: user-keyed windows and joins, type-bounded aggregates") {
+    val p151 = initialPlan(operators.EventOps.q151SeqMotifs(spark, sfDir))
+    assert(p151.contains("user_id"), p151)       // window keys on user_id
+    assert(!p151.contains("Join"), p151)
+    assert(p151.contains("TakeOrderedAndProject"), p151)
+    val p152 = withoutAutoBroadcast {
+      initialPlan(operators.EventOps.q152DecayAttribution(spark, sfDir))
+    }
+    assert(!p152.contains("CartesianProduct"), p152)
+    // the only unbounded join keys on user_id; the share total is a
+    // 1-row broadcast even with auto-broadcast off
+    assert(p152.contains("BroadcastNestedLoopJoin"), p152)
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)
