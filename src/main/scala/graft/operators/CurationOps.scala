@@ -851,9 +851,71 @@ object CurationOps {
        |    / CAST(sum(n_tok) AS DOUBLE) AS kept_frac
        |FROM b GROUP BY budget""".stripMargin
 
+  /** Per-source token concentration (Pareto / 80-20 profile): how many
+    * of a source's documents carry 80% of its token mass. A source
+    * whose mass sits in a handful of giant documents behaves very
+    * differently under per-doc sampling, packing, and dedup than one
+    * with uniform docs — this row set is the "which sources are
+    * head-heavy" report that calibrates q96's per-source cap and q110's
+    * PPS draws. The 80% cut is the exact integer test
+    * 5·cumsum ≥ 4·total (no floating threshold).
+    *
+    * Scale shape: the per-doc token count aggregates to one row per
+    * document; the ranking window partitions by SOURCE — at corpus
+    * scale "source" is domain-grained (millions of keys), so a window
+    * partition is one domain's docs, not a q91-style whole-corpus
+    * funnel; the final rollup is #sources-bounded. Deterministic
+    * ordering: tokens desc, doc_id asc. */
+  def q153ParetoConcentration(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val perDoc = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tok").desc, col("doc_id").asc)
+    perDoc
+      .withColumn("cum", sum(col("n_tok").cast(d38)).over(w).cast("long"))
+      .withColumn("tot", sum(col("n_tok").cast(d38))
+        .over(Window.partitionBy(col("source"))).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tot")).as("total_tokens"),
+        // docs strictly under the 80% line, +1 for the one that crosses
+        // it; least() guards the degenerate all-empty-source case
+        least(sum(when(col("cum") * 5 <= col("tot") * 4, 1L)
+          .otherwise(0L)) + 1L, count(lit(1)))
+          .cast("long").as("docs_for_80pct"))
+      .withColumn("concentration",
+        col("docs_for_80pct").cast("double") / col("n_docs").cast("double"))
+  }
+
+  val q153Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source
+       |      ORDER BY n_tok DESC, doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT) AS tot
+       |  FROM d)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  max(tot) AS total_tokens,
+       |  CAST(least(sum(CASE WHEN cum * 5 <= tot * 4 THEN 1 ELSE 0 END) + 1,
+       |    count(*)) AS BIGINT) AS docs_for_80pct,
+       |  CAST(least(sum(CASE WHEN cum * 5 <= tot * 4 THEN 1 ELSE 0 END) + 1,
+       |    count(*)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS concentration
+       |FROM c GROUP BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
     QueryDef("q144_context_budget", q144ContextBudget, Some(q144Sql)),
+    QueryDef("q153_pareto", q153ParetoConcentration, Some(q153Sql)),
     QueryDef("q108_drift", q108Drift, Some(q108Sql)),
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),

@@ -242,6 +242,50 @@ object Lake {
       .filter(col(statsCol).between(lo, hi))
   }
 
+  /** MERGE-ON-READ deletes (deletion vectors) — the other half of the
+    * lakehouse mutation story next to [[writeVersion]]'s copy-on-write
+    * snapshots. A delete appends the matching KEYS to an underscore
+    * `_deletes` side table instead of rewriting data files (at 100 TB a
+    * 0.1% GDPR delete must not rewrite 100 TB); readers anti-join the
+    * (small) vector, writers eventually fold it in with [[compactDeletes]]
+    * — exactly Iceberg v2 / Delta DV semantics, expressed relationally.
+    * Delete files are append-only and idempotent to re-apply (anti-join
+    * semantics make duplicate keys harmless), so a retried delete job
+    * cannot corrupt the table. */
+  def deleteWhere(spark: SparkSession, path: String, keyCol: String,
+      pred: org.apache.spark.sql.Column): Unit =
+    spark.read.parquet(path).filter(pred).select(keyCol)
+      .write.mode("append").parquet(s"$path/_deletes")
+
+  /** Read with deletion vectors applied: a LEFT ANTI join against the
+    * key set — broadcast-sized as long as deletes are a small fraction,
+    * which is the regime MoR exists for. Falls back to the plain table
+    * when no delete file exists. */
+  def readWithDeletes(spark: SparkSession, path: String,
+      keyCol: String): DataFrame = {
+    val base = spark.read.parquet(path)
+    val dv = scala.util.Try(spark.read.parquet(s"$path/_deletes")).toOption
+    dv.fold(base)(d => base.join(
+      org.apache.spark.sql.functions.broadcast(d.distinct()),
+      Seq(keyCol), "left_anti"))
+  }
+
+  /** Fold the deletion vector into the data files (the compaction a
+    * maintenance job runs when the vector grows past its broadcast
+    * budget): rewrite the table minus deleted keys, drop the vector.
+    * Returns the surviving row count. */
+  def compactDeletes(spark: SparkSession, path: String,
+      keyCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val survived = readWithDeletes(spark, path, keyCol).localCheckpoint(true)
+    val n = survived.count()
+    survived.write.mode("overwrite")
+      .option("compression", "snappy").parquet(path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$path/_deletes"), true)
+    n
+  }
+
   /** Partitioned write with rows CLUSTERED by `sortCols` inside each file
     * (`sortWithinPartitions` — a local sort, no extra shuffle): parquet
     * min/max page stats become selective, so later range predicates on the

@@ -211,6 +211,30 @@ class LakeSpec extends SparkTestBase {
     assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"), got)
   }
 
+  test("deletion vectors: merge-on-read hides keys, re-delete is idempotent, compaction folds") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = Files.createTempDirectory("dv").toFile.getAbsolutePath + "/t"
+    (1L to 100L).map(i => (i, s"row$i")).toDF("id", "v")
+      .coalesce(2).write.parquet(path)
+    Lake.deleteWhere(spark, path, "id", col("id") % 10 === 0)
+    val afterDv = Lake.readWithDeletes(spark, path, "id")
+    assert(afterDv.count() == 90)
+    assert(afterDv.filter(col("id") % 10 === 0).count() == 0)
+    // the data files were NOT rewritten: the raw table still has 100 rows
+    assert(spark.read.parquet(path).count() == 100)
+    // re-applying the same delete (a retried job) changes nothing
+    Lake.deleteWhere(spark, path, "id", col("id") % 10 === 0)
+    assert(Lake.readWithDeletes(spark, path, "id").count() == 90)
+    // a second, overlapping delete composes
+    Lake.deleteWhere(spark, path, "id", col("id") <= 5)
+    assert(Lake.readWithDeletes(spark, path, "id").count() == 85)
+    // compaction folds the vector in: plain readers now see the deletes
+    assert(Lake.compactDeletes(spark, path, "id") == 85)
+    assert(spark.read.parquet(path).count() == 85)
+    assert(Lake.readWithDeletes(spark, path, "id").count() == 85)
+  }
+
   test("file-skipping manifest prunes most files on a narrow range, exactly") {
     import org.apache.spark.sql.functions._
     val path = Files.createTempDirectory("skip").toFile.getAbsolutePath + "/t"

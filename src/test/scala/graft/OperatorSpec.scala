@@ -1281,6 +1281,28 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("q153: Pareto head counts equal an in-driver cumulative recount") {
+    import org.apache.spark.sql.functions._
+    val perDoc = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(filter(graft.functions.TextFns.tokens(col("text")),
+          t => t =!= "")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = perDoc.groupBy(_._1).map { case (src, docs) =>
+      val sorted = docs.sortBy(d => (-d._3, d._2)).map(_._3)
+      val tot = sorted.sum
+      val cums = sorted.scanLeft(0L)(_ + _).tail
+      val under = cums.count(c => c * 5 <= tot * 4)
+      src -> ((docs.size.toLong, tot,
+        math.min(under + 1L, docs.size.toLong)))
+    }
+    val got = CurationOps.q153ParetoConcentration(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    assert(got == want && got.nonEmpty)
+    got.foreach { case (_, (n, _, d80)) => assert(d80 >= 1 && d80 <= n) }
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L
