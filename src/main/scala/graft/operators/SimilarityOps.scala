@@ -631,8 +631,138 @@ object SimilarityOps {
        |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / n.n_truth AS recall
        |FROM n LEFT JOIN h ON h.q_id = n.q_id""".stripMargin
 
+  /** The deterministic ±1 Rademacher projection matrix shared by q154's
+    * Spark implementation AND its DuckDB oracle (both render from these
+    * constants, so agreement is by construction — exactly how real
+    * pipelines ship a projection: as a constant artifact). Signs come
+    * from the repo's cross-engine md5-60 hash of "rp:i:j". */
+  private[graft] lazy val rpMatrix: Seq[Seq[Long]] =
+    (0 until 8).map { j =>
+      (1 to 64).map { i =>
+        val h = graft.functions.HashExprs.md5Long60(
+          Array.empty, org.apache.spark.unsafe.types.UTF8String
+            .fromString(s"rp:$i:$j"))
+        if (h % 2 == 0) 1L else -1L
+      }
+    }
+
+  /** Johnson–Lindenstrauss dimensionality reduction with a Rademacher
+    * (±1) matrix — the distributed dense-matrix product behind cheap
+    * ANN indexes and sketched distances: 64-d embeddings project to
+    * 8-d, preserving pairwise distances within JL bounds while cutting
+    * downstream index cost 8×. Inputs are 1e-3-quantized int64 codes
+    * and the matrix is ±1, so every projected coordinate is an EXACT
+    * int64 sum — no floating accumulation anywhere.
+    *
+    * Scale shape: entirely per-row (the matrix is a literal constant in
+    * the plan; transform×aggregate HOFs run inside the row) — ZERO
+    * exchanges, the q143 class. The relational formulation the oracle
+    * uses (explode 64 rows/vec, join a 512-row matrix table, aggregate
+    * 8 rows/vec) shuffles the whole corpus twice for the same answer. */
+  def q154RandomProjection(s: SparkSession, dir: String): DataFrame = {
+    val m = array(rpMatrix.map(r => array(r.map(lit): _*)): _*)
+    val codes = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), codes.as("q"))
+      .select(col("vec_id"), posexplode(transform(
+        sequence(lit(0), lit(7)),
+        j => aggregate(sequence(lit(1), size(col("q"))), lit(0L),
+          (acc, i) => acc + element_at(col("q"), i)
+            * element_at(element_at(m, j + 1), i)))))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("proj"))
+  }
+
+  val q154Sql: String = {
+    val values = rpMatrix.zipWithIndex.flatMap { case (row, j) =>
+      row.zipWithIndex.map { case (v, i0) => s"(${i0 + 1}, $j, $v)" }
+    }.mkString(", ")
+    s"""WITH m(i, j, s) AS (VALUES $values),
+       |e AS (
+       |  SELECT vec_id, i,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings,
+       |    UNNEST(generate_series(1, len(embedding))) AS g(i))
+       |SELECT e.vec_id, CAST(m.j AS BIGINT) AS j,
+       |  CAST(sum(e.q * m.s) AS BIGINT) AS proj
+       |FROM e JOIN m USING (i)
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** Source-centroid semantic affinity — the embedding-space counterpart
+    * of q128's lexical source-overlap matrix: cosine between per-source
+    * centroid vectors answers "which sources say the same THINGS"
+    * where q128 answers "which sources use the same WORDS" (mirrors and
+    * paraphrase farms split exactly there). Centroids are elementwise
+    * SUMS of 1e-3-quantized codes (global grid, so summation is linear
+    * — the per-vector-scaled int8 codes of q93 would NOT sum), norms
+    * and dots stay exact int64; cosine's denominator multiplies as
+    * DOUBLE (the n2a·n2b product overflows int64 at corpus scale) —
+    * correctly-rounded ops, engine-identical.
+    *
+    * Scale shape: one posexplode pass aggregates (source, dim) partial
+    * sums with map-side combine — the shuffle is #sources×dims rows,
+    * not the corpus; the pair stage self-joins THAT table on dim
+    * (sources²×dims, dims-keyed) and the 1-row-per-source norms ride a
+    * broadcast. Nothing pairwise ever touches raw vectors. */
+  def q155SourceAffinity(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val codes = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val dims = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
+        col("source")), Seq("vec_id"))
+      .select(col("source"), posexplode(codes).as(Seq("dim", "v")))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("v").cast(d38)).cast("long").as("sv"))
+    val norms = dims.groupBy(col("source"))
+      .agg(sum((col("sv") * col("sv")).cast(d38)).cast("long").as("n2"))
+    dims.as("a")
+      .join(dims.as("b"),
+        col("a.dim") === col("b.dim") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum((col("a.sv") * col("b.sv")).cast(d38)).cast("long")
+        .as("dot_i"))
+      .join(broadcast(norms.select(col("source").as("src_a"),
+        col("n2").as("n2_a"))), Seq("src_a"))
+      .join(broadcast(norms.select(col("source").as("src_b"),
+        col("n2").as("n2_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("dot_i"), col("n2_a"),
+        col("n2_b"),
+        (col("dot_i").cast("double") /
+          sqrt(col("n2_a").cast("double") * col("n2_b").cast("double")))
+          .as("cos_sim"))
+  }
+
+  val q155Sql: String =
+    """WITH e AS (
+      |  SELECT d.source, i AS dim,
+      |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+      |  FROM embeddings
+      |  JOIN documents d ON d.doc_id = embeddings.vec_id,
+      |    UNNEST(generate_series(1, len(embedding))) AS g(i)),
+      |s AS (
+      |  SELECT source, dim, CAST(sum(v) AS BIGINT) AS sv
+      |  FROM e GROUP BY 1, 2),
+      |n AS (
+      |  SELECT source, CAST(sum(sv * sv) AS BIGINT) AS n2
+      |  FROM s GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot_i
+      |  FROM s a JOIN s b ON a.dim = b.dim AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b, p.dot_i, na.n2 AS n2_a, nb.n2 AS n2_b,
+      |  CAST(p.dot_i AS DOUBLE)
+      |    / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos_sim
+      |FROM p JOIN n na ON na.source = p.src_a
+      |JOIN n nb ON nb.source = p.src_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q132_embed_covariance", q132EmbedCovariance, Some(q132Sql)),
+    QueryDef("q154_random_projection", q154RandomProjection, Some(q154Sql)),
+    QueryDef("q155_source_affinity", q155SourceAffinity, Some(q155Sql)),
     QueryDef("q136_ann_recall", q136AnnRecall, Some(q136Sql)),
     QueryDef("q39_knn_brute", q39KnnBrute, Some(q39Sql)),
     QueryDef("q93_knn_int8", q93KnnInt8, Some(q93Sql)),

@@ -1303,6 +1303,53 @@ class OperatorSpec extends SparkTestBase {
     got.foreach { case (_, (n, _, d80)) => assert(d80 >= 1 && d80 <= n) }
   }
 
+  test("q154: projections equal an in-driver exact-integer recount") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val m = SimilarityOps.rpMatrix
+    val want = vecs.flatMap { case (id, emb) =>
+      val q = emb.map(x => math.round(x.toDouble * 1000))
+      (0 until 8).map { j =>
+        (id, j.toLong, q.indices.map(i => q(i) * m(j)(i)).sum)
+      }
+    }.toSet
+    val got = SimilarityOps.q154RandomProjection(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty)
+    // JL sanity: projections are nondegenerate (not all zero per vector)
+    assert(got.groupBy(_._1).values.forall(_.exists(_._3 != 0L)))
+  }
+
+  test("q155: source-centroid cosines equal an in-driver recount") {
+    import org.apache.spark.sql.functions._
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sums = scala.collection.mutable.Map.empty[String, Array[Long]]
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .collect().foreach { r =>
+        src.get(r.getLong(0)).foreach { s =>
+          val acc = sums.getOrElseUpdate(s, new Array[Long](64))
+          val emb = r.getSeq[Float](1)
+          emb.indices.foreach(i =>
+            acc(i) += math.round(emb(i).toDouble * 1000))
+        }
+      }
+    val n2 = sums.map { case (s, v) => s -> v.map(x => x * x).sum }
+    val want = (for {
+      a <- sums.keys; b <- sums.keys if a < b
+      dot = (0 until 64).map(i => sums(a)(i) * sums(b)(i)).sum
+    } yield (a, b) -> ((dot, n2(a), n2(b),
+      dot.toDouble / math.sqrt(n2(a).toDouble * n2(b).toDouble)))).toMap
+    val got = SimilarityOps.q155SourceAffinity(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

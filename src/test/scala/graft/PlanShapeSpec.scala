@@ -435,6 +435,18 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p152.contains("BroadcastNestedLoopJoin"), p152)
   }
 
+  test("q154/q155: per-row matrix product; centroid pairs never touch raw vectors") {
+    val p154 = initialPlan(operators.SimilarityOps.q154RandomProjection(spark, sfDir))
+    assert(count(p154, "Exchange") == 0, p154) // matrix lives in the row
+    assert(!p154.contains("Join"), p154)
+    val p155 = withoutAutoBroadcast {
+      initialPlan(operators.SimilarityOps.q155SourceAffinity(spark, sfDir))
+    }
+    assert(!p155.contains("CartesianProduct"), p155)
+    // norms ride broadcast joins even with auto-broadcast disabled
+    assert(count(p155, "BroadcastHashJoin") >= 2, p155)
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)
