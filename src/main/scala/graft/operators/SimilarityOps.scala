@@ -659,11 +659,17 @@ object SimilarityOps {
     * exchanges, the q143 class. The relational formulation the oracle
     * uses (explode 64 rows/vec, join a 512-row matrix table, aggregate
     * 8 rows/vec) shuffles the whole corpus twice for the same answer. */
-  def q154RandomProjection(s: SparkSession, dir: String): DataFrame = {
+  def q154RandomProjection(s: SparkSession, dir: String): DataFrame =
+    projectTo8(Tables.embeddings(s, dir))
+
+  /** The projection pipeline on any (vec_id, embedding) frame — pure
+    * per-row selects, so the streaming tier runs the IDENTICAL chain
+    * over micro-batches (agreement by construction). */
+  def projectTo8(vecs: DataFrame): DataFrame = {
     val m = array(rpMatrix.map(r => array(r.map(lit): _*)): _*)
     val codes = transform(col("embedding"),
       x => round(x.cast("double") * 1000).cast("long"))
-    Tables.embeddings(s, dir)
+    vecs
       .select(col("vec_id"), codes.as("q"))
       .select(col("vec_id"), posexplode(transform(
         sequence(lit(0), lit(7)),

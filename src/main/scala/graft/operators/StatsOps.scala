@@ -656,9 +656,79 @@ object StatsOps {
       |  CAST(sum(w * n_tok) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS mean_tok
       |FROM w GROUP BY r HAVING sum(w) > 0""".stripMargin
 
+  /** Deterministic synthetic-workload generation: 256 systematic
+    * inverse-CDF draws from the corpus token-length distribution via
+    * the q139 mergeable histogram — the "shape-faithful stand-in
+    * corpus" a 100 TB pipeline uses to size packers, shuffles, and
+    * file targets WITHOUT touching production data (the sample is the
+    * histogram's image, carries no document content, and regenerates
+    * bit-identically anywhere from 1000 integers). Target ranks are
+    * the systematic grid ⌈(2k−1)·n / 512⌉ — every quantity an exact
+    * int64; the synthesized value is the selected bin's left edge.
+    *
+    * Scale shape: one corpus pass for the histogram (integer bins,
+    * associative/mergeable — the q139 contract), then all sampling
+    * happens on the ≤1000-row cumulative table: a 256×1000 bounded
+    * range join on broadcasts. Generation cost is independent of
+    * corpus size. */
+  def q156SynthSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFns.tokens
+    import s.implicits._
+    val v = Tables.documents(s, dir)
+      .select(size(filter(tokens(col("text")), t => t =!= ""))
+        .cast("long").as("v"))
+    val stats = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
+        count(lit(1)).as("n"))
+      .withColumn("rng", greatest(col("vmax") - col("vmin"), lit(1L)))
+    val bins = v.crossJoin(broadcast(stats))
+      .select(least(expr("((v - vmin) * 1000) div rng"), lit(999L)).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("bin_n"))
+    val cum = bins.withColumn("cum",
+      sum(col("bin_n")).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("bin")).rowsBetween(Long.MinValue, 0)))
+    (1L to 256L).toDF("k")
+      .crossJoin(broadcast(stats))
+      .withColumn("target", expr("((2 * k - 1) * n + 511) div 512"))
+      .join(broadcast(cum),
+        col("cum") >= col("target") &&
+          (col("cum") - col("bin_n")) < col("target"))
+      .select(col("k"), col("target").as("target_rank"), col("bin"),
+        (col("vmin") + expr("(bin * rng) div 1000")).as("synth_v"))
+  }
+
+  val q156Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(len(list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '')) AS BIGINT) AS v
+      |  FROM documents),
+      |s AS (
+      |  SELECT min(v) AS vmin, max(v) AS vmax,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    greatest(max(v) - min(v), 1) AS rng
+      |  FROM v),
+      |b AS (
+      |  SELECT least(((v - vmin) * 1000) // rng, 999) AS bin,
+      |    CAST(count(*) AS BIGINT) AS bin_n
+      |  FROM v, s GROUP BY 1),
+      |c AS (
+      |  SELECT bin, bin_n,
+      |    CAST(sum(bin_n) OVER (ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM b),
+      |k AS (
+      |  SELECT CAST(g.k AS BIGINT) AS k,
+      |    ((2 * g.k - 1) * s.n + 511) // 512 AS target
+      |  FROM UNNEST(generate_series(1, 256)) AS g(k), s)
+      |SELECT k.k, k.target AS target_rank, c.bin,
+      |  s.vmin + (c.bin * s.rng) // 1000 AS synth_v
+      |FROM k JOIN c ON c.cum >= k.target AND c.cum - c.bin_n < k.target
+      |CROSS JOIN s""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q135_global_ntile", q135GlobalNtile, Some(q135Sql)),
     QueryDef("q150_bootstrap", q150Bootstrap, Some(q150Sql)),
+    QueryDef("q156_synth_sample", q156SynthSample, Some(q156Sql)),
     QueryDef("q139_hist_quantile", q139HistQuantile, Some(q139Sql)),
     QueryDef("q126_group_regression", q126GroupRegression, Some(q126Sql)),
     QueryDef("q55_moments", q55Moments, Some(q55Sql)),

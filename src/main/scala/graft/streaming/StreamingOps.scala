@@ -365,6 +365,21 @@ object StreamingOps {
       .toDF("source", "h", "len", "stored")
   }
 
+  /** Streaming JL projection — the online tier of batch q154: embedding
+    * rows arriving in micro-batches project through the SAME constant
+    * Rademacher matrix (per-row exact-int64 arithmetic, zero state,
+    * zero shuffle — the stateless-enrichment class). This is how a live
+    * ingest keeps its ANN index fed with reduced vectors without a
+    * nightly batch projection; spec: streamed rows ≡ batch q154. */
+  def projectionStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 2): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    graft.operators.SimilarityOps.projectTo8(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(srcDir))
+  }
+
   /** One packed item of the incremental sequence packer. */
   final case class PackItem(doc_id: Long, shard: Long, n_tok: Long)
   final case class PackedItem(doc_id: Long, shard: Long, bin: Long, fill: Long)

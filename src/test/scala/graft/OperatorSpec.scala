@@ -1350,6 +1350,33 @@ class OperatorSpec extends SparkTestBase {
     assert(got == want && got.nonEmpty)
   }
 
+  test("q156: synthetic draws are distribution-faithful and exactly systematic") {
+    import org.apache.spark.sql.functions._
+    val vs = Tables.documents(spark, sfDir)
+      .select(size(filter(graft.functions.TextFns.tokens(col("text")),
+        t => t =!= "")).cast("long").as("v"))
+      .collect().map(_.getLong(0)).sorted
+    val (vmin, vmax, n) = (vs.head, vs.last, vs.length.toLong)
+    val rng = math.max(vmax - vmin, 1L)
+    val got = StatsOps.q156SynthSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.length == 256)
+    got.foreach { case (k, target, bin, synth) =>
+      assert(target == (((2 * k - 1) * n) + 511) / 512)
+      // the true order statistic at that rank falls inside the chosen bin
+      val trueV = vs((target - 1).toInt)
+      val trueBin = math.min((trueV - vmin) * 1000 / rng, 999L)
+      assert(bin == trueBin, s"k=$k")
+      assert(synth == vmin + bin * rng / 1000)
+      // bin width bounds the synthesis error
+      assert(math.abs(synth - trueV) <= rng / 1000 + 1)
+    }
+    // systematic grid → monotone nondecreasing draws
+    val draws = got.map(_._4)
+    assert(draws.zip(draws.tail).forall { case (a, b) => a <= b })
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

@@ -482,6 +482,22 @@ class StreamingSpec extends SparkTestBase {
     assert(ids == Set(1L), ids)
   }
 
+  test("streaming JL projection equals batch q154 row-for-row") {
+    val tmp = java.nio.file.Files.createTempDirectory("sproj").toString
+    val src = s"$tmp/src"
+    val e = Tables.embeddings(spark, sfDir)
+    e.limit(40).coalesce(1).write.mode("append").parquet(src)
+    e.exceptAll(e.limit(40)).coalesce(1).write.mode("append").parquet(src)
+    val out = s"$tmp/proj"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.projectionStream(spark, src, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out)
+    val want = operators.SimilarityOps.q154RandomProjection(spark, sfDir)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == want.count() && got.count() > 0)
+  }
+
   test("streaming chunk registry reproduces batch qm5 storage accounting") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("schunk").toString
