@@ -912,10 +912,130 @@ object CurationOps {
        |    count(*)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS concentration
        |FROM c GROUP BY source""".stripMargin
 
+  /** Neyman (variance-optimal) stratified-sampling allocation: split a
+    * k = 1024 sampling budget across sources ∝ N_h·S_h — the allocation
+    * that minimizes the estimator variance of a corpus mean (token
+    * count here), the principled upgrade over q74's fixed-rate and
+    * q124's fixed-k strata. The identity N_h·S_h = √(N_h·Σx² − (Σx)²)
+    * keeps EVERYTHING under the radical an exact decimal(38,0) integer;
+    * the √ result is quantized to a 1e-3 integer grid (the q88 move)
+    * so the cross-source total is an exact int64 sum, never an
+    * order-dependent double reduction. Allocations are the floor split
+    * k·w_h div Σw (callers hand the ≤ #sources remainder to any
+    * largest-remainder rule they like — that choice is policy, not
+    * engine).
+    *
+    * Scale shape: ONE corpus pass for the per-source moment aggregate
+    * (#sources rows), a 1-row broadcast total — allocation cost is
+    * independent of corpus size. */
+  def q157NeymanAlloc(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val perSrc = Tables.documents(s, dir)
+      .select(col("source"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("x"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum((col("x").cast(d38) * col("x").cast(d38))).as("sx2"))
+      .withColumn("iw",
+        floor(sqrt((col("n_h").cast(d38) * col("sx2") - col("sx") * col("sx"))
+          .cast("double")) * 1000 + 0.5).cast("long"))
+    val tot = perSrc.agg(sum(col("iw").cast(d38)).cast("long").as("iw_tot"))
+    perSrc.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_h"), col("iw"),
+        expr("(1024 * iw) div iw_tot").as("alloc"),
+        (col("iw").cast("double") / col("iw_tot").cast("double"))
+          .as("share"))
+  }
+
+  val q157Sql: String =
+    s"""WITH d AS (
+       |  SELECT source,
+       |    CAST(len(list_filter($toksSql, x -> x <> '')) AS BIGINT) AS x
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+       |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+       |    CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+       |      AS sx2
+       |  FROM d GROUP BY 1),
+       |w AS (
+       |  SELECT source, n_h,
+       |    CAST(floor(sqrt(CAST(n_h * sx2 - sx * sx AS DOUBLE)) * 1000 + 0.5)
+       |      AS BIGINT) AS iw
+       |  FROM m),
+       |t AS (SELECT CAST(sum(iw) AS BIGINT) AS iw_tot FROM w)
+       |SELECT source, n_h, iw,
+       |  (1024 * iw) // iw_tot AS alloc,
+       |  CAST(iw AS DOUBLE) / CAST(iw_tot AS DOUBLE) AS share
+       |FROM w, t""".stripMargin
+
+  /** Cross-source QUANTILE NORMALIZATION of the quality score — the
+    * batch-effect correction of bioinformatics applied to corpus
+    * curation: each document's quality is replaced by the GLOBAL
+    * quality value at the same within-source quantile, so a source
+    * whose scorer runs hot/cold stops distorting corpus-wide gates
+    * (q91 equalizes pass RATES per domain; this equalizes the score
+    * DISTRIBUTIONS themselves). Mid-rank mapping
+    * t = ⌈(2r−1)·N / 2n_h⌉ is exact int64 end to end; the looked-up
+    * value is an exact equi-join against the global rank table.
+    *
+    * Scale shape: within-source ranks ride a source-keyed window
+    * (domain-grained keys at corpus scale); the GLOBAL rank comes from
+    * the [[graft.plans.GlobalRank]] range-exchange operator — never a
+    * single-task `row_number() OVER (ORDER BY …)` window — and the
+    * lookup is a plain long equi-join, AQE territory. */
+  def q158QuantileNorm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.scoredDocs(s, dir)
+      .select(col("doc_id"), col("lang"), col("quality"))
+    val n = scored.agg(count(lit(1)).as("n_total"))
+    val globalRanks = graft.plans.GlobalRank.withPosition(
+      scored.select(col("quality"), col("doc_id")),
+      Seq("quality" -> false, "doc_id" -> false))
+      .select(col("pos"), col("quality").as("norm_quality"))
+    val wSrc = Window.partitionBy(col("lang"))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    scored
+      .withColumn("r", row_number().over(wSrc).cast("long"))
+      .withColumn("n_h", count(lit(1))
+        .over(Window.partitionBy(col("lang"))))
+      .crossJoin(broadcast(n))
+      .withColumn("pos",
+        expr("((2 * r - 1) * n_total + 2 * n_h - 1) div (2 * n_h)") - 1)
+      .join(globalRanks, Seq("pos"))
+      .select(col("doc_id"), col("lang"), col("quality"),
+        col("norm_quality"))
+  }
+
+  val q158Sql: String =
+    s"""WITH scored AS (${TextOps.scoredSql}),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM scored),
+       |g AS (
+       |  SELECT quality AS norm_quality,
+       |    CAST(row_number() OVER (ORDER BY quality, doc_id) AS BIGINT) - 1
+       |      AS pos
+       |  FROM scored),
+       |r AS (
+       |  SELECT doc_id, lang, quality,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY quality, doc_id) AS BIGINT) AS r,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_h
+       |  FROM scored),
+       |p AS (
+       |  SELECT doc_id, lang, quality,
+       |    ((2 * r - 1) * n_total + 2 * n_h - 1) // (2 * n_h) - 1 AS pos
+       |  FROM r, n)
+       |SELECT p.doc_id, p.lang, p.quality, g.norm_quality
+       |FROM p JOIN g USING (pos)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
     QueryDef("q144_context_budget", q144ContextBudget, Some(q144Sql)),
     QueryDef("q153_pareto", q153ParetoConcentration, Some(q153Sql)),
+    QueryDef("q157_neyman_alloc", q157NeymanAlloc, Some(q157Sql)),
+    QueryDef("q158_quantile_norm", q158QuantileNorm, Some(q158Sql)),
     QueryDef("q108_drift", q108Drift, Some(q108Sql)),
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),

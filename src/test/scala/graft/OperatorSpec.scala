@@ -1377,6 +1377,57 @@ class OperatorSpec extends SparkTestBase {
     assert(draws.zip(draws.tail).forall { case (a, b) => a <= b })
   }
 
+  test("q157: Neyman weights equal the exact-moment identity, allocations split k") {
+    import org.apache.spark.sql.functions._
+    val xs = Tables.documents(spark, sfDir)
+      .select(col("source"), size(filter(
+        graft.functions.TextFns.tokens(col("text")), t => t =!= ""))
+        .cast("long").as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = xs.groupBy(_._1).map { case (src, g) =>
+      val n = g.length.toLong
+      val sx = g.map(x => BigInt(x._2)).sum
+      val sx2 = g.map(x => BigInt(x._2) * BigInt(x._2)).sum
+      val under = (BigInt(n) * sx2 - sx * sx).toDouble
+      src -> ((n, math.floor(math.sqrt(under) * 1000 + 0.5).toLong))
+    }
+    val totW = want.values.map(_._2).sum
+    val got = CurationOps.q157NeymanAlloc(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    got.foreach { case (src, (n, iw, alloc, share)) =>
+      assert(want(src) == ((n, iw)))
+      assert(alloc == 1024L * iw / totW)
+      assert(share == iw.toDouble / totW)
+    }
+    // floor split never exceeds the budget; remainder < #sources
+    val a = got.values.map(_._3).sum
+    assert(a <= 1024 && 1024 - a < got.size)
+  }
+
+  test("q158: quantile normalization preserves within-source order and global range") {
+    import org.apache.spark.sql.functions._
+    val got = CurationOps.q158QuantileNorm(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val global = got.map(_._3).sorted
+    // every doc keeps a row, normalized values are actual corpus values
+    assert(got.length == global.length)
+    assert(got.forall(r => global.contains(r._4)))
+    got.groupBy(_._2).values.foreach { g =>
+      val byQ = g.sortBy(r => (r._3, r._1))
+      // monotone: higher within-source quality never maps lower
+      assert(byQ.map(_._4).zip(byQ.map(_._4).tail)
+        .forall { case (a, b) => a <= b })
+      // the within-source TOP doc maps to (near) the global top
+      val n = global.length
+      val topTarget = ((2L * g.length - 1) * n + 2L * g.length - 1) /
+        (2L * g.length) - 1
+      assert(byQ.last._4 == global(topTarget.toInt))
+    }
+  }
+
   test("gearChunks: boundaries tile the input and survive an insertion") {
     // deterministic pseudo-random payload (no global Random state)
     var seed = 0x9e3779b97f4a7c15L

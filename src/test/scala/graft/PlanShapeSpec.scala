@@ -447,6 +447,16 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(p155, "BroadcastHashJoin") >= 2, p155)
   }
 
+  test("q158: global rank rides the GlobalRank exec, never a one-task window") {
+    val plan = initialPlan(operators.CurationOps.q158QuantileNorm(spark, sfDir))
+    assert(plan.contains("GlobalRank"), plan)
+    // every Window node partitions by lang (within-source ranks only —
+    // the global side must NOT be a single-task empty-partition window)
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("lang")),
+      windows.mkString("\n"))
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)
