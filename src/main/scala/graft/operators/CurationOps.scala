@@ -1030,12 +1030,63 @@ object CurationOps {
        |SELECT p.doc_id, p.lang, p.quality, g.norm_quality
        |FROM p JOIN g USING (pos)""".stripMargin
 
+  /** Gate-calibration curve: for a grid of candidate quality thresholds,
+    * what survives — docs kept, token mass kept, and the kept-token
+    * fraction. This is the sweep a pipeline owner reads BEFORE fixing
+    * any absolute quality gate (the complement of q91's fixed-rate
+    * percentile form): the elbow of this curve IS the threshold
+    * decision, and computing it for 8 thresholds costs one corpus
+    * pass, not 8.
+    *
+    * Scale shape: per-doc (quality, n_tok) projection, thresholds ride
+    * a per-row literal-array explode (the q144 move — no join, no
+    * second scan), partial-combining aggregate onto 8 groups; token
+    * sums in decimal(38,0). Threshold literals are exact halves/tenths
+    * (binary-representable or consistently rounded the same way in
+    * both engines' literal parsers). */
+  def q159GateSweep(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val grid = Seq(0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65)
+    TextOps.scoredDocs(s, dir)
+      .select(col("quality"), col("n_tokens"))
+      .select(col("quality"), col("n_tokens"),
+        explode(array(grid.map(lit): _*)).as("thresh"))
+      .groupBy(col("thresh"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality") >= col("thresh"), 1L).otherwise(0L))
+          .cast("long").as("docs_kept"),
+        sum(col("n_tokens").cast(d38)).cast("long").as("tokens_total"),
+        sum(when(col("quality") >= col("thresh"), col("n_tokens"))
+          .otherwise(0L).cast(d38)).cast("long").as("tokens_kept"))
+      .withColumn("kept_frac",
+        col("tokens_kept").cast("double") / col("tokens_total").cast("double"))
+  }
+
+  val q159Sql: String =
+    s"""WITH scored AS (${TextOps.scoredSql}),
+       |g AS (
+       |  SELECT quality, n_tokens, thresh
+       |  FROM scored,
+       |    UNNEST([0.30, 0.35, 0.40, 0.45, 0.50, 0.55, 0.60, 0.65])
+       |      AS u(thresh))
+       |SELECT CAST(thresh AS DOUBLE) AS thresh,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN quality >= thresh THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS docs_kept,
+       |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(sum(CASE WHEN quality >= thresh THEN n_tokens ELSE 0 END)
+       |    AS BIGINT) AS tokens_kept,
+       |  CAST(sum(CASE WHEN quality >= thresh THEN n_tokens ELSE 0 END)
+       |    AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS kept_frac
+       |FROM g GROUP BY thresh""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
     QueryDef("q144_context_budget", q144ContextBudget, Some(q144Sql)),
     QueryDef("q153_pareto", q153ParetoConcentration, Some(q153Sql)),
     QueryDef("q157_neyman_alloc", q157NeymanAlloc, Some(q157Sql)),
     QueryDef("q158_quantile_norm", q158QuantileNorm, Some(q158Sql)),
+    QueryDef("q159_gate_sweep", q159GateSweep, Some(q159Sql)),
     QueryDef("q108_drift", q108Drift, Some(q108Sql)),
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),

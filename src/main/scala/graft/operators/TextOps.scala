@@ -106,11 +106,11 @@ object TextOps {
             .when(col("n_tokens") < 50, 1.0)
             .when(col("n_tokens") < 200, 0.8)
             .otherwise(0.5) * 0.5)
-      .select(col("doc_id"), col("lang"), col("quality"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("quality"))
 
   /** The q91 oracle's `scored` CTE, shared with q95's oracle. */
   val scoredSql: String =
-    """SELECT doc_id, lang,
+    """SELECT doc_id, lang, n_tokens,
       |    (CAST(n_distinct AS DOUBLE) / n_tokens) * 0.5 +
       |    (CASE WHEN n_tokens < 10 THEN 0.2 WHEN n_tokens < 50 THEN 1.0
       |          WHEN n_tokens < 200 THEN 0.8 ELSE 0.5 END) * 0.5 AS quality

@@ -380,6 +380,53 @@ object StreamingOps {
         .parquet(srcDir))
   }
 
+  /** Streaming multi-touch attribution — the online tier of batch q152:
+    * per-user touch history (click/view/signup) is carried in
+    * `flatMapGroupsWithState`, and each arriving purchase emits one
+    * weighted row per touch inside its 24 h window (the same exact
+    * integer hour-decay weights). State is HORIZON-BOUNDED by
+    * construction: with per-user ts-ordered arrival, a touch older
+    * than (latest seen ts − 24 h) can never enter a future purchase's
+    * window, so it evicts — state per user is one day of touches, not
+    * all history (the q140-family design rule: the stream's state is
+    * the operator's irreducible working set, nothing more). Spec:
+    * per-channel (count, weight-mass) aggregates of the emitted rows
+    * equal batch q152 exactly across multi-file arrival. */
+  def attributionStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 2): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val horizon = 86400000000L
+    val schema = spark.read.parquet(srcDir).schema
+    val feed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .select(col("user_id").as[Long], unix_micros(col("ts")).as[Long],
+        col("event_type").as[String])
+    feed.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, String)],
+        (Long, Long, String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long, String)],
+            state: GroupState[List[(Long, String)]]) =>
+          var touches = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, String, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, us, typ) =>
+            if (typ == "purchase") {
+              touches.foreach { case (tUs, ch) =>
+                if (tUs < us && us - tUs < horizon)
+                  out += ((uid, us, ch, 24L - (us - tUs) / 3600000000L))
+              }
+            } else if (typ == "click" || typ == "view" || typ == "signup")
+              touches = touches :+ ((us, typ))
+            touches = touches.filter(_._1 > us - horizon)
+          }
+          state.update(touches)
+          out.iterator
+      }
+      .toDF("user_id", "p_us", "channel", "w")
+  }
+
   /** One packed item of the incremental sequence packer. */
   final case class PackItem(doc_id: Long, shard: Long, n_tok: Long)
   final case class PackedItem(doc_id: Long, shard: Long, bin: Long, fill: Long)

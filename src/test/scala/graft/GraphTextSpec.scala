@@ -125,7 +125,7 @@ class GraphTextSpec extends SparkTestBase {
     val clusters = DedupOps.q64DedupClusters(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val quality = TextOps.scoredDocs(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
     val got = DedupOps.q118ClusterCanonical(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     val byCluster = clusters.groupBy(_._2)

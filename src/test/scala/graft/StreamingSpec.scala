@@ -526,4 +526,36 @@ class StreamingSpec extends SparkTestBase {
           r.getAs[Long]("bytes_total"), r.getAs[Long]("bytes_stored")))).toMap
     assert(got == want && got.nonEmpty)
   }
+
+  test("streaming attribution equals batch q152 for ts-ordered arrival") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val tmp = java.nio.file.Files.createTempDirectory("sattr").toString
+    val src = s"$tmp/src"
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("us", unix_micros(col("ts")))
+    // three ascending ts ranges written sequentially: arrival order
+    // respects event time, the contract attributionStream's state
+    // eviction depends on (touches inside one file are unordered —
+    // the in-batch sort covers those)
+    val Array(c1, c2) =
+      ev.stat.approxQuantile("us", Array(0.33, 0.66), 0.01).map(_.toLong)
+    Seq(col("us") < c1, col("us") >= c1 && col("us") < c2,
+      col("us") >= c2).foreach { p =>
+      ev.filter(p).drop("us").coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct file timestamps fix delivery order
+    }
+    val out = s"$tmp/attr"
+    StreamingOps.runAppendToLake(spark,
+      StreamingOps.attributionStream(spark, src, filesPerTrigger = 1),
+      out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("w").cast(DecimalType(38, 0))).cast("long").as("w_mass"))
+    val want = operators.EventOps.q152DecayAttribution(spark, sfDir)
+      .select("channel", "n_touches", "w_mass")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
