@@ -680,19 +680,27 @@ object StatsOps {
     val stats = v.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"),
         count(lit(1)).as("n"))
       .withColumn("rng", greatest(col("vmax") - col("vmin"), lit(1L)))
+    // stats ride the bin table as constant payload columns (grouping
+    // keys that never split a group), so the sampling join below needs
+    // no third reference to the corpus: per-branch column pruning would
+    // otherwise specialize the stats subplan differently in each branch,
+    // defeating exchange reuse — documents would be scanned (and
+    // re-tokenized) three times instead of the inherent two
     val bins = v.crossJoin(broadcast(stats))
-      .select(least(expr("((v - vmin) * 1000) div rng"), lit(999L)).as("bin"))
-      .groupBy(col("bin")).agg(count(lit(1)).as("bin_n"))
+      .select(least(expr("((v - vmin) * 1000) div rng"), lit(999L)).as("bin"),
+        col("vmin"), col("rng"), col("n"))
+      .groupBy(col("bin"), col("vmin"), col("rng"), col("n"))
+      .agg(count(lit(1)).as("bin_n"))
     val cum = bins.withColumn("cum",
       sum(col("bin_n")).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("bin")).rowsBetween(Long.MinValue, 0)))
     (1L to 256L).toDF("k")
-      .crossJoin(broadcast(stats))
-      .withColumn("target", expr("((2 * k - 1) * n + 511) div 512"))
       .join(broadcast(cum),
-        col("cum") >= col("target") &&
-          (col("cum") - col("bin_n")) < col("target"))
-      .select(col("k"), col("target").as("target_rank"), col("bin"),
+        col("cum") >= expr("((2 * k - 1) * n + 511) div 512") &&
+          (col("cum") - col("bin_n")) < expr("((2 * k - 1) * n + 511) div 512"))
+      .select(col("k"),
+        expr("((2 * k - 1) * n + 511) div 512").as("target_rank"),
+        col("bin"),
         (col("vmin") + expr("(bin * rng) div 1000")).as("synth_v"))
   }
 

@@ -457,6 +457,35 @@ class PlanShapeSpec extends SparkTestBase {
       windows.mkString("\n"))
   }
 
+  test("q153/q156/q157/q159: source-grained windows, broadcast-bounded sampling") {
+    // q153: the ranking window partitions by source (domain-grained at
+    // corpus scale) — never an unpartitioned whole-corpus window
+    val p153 = initialPlan(operators.CurationOps.q153ParetoConcentration(spark, sfDir))
+    val w153 = p153.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(w153.nonEmpty && w153.forall(_.contains("source")), p153)
+    assert(!p153.contains("CartesianProduct"), p153)
+    // q156: exactly the two inherent corpus passes (stats, histogram) —
+    // stats ride the bin table as payload, so sampling adds no third
+    // scan; the sampling join touches only broadcast-bounded tables
+    val p156 = initialPlan(operators.StatsOps.q156SynthSample(spark, sfDir))
+    assert(count(p156, "Scan parquet") == 2, p156)
+    assert(!p156.contains("SortMergeJoin") && !p156.contains("CartesianProduct"), p156)
+    // q157: allocation is a per-source moment aggregate + 1-row
+    // broadcast total — the corpus never shuffles, no window anywhere
+    val p157 = withoutAutoBroadcast {
+      initialPlan(operators.CurationOps.q157NeymanAlloc(spark, sfDir))
+    }
+    assert(!p157.contains("Window"), p157)
+    assert(p157.contains("BroadcastNestedLoopJoin"), p157)
+    assert(!p157.contains("SortMergeJoin") && !p157.contains("CartesianProduct"), p157)
+    // q159: thresholds ride a literal explode on one scan — no join,
+    // one partial+final aggregate pair onto 8 groups (the q144 shape)
+    val p159 = initialPlan(operators.CurationOps.q159GateSweep(spark, sfDir))
+    assert(!p159.contains("Join"), p159)
+    assert(count(p159, "Scan parquet") == 1, p159)
+    assert(count(p159, "HashAggregate") == 2, p159)
+  }
+
   test("qm5 chunk dedup: hash-addressed aggregates, nothing pairwise") {
     val plan = initialPlan(multimodal.Multimodal.qm5ChunkDedup(spark, sfDir))
     assert(!plan.contains("Join"), plan)
