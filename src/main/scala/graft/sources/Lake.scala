@@ -299,4 +299,87 @@ object Lake {
       .write.partitionBy(partCols: _*)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").option("compression", "snappy").parquet(path)
+
+  /** 16-bit Morton spread — interleave a zero between each bit of a
+    * 16-bit value, as pure Column arithmetic (4 shift/mask steps, all
+    * codegen'd builtins; the classic magic-mask form, e.g. "Bit
+    * Twiddling Hacks" / Morton 1966). */
+  private def spread16(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L),
+      (1, 0x55555555L)).foldLeft(c) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+  }
+
+  /** Z-ORDER clustered write over TWO long columns — the multi-column
+    * half of the data-skipping story. [[writeWithStats]]'s range layout
+    * makes file ranges disjoint on ONE column; a predicate on any other
+    * column intersects every file. Interleaving the bits of both
+    * (rank-quantized) columns into one Morton key and range-partitioning
+    * on THAT gives every file a bounded box in (a, b) space, so a range
+    * predicate on EITHER column prunes files — the layout
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` exists for. Cost is identical
+    * to any clustered rewrite: one stats pass + one range shuffle.
+    *
+    * Each column is linearly quantized to 16 bits from its global
+    * min/max (one metadata-cheap agg pass; exact integer arithmetic —
+    * requires column range < 2^47 so the scale multiply stays in
+    * int64). The per-file manifest `_skipstats2` records min/max of
+    * BOTH raw columns per file (the z-curve guarantees they are tight
+    * boxes). [[boxSkippingFiles]] prunes against the box,
+    * [[readBoxSkipping]] re-applies the exact predicate — stats prune
+    * conservatively, the residual filter keeps semantics exact. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String,
+      colB: String, numFiles: Int = 8): Unit = {
+    import org.apache.spark.sql.functions._
+    val a = col(colA).cast("long"); val b = col(colB).cast("long")
+    val stats = df.agg(min(a).as("amin"), max(a).as("amax"),
+        min(b).as("bmin"), max(b).as("bmax"))
+      .select(col("amin"), col("bmin"),
+        greatest(col("amax") - col("amin"), lit(1L)).as("arng"),
+        greatest(col("bmax") - col("bmin"), lit(1L)).as("brng"))
+    val qa = expr(s"((cast($colA as bigint) - amin) * 65535) div arng")
+    val qb = expr(s"((cast($colB as bigint) - bmin) * 65535) div brng")
+    val z = spread16(qa).bitwiseOR(shiftleft(spread16(qb), 1)).as("_z")
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", z)
+      .drop("amin", "bmin", "arng", "brng")
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").option("compression", "snappy").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(a).as("alo"), max(a).as("ahi"),
+        min(b).as("blo"), max(b).as("bhi"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_skipstats2")
+  }
+
+  /** (files whose (a, b) box intersects the probe box, total files).
+    * Pass Long.MinValue/MaxValue bounds to leave a side unconstrained. */
+  def boxSkippingFiles(spark: SparkSession, path: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long): (Seq[String], Int) = {
+    val st = spark.read.parquet(s"$path/_skipstats2")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    (st.filter { case (_, alo, ahi, blo, bhi) =>
+      ahi >= aLo && alo <= aHi && bhi >= bLo && blo <= bHi
+    }.map(_._1).toSeq, st.length)
+  }
+
+  /** Box read through the z-order manifest: only intersecting files are
+    * scheduled; the residual filter restores exactness. */
+  def readBoxSkipping(spark: SparkSession, path: String,
+      colA: String, colB: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (files, _) = boxSkippingFiles(spark, path, aLo, aHi, bLo, bHi)
+    if (files.isEmpty)
+      spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files: _*)
+      .filter(col(colA).cast("long").between(aLo, aHi) &&
+        col(colB).cast("long").between(bLo, bHi))
+  }
 }

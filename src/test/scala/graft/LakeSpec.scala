@@ -259,4 +259,40 @@ class LakeSpec extends SparkTestBase {
     assert(Lake.readSkipping(spark, path, "o_orderkey",
       hiAll + 1, hiAll + 100).count() == 0)
   }
+
+  test("z-order layout prunes on the SECOND column where linear sort cannot") {
+    import org.apache.spark.sql.functions._
+    val tmp = Files.createTempDirectory("zord").toFile.getAbsolutePath
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val s = li.agg(min("l_partkey"), max("l_partkey")).collect()(0)
+    val (pLo, pHi) = (s.getLong(0), s.getLong(1))
+    // a ±2% box on l_partkey only (l_orderkey unconstrained), centered
+    // at 3/8 of the range — inside a z-quartile, not on its boundary
+    val w = math.max((pHi - pLo) / 25, 1L)
+    val mid = pLo + (pHi - pLo) * 3 / 8
+    val (bLo, bHi) = (mid - w / 2, mid + w / 2)
+    // linear layout: range-partitioned by l_orderkey — partkey is
+    // uncorrelated, so EVERY file's partkey range covers the probe
+    Lake.writeWithStats(li, s"$tmp/lin", "l_orderkey", numFiles = 8)
+    val linCand = spark.read.parquet(s"$tmp/lin")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+      .collect().count(r => r.getLong(2) >= bLo && r.getLong(1) <= bHi)
+    // z-order layout: every file is a bounded (orderkey, partkey) box
+    Lake.writeZOrdered(li, s"$tmp/z", "l_orderkey", "l_partkey", numFiles = 8)
+    val (zFiles, zTotal) = Lake.boxSkippingFiles(spark, s"$tmp/z",
+      Long.MinValue, Long.MaxValue, bLo, bHi)
+    assert(zTotal == 8, s"manifest has $zTotal files")
+    assert(zFiles.size < linCand,
+      s"z-order scheduled ${zFiles.size} files, linear $linCand")
+    assert(zFiles.size <= 4, s"${zFiles.size} of $zTotal")
+    // pruned read ≡ full-scan filter, exactly
+    val got = Lake.readBoxSkipping(spark, s"$tmp/z", "l_orderkey",
+      "l_partkey", Long.MinValue, Long.MaxValue, bLo, bHi)
+    val want = spark.read.parquet(s"$tmp/z")
+      .filter(col("l_partkey").between(bLo, bHi))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() > 0 && got.count() == want.count())
+  }
 }
