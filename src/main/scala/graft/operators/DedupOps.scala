@@ -952,7 +952,55 @@ object DedupOps {
        |    AS corpus_frac
        |FROM s, t GROUP BY cluster_size, n_corpus""".stripMargin
 
+  /** Blocked fuzzy record linkage — near-matching entity NAMES across
+    * records (typos, variant spellings), the classic record-linkage /
+    * entity-resolution operator, distinct from the document-dedup
+    * family (those hash content; this edit-distances identifiers).
+    *
+    * Scale design: NEVER fuzzy-join records. Canonicalize to the
+    * distinct-name DICTIONARY first (vocab-bounded — entity-name
+    * dictionaries grow ~log of record count), self-join the dictionary
+    * within blocks (here the name's head noun; blocking bounds the
+    * pair space exactly like LSH bands bound document pairs), apply
+    * `levenshtein` — codegen'd builtin — to the variant token only,
+    * and report record counts per matched pair: n_a·n_b is the linkage
+    * workload a record-level resolve would materialize via one
+    * broadcast map-back. Distance 0 (identical names) is exact-dedup
+    * territory (q34); the gate keeps 1 ≤ dist ≤ 2. */
+  def q160FuzzyLinkage(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir)
+      .select(col("p_name"),
+        split(col("p_name"), " ").getItem(1).as("blk"),
+        split(col("p_name"), " ").getItem(0).as("adj"))
+      .groupBy(col("p_name"), col("blk"), col("adj"))
+      .agg(count(lit(1)).as("n"))
+    val a = names.select(col("p_name").as("name_a"), col("blk"),
+      col("adj").as("adj_a"), col("n").as("n_a"))
+    val b = names.select(col("p_name").as("name_b"), col("blk"),
+      col("adj").as("adj_b"), col("n").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levenshtein(col("adj_a"), col("adj_b")).cast("long"))
+      .filter(col("dist").between(1L, 2L))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("n_pairs"))
+  }
+
+  val q160Sql: String =
+    """WITH n AS (
+      |  SELECT p_name, split_part(p_name, ' ', 2) AS blk,
+      |    split_part(p_name, ' ', 1) AS adj,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM part GROUP BY 1, 2, 3)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS dist,
+      |  a.n AS n_a, b.n AS n_b, a.n * b.n AS n_pairs
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE levenshtein(a.adj, b.adj) BETWEEN 1 AND 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q160_fuzzy_linkage", q160FuzzyLinkage, Some(q160Sql)),
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q145_containment", q145Containment, Some(q145Sql)),
     QueryDef("q146_cluster_sizes", q146ClusterSizes, Some(q146Sql)),

@@ -1102,6 +1102,32 @@ class OperatorSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum == clusters.length.toLong)
   }
 
+  test("q160: fuzzy linkage equals an in-driver recount over the name dictionary") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val counts = Tables.part(spark, sfDir).select("p_name").collect()
+      .map(_.getString(0)).groupBy(identity)
+      .map { case (n, g) => n -> g.length.toLong }
+    val names = counts.keys.toSeq
+    val want = (for {
+      x <- names; y <- names if x < y
+      if x.split(" ")(1) == y.split(" ")(1)
+      d = lev(x.split(" ")(0), y.split(" ")(0)); if d >= 1 && d <= 2
+    } yield (x, y) -> ((d.toLong, counts(x), counts(y)))).toMap
+    val got = DedupOps.q160FuzzyLinkage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("dist"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b")))).toMap
+    assert(got == want && got.nonEmpty, s"got ${got.size}, want ${want.size}")
+  }
+
   test("q147: BPE pair counts equal an in-driver recount of the merge objective") {
     import org.apache.spark.sql.functions._
     val words = Tables.documents(spark, sfDir)
