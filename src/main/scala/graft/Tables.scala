@@ -21,10 +21,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a long and truncate to µs (integer `div`) — the
-    * same truncation DuckDB applies when it reads ns into its µs
-    * TIMESTAMP, so both engines see identical values.
+  /** `events.ts` normalization, robust to how the generator wrote it:
+    * parquet TIMESTAMP(NANOS) (Spark 4 refuses it unless read as a long —
+    * truncate to µs with integer `div`, the same truncation DuckDB applies
+    * pulling ns into its µs TIMESTAMP) or TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false (inferred TIMESTAMP_NTZ — cast to the session
+    * type; the session TZ is pinned UTC, so the instant is unchanged and
+    * equals DuckDB's naive read). Either way downstream sees µs-precision
+    * `TimestampType` with identical values on both engines.
     *
     * The legacy conf is deliberately left set on the session: parquet has
     * no per-read `nanosAsLong` option (it's SQLConf-only), and the conf is
@@ -35,10 +39,21 @@ object Tables {
     * read. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(t(s, d, "events"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
   }
+
+  /** See [[events]]. Shared with the streaming reader, which pins the
+    * same batch schema. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
