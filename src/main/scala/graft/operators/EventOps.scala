@@ -586,7 +586,60 @@ object EventOps {
       |  CAST(w_mass AS DOUBLE) / CAST(w_total AS DOUBLE) AS w_share
       |FROM c, tot""".stripMargin
 
+  /** Exponentially-weighted moving average of event value per user —
+    * the online-metrics smoother (rate trend, spend trend) — with a
+    * BOUNDED 8-term horizon so the result is exact: weights are the
+    * dyadic 2⁷…2⁰ (α = ½ halving per step back), values are cents-scaled
+    * int64, so numerator and denominator are exact integers and the
+    * single final double division is the same correctly-rounded op on
+    * both engines. An unbounded recursive EWMA would accumulate doubles
+    * whose low bits depend on history length and engine order — the
+    * 8-term window keeps >99.6% of the unbounded mass (2⁻⁸ tail) and all
+    * of the determinism. Ragged starts renormalize over the weights
+    * actually present (first event = plain value), so the smoother is
+    * unbiased from row one.
+    *
+    * Scale shape: one window over `user_id` — unbounded key cardinality,
+    * never a funnel — with 7 `lag`s inside a single WindowExec (one sort,
+    * one pass); no state beyond the frame. */
+  def q164Ewma(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.cents
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        cents(col("value")).as("c0"))
+      .select(Seq(col("user_id"), col("event_id"), col("c0")) ++
+        (1 to 7).map(k => lag(col("c0"), k).over(w).as(s"c$k")): _*)
+    val num = (0 to 7).map(k =>
+      coalesce(col(s"c$k") * lit(1L << (7 - k)), lit(0L))).reduce(_ + _)
+    val den = (0 to 7).map(k =>
+      when(col(s"c$k").isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    lagged.select(col("user_id"), col("event_id"),
+      (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma"))
+  }
+
+  val q164Sql: String = {
+    val lags = (1 to 7).map(k => s"lag(c0, $k) OVER w AS c$k").mkString(",\n      |    ")
+    val num = (0 to 7).map(k => s"coalesce(c$k * ${1L << (7 - k)}, 0)").mkString(" + ")
+    val den = (0 to 7).map(k =>
+      s"CASE WHEN c$k IS NOT NULL THEN ${1L << (7 - k)} ELSE 0 END").mkString(" + ")
+    s"""WITH b AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c0
+      |  FROM events),
+      |l AS (
+      |  SELECT user_id, event_id, c0,
+      |    $lags
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT user_id, event_id,
+      |  CAST($num AS DOUBLE)
+      |    / CAST($den AS DOUBLE) / 100.0 AS ewma
+      |FROM l""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_ewma", q164Ewma, Some(q164Sql)),
     QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),
     QueryDef("q151_seq_motifs", q151SeqMotifs, Some(q151Sql)),
     QueryDef("q152_decay_attribution", q152DecayAttribution, Some(q152Sql)),

@@ -452,7 +452,85 @@ object MiscOps {
       |             OR v1.c_acctbal IS DISTINCT FROM v2.c_acctbal THEN 'changed'
       |      END IS NOT NULL""".stripMargin
 
+  /** Whole-star referential-integrity audit — every foreign-key edge of
+    * the schema, orphan-counted, in one result. The point is the COST
+    * shape: the three fact-side edges (lineitem → orders/part/supplier)
+    * ride ONE scan of the fact through a chain of left joins into one
+    * aggregate — at 100 TB that's one pass + one shuffle (orders) + two
+    * broadcasts, versus the naive three separate anti-join scans. The
+    * three dimension-side edges are scans of tiny tables with broadcast
+    * probes. Orphan counts assume dim keys are unique (their PK
+    * uniqueness is q102's `unique_pk` rule — a duplicated dim key would
+    * fan the left join out identically on both engines, so the hash
+    * contract holds regardless). */
+  def q162FkAudit(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left")
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_o"),
+        sum(when(col("p_partkey").isNull, 1L).otherwise(0L)).as("v_p"),
+        sum(when(col("s_suppkey").isNull, 1L).otherwise(0L)).as("v_s"))
+      .selectExpr(
+        """stack(3,
+          |  'lineitem->orders',   v_o,
+          |  'lineitem->part',     v_p,
+          |  'lineitem->supplier', v_s
+          |) AS (edge, violations)""".stripMargin, "total")
+    def dimEdge(name: String, probe: DataFrame, k: String,
+        dim: DataFrame, dk: String): DataFrame =
+      probe.join(broadcast(dim), probe(k) === dim(dk), "left")
+        .agg(count(lit(1)).as("total"),
+          sum(when(dim(dk).isNull, 1L).otherwise(0L)).as("violations"))
+        .select(lit(name).as("edge"), col("violations"), col("total"))
+    fact
+      .unionByName(dimEdge("customer->nation",
+        Tables.customer(s, dir).select(col("c_nationkey")), "c_nationkey",
+        Tables.nation(s, dir).select(col("n_nationkey")), "n_nationkey"))
+      .unionByName(dimEdge("supplier->nation",
+        Tables.supplier(s, dir).select(col("s_nationkey")), "s_nationkey",
+        Tables.nation(s, dir).select(col("n_nationkey")), "n_nationkey"))
+      .unionByName(dimEdge("nation->region",
+        Tables.nation(s, dir).select(col("n_regionkey")), "n_regionkey",
+        Tables.region(s, dir).select(col("r_regionkey")), "r_regionkey"))
+  }
+
+  val q162Sql: String =
+    """WITH f AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_o,
+      |    CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_p,
+      |    CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_s
+      |  FROM lineitem l
+      |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  LEFT JOIN part p ON l.l_partkey = p.p_partkey
+      |  LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |cn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey),
+      |sn AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey),
+      |nr AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN r_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v
+      |  FROM nation LEFT JOIN region ON n_regionkey = r_regionkey)
+      |SELECT 'lineitem->orders' AS edge, v_o AS violations, total FROM f
+      |UNION ALL SELECT 'lineitem->part', v_p, total FROM f
+      |UNION ALL SELECT 'lineitem->supplier', v_s, total FROM f
+      |UNION ALL SELECT 'customer->nation', v, total FROM cn
+      |UNION ALL SELECT 'supplier->nation', v, total FROM sn
+      |UNION ALL SELECT 'nation->region', v, total FROM nr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_fk_audit", q162FkAudit, Some(q162Sql)),
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
     QueryDef("q117_snapshot_diff", q117SnapshotDiff, Some(q117Sql)),
     QueryDef("q105_cdc_merge", q105CdcMerge, Some(q105Sql)),

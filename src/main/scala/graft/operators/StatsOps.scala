@@ -733,7 +733,70 @@ object StatsOps {
       |FROM k JOIN c ON c.cum >= k.target AND c.cum - c.bin_n < k.target
       |CROSS JOIN s""".stripMargin
 
+  /** EXACT global median without a global sort — the selection-algorithm
+    * counterpart to q139's mergeable-sketch ESTIMATE and q135's
+    * full-rank materialization. Two corpus passes, both plain
+    * partial-combining aggregates: (1) counts per fixed-width 65 536-cent
+    * bin (data-INdependent binning — no min/max pre-pass; occupied bins
+    * are bounded by value-domain/width, not by rows, so the bin frame is
+    * a constant-size side table at any corpus size); (2) per-value counts
+    * inside only the 1–2 bins that straddle the target ranks. The
+    * single-task windows run over those bounded side frames, never the
+    * corpus — compare the q91 lesson. Lower/upper middle order statistics
+    * make the even-n interpolation exact ((lo+hi)/2 on cents ints), so
+    * the result hash-matches DuckDB's row_number selection to the bit.
+    * At 100 TB this is the shape that wins: two narrow scans with
+    * map-side combine versus a range-shuffle of the corpus. */
+  def q163ExactMedian(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = Tables.lineitem(s, dir)
+      .select(cents(col("l_extendedprice")).as("v"))
+      .withColumn("bin", expr("v div 65536"))
+    val nRow = vals.agg(count(lit(1)).as("n"))
+    // the two middle ranks (equal when n is odd), as a 2-row frame
+    val targets = nRow.select(col("n"), explode(array(
+      struct(lit("lo").as("side"), expr("(n + 1) div 2").as("k")),
+      struct(lit("hi").as("side"), expr("(n + 2) div 2").as("k")))).as("t"))
+      .select(col("n"), col("t.side").as("side"), col("t.k").as("k"))
+    val binCounts = vals.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      // bounded frame: #occupied bins ≤ domain/65536, independent of rows
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("bin"))))
+    // the bin holding each target rank, and the rank offset inside it
+    val sel = binCounts.join(broadcast(targets),
+        col("cum") >= col("k") && (col("cum") - col("cnt")) < col("k"))
+      .select(col("side"), col("n"), col("bin"),
+        (col("k") - (col("cum") - col("cnt"))).as("off"))
+    // pass 2: exact selection inside the straddling bin(s) only
+    val inBin = vals.join(broadcast(sel), Seq("bin"))
+      .groupBy(col("side"), col("n"), col("off"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("side")).orderBy(col("v"))))
+    val picked = inBin.filter(col("cum") >= col("off"))
+      .groupBy(col("side"), col("n")).agg(min(col("v")).as("v"))
+    picked.filter(col("side") === "lo")
+      .select(col("n"), col("v").as("lo_cents"))
+      .crossJoin(picked.filter(col("side") === "hi").select(col("v").as("hi_cents")))
+      .select(col("n"), col("lo_cents"), col("hi_cents"),
+        ((col("lo_cents") + col("hi_cents")).cast("double") / lit(2) / lit(100))
+          .as("median"))
+  }
+
+  val q163Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+      |  FROM lineitem),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v)
+      |SELECT n.n,
+      |  lo.v AS lo_cents, hi.v AS hi_cents,
+      |  CAST(lo.v + hi.v AS DOUBLE) / 2 / 100 AS median
+      |FROM n,
+      |  (SELECT r.v FROM r, n WHERE r.rn = (n.n + 1) // 2) lo,
+      |  (SELECT r.v FROM r, n WHERE r.rn = (n.n + 2) // 2) hi""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_exact_median", q163ExactMedian, Some(q163Sql)),
     QueryDef("q135_global_ntile", q135GlobalNtile, Some(q135Sql)),
     QueryDef("q150_bootstrap", q150Bootstrap, Some(q150Sql)),
     QueryDef("q156_synth_sample", q156SynthSample, Some(q156Sql)),

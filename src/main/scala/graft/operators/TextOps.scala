@@ -1439,7 +1439,61 @@ object TextOps {
        |    AS is_mixed
        |FROM h""".stripMargin
 
+  /** Inter-document repeated-block SCRUB — the cleaning counterpart of
+    * the detection family (q137 finds repeated spans, q70/q112 flag
+    * contamination; this one REWRITES the corpus). The unit is the
+    * non-overlapping 8-token block; a block appearing in ≥2 distinct
+    * documents is boilerplate (headers, licence stanzas, injected ads) —
+    * it survives only in the lowest-doc_id document and is cut from
+    * every other one, and each doc is re-assembled from its kept blocks
+    * in position order. Emitting the rebuilt text makes the hash check
+    * byte-strength.
+    *
+    * Scale shape: explode → one hash aggregate (block → min doc_id;
+    * counts only, never a posting list — the q70 lesson) → plain shuffle
+    * join back on the block key (hot boilerplate keys are exactly what
+    * AQE's skew split handles) → per-doc rebuild whose buffer is bounded
+    * by document length (same bound as q69's chunker). Three corpus
+    * passes of narrow columns, no window, no driver state. */
+  def q165BlockScrub(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.widen(Tables.documents(s, dir), col("doc_id"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(
+        transform(
+          sequence(lit(0L), ceil(size(col("toks")) / lit(8.0)).cast("long") - 1),
+          i => array_join(
+            slice(col("toks"), (i * 8 + 1).cast("int"), lit(8)), " ")))
+        .as(Seq("i", "blk")))
+    val canon = blocks.groupBy(col("blk")).agg(min(col("doc_id")).as("canon"))
+    blocks.join(canon, Seq("blk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blk"),
+        sum(when(col("doc_id") === col("canon"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+          when(col("doc_id") === col("canon"),
+            struct(col("i"), col("blk"))))),
+          x => x.getField("blk")), " ").as("clean_text"))
+  }
+
+  val q165Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+      |      AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, i, array_to_string(toks[(i*8+1):((i+1)*8)], ' ') AS blk
+      |  FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT))) u(i)),
+      |c AS (SELECT blk, min(doc_id) AS canon FROM b GROUP BY blk)
+      |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blk,
+      |  CAST(sum(CASE WHEN b.doc_id = c.canon THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  coalesce(string_agg(CASE WHEN b.doc_id = c.canon THEN b.blk END,
+      |    ' ' ORDER BY b.i), '') AS clean_text
+      |FROM b JOIN c USING (blk) GROUP BY b.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_block_scrub", q165BlockScrub, Some(q165Sql)),
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
     QueryDef("q143_char_diversity", q143CharDiversity, Some(q143Sql)),
     QueryDef("q147_bpe_pairs", q147BpePairs, Some(q147Sql)),
