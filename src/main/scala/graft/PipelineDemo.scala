@@ -263,6 +263,31 @@ object PipelineDemo {
     val recall = operators.SimilarityOps.q136AnnRecall(spark, sfDir)
     counts += "ann_mean_recall_pct" ->
       math.round(recall.agg(avg(col("recall"))).collect()(0).getDouble(0) * 100)
+
+    // 16. release privacy gate (q167 core): QI-group sizes of the SHIPPED
+    // curated corpus — groups smaller than k = 10 are re-identifiable;
+    // the count a release pipeline blocks on. One aggregate pass.
+    counts += "k_anon_at_risk_groups" ->
+      operators.MiscOps.kAnonymityCore(
+          spark.read.parquet(s"$outDir/curated"),
+          length(col("text")).cast("long"))
+        .filter(col("at_risk")).count()
+
+    // 17. corpus-health Zipf check (q168 core): OLS slope of the curated
+    // corpus's term rank–frequency curve, in milli-units. Healthy natural
+    // language sits near −1000; a flattened slope after curation means a
+    // gate stripped the long tail (over-aggressive dedup/quality cut).
+    counts += "zipf_slope_milli" ->
+      math.round(operators.TextOps.zipfSlopeCore(
+          spark.read.parquet(s"$outDir/curated"))
+        .collect()(0).getAs[Double]("zipf_slope") * 1000)
+
+    // 18. FD audit (q171 core): rows violating source→lang / lang→source
+    // in the curated output — a curation bug that mislabels languages
+    // (or a source that changed language mid-feed) surfaces here
+    counts += "fd_violation_rows" ->
+      operators.MiscOps.fdAuditCore(spark.read.parquet(s"$outDir/curated"))
+        .agg(sum(col("violations"))).collect()(0).getLong(0)
     counts.toSeq
   }
 

@@ -638,7 +638,46 @@ object EventOps {
       |FROM l""".stripMargin
   }
 
+  /** Mann–Kendall trend test per event type: S = Σ_{i<j} sign(c_j − c_i)
+    * over the DAILY count series — the standard non-parametric "is this
+    * metric trending?" statistic, here fully exact (sign of integer
+    * differences, integer sums; the normalized trend is one double
+    * division at the end). S > 0 grows, S < 0 decays, |S| near the pair
+    * count means monotone.
+    *
+    * Scale shape: the corpus collapses to a (type × day)-bounded daily
+    * aggregate FIRST (map-side combine); the O(days²) pair join runs on
+    * that bounded series (≤ a few thousand rows per type regardless of
+    * event volume), keyed on event_type so types parallelize. Never a
+    * window over raw events, never a corpus self-join. */
+  def q172TrendMk(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val a = daily.select(col("event_type"), col("d").as("d1"), col("c").as("c1"))
+    val b = daily.select(col("event_type"), col("d").as("d2"), col("c").as("c2"))
+    a.join(b, Seq("event_type")).filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("c2") - col("c1")).cast("long")).as("s_mk"),
+        count(lit(1)).as("n_pairs"))
+      .withColumn("trend",
+        col("s_mk").cast("double") / col("n_pairs"))
+  }
+
+  val q172Sql: String =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type,
+      |  CAST(sum(sign(b.c - a.c)) AS BIGINT) AS s_mk,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(sign(b.c - a.c)) AS DOUBLE) / count(*) AS trend
+      |FROM daily a JOIN daily b
+      |  ON a.event_type = b.event_type AND a.d < b.d
+      |GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_trend_mk", q172TrendMk, Some(q172Sql)),
     QueryDef("q164_ewma", q164Ewma, Some(q164Sql)),
     QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),
     QueryDef("q151_seq_motifs", q151SeqMotifs, Some(q151Sql)),

@@ -99,6 +99,88 @@ object GraphOps {
        |FROM r3""".stripMargin
   }
 
+  /** Fixed-round k-core peel (k = 3, 3 rounds) over the same
+    * customer–supplier trade graph as [[q101PageRank]] — the
+    * degeneracy-ordering primitive under community detection and
+    * influence pruning. Each round drops every node whose CURRENT degree
+    * is below k, then discards edges touching a dropped endpoint; after
+    * three rounds the surviving nodes are reported with their residual
+    * degree. Three synchronous rounds are deterministic by construction
+    * (the true k-core is the fixpoint; fixed rounds keep the oracle an
+    * unrolled CTE chain, the q101/q161 pattern — peeling is monotone, so
+    * every reported node is a superset member of the true 3-core and the
+    * round count is part of the declared contract).
+    *
+    * Scale shape: each round is one degree aggregate (map-side combine)
+    * plus two broadcast-or-shuffle semi-joins of the edge list against
+    * the kept-node set — never a window, never a collect. The edge list
+    * is derived once and localCheckpoint'ed so round n doesn't re-run
+    * the orders⋈lineitem derivation; released before return
+    * ([[graft.operators.DedupOps]] CC storage-lifecycle pattern). */
+  /** The lazy (un-checkpointed) k-core plan plus the checkpointed edge
+    * frame it hangs off — split out so [[q169KCore]] can release the edge
+    * checkpoint after materializing, while PlanShapeSpec inspects the
+    * REAL peel plan (the public entry returns a Scan-ExistingRDD stub
+    * once checkpointed). */
+  private[graft] def kCoreLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val e0 = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      .localCheckpoint(true)
+    var edges = e0
+    for (_ <- 1 to 3) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("src").as("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    val out = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        col("deg"))
+    (e0, out)
+  }
+
+  def q169KCore(s: SparkSession, dir: String): DataFrame = {
+    val (e0, lazyOut) = kCoreLazy(s, dir)
+    val out = lazyOut.localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(e0)
+    out
+  }
+
+  val q169Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""k$cur AS MATERIALIZED (
+         |  SELECT src AS node FROM $prev GROUP BY src
+         |  HAVING count(*) >= 3),
+         |$cur AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM $prev e
+         |  JOIN k$cur a ON a.node = e.src
+         |  JOIN k$cur b ON b.node = e.dst)"""
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e0 AS MATERIALIZED (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s, c FROM pairs),
+       |${round("e0", "e1")},
+       |${round("e1", "e2")},
+       |${round("e2", "e3")}
+       |SELECT src AS node,
+       |  CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+       |  CAST(count(*) AS BIGINT) AS deg
+       |FROM e3 GROUP BY src""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_kcore", q169KCore, Some(q169Sql)),
     QueryDef("q101_pagerank", q101PageRank, Some(q101Sql)))
 }

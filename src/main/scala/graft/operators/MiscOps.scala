@@ -529,7 +529,85 @@ object MiscOps {
       |UNION ALL SELECT 'supplier->nation', v, total FROM sn
       |UNION ALL SELECT 'nation->region', v, total FROM nr""".stripMargin
 
+  /** k-anonymity audit over the corpus's quasi-identifier tuple
+    * (lang, source, 256-char size bucket) — the privacy gate a training
+    * pipeline runs before release: any QI group smaller than k = 10 is
+    * re-identifiable and flagged `at_risk`, with the doc count that
+    * would leak. (The reference has no privacy surface; this extends the
+    * audit family q102/q162 to the release-readiness check.)
+    *
+    * Scale shape: ONE hash aggregate with map-side partial combine;
+    * output is QI-cardinality-bounded (langs × sources × buckets), never
+    * corpus-sized. No join, no window, no skew exposure — the group-by
+    * key includes the high-cardinality bucket so no single reducer sees
+    * more than one QI cell. */
+  def kAnonymityCore(docs: DataFrame,
+      size: org.apache.spark.sql.Column): DataFrame =
+    docs.groupBy(col("lang"), col("source"),
+        (size / 256).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", col("n_docs") < 10)
+
+  def q167KAnonymity(s: SparkSession, dir: String): DataFrame =
+    kAnonymityCore(Tables.documents(s, dir), col("n_chars"))
+
+  val q167Sql: String =
+    """SELECT lang, source, n_chars // 256 AS size_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  count(*) < 10 AS at_risk
+      |FROM documents GROUP BY 1, 2, 3""".stripMargin
+
+  /** Approximate functional-dependency audit: does source→lang hold (and
+    * the reverse)? For each determinant value, the dependent's dominant
+    * count; violations = rows outside the dominant — the FD-discovery
+    * primitive under schema inference and "is this column derivable"
+    * checks (extends the q102/q162/q167 audit family).
+    *
+    * Scale shape: ONE corpus pass collapses to the (source × lang)
+    * contingency table (map-side combine, cardinality-bounded); both FD
+    * directions are re-aggregations of that same tiny table — the corpus
+    * is never touched twice. */
+  def q171FdAudit(s: SparkSession, dir: String): DataFrame =
+    fdAuditCore(Tables.documents(s, dir))
+
+  def fdAuditCore(docs: DataFrame): DataFrame = {
+    val xy = docs
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    def audit(name: String, det: String): DataFrame =
+      xy.groupBy(col(det)).agg(sum(col("c")).as("tot"), max(col("c")).as("dom"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("tot")).as("n_rows"),
+          sum(col("tot") - col("dom")).as("violations"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_rows"),
+          col("violations"), (col("violations") === 0L).as("holds"))
+    val out = audit("source->lang", "source")
+      .unionAll(audit("lang->source", "lang"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(xy)
+    out
+  }
+
+  val q171Sql: String =
+    """WITH xy AS MATERIALIZED (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, sum(c) AS tot, max(c) AS dom FROM xy GROUP BY 1),
+      |l AS (SELECT lang, sum(c) AS tot, max(c) AS dom FROM xy GROUP BY 1)
+      |SELECT 'source->lang' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(tot) AS BIGINT) AS n_rows,
+      |  CAST(sum(tot - dom) AS BIGINT) AS violations,
+      |  CAST(sum(tot - dom) AS BIGINT) = 0 AS holds
+      |FROM s
+      |UNION ALL
+      |SELECT 'lang->source', CAST(count(*) AS BIGINT),
+      |  CAST(sum(tot) AS BIGINT), CAST(sum(tot - dom) AS BIGINT),
+      |  CAST(sum(tot - dom) AS BIGINT) = 0
+      |FROM l""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q171_fd_audit", q171FdAudit, Some(q171Sql)),
+    QueryDef("q167_k_anonymity", q167KAnonymity, Some(q167Sql)),
     QueryDef("q162_fk_audit", q162FkAudit, Some(q162Sql)),
     QueryDef("q60_array_hofs", q60ArrayHofs, Some(q60Sql)),
     QueryDef("q117_snapshot_diff", q117SnapshotDiff, Some(q117Sql)),

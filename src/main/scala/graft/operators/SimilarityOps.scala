@@ -765,7 +765,279 @@ object SimilarityOps {
       |FROM p JOIN n na ON na.source = p.src_a
       |JOIN n nb ON nb.source = p.src_b""".stripMargin
 
+  /** Top principal component of the embedding space by POWER ITERATION —
+    * the eigenvector primitive under anisotropy correction, spectral
+    * whitening, and "is the encoder collapsing to one direction?"
+    * diagnostics. Everything after the covariance is EXACT integer
+    * arithmetic, so the eigenvector hash-matches the oracle to the bit:
+    * the q132 covariance doubles (bit-identical cross-engine by its own
+    * contract) are re-quantized to int64 at 1e-9, the iterate is kept as
+    * a 1e6-scaled integer vector, and each step normalizes by the ∞-norm
+    * with an explicit round-half-up integer division (no sqrt, no double
+    * accumulation anywhere in the loop — ties-away rounding spelled with
+    * positive operands only, so truncating and flooring division agree
+    * on both engines). Eight fixed iterations (deterministic by
+    * construction, convergence not load-bearing); the Rayleigh quotient
+    * at the end is one exact integer quadratic form and a single double
+    * division tree.
+    *
+    * Scale shape: the ONLY corpus-sized work is q132's one-pass
+    * covariance (its plan is locked separately); the 64×64 matrix it
+    * returns is DIMENSION-bounded — 2 080 rows regardless of corpus
+    * size — so collecting it to the driver and iterating there is the
+    * same constant-size pattern as q90's #partitions-bounded offsets
+    * (and what any production system does: eigen-solve on the gram
+    * matrix, never on the data). */
+  def q161PowerIteration(s: SparkSession, dir: String): DataFrame = {
+    val m = 64
+    val covRows = q132EmbedCovariance(s, dir)
+      .select(col("i"), col("j"), col("cov")).collect()
+    val C = Array.ofDim[Long](m, m)
+    covRows.foreach { r =>
+      val i = r.getLong(0).toInt; val j = r.getLong(1).toInt
+      val c = math.floor(r.getDouble(2) * 1e9 + 0.5).toLong
+      C(i)(j) = c; C(j)(i) = c
+    }
+    var v = Array.fill(m)(BigInt(1000000))
+    for (_ <- 0 until 8) {
+      val x = Array.tabulate(m)(i =>
+        (0 until m).map(j => BigInt(C(i)(j)) * v(j)).sum)
+      val mx = x.map(_.abs).max.max(BigInt(1))
+      v = x.map(xi =>
+        if (xi < 0) -((BigInt(2000000) * (-xi) + mx) / (mx * 2))
+        else (BigInt(2000000) * xi + mx) / (mx * 2))
+    }
+    val num = (for (i <- 0 until m; j <- 0 until m)
+      yield v(i) * BigInt(C(i)(j)) * v(j)).sum
+    val den = v.map(x => x * x).sum
+    val eig = num.toDouble / den.toDouble / 1e9
+    import s.implicits._
+    (0 until m).map(i => (i.toLong, v(i).toDouble / 1e6, eig))
+      .toDF("d", "loading", "eig")
+  }
+
+  lazy val q161Sql: String = {
+    val steps = (1 to 8).map { t =>
+      val pv = if (t == 1) "v0" else s"v${t - 1}"
+      s"""x$t AS MATERIALIZED (
+         |  SELECT cm.i, sum(CAST(cm.c AS HUGEINT) * p.v) AS x
+         |  FROM cm JOIN $pv p ON p.i = cm.j GROUP BY cm.i),
+         |m$t AS (SELECT greatest(max(abs(x)), CAST(1 AS HUGEINT)) AS m FROM x$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT i, CASE WHEN x < 0 THEN -((2000000 * (-x) + m) // (2 * m))
+         |    ELSE (2000000 * x + m) // (2 * m) END AS v
+         |  FROM x$t, m$t)""".stripMargin
+    }.mkString(",\n")
+    // MATERIALIZED is load-bearing: x_t is referenced twice (m_t, v_t)
+    // and cm/cov sit under every level, so DuckDB's default inlining
+    // re-evaluates the corpus covariance 2^8 times — the oracle "hangs".
+    s"""WITH cov AS MATERIALIZED (SELECT i, j, cov FROM ($q132Sql)),
+       |cm AS MATERIALIZED (
+       |  SELECT i, j, CAST(floor(cov * 1e9 + 0.5) AS BIGINT) AS c FROM cov
+       |  UNION ALL
+       |  SELECT j, i, CAST(floor(cov * 1e9 + 0.5) AS BIGINT) FROM cov
+       |  WHERE i <> j),
+       |v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM range(0, 64) t(i)),
+       |$steps,
+       |ray AS (
+       |  SELECT sum(va.v * CAST(cm.c AS HUGEINT) * vb.v) AS num
+       |  FROM cm JOIN v8 va ON va.i = cm.i JOIN v8 vb ON vb.i = cm.j),
+       |dn AS (SELECT sum(v * v) AS d FROM v8)
+       |SELECT v8.i AS d, CAST(v8.v AS DOUBLE) / 1e6 AS loading,
+       |  CAST(ray.num AS DOUBLE) / CAST(dn.d AS DOUBLE) / 1e9 AS eig
+       |FROM v8, ray, dn""".stripMargin
+  }
+
+  /** Maximal-marginal-relevance reranking — the diversity-aware final
+    * stage of a retrieval stack (after q39 brute / q40 LSH / q111 RRF):
+    * greedily pick 5 of each query's top-20 candidates, each pick
+    * maximizing ½·sim(query, d) − ½·max_{s∈picked} sim(d, s), so near
+    * duplicates of an already-picked result are penalized out.
+    *
+    * Scale shape: the corpus is touched exactly ONCE, by the top-20
+    * candidate scan (q39's locked broadcast + per-probe window plan).
+    * Greedy selection is inherently sequential in k over a
+    * #probes × 20-bounded set, so it runs on the driver over the
+    * collected candidates — the same constant-size pattern as q161's
+    * gram matrix (a first cut as 5 unrolled plan stages re-planned the
+    * corpus-scan subtree ~3× per step; at 20 rows per probe that's all
+    * overhead). Every similarity is the exact int64 dot over the global
+    * 1e-3 quantization with q39's double-division tree — replayed
+    * bit-identically in driver code and in the oracle's unrolled CTEs,
+    * ties broken by vec_id, so the argmax chain cannot diverge. */
+  def q166MmrRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
+    val wTop = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_qd").desc, col("vec_id").asc)
+    val cands = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_qd", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 20)
+      .select(col("q_id"), col("vec_id"), col("q"), col("n2"), col("cos_qd"))
+      .collect() // ≤ #probes × 20 rows — probe-bounded, never corpus-sized
+    final case class Cand(id: Long, codes: Array[Long], n2: Long, cosQd: Double)
+    def cos(a: Cand, b: Cand): Double = {
+      var d = 0L; var i = 0
+      while (i < a.codes.length) { d += a.codes(i) * b.codes(i); i += 1 }
+      d.toDouble / math.sqrt((a.n2 * b.n2).toDouble)
+    }
+    val out = cands.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
+      val cs = rows.map { r =>
+        Cand(r.getLong(1),
+          r.getSeq[Float](2).toArray
+            .map(x => math.floor(x.toDouble * 1000 + 0.5).toLong),
+          r.getLong(3), r.getDouble(4))
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Cand, Double)]
+      for (t <- 1 to 5) {
+        val pool = cs.filter(c => !selected.exists(_._1.id == c.id))
+        if (pool.nonEmpty) {
+          val scored = pool.map { c =>
+            // t=1 mirrors the oracle's sel1 exactly: no `- 0.0` term
+            val sc = if (selected.isEmpty) c.cosQd * 0.5
+              else c.cosQd * 0.5 - selected.map(p => cos(c, p._1)).max * 0.5
+            (c, sc)
+          }
+          selected += scored.minBy { case (c, sc) => (-sc, c.id) }
+        }
+      }
+      selected.zipWithIndex.map { case ((c, sc), i) =>
+        (qid, (i + 1).toLong, c.id, sc)
+      }
+    }
+    import s.implicits._
+    out.toDF("q_id", "step", "neighbor_id", "score")
+  }
+
+  lazy val q166Sql: String = {
+    val steps = (2 to 5).map { t =>
+      s"""p$t AS (
+         |  SELECT p.q_id, p.a_id, max(p.cos_dd) AS pen
+         |  FROM pairs p JOIN sel${t - 1} s ON s.q_id = p.q_id AND s.vec_id = p.b_id
+         |  GROUP BY p.q_id, p.a_id),
+         |s$t AS MATERIALIZED (
+         |  SELECT q_id, vec_id, score, CAST($t AS BIGINT) AS step FROM (
+         |    SELECT c.q_id, c.vec_id,
+         |      c.cos_qd * 0.5 - p.pen * 0.5 AS score,
+         |      row_number() OVER (PARTITION BY c.q_id
+         |        ORDER BY c.cos_qd * 0.5 - p.pen * 0.5 DESC, c.vec_id) AS rn
+         |    FROM cands c JOIN p$t p ON p.q_id = c.q_id AND p.a_id = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} s
+         |      WHERE s.q_id = c.q_id AND s.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS MATERIALIZED (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+       |cands AS MATERIALIZED (
+       |  SELECT q_id, vec_id, q, n2, cos_qd FROM (
+       |    SELECT qs.vec_id AS q_id, c.vec_id, c.q, c.n2,
+       |      CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+       |        / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos_qd,
+       |      row_number() OVER (PARTITION BY qs.vec_id
+       |        ORDER BY CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) DESC, c.vec_id) AS rn
+       |    FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
+       |  WHERE rn <= 20),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
+       |      / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos_dd
+       |  FROM cands a JOIN cands b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, vec_id, cos_qd * 0.5 AS score, CAST(1 AS BIGINT) AS step
+       |  FROM (SELECT q_id, vec_id, cos_qd, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos_qd DESC, vec_id) AS rn FROM cands) WHERE rn = 1),
+       |$steps
+       |SELECT q_id, step, vec_id AS neighbor_id, score FROM sel5""".stripMargin
+  }
+
+  /** nDCG@10 retrieval evaluation using embedding labels as relevance:
+    * for each probe (vec_id < 5), the exact cosine top-10 (q39's locked
+    * broadcast + per-probe window scan), gain = 1 where the neighbor's
+    * label matches the probe's, DCG with 1/log₂(rank+1) discounts.
+    * Complements q136 (recall of the ANN index vs brute force) — this
+    * scores the RANKING quality against ground-truth labels.
+    *
+    * Determinism: the ten discount weights (and their prefix sums, for
+    * the 0/1-gain ideal DCG) are Scala-computed integer constants
+    * rendered into BOTH the Spark plan and the oracle SQL — the q154
+    * constant-rendering pattern — so no engine evaluates a logarithm;
+    * DCG is an exact int64 dot of gains and weights, and nDCG is one
+    * double division.
+    *
+    * Scale shape: identical to q39 — one corpus scan against a
+    * 5-row broadcast, per-probe top-k window; the eval aggregate runs on
+    * ≤ 50 rows. */
+  def q173Ndcg(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q").as("qq"),
+        col("n2").as("qn2"), col("label").as("ql"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val top = e.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos", cosine(col("qq"), col("q"), col("qn2"), col("n2")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("gain", (col("label") === col("ql")).cast("long"))
+    val wArr = array(ndcgWeights.map(lit): _*)
+    val pArr = array(ndcgPrefix.map(lit): _*)
+    top.groupBy(col("q_id")).agg(
+      sum(col("gain") * element_at(wArr, col("rn"))).as("dcg_scaled"),
+      sum(col("gain")).as("n_rel"))
+      .withColumn("ndcg",
+        when(col("n_rel") === 0L, lit(0.0))
+          .otherwise(col("dcg_scaled").cast("double")
+            / element_at(pArr, (col("n_rel") + 1L).cast("int")).cast("double")))
+  }
+
+  /** ⌊10⁶/log₂(i+1)⌉ for ranks 1..10 — shared verbatim with the oracle. */
+  private val ndcgWeights: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+  /** Prefix sums of [[ndcgWeights]], 0-gain prepended (index = n_rel+1). */
+  private val ndcgPrefix: Seq[Long] = ndcgWeights.scanLeft(0L)(_ + _)
+
+  lazy val q173Sql: String = {
+    val wList = ndcgWeights.mkString("[", ", ", "]")
+    val pList = ndcgPrefix.mkString("[", ", ", "]")
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS MATERIALIZED (
+       |  SELECT vec_id, label, q,
+       |    list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+       |top AS MATERIALIZED (
+       |  SELECT q_id, ql, vec_id, label, rn FROM (
+       |    SELECT qs.vec_id AS q_id, qs.label AS ql, c.vec_id, c.label,
+       |      row_number() OVER (PARTITION BY qs.vec_id
+       |        ORDER BY CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
+       |          / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) DESC, c.vec_id) AS rn
+       |    FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
+       |  WHERE rn <= 10)
+       |SELECT q_id,
+       |  CAST(sum(CASE WHEN label = ql THEN $wList[rn] ELSE 0 END) AS BIGINT)
+       |    AS dcg_scaled,
+       |  CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+       |  CASE WHEN sum(CASE WHEN label = ql THEN 1 ELSE 0 END) = 0 THEN 0.0
+       |    ELSE CAST(sum(CASE WHEN label = ql THEN $wList[rn] ELSE 0 END) AS DOUBLE)
+       |      / CAST($pList[CAST(sum(CASE WHEN label = ql THEN 1 ELSE 0 END) AS INTEGER) + 1] AS DOUBLE)
+       |  END AS ndcg
+       |FROM top GROUP BY q_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q173_ndcg", q173Ndcg, Some(q173Sql)),
+    QueryDef("q161_power_iteration", q161PowerIteration, Some(q161Sql)),
+    QueryDef("q166_mmr_rerank", q166MmrRerank, Some(q166Sql)),
     QueryDef("q132_embed_covariance", q132EmbedCovariance, Some(q132Sql)),
     QueryDef("q154_random_projection", q154RandomProjection, Some(q154Sql)),
     QueryDef("q155_source_affinity", q155SourceAffinity, Some(q155Sql)),

@@ -1492,7 +1492,129 @@ object TextOps {
       |    ' ' ORDER BY b.i), '') AS clean_text
       |FROM b JOIN c USING (blk) GROUP BY b.doc_id""".stripMargin
 
+  /** Zipf goodness-of-fit: OLS slope of ln(freq) on ln(rank) over the
+    * top-1000 corpus terms — the canonical "does this corpus look like
+    * natural language?" health check (a healthy corpus fits ≈ −1;
+    * boilerplate- or spam-dominated corpora flatten or kink the curve).
+    *
+    * Determinism: the regression rides q126's exact-moment machinery.
+    * ln values are quantized to integers (⌊ln·10⁶ + ½⌋ — the q161
+    * fixed-point idiom; ln of the same integer input is correctly
+    * rounded on both engines' libm, and a quantization flip would need a
+    * sub-ULP landing within 10⁻⁹ of a bucket edge), all moments are
+    * DECIMAL(38,0) sums of exact integer products, and the slope is one
+    * double division of exactly-computed integers.
+    *
+    * Scale shape: term counting is the vocabulary-bounded aggregate;
+    * the top-1000 cut is `TakeOrderedAndProject` (per-partition partial
+    * top-k, q92's locked pattern); the rank window runs on the ≤1000-row
+    * cut only — bounded, never corpus-sized. */
+  def q168ZipfSlope(s: SparkSession, dir: String): DataFrame =
+    zipfSlopeCore(Tables.documents(s, dir))
+
+  def zipfSlopeCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val top = docs
+      .select(explode(filter(tokens(col("text")), t => t =!= "")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(1000)
+    val pts = top
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("c").desc, col("term").asc)))
+      .select(
+        floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+        floor(log(col("c").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+    val m = pts.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d38) * col("y")).cast(d38)).as("sxy"),
+      sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"))
+    val den = (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+    m.select(col("n_terms"),
+      ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") / den)
+        .as("zipf_slope"),
+      ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den)
+        .as("zipf_intercept"))
+  }
+
+  val q168Sql: String =
+    s"""WITH freq AS MATERIALIZED (
+       |  SELECT u.term, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT $toksFilteredSql AS toks FROM documents) t,
+       |    UNNEST(toks) AS u(term)
+       |  GROUP BY u.term ORDER BY c DESC, u.term LIMIT 1000),
+       |pts AS (
+       |  SELECT CAST(floor(ln(CAST(row_number()
+       |      OVER (ORDER BY c DESC, term) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+       |  FROM freq),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM pts)
+       |SELECT n_terms,
+       |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       |  CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_intercept
+       |FROM m""".stripMargin
+
+  /** Per-language tokenizer fertility: BPE-ish pieces per whitespace
+    * word and characters per piece — the "how expensive is this language
+    * to tokenize" table that drives per-language token budgeting (cf.
+    * q116's corpus-level budget; this is its per-lang rate card).
+    * Fertility > 1 means words split into multiple pieces.
+    *
+    * Determinism: per-row piece/word/char counts are exact integers
+    * (q50's ASCII-class regex, shared verbatim with the oracle); the
+    * per-lang sums are long additions and the two rates are single
+    * double divisions of those exact sums.
+    *
+    * Scale shape: ONE corpus pass, all counting inside the row (regex
+    * extract + array lengths, whole-stage codegen, nothing exploded),
+    * then a lang-cardinality hash aggregate with map-side combine. */
+  def q170Fertility(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(normText(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("pieces"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("words"),
+        col("n_chars").as("chars"))
+    base.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("pieces")).as("n_pieces"),
+      sum(col("words")).as("n_words"),
+      (sum(col("pieces")).cast("double") / sum(col("words")))
+        .as("fertility"),
+      (sum(col("chars")).cast("double") / sum(col("pieces")))
+        .as("chars_per_piece"))
+  }
+
+  val q170Sql: String =
+    s"""WITH b AS (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+       |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS pieces,
+       |    CAST(len($toksFilteredSql) AS BIGINT) AS words,
+       |    n_chars AS chars
+       |  FROM documents)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(words) AS BIGINT) AS n_words,
+       |  CAST(sum(pieces) AS DOUBLE) / CAST(sum(words) AS BIGINT) AS fertility,
+       |  CAST(sum(chars) AS DOUBLE) / CAST(sum(pieces) AS BIGINT) AS chars_per_piece
+       |FROM b GROUP BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_zipf_slope", q168ZipfSlope, Some(q168Sql)),
+    QueryDef("q170_fertility", q170Fertility, Some(q170Sql)),
     QueryDef("q165_block_scrub", q165BlockScrub, Some(q165Sql)),
     QueryDef("q30_text_stats", q30TextStats, Some(q30Sql)),
     QueryDef("q143_char_diversity", q143CharDiversity, Some(q143Sql)),

@@ -635,6 +635,43 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q167/q170: one-pass aggregates — no join, no window, single scan") {
+    val p167 = initialPlan(operators.MiscOps.q167KAnonymity(spark, sfDir))
+    assert(!p167.contains("Join") && !p167.contains("Window"), p167)
+    assert(count(p167, "Scan parquet") == 1, p167)
+    assert(p167.contains("partial_count"), p167) // map-side combine
+    val p170 = initialPlan(operators.TextOps.q170Fertility(spark, sfDir))
+    assert(!p170.contains("Join") && !p170.contains("Window"), p170)
+    assert(count(p170, "Scan parquet") == 1, p170)
+    assert(!p170.contains("Generate"), p170) // counting stays inside the row
+  }
+
+  test("q168 zipf: vocab cut is a partial top-k; rank rides the cut") {
+    val plan = initialPlan(operators.TextOps.q168ZipfSlope(spark, sfDir))
+    // the global row_number must sit ABOVE TakeOrderedAndProject (<=1000
+    // rows), never over the vocabulary-sized frequency table. In the
+    // extensions session GlobalWindowRewrite compiles the global window
+    // to the GlobalRank exec; either operator must ride the cut.
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"), plan)
+    val rankAt = Seq(plan.indexOf("GlobalRank"), plan.indexOf("Window"))
+      .filter(_ >= 0).minOption.getOrElse(-1)
+    val topAt = plan.indexOf("TakeOrderedAndProject")
+    assert(rankAt >= 0 && topAt > rankAt, plan) // cut feeds the rank, not vice versa
+  }
+
+  test("q169 k-core: per-round degree aggregates + semi-joins, no window") {
+    withoutAutoBroadcast {
+      val (e0, lazyOut) = operators.GraphOps.kCoreLazy(spark, sfDir)
+      try {
+        val plan = initialPlan(lazyOut)
+        assert(!plan.contains("Window"), plan)
+        assert(!plan.contains("CartesianProduct"), plan)
+        assert(plan.contains("LeftSemi"), plan)
+      } finally org.apache.spark.sql.GraftShims.unpersistCheckpoint(e0)
+    }
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
