@@ -1080,7 +1080,68 @@ object CurationOps {
        |    AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE) AS kept_frac
        |FROM g GROUP BY thresh""".stripMargin
 
+  /** Token-balanced shard planner: split points for 8 output shards of
+    * (approximately) equal TOKEN mass, derived from a 16-token-wide
+    * histogram of per-doc token counts — how a 100 TB writer sizes its
+    * range partitions before the shuffle, without sorting the corpus
+    * (the planning half of q87's packing; q156 uses the same
+    * inverse-CDF trick for sampling). A bin's shard is
+    * ⌊cum_before·8 / total⌋ — exact integer arithmetic, so bins never
+    * straddle and every engine plans the identical boundaries.
+    *
+    * Scale shape: ONE corpus pass collapses to the bin histogram
+    * (map-side combine, bin-cardinality-bounded); the prefix-sum AND the
+    * grand total are two frames of the SAME window spec over that
+    * bounded table (one WindowExec, ≤ a few thousand rows regardless of
+    * corpus size) — no second corpus scan, no join at all. */
+  def q174ShardPlan(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pieces = size(regexp_extract_all(normText(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    val w = Window.orderBy(col("b"))
+    val hist = Tables.documents(s, dir)
+      .select((pieces / 16L).cast("long").as("b"), pieces.as("t"))
+      .groupBy(col("b")).agg(sum(col("t")).as("mass"), count(lit(1)).as("n_docs"))
+    hist
+      .withColumn("cum_before",
+        coalesce(sum(col("mass")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total", sum(col("mass")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
+      // truncated double misrounds once cum_before·8 exceeds 2^53
+      .withColumn("shard", expr("cum_before * 8 div total"))
+      .groupBy(col("shard")).agg(
+        min(col("b")).as("lo_bin"), max(col("b")).as("hi_bin"),
+        sum(col("mass")).as("shard_tokens"), sum(col("n_docs")).as("shard_docs"))
+  }
+
+  val q174Sql: String =
+    """WITH toks AS (
+      |  SELECT CAST(len(regexp_extract_all(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+      |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS t
+      |  FROM documents),
+      |hist AS MATERIALIZED (
+      |  SELECT t // 16 AS b, CAST(sum(t) AS BIGINT) AS mass,
+      |    CAST(count(*) AS BIGINT) AS n_docs
+      |  FROM toks GROUP BY 1),
+      |cum AS (
+      |  SELECT b, mass, n_docs,
+      |    CAST(coalesce(sum(mass) OVER (ORDER BY b
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before,
+      |    CAST(sum(mass) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS total
+      |  FROM hist)
+      |SELECT cum_before * 8 // total AS shard,
+      |  min(b) AS lo_bin, max(b) AS hi_bin,
+      |  CAST(sum(mass) AS BIGINT) AS shard_tokens,
+      |  CAST(sum(n_docs) AS BIGINT) AS shard_docs
+      |FROM cum GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_shard_plan", q174ShardPlan, Some(q174Sql)),
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
     QueryDef("q144_context_budget", q144ContextBudget, Some(q144Sql)),
     QueryDef("q153_pareto", q153ParetoConcentration, Some(q153Sql)),

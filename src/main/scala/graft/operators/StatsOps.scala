@@ -795,7 +795,128 @@ object StatsOps {
       |  (SELECT r.v FROM r, n WHERE r.rn = (n.n + 1) // 2) lo,
       |  (SELECT r.v FROM r, n WHERE r.rn = (n.n + 2) // 2) hi""".stripMargin
 
+  /** Cohen's κ agreement between two independent curation gates — a
+    * length gate (n_chars ≥ 512) and a token-count gate (≥ 100 BPE-ish
+    * pieces, q50's regex). κ near 1 means the gates are redundant (drop
+    * one); κ near 0 means they measure different things (keep both) —
+    * the calibration readout a pipeline consults before stacking gates
+    * (q159 sweeps one gate's thresholds; this scores gate PAIRS).
+    *
+    * Determinism: the 2×2 contingency table is exact integer counts;
+    * κ = (n·(a+d) − Σ marginal products) / (n² − Σ marginal products)
+    * with both sides computed in decimal(38,0) (n² overflows int64 past
+    * ~3e9 rows) and ONE double division at the end.
+    *
+    * Scale shape: one corpus pass, 4-cell aggregate, map-side combine —
+    * nothing downstream is data-sized. */
+  def q175GateKappa(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val pieces = size(regexp_extract_all(
+      graft.functions.TextFns.normText(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    val m = Tables.documents(s, dir)
+      .select((col("n_chars") >= 512).as("g1"), (pieces >= 100L).as("g2"))
+      .agg(
+        sum(when(col("g1") && col("g2"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("g1") && !col("g2"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("g1") && col("g2"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("g1") && !col("g2"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast(d38)
+    val pe = (col("a") + col("b")).cast(d38) * (col("a") + col("c")).cast(d38) +
+      (col("c") + col("d")).cast(d38) * (col("b") + col("d")).cast(d38)
+    m.select(col("a"), col("b"), col("c"), col("d"),
+      ((n * (col("a") + col("d")).cast(d38) - pe).cast("double")
+        / (n * n - pe).cast("double")).as("kappa"))
+  }
+
+  val q175Sql: String =
+    """WITH g AS (
+      |  SELECT n_chars >= 512 AS g1,
+      |    len(regexp_extract_all(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+      |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) >= 100 AS g2
+      |  FROM documents),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN NOT g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN NOT g1 AND NOT g2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |  FROM g)
+      |SELECT a, b, c, d,
+      |  CAST(CAST(a + b + c + d AS HUGEINT) * (a + d)
+      |      - (CAST(a + b AS HUGEINT) * (a + c) + CAST(c + d AS HUGEINT) * (b + d))
+      |    AS DOUBLE)
+      |  / CAST(CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
+      |      - (CAST(a + b AS HUGEINT) * (a + c) + CAST(c + d AS HUGEINT) * (b + d))
+      |    AS DOUBLE) AS kappa
+      |FROM m""".stripMargin
+
+  /** Exact two-sample Kolmogorov–Smirnov D between the first two
+    * sources' document-length distributions — the distribution-shift
+    * test under "did this feed change shape?" alarms (q108's χ² is
+    * bin-sensitive; KS is the non-parametric companion on the raw
+    * CDFs). D = max |ecdf₁ − ecdf₂|, computed as the exact integer
+    * max |cum₁·n₂ − cum₂·n₁| so no engine compares accumulated doubles;
+    * the double division happens once, after the max.
+    *
+    * Scale shape: the corpus collapses to per-(value) counts first
+    * (value-cardinality-bounded — document lengths, not documents); the
+    * ecdf prefix sums AND both totals are frames of the SAME window spec
+    * over that bounded table (one WindowExec) — no second corpus scan,
+    * no join at all. */
+  def q176KsTest(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val w = Window.orderBy(col("v"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+      .withColumn("cum1", sum(col("c1")).over(run))
+      .withColumn("cum2", sum(col("c2")).over(run))
+      .withColumn("n1", sum(col("c1")).over(all))
+      .withColumn("n2", sum(col("c2")).over(all))
+      .agg(max(abs(col("cum1").cast(d38) * col("n2").cast(d38)
+          - col("cum2").cast(d38) * col("n1").cast(d38))).as("d_scaled"),
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"))
+      .select(col("n1"), col("n2"),
+        (col("d_scaled").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("ks_d"))
+  }
+
+  val q176Sql: String =
+    """WITH two AS (
+      |  SELECT n_chars AS v, source FROM documents
+      |  WHERE source IN ('src0', 'src1')),
+      |vals AS MATERIALIZED (
+      |  SELECT v,
+      |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |  FROM two GROUP BY v),
+      |cum AS (
+      |  SELECT v,
+      |    CAST(sum(c1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1,
+      |    CAST(sum(c2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2,
+      |    CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+      |    CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
+      |  FROM vals)
+      |SELECT n1, n2,
+      |  CAST(max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
+      |      AS DOUBLE)
+      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+      |FROM cum GROUP BY n1, n2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_gate_kappa", q175GateKappa, Some(q175Sql)),
+    QueryDef("q176_ks_test", q176KsTest, Some(q176Sql)),
     QueryDef("q163_exact_median", q163ExactMedian, Some(q163Sql)),
     QueryDef("q135_global_ntile", q135GlobalNtile, Some(q135Sql)),
     QueryDef("q150_bootstrap", q150Bootstrap, Some(q150Sql)),

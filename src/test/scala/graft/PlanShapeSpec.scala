@@ -672,6 +672,32 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q174/q175/q176: corpus collapses to bounded tables; single scan, no join") {
+    withoutAutoBroadcast {
+      // q174: one corpus scan -> bin histogram; prefix sums AND the grand
+      // total are frames of one window over the bounded table — no join,
+      // no second scan
+      val p174 = initialPlan(operators.CurationOps.q174ShardPlan(spark, sfDir))
+      assert(count(p174, "Scan parquet") == 1, p174)
+      assert(!p174.contains("Join"), p174)
+      assert(count(p174, "Window") == 1, p174)
+      // q175: single-pass 4-cell contingency aggregate — no join at all
+      val p175 = initialPlan(operators.StatsOps.q175GateKappa(spark, sfDir))
+      assert(count(p175, "Scan parquet") == 1, p175)
+      assert(!p175.contains("Join") && !p175.contains("Window"), p175)
+      // q176: per-value counts first; ecdf + totals in one window above
+      // the value-bounded aggregate
+      val p176 = initialPlan(operators.StatsOps.q176KsTest(spark, sfDir))
+      assert(count(p176, "Scan parquet") == 1, p176)
+      assert(!p176.contains("Join"), p176)
+      assert(count(p176, "Window") == 1, p176)
+      val winAt = p176.indexOf("Window")
+      // plan prints root-first: a HashAggregate BELOW the window is the
+      // per-value collapse the ecdf runs on
+      assert(p176.indexOf("HashAggregate", winAt) >= 0, p176)
+    }
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
