@@ -865,17 +865,23 @@ object StatsOps {
     * ecdf prefix sums AND both totals are frames of the SAME window spec
     * over that bounded table (one WindowExec) — no second corpus scan,
     * no join at all. */
-  def q176KsTest(s: SparkSession, dir: String): DataFrame = {
+  def q176KsTest(s: SparkSession, dir: String): DataFrame =
+    ksFromCounts(Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .groupBy(col("n_chars").as("v")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2")))
+
+  /** Exact KS D from a per-value count table `(v, c1, c2)` — shared by
+    * [[q176KsTest]] and the streaming drift monitor
+    * ([[graft.streaming.StreamingOps]]). */
+  def ksFromCounts(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
     val w = Window.orderBy(col("v"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.documents(s, dir)
-      .filter(col("source").isin("src0", "src1"))
-      .groupBy(col("n_chars").as("v")).agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
-        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+    vals
       .withColumn("cum1", sum(col("c1")).over(run))
       .withColumn("cum2", sum(col("c2")).over(run))
       .withColumn("n1", sum(col("c1")).over(all))

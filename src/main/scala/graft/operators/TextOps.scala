@@ -1612,7 +1612,80 @@ object TextOps {
        |  CAST(sum(chars) AS DOUBLE) / CAST(sum(pieces) AS BIGINT) AS chars_per_piece
        |FROM b GROUP BY lang""".stripMargin
 
+  /** Greedy submodular source selection by marginal 3-gram coverage —
+    * the data-valuation primitive under "which feeds are worth
+    * ingesting next?": 4 rounds, each picking the source whose grams
+    * cover the most STILL-UNCOVERED vocabulary (ties by source name).
+    * Greedy is the canonical (1−1/e)-approximation for coverage; fixed
+    * rounds keep the oracle an unrolled CTE chain (the q169 pattern).
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (source, gram) pair table ([[sourceGrams]], hashed grams — counts
+    * match the oracle's string grams by Gram3Hash64's spec'd
+    * injectivity), localCheckpoint'ed and released after the loop; each
+    * round is one anti-join + source-cardinality aggregate over that
+    * bounded table, and the per-round driver collect is ONE row. */
+  def q177GreedyCover(s: SparkSession, dir: String): DataFrame = {
+    val sg = sourceGrams(s, dir).localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    for (t <- 1 to 4) {
+      val selSrcs = picks.map(_._2).toSeq
+      val remaining =
+        if (selSrcs.isEmpty) sg else sg.filter(!col("source").isin(selSrcs: _*))
+      val uncovered =
+        if (selSrcs.isEmpty) remaining
+        else remaining.join(
+          sg.filter(col("source").isin(selSrcs: _*)).select(col("g")).distinct(),
+          Seq("g"), "left_anti")
+      val top = uncovered.groupBy(col("source")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("source").asc).limit(1).collect()
+      if (top.nonEmpty)
+        picks += ((t.toLong, top(0).getString(0), top(0).getLong(1)))
+    }
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(sg)
+    import s.implicits._
+    picks.toSeq.toDF("step", "source", "gain")
+  }
+
+  lazy val q177Sql: String = {
+    val steps = (2 to 4).map { t =>
+      val prevSel = (1 until t).map(i => s"SELECT source FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""cov${t - 1} AS MATERIALIZED (
+         |  SELECT DISTINCT g FROM sg WHERE source IN ($prevSel)),
+         |gain$t AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS c FROM sg
+         |  WHERE source NOT IN ($prevSel)
+         |    AND NOT EXISTS (SELECT 1 FROM cov${t - 1} c WHERE c.g = sg.g)
+         |  GROUP BY 1),
+         |s$t AS MATERIALIZED (
+         |  SELECT source, c FROM (SELECT source, c,
+         |    row_number() OVER (ORDER BY c DESC, source) AS rn FROM gain$t)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT source,
+       |  string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')
+       |    AS toks FROM documents),
+       |f AS (SELECT source, toks, len(toks) AS n FROM t WHERE len(toks) >= 3),
+       |sg AS MATERIALIZED (
+       |  SELECT DISTINCT source,
+       |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |gain1 AS (SELECT source, CAST(count(*) AS BIGINT) AS c
+       |  FROM sg GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT source, c FROM (SELECT source, c,
+       |    row_number() OVER (ORDER BY c DESC, source) AS rn FROM gain1)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS step, source, c AS gain FROM s1
+       |UNION ALL SELECT 2, source, c FROM s2
+       |UNION ALL SELECT 3, source, c FROM s3
+       |UNION ALL SELECT 4, source, c FROM s4""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_greedy_cover", q177GreedyCover, Some(q177Sql)),
     QueryDef("q168_zipf_slope", q168ZipfSlope, Some(q168Sql)),
     QueryDef("q170_fertility", q170Fertility, Some(q170Sql)),
     QueryDef("q165_block_scrub", q165BlockScrub, Some(q165Sql)),

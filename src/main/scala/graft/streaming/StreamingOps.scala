@@ -380,6 +380,65 @@ object StreamingOps {
         .parquet(srcDir))
   }
 
+  /** Streaming KS drift monitor — the ONLINE tier of batch q176: a live
+    * document feed's length distribution compared per trigger against a
+    * STATIC reference. Monitor state is a MERGEABLE per-length count
+    * histogram persisted in the lake (the q139 merge story): each
+    * micro-batch folds its own value counts into the state table
+    * (value-cardinality-bounded — lengths, not documents), recomputes
+    * the exact integer-cross-product D over state-vs-reference with the
+    * batch [[graft.operators.StatsOps.ksFromCounts]] plan, and appends
+    * one `(batch_id, n_ref, n_stream, ks_d)` row to the monitor log.
+    *
+    * Every stage is distributed and bounded: the raw feed is never
+    * funneled through a single task (the per-batch collapse is a hash
+    * aggregate), the state table is value-sized, and a restart re-reads
+    * the state table — replaying a batch converges to the same counts
+    * only if offsets are tracked, so production callers pass a streaming
+    * checkpoint via the returned frame's own query; here the contract is
+    * the drift VALUE, which the spec pins to the batch operator. Returns
+    * the number of non-empty batches committed. */
+  def ksMonitorStream(spark: SparkSession, srcDir: String,
+      reference: DataFrame, stateDir: String, logDir: String,
+      filesPerTrigger: Int = 2): Long = {
+    import org.apache.spark.sql.functions._
+    val refCounts = reference
+      .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("rc"))
+      .localCheckpoint(true)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          val bCounts = batch.groupBy(col("n_chars").as("v"))
+            .agg(count(lit(1)).as("sc"))
+          val existing = scala.util.Try(
+            spark.read.schema("v LONG, sc LONG").parquet(stateDir)).toOption
+          val merged = existing.fold(bCounts)(old =>
+            bCounts.unionByName(old).groupBy(col("v"))
+              .agg(sum(col("sc")).as("sc")))
+            .localCheckpoint(true) // plan must not read the path it overwrites
+          merged.write.mode("overwrite").parquet(stateDir)
+          val vals = refCounts.withColumnRenamed("rc", "c1")
+            .join(merged.withColumnRenamed("sc", "c2"), Seq("v"), "full_outer")
+            .select(col("v"), coalesce(col("c1"), lit(0L)).as("c1"),
+              coalesce(col("c2"), lit(0L)).as("c2"))
+          graft.operators.StatsOps.ksFromCounts(vals)
+            .select(lit(id).as("batch_id"), col("n1").as("n_ref"),
+              col("n2").as("n_stream"), col("ks_d"))
+            .write.mode("append").parquet(logDir)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(refCounts)
+    batches.get()
+  }
+
   /** Streaming multi-touch attribution — the online tier of batch q152:
     * per-user touch history (click/view/signup) is carried in
     * `flatMapGroupsWithState`, and each arriving purchase emits one

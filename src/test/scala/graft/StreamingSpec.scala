@@ -558,4 +558,41 @@ class StreamingSpec extends SparkTestBase {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  test("streaming KS monitor converges to the batch q176 drift value") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("sks").toString
+    val src = s"$tmp/src"
+    val docs = Tables.documents(spark, sfDir)
+    val reference = docs.filter(col("source") === "src0")
+    val feed = docs.filter(col("source") === "src1")
+    // three ascending doc_id ranges arriving as separate files
+    val maxId = feed.agg(max("doc_id")).head().getLong(0)
+    val cut1 = maxId / 3; val cut2 = 2 * maxId / 3
+    Seq(col("doc_id") <= cut1,
+      col("doc_id") > cut1 && col("doc_id") <= cut2,
+      col("doc_id") > cut2).foreach { p =>
+      feed.filter(p).coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct file timestamps fix delivery order
+    }
+    val n = StreamingOps.ksMonitorStream(spark, src, reference,
+      s"$tmp/state", s"$tmp/log", filesPerTrigger = 1)
+    assert(n == 3L, s"expected 3 non-empty batches, got $n")
+    val log = spark.read.parquet(s"$tmp/log").orderBy("batch_id").collect()
+    assert(log.length == 3)
+    // after the last batch the monitor has seen the whole feed: its D,
+    // n_ref, n_stream must equal the batch operator's exactly
+    val last = log.last
+    val batchRow = operators.StatsOps.q176KsTest(spark, sfDir).head()
+    assert(last.getAs[Long]("n_ref") == batchRow.getAs[Long]("n1"))
+    assert(last.getAs[Long]("n_stream") == batchRow.getAs[Long]("n2"))
+    assert(last.getAs[Double]("ks_d") == batchRow.getAs[Double]("ks_d"),
+      s"stream ${last.getAs[Double]("ks_d")} != batch ${batchRow.getAs[Double]("ks_d")}")
+    // intermediate batches monitor a partial feed: n_stream strictly grows
+    assert(log.map(_.getAs[Long]("n_stream")).toSeq ==
+      log.map(_.getAs[Long]("n_stream")).toSeq.sorted)
+    // the mergeable state table is value-sized, not feed-sized
+    val stateRows = spark.read.parquet(s"$tmp/state").count()
+    assert(stateRows <= feed.select("n_chars").distinct().count())
+  }
 }
