@@ -1109,8 +1109,10 @@ object CurationOps {
       .withColumn("total", sum(col("mass")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // `div`, not `/`: Spark's `/` on longs is DOUBLE division, and a
-      // truncated double misrounds once cum_before·8 exceeds 2^53
-      .withColumn("shard", expr("cum_before * 8 div total"))
+      // truncated double misrounds once cum_before·8 exceeds 2^53.
+      // nullif: a corpus of all-empty documents has total = 0 — NULL
+      // shard, not the ANSI divide-by-zero error (oracle mirrors)
+      .withColumn("shard", expr("cum_before * 8 div nullif(total, 0)"))
       .groupBy(col("shard")).agg(
         min(col("b")).as("lo_bin"), max(col("b")).as("hi_bin"),
         sum(col("mass")).as("shard_tokens"), sum(col("n_docs")).as("shard_docs"))
@@ -1134,7 +1136,7 @@ object CurationOps {
       |    CAST(sum(mass) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING
       |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS total
       |  FROM hist)
-      |SELECT cum_before * 8 // total AS shard,
+      |SELECT cum_before * 8 // nullif(total, 0) AS shard,
       |  min(b) AS lo_bin, max(b) AS hi_bin,
       |  CAST(sum(mass) AS BIGINT) AS shard_tokens,
       |  CAST(sum(n_docs) AS BIGINT) AS shard_docs

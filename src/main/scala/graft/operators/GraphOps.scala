@@ -131,22 +131,29 @@ object GraphOps {
     val e0 = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       .localCheckpoint(true)
-    var edges = e0
-    for (_ <- 1 to 3) {
-      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= 3).select(col("src").as("node"))
-      edges = edges
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-    }
-    val out = edges.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("deg"))
+    val out = kCorePeel(e0, k = 3, rounds = 3)
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
         col("deg"))
     (e0, out)
+  }
+
+  /** Fixed-round degree peel over a SYMMETRIC `(src, dst)` edge list:
+    * `rounds` synchronous removals of nodes with degree < k, then the
+    * survivors with their residual degree. Lazy — callers checkpoint the
+    * edge list if it is expensive to derive. */
+  def kCorePeel(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var edges = e0
+    for (_ <- 1 to rounds) {
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("node"))
+      edges = edges
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
   def q169KCore(s: SparkSession, dir: String): DataFrame = {

@@ -824,9 +824,11 @@ object StatsOps {
     val n = (col("a") + col("b") + col("c") + col("d")).cast(d38)
     val pe = (col("a") + col("b")).cast(d38) * (col("a") + col("c")).cast(d38) +
       (col("c") + col("d")).cast(d38) * (col("b") + col("d")).cast(d38)
+    // n² = pe ⇔ a marginal is the whole corpus (a degenerate gate): κ is
+    // undefined — NULL, not the ANSI divide-by-zero error (oracle: nullif)
     m.select(col("a"), col("b"), col("c"), col("d"),
       ((n * (col("a") + col("d")).cast(d38) - pe).cast("double")
-        / (n * n - pe).cast("double")).as("kappa"))
+        / nullif((n * n - pe).cast("double"), lit(0.0))).as("kappa"))
   }
 
   val q175Sql: String =
@@ -847,9 +849,9 @@ object StatsOps {
       |  CAST(CAST(a + b + c + d AS HUGEINT) * (a + d)
       |      - (CAST(a + b AS HUGEINT) * (a + c) + CAST(c + d AS HUGEINT) * (b + d))
       |    AS DOUBLE)
-      |  / CAST(CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
+      |  / nullif(CAST(CAST(a + b + c + d AS HUGEINT) * (a + b + c + d)
       |      - (CAST(a + b AS HUGEINT) * (a + c) + CAST(c + d AS HUGEINT) * (b + d))
-      |    AS DOUBLE) AS kappa
+      |    AS DOUBLE), 0.0) AS kappa
       |FROM m""".stripMargin
 
   /** Exact two-sample Kolmogorov–Smirnov D between the first two
@@ -890,8 +892,11 @@ object StatsOps {
           - col("cum2").cast(d38) * col("n1").cast(d38))).as("d_scaled"),
         max(col("n1")).as("n1"), max(col("n2")).as("n2"))
       .select(col("n1"), col("n2"),
+        // one side absent (n1·n2 = 0): D is undefined — NULL, not the
+        // ANSI divide-by-zero error (oracle: nullif)
         (col("d_scaled").cast("double")
-          / (col("n1").cast("double") * col("n2").cast("double"))).as("ks_d"))
+          / nullif(col("n1").cast("double") * col("n2").cast("double"),
+            lit(0.0))).as("ks_d"))
   }
 
   val q176Sql: String =
@@ -917,7 +922,7 @@ object StatsOps {
       |SELECT n1, n2,
       |  CAST(max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
       |      AS DOUBLE)
-      |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_d
+      |    / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0) AS ks_d
       |FROM cum GROUP BY n1, n2""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(

@@ -1532,7 +1532,12 @@ object TextOps {
       sum(col("y").cast(d38)).as("sy"),
       sum((col("x").cast(d38) * col("y")).cast(d38)).as("sxy"),
       sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"))
-    val den = (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double")
+    // den = 0 ⇔ fewer than 2 distinct terms: the fit is undefined — emit
+    // NULL rather than the ANSI divide-by-zero error a worst-partition
+    // corpus would otherwise throw (mirrored in the oracle's nullif)
+    val den = nullif(
+      (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"),
+      lit(0.0))
     m.select(col("n_terms"),
       ((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") / den)
         .as("zipf_slope"),
@@ -1559,9 +1564,9 @@ object TextOps {
        |  FROM pts)
        |SELECT n_terms,
        |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
-       |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+       |    / nullif(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0.0) AS zipf_slope,
        |  CAST(sy * sxx - sx * sxy AS DOUBLE)
-       |    / CAST(n_terms * sxx - sx * sx AS DOUBLE) AS zipf_intercept
+       |    / nullif(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0.0) AS zipf_intercept
        |FROM m""".stripMargin
 
   /** Per-language tokenizer fertility: BPE-ish pieces per whitespace
@@ -1627,8 +1632,17 @@ object TextOps {
     * bounded table, and the per-round driver collect is ONE row. */
   def q177GreedyCover(s: SparkSession, dir: String): DataFrame = {
     val sg = sourceGrams(s, dir).localCheckpoint(true)
+    val out = greedyCoverRounds(s, sg, rounds = 4)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(sg)
+    out
+  }
+
+  /** The greedy loop of [[q177GreedyCover]] over any distinct
+    * `(source, g)` pair table; stops early when sources run out. */
+  def greedyCoverRounds(s: SparkSession, sg: DataFrame,
+      rounds: Int): DataFrame = {
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-    for (t <- 1 to 4) {
+    for (t <- 1 to rounds) {
       val selSrcs = picks.map(_._2).toSeq
       val remaining =
         if (selSrcs.isEmpty) sg else sg.filter(!col("source").isin(selSrcs: _*))
@@ -1642,7 +1656,6 @@ object TextOps {
       if (top.nonEmpty)
         picks += ((t.toLong, top(0).getString(0), top(0).getLong(1)))
     }
-    org.apache.spark.sql.GraftShims.unpersistCheckpoint(sg)
     import s.implicits._
     picks.toSeq.toDF("step", "source", "gain")
   }

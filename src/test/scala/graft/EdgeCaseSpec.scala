@@ -226,4 +226,55 @@ class EdgeCaseSpec extends SparkTestBase {
       concat(lit("sample:"), col("doc_id"))), lit(100L)) < 20)
     assert(sampled.count() == 0)
   }
+
+  test("kCorePeel: K4 survives its own 3-core, a star peels to nothing") {
+    // K4: every node degree 3 — the 3-core is the whole clique
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield (a, b))
+      .toDF("src", "dst")
+    val core = operators.GraphOps.kCorePeel(k4, k = 3, rounds = 3).collect()
+    assert(core.length == 4 && core.forall(_.getLong(1) == 3L), core.toSeq)
+    // star: hub degree 5, leaves degree 1 — leaves die round 1, the hub
+    // (degree 0 after) dies round 2; nothing survives
+    val star = (1L to 5L).flatMap(l => Seq((0L, l), (l, 0L))).toDF("src", "dst")
+    assert(operators.GraphOps.kCorePeel(star, k = 3, rounds = 3).isEmpty)
+    // empty edge list: no rows, no crash
+    assert(operators.GraphOps.kCorePeel(
+      k4.filter(lit(false)), k = 3, rounds = 3).isEmpty)
+  }
+
+  test("greedyCoverRounds stops early when sources run out") {
+    val sg = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 3L), ("b", 4L))
+      .toDF("source", "g")
+    val picks = operators.TextOps.greedyCoverRounds(spark, sg, rounds = 4)
+      .orderBy("step").collect()
+    // 2 sources -> 2 picks despite rounds = 4; a first (3 grams), then b
+    // whose marginal gain is only the uncovered gram 4
+    assert(picks.length == 2, picks.toSeq)
+    assert(picks(0).getString(1) == "a" && picks(0).getLong(2) == 3L)
+    assert(picks(1).getString(1) == "b" && picks(1).getLong(2) == 1L)
+    // empty pair table: no picks, no crash
+    assert(operators.TextOps.greedyCoverRounds(
+      spark, sg.filter(lit(false)), rounds = 4).isEmpty)
+  }
+
+  test("ksFromCounts: identical distributions give D = 0; empty input is inert") {
+    val same = Seq((1L, 5L, 5L), (2L, 3L, 3L)).toDF("v", "c1", "c2")
+    val r = operators.StatsOps.ksFromCounts(same).head()
+    assert(r.getAs[Double]("ks_d") == 0.0 && r.getAs[Long]("n1") == 8L)
+    // an empty count table yields the single null aggregate row, never a
+    // crash — callers (the streaming monitor) only invoke it on
+    // non-empty batches, but the worst partition must stay benign
+    val empty = operators.StatsOps.ksFromCounts(same.filter(lit(false))).head()
+    assert(empty.isNullAt(empty.fieldIndex("ks_d")))
+  }
+
+  test("zipf slope of a single-term corpus is NULL, not an ANSI crash") {
+    // one distinct token -> one point -> zero OLS denominator; the
+    // operator surfaces the undefined fit as NULL via nullif (ANSI mode
+    // would otherwise throw DIVIDE_BY_ZERO on the worst partition)
+    val docs = Seq((1L, "spark spark spark")).toDF("doc_id", "text")
+    val r = operators.TextOps.zipfSlopeCore(docs).head()
+    assert(r.getAs[Long]("n_terms") == 1L)
+    assert(r.isNullAt(r.fieldIndex("zipf_slope")))
+  }
 }
