@@ -1034,7 +1034,67 @@ object SimilarityOps {
        |FROM top GROUP BY q_id""".stripMargin
   }
 
+  /** Kendall-τ rank agreement between the exact cosine top-10 (q39) and
+    * the int8-quantized top-10 (q93), per probe — the ORDER-sensitive
+    * companion to q136's set-recall: quantization can keep the same ten
+    * neighbors yet scramble their ranking, which recall cannot see and a
+    * reranker-less retrieval stack absolutely cares about. τ is computed
+    * over the intersection of the two lists (concordant vs discordant
+    * neighbor pairs under the two rankings; ranks are unique, no tie
+    * terms), all exact integers until one final guarded division.
+    *
+    * Scale shape: both rankings are the locked q39/q93 broadcast+window
+    * scans; everything after runs on ≤ 10 rows per probe (the pair stage
+    * is ≤ C(10,2) per probe, keyed by q_id). */
+  def q178RankTau(s: SparkSession, dir: String): DataFrame = {
+    val a = q39KnnBrute(s, dir)
+      .select(col("q_id"), col("neighbor_id"), col("rn").as("ra"))
+    val b = q93KnnInt8(s, dir)
+      .select(col("q_id"), col("neighbor_id"), col("rn").cast("long").as("rb"))
+    val ab = a.join(b, Seq("q_id", "neighbor_id"))
+    val x = ab.select(col("q_id"), col("neighbor_id").as("na"),
+      col("ra").as("ra1"), col("rb").as("rb1"))
+    val y = ab.select(col("q_id"), col("neighbor_id").as("nb"),
+      col("ra").as("ra2"), col("rb").as("rb2"))
+    val p = x.join(y, Seq("q_id")).filter(col("na") < col("nb"))
+      .groupBy(col("q_id")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(((col("ra1") < col("ra2")) === (col("rb1") < col("rb2")))
+          .cast("long")).as("concordant"))
+    ab.groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+      .join(p, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_common"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        ((coalesce(col("concordant"), lit(0L)) * 2
+          - coalesce(col("n_pairs"), lit(0L))).cast("double")
+          / nullif(coalesce(col("n_pairs"), lit(0L)).cast("double"), lit(0.0)))
+          .as("tau"))
+  }
+
+  lazy val q178Sql: String =
+    s"""WITH ab AS MATERIALIZED (
+       |  SELECT a.q_id, a.neighbor_id, a.rn AS ra, b.rn AS rb
+       |  FROM ($q39Sql) a JOIN ($q93Sql) b
+       |    USING (q_id, neighbor_id)),
+       |p AS (
+       |  SELECT x.q_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(CASE WHEN (x.ra < y.ra) = (x.rb < y.rb)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS concordant
+       |  FROM ab x JOIN ab y
+       |    ON x.q_id = y.q_id AND x.neighbor_id < y.neighbor_id
+       |  GROUP BY 1),
+       |c AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_common
+       |  FROM ab GROUP BY 1)
+       |SELECT c.q_id, c.n_common,
+       |  coalesce(p.n_pairs, 0) AS n_pairs,
+       |  coalesce(p.concordant, 0) AS concordant,
+       |  CAST(coalesce(p.concordant, 0) * 2 - coalesce(p.n_pairs, 0) AS DOUBLE)
+       |    / nullif(CAST(coalesce(p.n_pairs, 0) AS DOUBLE), 0.0) AS tau
+       |FROM c LEFT JOIN p ON p.q_id = c.q_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q178_rank_tau", q178RankTau, Some(q178Sql)),
     QueryDef("q173_ndcg", q173Ndcg, Some(q173Sql)),
     QueryDef("q161_power_iteration", q161PowerIteration, Some(q161Sql)),
     QueryDef("q166_mmr_rerank", q166MmrRerank, Some(q166Sql)),
