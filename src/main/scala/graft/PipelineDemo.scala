@@ -288,6 +288,15 @@ object PipelineDemo {
     counts += "fd_violation_rows" ->
       operators.MiscOps.fdAuditCore(spark.read.parquet(s"$outDir/curated"))
         .agg(sum(col("violations"))).collect()(0).getLong(0)
+
+    // 19. mixture planning number (q184 core): Kish effective sample size
+    // of the temperature weights over the SHIPPED corpus, as a percent of
+    // its row count — a collapsing ess_frac means one domain dominates
+    // the gradient variance and the mixture needs retuning
+    counts += "mixture_ess_frac_pct" ->
+      math.round(operators.CurationOps.essCore(
+          spark.read.parquet(s"$outDir/curated"))
+        .collect()(0).getAs[Double]("ess_frac") * 100)
     counts.toSeq
   }
 

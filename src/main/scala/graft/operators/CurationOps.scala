@@ -559,6 +559,67 @@ object CurationOps {
       |WHERE CAST('0x' || substr(md5('mix:' || d.doc_id), 1, 15) AS BIGINT) % 1000
       |  < r.rate_pm""".stripMargin
 
+  /** Effective sample size of [[q88DomainMixture]]'s temperature
+    * reweighting: ESS = (Σ n_d·w_d)² / (Σ n_d·w_d²) over per-language
+    * doc counts n_d and the SAME integer per-mille rates q88 samples
+    * with — the "how many IID samples is this weighted corpus worth"
+    * planning number (Kish's formula; ess_frac near 1 means the
+    * temperature barely distorts, near min(n_d)/n means one domain
+    * dominates the variance).
+    *
+    * Determinism: rates are q88's exact integer per-milles; both ESS
+    * terms are exact decimal(38,0) sums over the language-bounded
+    * aggregate; ess and ess_frac are each ONE double division of exact
+    * integers (num² ≤ (10³·n)² stays far under 10³⁸ at any plausible n).
+    *
+    * Scale shape: ONE corpus pass to per-language counts (map-side
+    * combine); everything else — the min-rate broadcast and the 3-term
+    * moment — runs on #languages rows. No window, no corpus join. */
+  def q184Ess(s: SparkSession, dir: String): DataFrame =
+    essCore(Tables.documents(s, dir))
+
+  def essCore(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val bySrc = docs
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("isq",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val mn = bySrc.agg(min(col("isq")).as("isq_min"))
+    val m = bySrc.crossJoin(broadcast(mn))
+      .withColumn("w", least(lit(1000L), expr("isq_min * 1000 div isq")))
+      .agg(sum(col("n_docs")).as("n"),
+        sum((col("n_docs").cast(d38) * col("w").cast(d38)).cast(d38))
+          .as("num"),
+        sum((col("n_docs").cast(d38) * col("w").cast(d38) * col("w").cast(d38))
+          .cast(d38)).as("den"))
+    m.select(col("n"),
+      ((col("num") * col("num")).cast("double") / col("den").cast("double"))
+        .as("ess"),
+      ((col("num") * col("num")).cast("double") /
+        (col("den") * col("n").cast(d38)).cast("double")).as("ess_frac"))
+  }
+
+  val q184Sql: String =
+    """WITH bysrc AS MATERIALIZED (
+      |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS isq
+      |  FROM documents GROUP BY lang),
+      |r AS (
+      |  SELECT n_docs,
+      |    least(1000, (SELECT CAST(min(isq) AS BIGINT) FROM bysrc) * 1000 // isq)
+      |      AS w
+      |  FROM bysrc),
+      |m AS (
+      |  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+      |    CAST(sum(CAST(n_docs AS HUGEINT) * w) AS HUGEINT) AS num,
+      |    CAST(sum(CAST(n_docs AS HUGEINT) * w * w) AS HUGEINT) AS den
+      |  FROM r)
+      |SELECT n,
+      |  CAST(num * num AS DOUBLE) / CAST(den AS DOUBLE) AS ess,
+      |  CAST(num * num AS DOUBLE) / CAST(den * CAST(n AS HUGEINT) AS DOUBLE)
+      |    AS ess_frac
+      |FROM m""".stripMargin
+
   /** Deterministic corpus shuffle with a contiguous GLOBAL index — the
     * "shuffle your training data once, reproducibly" step: every doc gets
     * a salted-hash sort key, and `pos` is its 0-based rank in the global
@@ -1143,6 +1204,7 @@ object CurationOps {
       |FROM cum GROUP BY 1""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q184_ess", q184Ess, Some(q184Sql)),
     QueryDef("q174_shard_plan", q174ShardPlan, Some(q174Sql)),
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),
     QueryDef("q144_context_budget", q144ContextBudget, Some(q144Sql)),

@@ -676,7 +676,43 @@ object EventOps {
       |  ON a.event_type = b.event_type AND a.d < b.d
       |GROUP BY 1""".stripMargin
 
+  /** Daily new users and cumulative distinct users to date — the
+    * audience-growth curve every ingest dashboard wants. The naive
+    * formulation (`count(DISTINCT user_id) OVER (ORDER BY day)`) is a
+    * single-task global window carrying an ever-growing distinct set;
+    * this is the classic first-seen decomposition instead: each user
+    * contributes exactly once, on the day of their first event, so
+    * cumulative uniques = prefix sum of daily first-seen counts.
+    *
+    * Scale shape: pass 1 is a user-keyed min aggregate (unbounded key
+    * cardinality, map-side combine, no funnel); pass 2 collapses to the
+    * day-cardinality table; the prefix-sum window runs on ≤ #days rows —
+    * bounded, never event-volume-sized. */
+  def q179CumulativeUniques(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    firstSeen
+      .withColumn("cum_users",
+        sum(col("new_users")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("d"), col("new_users"), col("cum_users"))
+  }
+
+  val q179Sql: String =
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY 1),
+      |daily AS (
+      |  SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM fs GROUP BY 1)
+      |SELECT d, new_users,
+      |  CAST(sum(new_users) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_users
+      |FROM daily""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_cumulative_uniques", q179CumulativeUniques, Some(q179Sql)),
     QueryDef("q172_trend_mk", q172TrendMk, Some(q172Sql)),
     QueryDef("q164_ewma", q164Ewma, Some(q164Sql)),
     QueryDef("q131_cohort_retention", q131CohortRetention, Some(q131Sql)),

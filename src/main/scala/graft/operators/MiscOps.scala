@@ -605,7 +605,110 @@ object MiscOps {
       |  CAST(sum(tot - dom) AS BIGINT) = 0
       |FROM l""".stripMargin
 
+  /** Mutual information I(source; lang) plus both marginal entropies —
+    * the information-theoretic upgrade of [[q171FdAudit]]: FD violation
+    * counts say whether a dependency is exact; MI says how much one
+    * metadata column tells you about the other (0 = independent,
+    * min(H) = fully determined), and NMI calibrates it to [0,1]. A
+    * training pipeline uses this to catch redundant/leaky metadata
+    * before stratifying on it.
+    *
+    * Determinism: the q168/q161 fixed-point idiom. Every ln is taken of
+    * an INTEGER count and quantized to ⌊ln·10⁶ + ½⌋; MI's sum
+    * Σ c·(L(c)+L(n)−L(rx)−L(cy)) and both entropy numerators
+    * n·L(n) − Σ m·L(m) are exact decimal(38,0) integer arithmetic; each
+    * output is ONE double division. NMI = S_mi / min(entropy numerators)
+    * — the common 1/(n·10⁶) factor cancels, so it is an exact integer
+    * ratio too.
+    *
+    * Scale shape: ONE corpus pass to the (source × lang) contingency
+    * table (map-side combine, cardinality-bounded); marginals, the
+    * once-per-group flags, and the final moments are windows/aggregates
+    * over that tiny checkpointed table — the corpus is never rescanned,
+    * and no window ever sees more than |sources|·|langs| rows. */
+  def q180MutualInfo(s: SparkSession, dir: String): DataFrame =
+    mutualInfoCore(Tables.documents(s, dir), "source", "lang")
+
+  def mutualInfoCore(df: DataFrame, x: String, y: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    def lfp(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val xy = df.groupBy(col(x), col(y)).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val e = xy
+      .withColumn("rx", sum(col("c")).over(Window.partitionBy(col(x))))
+      .withColumn("cy", sum(col("c")).over(Window.partitionBy(col(y))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy()))
+      .withColumn("rs", row_number()
+        .over(Window.partitionBy(col(x)).orderBy(col(y))))
+      .withColumn("rl", row_number()
+        .over(Window.partitionBy(col(y)).orderBy(col(x))))
+    val m = e.agg(
+      max(col("n")).as("n"),
+      sum((col("c").cast(d38) *
+        (lfp(col("c")) + lfp(col("n")) - lfp(col("rx")) - lfp(col("cy")))
+          .cast(d38)).cast(d38)).as("s_mi"),
+      sum(when(col("rs") === 1,
+        (col("rx").cast(d38) * lfp(col("rx")).cast(d38)).cast(d38))
+        .otherwise(lit(0).cast(d38))).as("s_rx"),
+      sum(when(col("rl") === 1,
+        (col("cy").cast(d38) * lfp(col("cy")).cast(d38)).cast(d38))
+        .otherwise(lit(0).cast(d38))).as("s_cy"))
+    val out = m.select(
+      col("n"),
+      (col("s_mi").cast("double") / (col("n").cast("double") * 1e6))
+        .as("mi_nats"),
+      ((col("n").cast(d38) * lfp(col("n")).cast(d38) - col("s_rx"))
+        .cast("double") / (col("n").cast("double") * 1e6)).as("h_x"),
+      ((col("n").cast(d38) * lfp(col("n")).cast(d38) - col("s_cy"))
+        .cast("double") / (col("n").cast("double") * 1e6)).as("h_y"),
+      (col("s_mi").cast("double") / nullif(
+        least(col("n").cast(d38) * lfp(col("n")).cast(d38) - col("s_rx"),
+          col("n").cast(d38) * lfp(col("n")).cast(d38) - col("s_cy"))
+          .cast("double"), lit(0.0))).as("nmi"))
+      .localCheckpoint(true) // materialize the 1-row result, then release xy
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(xy)
+    out
+  }
+
+  val q180Sql: String = {
+    def l(k: String) =
+      s"CAST(floor(ln(CAST($k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH xy AS MATERIALIZED (
+       |  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents GROUP BY 1, 2),
+       |e AS (
+       |  SELECT c,
+       |    sum(c) OVER (PARTITION BY source) AS rx,
+       |    sum(c) OVER (PARTITION BY lang) AS cy,
+       |    sum(c) OVER () AS n,
+       |    row_number() OVER (PARTITION BY source ORDER BY lang) AS rs,
+       |    row_number() OVER (PARTITION BY lang ORDER BY source) AS rl
+       |  FROM xy),
+       |m AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n,
+       |    sum(CAST(c AS HUGEINT) *
+       |      (${l("c")} + ${l("n")} - ${l("rx")} - ${l("cy")})) AS s_mi,
+       |    sum(CASE WHEN rs = 1
+       |      THEN CAST(rx AS HUGEINT) * ${l("rx")} ELSE 0 END) AS s_rx,
+       |    sum(CASE WHEN rl = 1
+       |      THEN CAST(cy AS HUGEINT) * ${l("cy")} ELSE 0 END) AS s_cy
+       |  FROM e)
+       |SELECT n,
+       |  CAST(s_mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats,
+       |  CAST(CAST(n AS HUGEINT) * ${l("n")} - s_rx AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1e6) AS h_x,
+       |  CAST(CAST(n AS HUGEINT) * ${l("n")} - s_cy AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1e6) AS h_y,
+       |  CAST(s_mi AS DOUBLE) / nullif(CAST(least(
+       |    CAST(n AS HUGEINT) * ${l("n")} - s_rx,
+       |    CAST(n AS HUGEINT) * ${l("n")} - s_cy) AS DOUBLE), 0.0) AS nmi
+       |FROM m""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q180_mutual_info", q180MutualInfo, Some(q180Sql)),
     QueryDef("q171_fd_audit", q171FdAudit, Some(q171Sql)),
     QueryDef("q167_k_anonymity", q167KAnonymity, Some(q167Sql)),
     QueryDef("q162_fk_audit", q162FkAudit, Some(q162Sql)),

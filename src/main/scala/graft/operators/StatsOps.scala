@@ -925,7 +925,132 @@ object StatsOps {
       |    / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0) AS ks_d
       |FROM cum GROUP BY n1, n2""".stripMargin
 
+  /** Per-type 10%-trimmed mean of `value` — the robust location estimate
+    * that survives the fat-tailed/corrupted metrics a raw mean doesn't
+    * (and, unlike the median alone, still uses 80% of the mass). Fully
+    * EXACT: the classic sort-and-drop formulation becomes per-value
+    * counts + one prefix-sum window + an interval-overlap kept-count per
+    * value row — each value contributes
+    * max(0, min(cum, n−k) − max(cum_before, k)) occurrences to the
+    * trimmed sum, k = ⌊n/10⌋ per side, all in integer cents.
+    *
+    * Scale shape: the corpus collapses to per-(type, cents-value) counts
+    * FIRST (map-side combine, value-cardinality-bounded — q176's ecdf
+    * pattern); the window and both aggregates run on that bounded table,
+    * keyed by event_type so types parallelize. Never a global sort of
+    * raw events, never a single-task funnel. */
+  def q183TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cts = Tables.events(s, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val e = cts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"))))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("k", expr("tot div 10"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("tot") - col("k")) -
+          greatest(col("cum") - col("c"), col("k"))))
+    e.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n"),
+        sum(col("kept")).as("trimmed_n"),
+        sum((col("kept").cast(d38) * col("v").cast(d38)).cast(d38))
+          .as("ts"))
+      .select(col("event_type"), col("n"), col("trimmed_n"),
+        (col("ts").cast("double") /
+          (col("trimmed_n").cast("double") * lit(100.0)))
+          .as("trimmed_mean"))
+  }
+
+  val q183Sql: String =
+    """WITH cts AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_type, v, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS tot
+      |  FROM cts),
+      |kp AS (
+      |  SELECT event_type, v, c, cum, tot, tot // 10 AS k,
+      |    greatest(0, least(cum, tot - tot // 10)
+      |      - greatest(cum - c, tot // 10)) AS kept
+      |  FROM e)
+      |SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+      |  CAST(sum(kept) AS BIGINT) AS trimmed_n,
+      |  CAST(sum(CAST(kept AS HUGEINT) * v) AS DOUBLE)
+      |    / (CAST(sum(kept) AS DOUBLE) * 100.0) AS trimmed_mean
+      |FROM kp GROUP BY event_type""".stripMargin
+
+  /** Per-source Gini coefficient of document sizes — the inequality
+    * number under [[q153ParetoConcentration]]'s top-share curve: 0 means
+    * every doc contributes equally, →1 means a few giants carry the
+    * source (a length-capping / chunking-policy signal per feed).
+    *
+    * Fully EXACT without sorting raw docs: Gini = Σᵢ(2i−n−1)xᵢ / (n·Σx)
+    * over the sorted sizes becomes, per distinct size v with count c and
+    * prefix count b, the closed-form contribution v·(2cb + c² − cn)
+    * (sum of (2i−n−1) over that value's rank interval) — integer-exact,
+    * then ONE double division against the exact n·Σvc.
+    *
+    * Scale shape: corpus → per-(source, size) counts (map-side combine,
+    * value-bounded — the q176/q183 ecdf family); prefix sums ride one
+    * window over that bounded table, keyed by source so feeds
+    * parallelize. Never a per-doc rank window. */
+  def q185Gini(s: SparkSession, dir: String): DataFrame =
+    giniCore(Tables.documents(s, dir), col("n_chars"))
+
+  def giniCore(docs: DataFrame, size: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cts = docs.groupBy(col("source"), size.cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val e = cts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("source")).orderBy(col("v"))))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("source"))))
+      .withColumn("b", col("cum") - col("c"))
+    e.groupBy(col("source"))
+      .agg(max(col("tot")).as("n"),
+        sum((col("v").cast(d38) * col("c").cast(d38)).cast(d38)).as("sv"),
+        sum((col("v").cast(d38) *
+          (lit(2).cast(d38) * col("c").cast(d38) * col("b").cast(d38) +
+            col("c").cast(d38) * col("c").cast(d38) -
+            col("c").cast(d38) * col("tot").cast(d38))).cast(d38)).as("num"))
+      .select(col("source"), col("n"),
+        col("sv").cast("long").as("total_chars"),
+        (col("num").cast("double") /
+          nullif((col("n").cast(d38) * col("sv")).cast("double"), lit(0.0)))
+          .as("gini"))
+  }
+
+  val q185Sql: String =
+    """WITH cts AS (
+      |  SELECT source, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |e AS (
+      |  SELECT source, v, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY v) - c AS b,
+      |    sum(c) OVER (PARTITION BY source) AS tot
+      |  FROM cts)
+      |SELECT source, CAST(max(tot) AS BIGINT) AS n,
+      |  CAST(sum(CAST(v AS HUGEINT) * c) AS BIGINT) AS total_chars,
+      |  CAST(sum(CAST(v AS HUGEINT) *
+      |    (2 * CAST(c AS HUGEINT) * b + CAST(c AS HUGEINT) * c
+      |      - CAST(c AS HUGEINT) * tot)) AS DOUBLE)
+      |    / nullif(CAST(CAST(max(tot) AS HUGEINT)
+      |      * sum(CAST(v AS HUGEINT) * c) AS DOUBLE), 0.0) AS gini
+      |FROM e GROUP BY source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_gini", q185Gini, Some(q185Sql)),
+    QueryDef("q183_trimmed_mean", q183TrimmedMean, Some(q183Sql)),
     QueryDef("q175_gate_kappa", q175GateKappa, Some(q175Sql)),
     QueryDef("q176_ks_test", q176KsTest, Some(q176Sql)),
     QueryDef("q163_exact_median", q163ExactMedian, Some(q163Sql)),

@@ -1697,7 +1697,147 @@ object TextOps {
        |UNION ALL SELECT 4, source, c FROM s4""".stripMargin
   }
 
+  /** Heaps'-law coefficient: OLS of ln(vocabulary) on ln(tokens) across
+    * sources — vocabulary growth V ≈ K·N^β (natural language sits near
+    * β ≈ 0.5; β → 1 means near-unique text (ids/noise), β → 0 means a
+    * closed template vocabulary). The companion health check to
+    * [[q168ZipfSlope]]: Zipf looks at one corpus's rank curve, Heaps at
+    * how vocabulary scales with volume across feeds.
+    *
+    * Determinism: q168's exact-moment OLS verbatim — ln of integer
+    * counts quantized to ⌊ln·10⁶ + ½⌋, decimal(38,0) moment sums, two
+    * double divisions at the end (nullif-guarded for < 2 sources).
+    *
+    * Scale shape: one corpus pass collapses to the (source × term)
+    * count table (map-side combine, vocab-bounded); per-source (V, N)
+    * re-aggregates that to #sources rows; the OLS moments are one
+    * aggregate over ≤ #sources points. No window, no join. */
+  def q181HeapsLaw(s: SparkSession, dir: String): DataFrame =
+    heapsLawCore(Tables.documents(s, dir))
+
+  def heapsLawCore(docs: DataFrame): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def lfp(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val sv = docs
+      .select(col("source"),
+        explode(filter(tokens(col("text")), t => t =!= "")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("v"), sum(col("c")).as("ntok"))
+    val pts = sv.select(lfp(col("ntok")).as("x"), lfp(col("v")).as("y"))
+    val m = pts.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d38) * col("y").cast(d38)).cast(d38)).as("sxy"),
+      sum((col("x").cast(d38) * col("x").cast(d38)).cast(d38)).as("sxx"))
+    val den = nullif(
+      (col("n_sources") * col("sxx") - col("sx") * col("sx")).cast("double"),
+      lit(0.0))
+    m.select(col("n_sources"),
+      ((col("n_sources") * col("sxy") - col("sx") * col("sy")).cast("double")
+        / den).as("heaps_beta"),
+      ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / den
+        / lit(1e6)).as("heaps_lnk"))
+  }
+
+  val q181Sql: String =
+    s"""WITH sv AS MATERIALIZED (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS v,
+       |    CAST(sum(c) AS BIGINT) AS ntok
+       |  FROM (
+       |    SELECT source, u.term AS term, CAST(count(*) AS BIGINT) AS c
+       |    FROM (SELECT source, $toksFilteredSql AS toks FROM documents) t,
+       |      UNNEST(toks) AS u(term)
+       |    GROUP BY 1, 2)
+       |  GROUP BY source),
+       |pts AS (
+       |  SELECT CAST(floor(ln(CAST(ntok AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+       |  FROM sv),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx
+       |  FROM pts)
+       |SELECT n_sources,
+       |  CAST(n_sources * sxy - sx * sy AS DOUBLE)
+       |    / nullif(CAST(n_sources * sxx - sx * sx AS DOUBLE), 0.0) AS heaps_beta,
+       |  CAST(sy * sxx - sx * sxy AS DOUBLE)
+       |    / nullif(CAST(n_sources * sxx - sx * sx AS DOUBLE), 0.0)
+       |    / 1e6 AS heaps_lnk
+       |FROM m""".stripMargin
+
+  /** Distinctive-term extraction: per-cell chi²/lift association between
+    * the top-100 corpus terms and their sources — the keyword/topic-
+    * signature primitive ("which terms over-index in which feed"), and
+    * the per-term drill-down under [[q180MutualInfo]]'s single corpus-
+    * level association number. Cells with zero observed count are
+    * omitted (their lift is 0 by definition).
+    *
+    * Determinism: o·n − r·c is EXACT decimal(38,0) integer arithmetic
+    * (safe: both products ≤ n² ≈ 10²⁷ at 100 TB) cast once to double;
+    * lift and chi² are straight-line per-row double expressions with
+    * identical shape in both engines — no cross-row double summation
+    * anywhere (a per-TERM chi² total would be an order-dependent double
+    * sum; consumers re-aggregate the exact cells instead).
+    *
+    * Scale shape: one corpus pass to the (source × term) count table
+    * (map-side combine); the top-100 cut is `TakeOrderedAndProject` on
+    * term totals (q92's locked pattern); marginals re-aggregate the
+    * checkpointed count table; the final join runs on ≤ 100·#sources
+    * rows with both small sides broadcast. The corpus is scanned once. */
+  def q182TermChi2(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val st = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(filter(tokens(col("text")), t => t =!= "")).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
+    val top = st.groupBy(col("term")).agg(sum(col("o")).as("r"))
+      .orderBy(col("r").desc, col("term").asc).limit(100)
+    val srcTot = st.groupBy(col("source")).agg(sum(col("o")).as("c_src"))
+    val tot = st.agg(sum(col("o")).as("n"))
+    val d = (col("o").cast(d38) * col("n").cast(d38) -
+      col("r").cast(d38) * col("c_src").cast(d38)).cast("double")
+    val out = st.join(broadcast(top), "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("source"), col("o"),
+        (col("o").cast("double") * col("n").cast("double") /
+          (col("r").cast("double") * col("c_src").cast("double"))).as("lift"),
+        (d * d / (col("n").cast("double") * col("r").cast("double") *
+          col("c_src").cast("double"))).as("chi2_cell"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(st)
+    out
+  }
+
+  val q182Sql: String =
+    s"""WITH st AS MATERIALIZED (
+       |  SELECT source, u.term AS term, CAST(count(*) AS BIGINT) AS o
+       |  FROM (SELECT source, $toksFilteredSql AS toks FROM documents) t,
+       |    UNNEST(toks) AS u(term)
+       |  GROUP BY 1, 2),
+       |top AS MATERIALIZED (
+       |  SELECT term, CAST(sum(o) AS BIGINT) AS r FROM st GROUP BY 1
+       |  ORDER BY r DESC, term LIMIT 100),
+       |ss AS (SELECT source, CAST(sum(o) AS BIGINT) AS c_src FROM st GROUP BY 1),
+       |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM st)
+       |SELECT st.term, st.source, o,
+       |  CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+       |    / (CAST(r AS DOUBLE) * CAST(c_src AS DOUBLE)) AS lift,
+       |  CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c_src AS DOUBLE)
+       |    * CAST(CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c_src AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c_src AS DOUBLE))
+       |    AS chi2_cell
+       |FROM st JOIN top USING (term) JOIN ss USING (source) CROSS JOIN nn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_heaps_law", q181HeapsLaw, Some(q181Sql)),
+    QueryDef("q182_term_chi2", q182TermChi2, Some(q182Sql)),
     QueryDef("q177_greedy_cover", q177GreedyCover, Some(q177Sql)),
     QueryDef("q168_zipf_slope", q168ZipfSlope, Some(q168Sql)),
     QueryDef("q170_fertility", q170Fertility, Some(q170Sql)),

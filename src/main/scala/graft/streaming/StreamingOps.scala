@@ -64,6 +64,37 @@ object StreamingOps {
       .toDF("user_id", "n_events")
   }
 
+  /** Streaming first-seen feed — the ONLINE tier of the batch q179
+    * cumulative-uniques decomposition: emits each user exactly once, on
+    * the day of their first arriving event (min event-date within the
+    * first micro-batch that contains them). Downstream, daily new-user
+    * counts are a stateless per-day aggregate of this feed and the
+    * cumulative curve is its prefix sum — neither ever re-scans events.
+    *
+    * State is ONE boolean per distinct user — the inherent floor for
+    * EXACT lifetime distinct (a batch engine shuffles the same key set);
+    * it grows with user cardinality, never event volume. When approximate
+    * suffices at 100 TB, the sketch alternative is q42's HLL. */
+  def newUsersStream(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .select(col("user_id").as[Long], to_date(col("ts")).as[java.sql.Date])
+      .as[(Long, java.sql.Date)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, java.sql.Date)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Date)],
+            state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator((uid, rows.map(_._2).minBy(_.getTime)))
+          }
+      }
+      .toDF("user_id", "d")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * views in the preceding hour. Both sides carry watermarks and the join
     * condition bounds event-time distance, so the state store retains only

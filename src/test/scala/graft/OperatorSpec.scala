@@ -1483,4 +1483,112 @@ class OperatorSpec extends SparkTestBase {
       bs.grouped(64).map(java.util.Arrays.hashCode).toSet
     assert(fixed(bytes).intersect(fixed(shifted)).isEmpty)
   }
+
+  test("q179: first-seen decomposition reconciles with distinct users") {
+    import org.apache.spark.sql.functions._
+    val rows = EventOps.q179CumulativeUniques(spark, sfDir)
+      .orderBy("d").collect()
+    assert(rows.nonEmpty)
+    val distinctUsers = Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    // each user counts once, on their first day — so new_users sums (and
+    // the last cumulative value equals) the global distinct count
+    assert(rows.map(_.getLong(1)).sum == distinctUsers)
+    assert(rows.last.getLong(2) == distinctUsers)
+    // prefix-sum invariant: cum is the running total of new
+    assert(rows.scanLeft(0L)(_ + _.getLong(1)).tail
+      .sameElements(rows.map(_.getLong(2))))
+  }
+
+  test("q180 MI: exact 0 under independence, exact NMI 1 under identity") {
+    import spark.implicits._
+    // perfectly independent 2x2 contingency (5 rows per cell): every
+    // fixed-point term L(c)+L(n)-L(rx)-L(cy) cancels to exactly 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("u", "v"); _ <- 1 to 5 }
+      yield (x, y)).toDF("source", "lang")
+    val mi0 = MiscOps.mutualInfoCore(indep, "source", "lang").head()
+    assert(mi0.getDouble(1) == 0.0, s"mi=${mi0.getDouble(1)}")
+    // y = x exactly: S_mi telescopes to the entropy numerator, NMI = 1.0
+    // EXACTLY even in fixed point (same quantized terms on both sides)
+    val ident = Seq.tabulate(30)(i => (s"s${i % 3}", s"s${i % 3}"))
+      .toDF("source", "lang")
+    val mi1 = MiscOps.mutualInfoCore(ident, "source", "lang").head()
+    assert(mi1.getDouble(4) == 1.0, s"nmi=${mi1.getDouble(4)}")
+    assert(mi1.getDouble(1) == mi1.getDouble(2)) // mi == h_x == h_y
+  }
+
+  test("q183: trimmed mean equals an in-driver exact recount") {
+    import org.apache.spark.sql.functions._
+    val got = StatsOps.q183TrimmedMean(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        t -> rs.map(r => math.floor(r.getDouble(1) * 100 + 0.5).toLong).sorted
+      }
+    val want = byType.map { case (t, vs) =>
+      val k = vs.length / 10
+      val kept = vs.slice(k.toInt, vs.length - k.toInt)
+      t -> ((vs.length.toLong, kept.length.toLong,
+        kept.sum.toDouble / (kept.length.toDouble * 100.0)))
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q184: uniform domains give ESS = n exactly; skew shrinks it") {
+    import spark.implicits._
+    val uniform = Seq.tabulate(40)(i => (i.toLong, s"L${i % 4}"))
+      .toDF("doc_id", "lang")
+    val u = CurationOps.essCore(uniform).head()
+    assert(u.getLong(0) == 40 && u.getDouble(1) == 40.0 &&
+      u.getDouble(2) == 1.0, u.toString)
+    // 90/10 split: temperature weights up the small domain -> ESS < n
+    val skewed = Seq.tabulate(100)(i =>
+      (i.toLong, if (i < 90) "big" else "small")).toDF("doc_id", "lang")
+    val sk = CurationOps.essCore(skewed).head()
+    assert(sk.getDouble(1) < 100.0 && sk.getDouble(1) > 0.0, sk.toString)
+    val real = CurationOps.q184Ess(spark, sfDir).head()
+    assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
+  }
+
+  test("q185: gini equals the sorted-rank formula recomputed in-driver") {
+    import org.apache.spark.sql.functions._
+    val got = StatsOps.q185Gini(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val want = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rs) =>
+        val xs = rs.map(_.getLong(1)).sorted
+        val n = xs.length.toLong
+        val num = xs.zipWithIndex.map { case (x, i) =>
+          BigInt(2L * (i + 1) - n - 1) * x }.sum
+        val sv = xs.map(BigInt(_)).sum
+        src -> ((n, sv.toLong,
+          num.toDouble / (BigInt(n) * sv).toDouble))
+      }
+    assert(got == want && got.nonEmpty)
+    // inequality is bounded: 0 <= gini < 1
+    assert(got.values.forall { case (_, _, g) => g >= 0.0 && g < 1.0 })
+  }
+
+  test("q181 heaps / q182 chi2: bounded outputs with coherent stats") {
+    import org.apache.spark.sql.functions._
+    val h = TextOps.q181HeapsLaw(spark, sfDir).head()
+    assert(h.getLong(0) == 20) // one point per source
+    val beta = h.getDouble(1)
+    // sublinear vocabulary growth on any natural-ish corpus
+    assert(beta > 0.0 && beta < 1.0, s"beta=$beta")
+    val cells = TextOps.q182TermChi2(spark, sfDir).collect()
+    assert(cells.map(_.getString(0)).distinct.length <= 100)
+    // lift and chi2 are coherent: lift far from 1 implies chi2 > 0;
+    // observed counts are positive (zero cells omitted by contract)
+    assert(cells.forall(_.getLong(2) > 0))
+    assert(cells.forall(r => r.getDouble(4) >= 0.0))
+    val n = cells.length
+    assert(n > 100, s"cells=$n") // top terms spread over multiple sources
+  }
 }

@@ -698,6 +698,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q179/q181: one scan, no join; windows only above bounded tables") {
+    withoutAutoBroadcast {
+      // q179: user-keyed min aggregate -> day aggregate -> prefix-sum
+      // window over <= #days rows; never a distinct-over-window on events
+      val p179 = initialPlan(operators.EventOps.q179CumulativeUniques(spark, sfDir))
+      assert(count(p179, "Scan parquet") == 1, p179)
+      assert(!p179.contains("Join"), p179)
+      assert(count(p179, "Window") == 1, p179)
+      val winAt = p179.indexOf("Window")
+      // two aggregate collapses BELOW the window (plan prints root-first)
+      assert(p179.indexOf("HashAggregate", winAt) >= 0, p179)
+      // q181: (source x term) collapse then #sources points; no window,
+      // no join anywhere
+      val p181 = initialPlan(operators.TextOps.q181HeapsLaw(spark, sfDir))
+      assert(count(p181, "Scan parquet") == 1, p181)
+      assert(!p181.contains("Join") && !p181.contains("Window"), p181)
+    }
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")

@@ -595,4 +595,36 @@ class StreamingSpec extends SparkTestBase {
     val stateRows = spark.read.parquet(s"$tmp/state").count()
     assert(stateRows <= feed.select("n_chars").distinct().count())
   }
+
+  test("streaming first-seen feed reproduces the batch q179 daily curve") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("snew").toString
+    val src = s"$tmp/src"
+    val events = Tables.events(spark, sfDir)
+    // three files in EVENT-TIME order: arrival order then respects ts, so
+    // the stream's first-arrival day equals batch min(event date) per user
+    val ranked = events.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    val n = ranked.count()
+    var lo = 0L
+    Seq(n / 3, 2 * n / 3, n).foreach { hi =>
+      ranked.filter(col("rn") > lo && col("rn") <= hi).drop("rn")
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5) // distinct mtimes fix delivery order
+      lo = hi
+    }
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.newUsersStream(spark, stream), "new_users_feed")
+    // exactly-once per user: later batches re-seeing a user emit nothing
+    assert(got.groupBy("user_id").count()
+      .filter(col("count") > 1).isEmpty, "duplicate first-seen emissions")
+    val gotDaily = got.groupBy(col("d")).agg(count(lit(1)).as("new_users"))
+    val want = operators.EventOps.q179CumulativeUniques(spark, sfDir)
+      .select("d", "new_users")
+    assert(gotDaily.exceptAll(want).isEmpty && want.exceptAll(gotDaily).isEmpty)
+  }
 }
