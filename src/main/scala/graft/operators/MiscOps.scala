@@ -707,7 +707,59 @@ object MiscOps {
        |FROM m""".stripMargin
   }
 
+  /** Benford's-law audit of order totals — the classic forged/synthetic-
+    * numbers detector (real multiplicative amounts put digit 1 first
+    * ~30.1% of the time; fabricated or truncated feeds flatten the
+    * curve): per leading digit, observed vs expected per-mille share.
+    * Extends the q102/q162/q167/q171 audit family with a distributional
+    * forensic.
+    *
+    * Determinism: the leading digit comes from the STRING form of the
+    * exact cents-long (long→decimal-string is identical everywhere —
+    * no log10 whose libm rounding could disagree at powers of ten);
+    * observed shares are exact integer per-milles (n_d·1000 div n);
+    * the Benford expectations are Scala-computed integer constants
+    * rendered into BOTH engines (q154/q173 pattern) — no engine
+    * evaluates a logarithm at query time. The whole output is integer.
+    *
+    * Scale shape: ONE pass, 9-row aggregate (map-side combine), the
+    * grand total re-aggregates those 9 rows. No window, no corpus join. */
+  def q187Benford(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // log10(1 + 1/d) in per-mille, exact integer constants
+    val exp = (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1000))
+    val digits = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 0)
+      .select(substring(graft.functions.Exact.cents(col("o_totalprice"))
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_d"))
+    digits
+      .withColumn("n", sum(col("n_d")).over(Window.partitionBy()))
+      .select(col("digit"), col("n_d"),
+        expr("n_d * 1000 div n").as("obs_pm"),
+        element_at(array(exp.map(lit): _*), col("digit").cast("int"))
+          .as("exp_pm"))
+      .withColumn("dev_pm", col("obs_pm") - col("exp_pm"))
+  }
+
+  val q187Sql: String = {
+    val exp = (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1000))
+    val cases = exp.zipWithIndex
+      .map { case (e, i) => s"WHEN ${i + 1} THEN $e" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_d
+       |  FROM orders WHERE o_totalprice > 0 GROUP BY 1),
+       |t AS (SELECT digit, n_d, sum(n_d) OVER () AS n FROM d)
+       |SELECT digit, n_d, CAST(n_d * 1000 // n AS BIGINT) AS obs_pm,
+       |  CAST(CASE digit $cases END AS BIGINT) AS exp_pm,
+       |  CAST(n_d * 1000 // n - (CASE digit $cases END) AS BIGINT) AS dev_pm
+       |FROM t""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_benford", q187Benford, Some(q187Sql)),
     QueryDef("q180_mutual_info", q180MutualInfo, Some(q180Sql)),
     QueryDef("q171_fd_audit", q171FdAudit, Some(q171Sql)),
     QueryDef("q167_k_anonymity", q167KAnonymity, Some(q167Sql)),

@@ -1048,7 +1048,77 @@ object StatsOps {
       |      * sum(CAST(v AS HUGEINT) * c) AS DOUBLE), 0.0) AS gini
       |FROM e GROUP BY source""".stripMargin
 
+  /** Per-type 10%-winsorized mean — [[q183TrimmedMean]]'s sibling that
+    * CLAMPS the tails instead of dropping them (keeps n constant, so
+    * downstream weightings don't shift): the bottom k values are
+    * replaced by x₍k+1₎ and the top k by x₍n−k₎.
+    *
+    * Fully EXACT on the same ecdf machinery: the interior contribution
+    * is q183's interval-overlap kept-count; the two boundary order
+    * statistics fall out of the SAME prefix-sum table as conditional
+    * mins (x₍r₎ = min v with cum ≥ r — no extra pass, no sort of raw
+    * events); winsorized sum = interior + k·(x₍k+1₎ + x₍n−k₎), one
+    * double division at the end.
+    *
+    * Scale shape: identical to q183 — value-bounded per-type tables,
+    * types parallelize, never a raw-event sort. */
+  def q186Winsorize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cts = Tables.events(s, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val e = cts
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"))))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("event_type"))))
+      .withColumn("k", expr("tot div 10"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("cum"), col("tot") - col("k")) -
+          greatest(col("cum") - col("c"), col("k"))))
+    e.groupBy(col("event_type"))
+      .agg(max(col("tot")).as("n"), max(col("k")).as("kk"),
+        min(when(col("cum") > col("k"), col("v"))).as("vlo"),
+        min(when(col("cum") >= col("tot") - col("k"), col("v"))).as("vhi"),
+        sum((col("kept").cast(d38) * col("v").cast(d38)).cast(d38))
+          .as("ts"))
+      .select(col("event_type"), col("n"),
+        (col("vlo").cast("double") / 100.0).as("p10"),
+        (col("vhi").cast("double") / 100.0).as("p90"),
+        ((col("ts") + (col("kk").cast(d38) *
+          (col("vlo").cast(d38) + col("vhi").cast(d38))).cast(d38))
+          .cast("double") / (col("n").cast("double") * lit(100.0)))
+          .as("winsorized_mean"))
+  }
+
+  val q186Sql: String =
+    """WITH cts AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |e AS (
+      |  SELECT event_type, v, c,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS tot
+      |  FROM cts),
+      |kp AS (
+      |  SELECT event_type, v, c, cum, tot, tot // 10 AS k,
+      |    greatest(0, least(cum, tot - tot // 10)
+      |      - greatest(cum - c, tot // 10)) AS kept
+      |  FROM e)
+      |SELECT event_type, CAST(max(tot) AS BIGINT) AS n,
+      |  CAST(min(CASE WHEN cum > k THEN v END) AS DOUBLE) / 100.0 AS p10,
+      |  CAST(min(CASE WHEN cum >= tot - k THEN v END) AS DOUBLE) / 100.0
+      |    AS p90,
+      |  CAST(sum(CAST(kept AS HUGEINT) * v)
+      |      + CAST(max(k) AS HUGEINT) * (min(CASE WHEN cum > k THEN v END)
+      |        + min(CASE WHEN cum >= tot - k THEN v END)) AS DOUBLE)
+      |    / (CAST(max(tot) AS DOUBLE) * 100.0) AS winsorized_mean
+      |FROM kp GROUP BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q186_winsorize", q186Winsorize, Some(q186Sql)),
     QueryDef("q185_gini", q185Gini, Some(q185Sql)),
     QueryDef("q183_trimmed_mean", q183TrimmedMean, Some(q183Sql)),
     QueryDef("q175_gate_kappa", q175GateKappa, Some(q175Sql)),

@@ -1553,6 +1553,40 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q186: winsorized mean equals an in-driver clamp-and-average") {
+    import org.apache.spark.sql.functions._
+    val got = StatsOps.q186Winsorize(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val want = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) =>
+        val vs = rs.map(r => math.floor(r.getDouble(1) * 100 + 0.5).toLong)
+          .sorted
+        val n = vs.length; val k = n / 10
+        val lo = vs(k); val hi = vs(n - k - 1) // x_(k+1), x_(n-k) 0-based
+        val clamped = vs.map(v => math.max(lo, math.min(hi, v)))
+        t -> ((n.toLong, lo.toDouble / 100.0, hi.toDouble / 100.0,
+          clamped.sum.toDouble / (n.toDouble * 100.0)))
+      }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q187: digit shares are integer per-milles against Benford constants") {
+    val rows = MiscOps.q187Benford(spark, sfDir).orderBy("digit").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 9L))
+    val expWant = (1 to 9).map(d => math.round(math.log10(1.0 + 1.0 / d) * 1000))
+    assert(rows.map(_.getLong(3)).toSeq == expWant)
+    // integer-truncated shares sum to 1000 minus at most 9
+    val s = rows.map(_.getLong(2)).sum
+    assert(s <= 1000 && s >= 991, s"sum obs_pm=$s")
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.orders(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("o_totalprice") > 0).count())
+  }
+
   test("q185: gini equals the sorted-rank formula recomputed in-driver") {
     import org.apache.spark.sql.functions._
     val got = StatsOps.q185Gini(spark, sfDir).collect()
