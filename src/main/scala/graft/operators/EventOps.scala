@@ -711,7 +711,167 @@ object EventOps {
       |    AS cum_users
       |FROM daily""".stripMargin
 
+  /** Lag-1 autocorrelation of the daily event-count series per type —
+    * the "does yesterday predict today" persistence number behind
+    * [[q172TrendMk]]'s monotone-trend test (r near +1 = momentum /
+    * slow drift, near 0 = memoryless load, negative = oscillation, e.g.
+    * a backfill job alternating heavy/light days).
+    *
+    * Determinism: all five moments over the (cₜ, cₜ₊₁) pairs are exact
+    * integer sums (decimal(38,0)); r is computed as
+    * num / (√a · √b) where num, a, b are exact integers — IEEE-754
+    * requires sqrt to be correctly rounded, so the identical operation
+    * tree is bit-equal on both engines (nullif-guarded when a constant
+    * series makes a or b zero).
+    *
+    * Scale shape: the corpus collapses to the (type × day) daily
+    * aggregate FIRST (map-side combine); the lead window and the moment
+    * aggregate run on ≤ #days rows per type, keyed by type. */
+  def q188Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily
+      .withColumn("y", lead(col("x"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(col("d"))))
+      .filter(col("y").isNotNull)
+    val m = pairs.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x").cast(d38) * col("y").cast(d38)).cast(d38)).as("sxy"),
+      sum((col("x").cast(d38) * col("x").cast(d38)).cast(d38)).as("sxx"),
+      sum((col("y").cast(d38) * col("y").cast(d38)).cast(d38)).as("syy"))
+    m.select(col("event_type"), col("n_pairs"),
+      ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        nullif(
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+          sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy"))
+            .cast("double")), lit(0.0))).as("acf1"))
+  }
+
+  val q188Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(count(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT event_type, x,
+      |    lead(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS y
+      |  FROM daily),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM p WHERE y IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_pairs,
+      |  CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |    / nullif(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+      |        * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0) AS acf1
+      |FROM m""".stripMargin
+
+  /** Day-of-week load profile per event type: integer per-mille share of
+    * each type's events landing on each Monday=1 weekday (the F4
+    * re-basing) — the seasonality baseline an ops monitor diffs new days
+    * against, and the denominator under "is Tuesday really down?".
+    *
+    * Scale shape: one hash aggregate to (type × 7) cells, the per-type
+    * total is a window over ≤ 7 rows per type. Entirely integer output
+    * (n·1000 div total). */
+  def q189DowProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        (((dayofweek(to_date(col("ts"))) + 5) % 7) + 1).cast("long")
+          .as("weekday"))
+      .agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("tot", sum(col("n")).over(
+        Window.partitionBy(col("event_type"))))
+      .select(col("event_type"), col("weekday"), col("n"),
+        expr("n * 1000 div tot").as("share_pm"))
+  }
+
+  val q189Sql: String =
+    """WITH cells AS (
+      |  SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS weekday,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, weekday, n,
+      |  CAST(n * 1000 // sum(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS share_pm
+      |FROM cells""".stripMargin
+
+  /** Sequence predictability: mutual information between consecutive
+    * event types in each user's stream — I(prev; next) near 0 means the
+    * next action is unpredictable (memoryless traffic), near H means
+    * near-deterministic flows (bot/script signature). The single-number
+    * summary over [[q127Transitions]]' full matrix, riding
+    * [[MiscOps.mutualInfoCore]]'s fixed-point machinery (columns keep
+    * its generic h_x/h_y names).
+    *
+    * Scale shape: one lead window per user (unbounded key cardinality,
+    * no funnel) collapses to the (type × type) bigram contingency
+    * table; everything after is bounded by #types². */
+  def q190SeqMi(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev"))
+      .withColumn("next", lead(col("prev"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("next").isNotNull)
+      .select(col("prev"), col("next"))
+    MiscOps.mutualInfoCore(pairs, "prev", "next")
+  }
+
+  val q190Sql: String = {
+    def l(k: String) =
+      s"CAST(floor(ln(CAST($k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH pairs AS (
+       |  SELECT event_type AS prev,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS next
+       |  FROM events),
+       |xy AS MATERIALIZED (
+       |  SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+       |  FROM pairs WHERE next IS NOT NULL GROUP BY 1, 2),
+       |e AS (
+       |  SELECT c,
+       |    sum(c) OVER (PARTITION BY prev) AS rx,
+       |    sum(c) OVER (PARTITION BY next) AS cy,
+       |    sum(c) OVER () AS n,
+       |    row_number() OVER (PARTITION BY prev ORDER BY next) AS rs,
+       |    row_number() OVER (PARTITION BY next ORDER BY prev) AS rl
+       |  FROM xy),
+       |m AS (
+       |  SELECT CAST(max(n) AS BIGINT) AS n,
+       |    sum(CAST(c AS HUGEINT) *
+       |      (${l("c")} + ${l("n")} - ${l("rx")} - ${l("cy")})) AS s_mi,
+       |    sum(CASE WHEN rs = 1
+       |      THEN CAST(rx AS HUGEINT) * ${l("rx")} ELSE 0 END) AS s_rx,
+       |    sum(CASE WHEN rl = 1
+       |      THEN CAST(cy AS HUGEINT) * ${l("cy")} ELSE 0 END) AS s_cy
+       |  FROM e)
+       |SELECT n,
+       |  CAST(s_mi AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS mi_nats,
+       |  CAST(CAST(n AS HUGEINT) * ${l("n")} - s_rx AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1e6) AS h_x,
+       |  CAST(CAST(n AS HUGEINT) * ${l("n")} - s_cy AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1e6) AS h_y,
+       |  CAST(s_mi AS DOUBLE) / nullif(CAST(least(
+       |    CAST(n AS HUGEINT) * ${l("n")} - s_rx,
+       |    CAST(n AS HUGEINT) * ${l("n")} - s_cy) AS DOUBLE), 0.0) AS nmi
+       |FROM m""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q188_autocorr", q188Autocorr, Some(q188Sql)),
+    QueryDef("q189_dow_profile", q189DowProfile, Some(q189Sql)),
+    QueryDef("q190_seq_mi", q190SeqMi, Some(q190Sql)),
     QueryDef("q179_cumulative_uniques", q179CumulativeUniques, Some(q179Sql)),
     QueryDef("q172_trend_mk", q172TrendMk, Some(q172Sql)),
     QueryDef("q164_ewma", q164Ewma, Some(q164Sql)),

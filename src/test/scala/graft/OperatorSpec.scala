@@ -1553,6 +1553,46 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q188: lag-1 autocorrelation equals an in-driver moment recount") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.q188Autocorr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getString(0))
+    val want = daily.map { case (t, rs) =>
+      val xs = rs.sortBy(_.getDate(1).toString).map(_.getLong(2))
+      val (x, y) = (xs.init, xs.tail)
+      val n = x.length.toLong
+      def s(v: Array[Long]) = v.map(BigInt(_)).sum
+      val num = BigInt(n) * x.zip(y).map { case (a, b) => BigInt(a) * b }.sum -
+        s(x) * s(y)
+      val a = BigInt(n) * x.map(v => BigInt(v) * v).sum - s(x) * s(x)
+      val b = BigInt(n) * y.map(v => BigInt(v) * v).sum - s(y) * s(y)
+      t -> ((n, num.toDouble / (math.sqrt(a.toDouble) * math.sqrt(b.toDouble))))
+    }
+    assert(got == want && got.nonEmpty)
+    assert(got.values.forall { case (_, r) => r >= -1.0 && r <= 1.0 })
+  }
+
+  test("q189/q190: integer shares and bounded sequence MI") {
+    import org.apache.spark.sql.functions._
+    val prof = EventOps.q189DowProfile(spark, sfDir).collect()
+    // per-type truncated shares sum to 1000 minus at most (#cells - 1)
+    prof.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val s = rs.map(_.getLong(3)).sum
+      assert(s <= 1000 && s > 1000 - rs.length, s"$t sums to $s")
+    }
+    // cell counts reconcile with the raw table
+    assert(prof.map(_.getLong(2)).sum == Tables.events(spark, sfDir).count())
+    val mi = EventOps.q190SeqMi(spark, sfDir).head()
+    // fixed-point MI: non-negative up to ln-quantization noise, NMI <= 1
+    assert(mi.getDouble(1) > -1e-3 && mi.getDouble(4) <= 1.0 + 1e-9,
+      mi.toString)
+    assert(mi.getDouble(2) > 0.0 && mi.getDouble(3) > 0.0)
+  }
+
   test("q186: winsorized mean equals an in-driver clamp-and-average") {
     import org.apache.spark.sql.functions._
     val got = StatsOps.q186Winsorize(spark, sfDir).collect()
