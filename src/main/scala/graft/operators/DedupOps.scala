@@ -999,7 +999,52 @@ object DedupOps {
       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE levenshtein(a.adj, b.adj) BETWEEN 1 AND 2""".stripMargin
 
+  /** Capture–recapture (Lincoln–Petersen) corpus-size estimate from two
+    * overlapping feeds: if src0 holds n_a distinct fingerprints, src1
+    * n_b, and they share m, the underlying population is ≈ n_a·n_b/m —
+    * the "how big is the real corpus behind these partial crawls"
+    * planning number a dedup pipeline wants BEFORE committing to ingest
+    * (the same estimator ecologists mark-recapture animals with).
+    *
+    * Exactness: fingerprints are the q33 md5-hash60; n_a, n_b, m are
+    * exact integers off one fingerprint-keyed aggregate; the estimate is
+    * ONE double division of exact integer products (nullif-guarded when
+    * the feeds don't overlap — then the estimator is undefined).
+    *
+    * Scale shape: one pass over the two feeds → fingerprint-keyed
+    * presence aggregate (map-side combine; a fingerprint's buffer is two
+    * booleans, never a posting list — the q70 lesson) → single-row
+    * moment. No join, no window. */
+  def q191CaptureRecapture(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(hash60(normText(col("text"))).as("f"), col("source"))
+      .groupBy(col("f"))
+      .agg(max(when(col("source") === "src0", 1L).otherwise(0L)).as("a"),
+        max(when(col("source") === "src1", 1L).otherwise(0L)).as("b"))
+    fp.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * col("b")).as("m"))
+      .withColumn("est_population",
+        (col("n_a") * col("n_b")).cast("double") /
+          nullif(col("m").cast("double"), lit(0.0)))
+  }
+
+  val q191Sql: String =
+    """WITH fp AS (
+      |  SELECT CAST('0x' || substr(md5(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g')), 1, 15)
+      |      AS BIGINT) AS f,
+      |    max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+      |    max(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1)
+      |SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+      |  CAST(sum(a * b) AS BIGINT) AS m,
+      |  CAST(CAST(sum(a) AS BIGINT) * CAST(sum(b) AS BIGINT) AS DOUBLE)
+      |    / nullif(CAST(sum(a * b) AS DOUBLE), 0.0) AS est_population
+      |FROM fp""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q191_capture_recapture", q191CaptureRecapture, Some(q191Sql)),
     QueryDef("q160_fuzzy_linkage", q160FuzzyLinkage, Some(q160Sql)),
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q145_containment", q145Containment, Some(q145Sql)),

@@ -868,7 +868,57 @@ object EventOps {
        |FROM m""".stripMargin
   }
 
+  /** Audience-overlap matrix: exact Jaccard between event types' user
+    * sets — "do the people who search also purchase?" ([[graft.operators.TextOps]]'
+    * q128 source-overlap shape applied to behavioral audiences; feeds
+    * segmentation and the cannibalization question before launching a
+    * surface).
+    *
+    * Scale shape: events collapse to DISTINCT (type, user) pairs first
+    * (hash aggregate); the self-join is keyed on user_id — an unbounded-
+    * cardinality shuffle key, so it parallelizes, and each user
+    * contributes ≤ (#types choose 2) pairs, so output is bounded by
+    * #types² after the pair aggregate; per-type totals broadcast back.
+    * Jaccard = inter/(n_a+n_b−inter), ONE double division of exact ints. */
+  def q192AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id")).distinct()
+    val tot = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ta = tu.select(col("event_type").as("type_a"), col("user_id"))
+    val tb = tu.select(col("event_type").as("type_b"), col("user_id"))
+    ta.join(tb, "user_id").filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(tot.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(tot.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+
+  val q192Sql: String =
+    """WITH tu AS MATERIALIZED (
+      |  SELECT DISTINCT event_type, user_id FROM events),
+      |tot AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(count(*) AS BIGINT) AS inter
+      |  FROM tu x JOIN tu y
+      |    ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, a.n AS n_a, b.n AS n_b, inter,
+      |  CAST(inter AS DOUBLE) / CAST(a.n + b.n - inter AS DOUBLE) AS jaccard
+      |FROM p
+      |JOIN tot a ON type_a = a.event_type
+      |JOIN tot b ON type_b = b.event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q192_audience_overlap", q192AudienceOverlap, Some(q192Sql)),
     QueryDef("q188_autocorr", q188Autocorr, Some(q188Sql)),
     QueryDef("q189_dow_profile", q189DowProfile, Some(q189Sql)),
     QueryDef("q190_seq_mi", q190SeqMi, Some(q190Sql)),

@@ -1553,6 +1553,37 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q191: capture-recapture estimate sits between union and product") {
+    val r = DedupOps.q191CaptureRecapture(spark, sfDir).head()
+    val (na, nb, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(na > 0 && nb > 0)
+    assert(m <= math.min(na, nb)) // overlap can't exceed either feed
+    if (m > 0) {
+      val est = r.getDouble(3)
+      // the estimator never undershoots the observed union
+      assert(est >= (na + nb - m).toDouble - 1e-9, s"est=$est")
+      assert(est == na.toDouble * nb.toDouble / m.toDouble)
+    }
+  }
+
+  test("q192: audience jaccard equals an in-driver set recount") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.q192AudienceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val sets = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id")).collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = sets(a).intersect(sets(b)).size.toLong if inter > 0
+    } yield (a, b) -> ((sets(a).size.toLong, sets(b).size.toLong, inter,
+      inter.toDouble / (sets(a).size.toLong + sets(b).size - inter).toDouble)))
+      .toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q188: lag-1 autocorrelation equals an in-driver moment recount") {
     import org.apache.spark.sql.functions._
     val got = EventOps.q188Autocorr(spark, sfDir).collect()
