@@ -1835,7 +1835,93 @@ object TextOps {
        |    AS chi2_cell
        |FROM st JOIN top USING (term) JOIN ss USING (source) CROSS JOIN nn""".stripMargin
 
+  /** Label-noise audit: confusion matrix between the declared `lang`
+    * column and [[q31LangId]]'s content-based prediction, with per-cell
+    * per-mille shares of the declared language's row count — the "is the
+    * metadata lying about the content" check a pipeline runs before
+    * trusting `lang` for stratification (q180's MI quantifies the
+    * dependence; this localizes WHERE the disagreement sits).
+    *
+    * Scale shape: one corpus pass (the per-doc predictor is pure column
+    * arithmetic) collapsing to the ≤ |langs|·3 confusion cells
+    * (map-side combine); row totals are a window over that tiny table.
+    * All-integer output. */
+  def q193LangConfusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = q31LangId(s, dir)
+      .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+    cells
+      .withColumn("lang_total", sum(col("n")).over(
+        Window.partitionBy(col("lang"))))
+      .withColumn("share_pm", expr("n * 1000 div lang_total"))
+  }
+
+  val q193Sql: String =
+    """WITH p AS (
+      |  SELECT lang,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+      |         WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred
+      |  FROM (
+      |    SELECT lang,
+      |      len(list_intersect(toks, ['the','a','fast','slow','small','big'])) AS s_en,
+      |      len(list_intersect(toks, ['data','table','row','query','line'])) AS s_es,
+      |      len(list_intersect(toks, ['join','merge','sort','hash','group'])) AS s_fr
+      |    FROM (SELECT lang,
+      |            list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS toks
+      |          FROM documents))),
+      |cells AS (
+      |  SELECT lang, pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2)
+      |SELECT lang, pred, n,
+      |  CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+      |  CAST(n * 1000 // sum(n) OVER (PARTITION BY lang) AS BIGINT)
+      |    AS share_pm
+      |FROM cells""".stripMargin
+
+  /** Boilerplate-template detection: the 10 most common document
+    * openings (shared leading-token prefix) with doc/source counts — the
+    * scraped-site header/license-stub signature that exact dedup misses
+    * (bodies differ) and [[q165BlockScrub]] doesn't localize (it removes
+    * any repeated interior block; this reports WHICH templates dominate
+    * and where they come from, the human-review queue for a
+    * strip-the-header rule). Production corpora use 8+-token prefixes;
+    * the synthetic corpus's random openings need a 2-token key for any
+    * collision to exist at all (the q35 shingle-length note).
+    *
+    * Scale shape: one corpus pass to a prefix-keyed aggregate — buffers
+    * are three scalars (count, distinct-source partial, min id), never a
+    * doc list; the top-10 cut is `TakeOrderedAndProject` (per-partition
+    * partial top-k, q92's locked pattern), so output stays tiny however
+    * templated the corpus is. A hot template key is counts, not buffer
+    * growth. */
+  def q194TemplatePrefix(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        filter(tokens(col("text")), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("source"),
+        array_join(slice(col("toks"), 1, 2), " ").as("prefix"))
+      .groupBy(col("prefix"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("example_doc"))
+      .orderBy(col("n_docs").desc, col("prefix").asc)
+      .limit(10)
+
+  val q194Sql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source, array_to_string(toks[1:2], ' ') AS prefix
+       |  FROM (SELECT doc_id, source, $toksFilteredSql AS toks
+       |        FROM documents)
+       |  WHERE len(toks) >= 2)
+       |SELECT prefix, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  min(doc_id) AS example_doc
+       |FROM p GROUP BY 1
+       |ORDER BY n_docs DESC, prefix LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_template_prefix", q194TemplatePrefix, Some(q194Sql)),
+    QueryDef("q193_lang_confusion", q193LangConfusion, Some(q193Sql)),
     QueryDef("q181_heaps_law", q181HeapsLaw, Some(q181Sql)),
     QueryDef("q182_term_chi2", q182TermChi2, Some(q182Sql)),
     QueryDef("q177_greedy_cover", q177GreedyCover, Some(q177Sql)),

@@ -1553,6 +1553,26 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q193/q194: confusion cells reconcile; template cut is bounded") {
+    import org.apache.spark.sql.functions._
+    val cells = TextOps.q193LangConfusion(spark, sfDir).collect()
+    // cell counts sum back to the corpus; shares are per-mille of row totals
+    assert(cells.map(_.getLong(2)).sum ==
+      Tables.documents(spark, sfDir).count())
+    cells.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val tot = rs.head.getLong(3)
+      assert(rs.map(_.getLong(2)).sum == tot, s"$lang cells != total")
+      val s = rs.map(_.getLong(4)).sum
+      assert(s <= 1000 && s > 1000 - rs.length, s"$lang shares sum $s")
+    }
+    val tpl = TextOps.q194TemplatePrefix(spark, sfDir).collect()
+    assert(tpl.length == 10)
+    // descending by count, ties broken by prefix — deterministic cut
+    val counts = tpl.map(_.getLong(1)).toSeq
+    assert(counts == counts.sortBy(-_))
+    assert(tpl.forall(r => r.getString(0).split(" ").length == 2))
+  }
+
   test("q191: capture-recapture estimate sits between union and product") {
     val r = DedupOps.q191CaptureRecapture(spark, sfDir).head()
     val (na, nb, m) = (r.getLong(0), r.getLong(1), r.getLong(2))
