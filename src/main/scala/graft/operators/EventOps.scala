@@ -917,7 +917,60 @@ object EventOps {
       |JOIN tot a ON type_a = a.event_type
       |JOIN tot b ON type_b = b.event_type""".stripMargin
 
+  /** Bot-vs-human burstiness audit: per-user Fano factor (variance/mean
+    * of the daily event-count series) classified ENTIRELY in integers —
+    * var/mean > 1 ⇔ n·Σc² − (Σc)² > (n−1)·Σc, so no user's dispersion
+    * ever touches a double. Scripted/scheduled actors sit under 1
+    * (metronome regularity), humans over 1 (bursts); the aggregate
+    * shares are the traffic-hygiene number a corpus drawn from event
+    * logs is gated on. Users active on a single day are excluded
+    * (dispersion undefined, n−1 = 0).
+    *
+    * Scale shape: (user × day) counts (map-side combine) → per-user
+    * 3-scalar moments (unbounded key cardinality, parallel) → integer
+    * flags → ONE global row. No window, no join. */
+  def q195Burstiness(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val per = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("sv"),
+        sum((col("c").cast(d38) * col("c").cast(d38)).cast(d38)).as("q"))
+      .filter(col("n") >= 2)
+    val lhs = col("n").cast(d38) * col("q") -
+      col("sv").cast(d38) * col("sv").cast(d38)
+    val rhs = (col("n") - 1).cast(d38) * col("sv").cast(d38)
+    per.agg(count(lit(1)).as("n_users"),
+        sum(when(lhs > rhs, 1L).otherwise(0L)).as("n_over"),
+        sum(when(lhs < rhs, 1L).otherwise(0L)).as("n_under"))
+      .withColumn("share_over_pm", expr("n_over * 1000 div n_users"))
+  }
+
+  val q195Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |per AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(c) AS BIGINT) AS sv,
+      |    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      |  FROM daily GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(CASE WHEN CAST(n AS HUGEINT) * q - CAST(sv AS HUGEINT) * sv
+      |    > CAST(n - 1 AS HUGEINT) * sv THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_over,
+      |  CAST(sum(CASE WHEN CAST(n AS HUGEINT) * q - CAST(sv AS HUGEINT) * sv
+      |    < CAST(n - 1 AS HUGEINT) * sv THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_under,
+      |  CAST(sum(CASE WHEN CAST(n AS HUGEINT) * q - CAST(sv AS HUGEINT) * sv
+      |    > CAST(n - 1 AS HUGEINT) * sv THEN 1 ELSE 0 END) * 1000
+      |    // count(*) AS BIGINT) AS share_over_pm
+      |FROM per""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_burstiness", q195Burstiness, Some(q195Sql)),
     QueryDef("q192_audience_overlap", q192AudienceOverlap, Some(q192Sql)),
     QueryDef("q188_autocorr", q188Autocorr, Some(q188Sql)),
     QueryDef("q189_dow_profile", q189DowProfile, Some(q189Sql)),

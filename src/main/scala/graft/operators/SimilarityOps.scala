@@ -1093,7 +1093,71 @@ object SimilarityOps {
        |    / nullif(CAST(coalesce(p.n_pairs, 0) AS DOUBLE), 0.0) AS tau
        |FROM c LEFT JOIN p ON p.q_id = c.q_id""".stripMargin
 
+  /** Embedding-norm anomaly scan: the 10 vectors whose squared L2 norm
+    * deviates most from the corpus mean, with a 4σ outlier flag — the
+    * broken-encoder detector (a batch of zero/exploded vectors shifts
+    * norms long before cosine metrics look wrong; retrieval then
+    * silently degrades).
+    *
+    * Determinism: norms are exact int64 sums of 1000-scaled integer
+    * codes (the q155 idiom); the flag is the ALL-INTEGER inequality
+    * (n·x − s)² > 16·(n·Σx² − s²) — equivalent to |x − mean| > 4σ with
+    * no square root and no division — and the top-10 cut orders by the
+    * exact integer |n·x − s|. Exact while n·Σx² fits decimal(38,0)/
+    * HUGEINT: safe past 10¹¹ vectors at 64 dims.
+    *
+    * Scale shape: one pass computes per-vector norms; a second filters
+    * against the broadcast 1-row moment; the cut is
+    * `TakeOrderedAndProject` (partial top-k). No join beyond the 1-row
+    * broadcast, no window. */
+  def q196NormOutliers(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val codes = transform(col("embedding"),
+      x => round(x.cast("double") * 1000).cast("long"))
+    val norms = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        aggregate(codes, lit(0L), (acc, v) => acc + v * v).as("norm2"))
+    val m = norms.agg(count(lit(1)).as("n"),
+      sum(col("norm2").cast(d38)).as("sv"),
+      sum((col("norm2").cast(d38) * col("norm2").cast(d38)).cast(d38))
+        .as("sq"))
+    val dev = col("n").cast(d38) * col("norm2").cast(d38) - col("sv")
+    norms.crossJoin(broadcast(m))
+      .select(col("vec_id"), col("norm2"),
+        dev.cast("double").as("dev_n"),
+        ((dev * dev).cast(d38) >
+          (lit(16).cast(d38) *
+            (col("n").cast(d38) * col("sq") - col("sv") * col("sv")))
+            .cast(d38)).as("outlier"),
+        abs(dev).as("absdev"))
+      .orderBy(col("absdev").desc, col("vec_id").asc)
+      .limit(10)
+      .select(col("vec_id"), col("norm2"), col("dev_n"), col("outlier"))
+  }
+
+  val q196Sql: String =
+    """WITH nrm AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(
+      |      list_transform(embedding,
+      |        x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)),
+      |      v -> v * v)) AS BIGINT) AS norm2
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(norm2) AS HUGEINT) AS sv,
+      |    CAST(sum(CAST(norm2 AS HUGEINT) * norm2) AS HUGEINT) AS sq
+      |  FROM nrm)
+      |SELECT vec_id, norm2,
+      |  CAST(CAST(n AS HUGEINT) * norm2 - sv AS DOUBLE) AS dev_n,
+      |  (CAST(n AS HUGEINT) * norm2 - sv) * (CAST(n AS HUGEINT) * norm2 - sv)
+      |    > 16 * (CAST(n AS HUGEINT) * sq - sv * sv) AS outlier
+      |FROM nrm CROSS JOIN m
+      |ORDER BY abs(CAST(n AS HUGEINT) * norm2 - sv) DESC, vec_id
+      |LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_norm_outliers", q196NormOutliers, Some(q196Sql)),
     QueryDef("q178_rank_tau", q178RankTau, Some(q178Sql)),
     QueryDef("q173_ndcg", q173Ndcg, Some(q173Sql)),
     QueryDef("q161_power_iteration", q161PowerIteration, Some(q161Sql)),

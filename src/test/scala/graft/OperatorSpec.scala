@@ -1553,6 +1553,47 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q195: integer Fano classification equals an in-driver recount") {
+    import org.apache.spark.sql.functions._
+    val r = EventOps.q195Burstiness(spark, sfDir).head()
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c")).collect()
+      .groupBy(_.getLong(0)).values.map(_.map(_.getLong(2)))
+      .filter(_.length >= 2)
+    val over = daily.count { cs =>
+      val n = BigInt(cs.length); val s = cs.map(BigInt(_)).sum
+      n * cs.map(c => BigInt(c) * c).sum - s * s > (n - 1) * s
+    }
+    val under = daily.count { cs =>
+      val n = BigInt(cs.length); val s = cs.map(BigInt(_)).sum
+      n * cs.map(c => BigInt(c) * c).sum - s * s < (n - 1) * s
+    }
+    assert(r.getLong(0) == daily.size && r.getLong(1) == over &&
+      r.getLong(2) == under, r.toString)
+    assert(r.getLong(3) == over * 1000L / daily.size)
+  }
+
+  test("q196: norm top-10 matches an in-driver extreme scan") {
+    import org.apache.spark.sql.functions._
+    val got = SimilarityOps.q196NormOutliers(spark, sfDir).collect()
+    assert(got.length == 10)
+    val norms = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val q = r.getSeq[Float](1).map(x => math.round(x.toDouble * 1000))
+        r.getLong(0) -> q.map(v => v * v).sum
+      }
+    val n = BigInt(norms.length)
+    val sv = norms.map(x => BigInt(x._2)).sum
+    val wantIds = norms
+      .map { case (id, x) => (id, (n * x - sv).abs) }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSeq
+    assert(got.map(_.getLong(0)).toSeq == wantIds)
+    // deviations are centered: they sum to zero over the full corpus
+    assert(norms.map(x => n * BigInt(x._2) - sv).sum == 0)
+  }
+
   test("q193/q194: confusion cells reconcile; template cut is bounded") {
     import org.apache.spark.sql.functions._
     val cells = TextOps.q193LangConfusion(spark, sfDir).collect()
