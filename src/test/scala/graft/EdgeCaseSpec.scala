@@ -277,4 +277,44 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_terms") == 1L)
     assert(r.isNullAt(r.fieldIndex("zipf_slope")))
   }
+
+  test("mutualInfoCore: one cell gives zero MI and NULL NMI, not a crash") {
+    // a single (x, y) cell has zero entropy on both margins: the NMI
+    // denominator is 0 -> nullif keeps it NULL instead of an ANSI error
+    val one = Seq.fill(7)(("a", "u")).toDF("source", "lang")
+    val r = operators.MiscOps.mutualInfoCore(one, "source", "lang").head()
+    assert(r.getLong(0) == 7 && r.getDouble(1) == 0.0)
+    assert(r.isNullAt(r.fieldIndex("nmi")))
+  }
+
+  test("giniCore: constant sizes give exactly 0; empty input is empty") {
+    val const = Seq.tabulate(9)(i => (i.toLong, "s", 50L))
+      .toDF("doc_id", "source", "n_chars")
+    val g = operators.StatsOps.giniCore(const, col("n_chars")).head()
+    assert(g.getDouble(3) == 0.0, g.toString)
+    val empty = spark.emptyDataset[(Long, String, Long)]
+      .toDF("doc_id", "source", "n_chars")
+    assert(operators.StatsOps.giniCore(empty, col("n_chars")).isEmpty)
+    // all mass on one doc: gini = (n-1)/n exactly (the discrete maximum)
+    val spike = (Seq((0L, "s", 1000L)) ++
+      Seq.tabulate(9)(i => (i + 1L, "s", 0L))).toDF("doc_id", "source", "n_chars")
+    val gs = operators.StatsOps.giniCore(spike, col("n_chars")).head()
+    assert(gs.getDouble(3) == 0.9, gs.toString)
+  }
+
+  test("heapsLawCore: single source yields NULL slope, not a crash") {
+    val docs = Seq((1L, "alpha beta gamma", "only"),
+      (2L, "alpha beta delta", "only")).toDF("doc_id", "text", "source")
+    val r = operators.TextOps.heapsLawCore(docs).head()
+    assert(r.getLong(0) == 1)
+    assert(r.isNullAt(r.fieldIndex("heaps_beta")))
+  }
+
+  test("essCore: single-domain corpus has ESS exactly n") {
+    import spark.implicits._
+    val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
+    val r = operators.CurationOps.essCore(one).head()
+    assert(r.getLong(0) == 12 && r.getDouble(1) == 12.0 &&
+      r.getDouble(2) == 1.0, r.toString)
+  }
 }
