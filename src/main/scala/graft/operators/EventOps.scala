@@ -881,12 +881,16 @@ object EventOps {
     * #types² after the pair aggregate; per-type totals broadcast back.
     * Jaccard = inter/(n_a+n_b−inter), ONE double division of exact ints. */
   def q192AudienceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // the distinct table feeds three consumers (totals + both join
+    // sides): checkpoint it so the corpus is scanned ONCE, then release
+    // (the q171/q182 multi-use-aggregate lifecycle)
     val tu = Tables.events(s, dir)
       .select(col("event_type"), col("user_id")).distinct()
+      .localCheckpoint(true)
     val tot = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val ta = tu.select(col("event_type").as("type_a"), col("user_id"))
     val tb = tu.select(col("event_type").as("type_b"), col("user_id"))
-    ta.join(tb, "user_id").filter(col("type_a") < col("type_b"))
+    val out = ta.join(tb, "user_id").filter(col("type_a") < col("type_b"))
       .groupBy(col("type_a"), col("type_b"))
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(tot.select(col("event_type").as("type_a"),
@@ -898,6 +902,9 @@ object EventOps {
         (col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")).cast("double"))
           .as("jaccard"))
+      .localCheckpoint(true) // #types²-bounded result
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(tu)
+    out
   }
 
   val q192Sql: String =

@@ -717,6 +717,25 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q194/q195/q196: partial top-k cuts and join-free audit shapes") {
+    withoutAutoBroadcast {
+      // q194: the template cut must be a partial top-k, never a global
+      // sort of the prefix table
+      val p194 = initialPlan(operators.TextOps.q194TemplatePrefix(spark, sfDir))
+      assert(p194.contains("TakeOrderedAndProject"), p194)
+      assert(!p194.contains("Join"), p194)
+      // q195: two stacked aggregates, no join, no window
+      val p195 = initialPlan(operators.EventOps.q195Burstiness(spark, sfDir))
+      assert(count(p195, "Scan parquet") == 1, p195)
+      assert(!p195.contains("Join") && !p195.contains("Window"), p195)
+      // q196: top-10 rides TakeOrderedAndProject above the 1-row
+      // broadcast moment join; no window
+      val p196 = initialPlan(operators.SimilarityOps.q196NormOutliers(spark, sfDir))
+      assert(p196.contains("TakeOrderedAndProject"), p196)
+      assert(!p196.contains("Window"), p196)
+    }
+  }
+
   test("widened inputs add no exchange when the scan is already wide") {
     val c = org.apache.spark.sql.functions.col _
     val wide = spark.range(0, 1000, 1, 8).toDF("doc_id")
