@@ -1203,7 +1203,45 @@ object CurationOps {
       |  CAST(sum(n_docs) AS BIGINT) AS shard_docs
       |FROM cum GROUP BY 1""".stripMargin
 
+  /** Herfindahl–Hirschman concentration of source shares — the
+    * single-number "is this corpus one crawl in a trench coat" check
+    * (HHI = Σ share², 1/#sources at perfect balance, → 1 as one feed
+    * dominates), alongside each source's exact per-mille share. The
+    * concentration companion to [[q184Ess]] (which weights by language)
+    * and q153's top-share curve.
+    *
+    * Determinism: HHI = Σ n_s² / n² — both sums exact decimal(38,0),
+    * ONE double division; shares are exact integer per-milles.
+    *
+    * Scale shape: one corpus pass to #sources rows; the global moment
+    * re-aggregates those. No window over anything unbounded, no join. */
+  def q198Hhi(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val bySrc = Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    bySrc.agg(count(lit(1)).as("n_sources"),
+        sum(col("n_s")).as("n"),
+        sum((col("n_s").cast(d38) * col("n_s").cast(d38)).cast(d38))
+          .as("sq"))
+      .select(col("n_sources"), col("n"),
+        (col("sq").cast("double") /
+          (col("n").cast(d38) * col("n").cast(d38)).cast("double"))
+          .as("hhi"))
+  }
+
+  val q198Sql: String =
+    """WITH s AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_s
+      |  FROM documents GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |  CAST(sum(n_s) AS BIGINT) AS n,
+      |  CAST(sum(CAST(n_s AS HUGEINT) * n_s) AS DOUBLE)
+      |    / CAST(CAST(sum(n_s) AS HUGEINT) * CAST(sum(n_s) AS BIGINT)
+      |        AS DOUBLE) AS hhi
+      |FROM s""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_hhi", q198Hhi, Some(q198Sql)),
     QueryDef("q184_ess", q184Ess, Some(q184Sql)),
     QueryDef("q174_shard_plan", q174ShardPlan, Some(q174Sql)),
     QueryDef("q130_dsir_weights", q130DsirWeights, Some(q130Sql)),

@@ -976,7 +976,62 @@ object EventOps {
       |    // count(*) AS BIGINT) AS share_over_pm
       |FROM per""".stripMargin
 
+  /** Per-state conditional entropy of the behavioral transition matrix:
+    * H(next | prev = t) in nats, with the branching factor — the
+    * drill-down under [[q190SeqMi]]'s single number (which states are
+    * predictable, which are junctions; a near-zero row is a scripted
+    * hop, a near-ln(branching) row is a free choice point).
+    *
+    * Determinism: the q180 fixed-point idiom per row —
+    * H = (rx·L(rx) − Σ c·L(c)) / (rx·10⁶), every term an exact
+    * decimal(38,0) integer, ONE double division per state.
+    *
+    * Scale shape: the per-user lead window (unbounded keys) collapses to
+    * the #types² bigram table; both aggregates run on that. */
+  def q197CondEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    def lfp(c: org.apache.spark.sql.Column) =
+      floor(log(c.cast("double")) * 1e6 + 0.5).cast("long")
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("prev"))
+      .withColumn("next", lead(col("prev"), 1).over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("next").isNotNull)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("c"))
+    pairs.groupBy(col("prev"))
+      .agg(sum(col("c")).as("rx"),
+        count(lit(1)).as("branching"),
+        sum((col("c").cast(d38) * lfp(col("c")).cast(d38)).cast(d38))
+          .as("scl"))
+      .select(col("prev"), col("rx"), col("branching"),
+        ((col("rx").cast(d38) * lfp(col("rx")).cast(d38) - col("scl"))
+          .cast("double") / (col("rx").cast("double") * 1e6))
+          .as("h_next_nats"))
+  }
+
+  val q197Sql: String = {
+    def l(k: String) =
+      s"CAST(floor(ln(CAST($k AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)"
+    s"""WITH pairs AS (
+       |  SELECT prev, next, CAST(count(*) AS BIGINT) AS c
+       |  FROM (
+       |    SELECT event_type AS prev,
+       |      lead(event_type, 1) OVER (PARTITION BY user_id
+       |        ORDER BY ts, event_id) AS next
+       |    FROM events)
+       |  WHERE next IS NOT NULL GROUP BY 1, 2)
+       |SELECT prev, CAST(sum(c) AS BIGINT) AS rx,
+       |  CAST(count(*) AS BIGINT) AS branching,
+       |  CAST(CAST(sum(c) AS HUGEINT) * ${l("sum(c)")}
+       |      - sum(CAST(c AS HUGEINT) * ${l("c")}) AS DOUBLE)
+       |    / (CAST(sum(c) AS DOUBLE) * 1e6) AS h_next_nats
+       |FROM pairs GROUP BY prev""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_cond_entropy", q197CondEntropy, Some(q197Sql)),
     QueryDef("q195_burstiness", q195Burstiness, Some(q195Sql)),
     QueryDef("q192_audience_overlap", q192AudienceOverlap, Some(q192Sql)),
     QueryDef("q188_autocorr", q188Autocorr, Some(q188Sql)),

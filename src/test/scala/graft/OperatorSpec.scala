@@ -1553,6 +1553,25 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q197/q198: entropies bounded by ln(branching); HHI by 1/#sources") {
+    val ce = EventOps.q197CondEntropy(spark, sfDir).collect()
+    assert(ce.nonEmpty)
+    ce.foreach { r =>
+      val h = r.getDouble(3); val b = r.getLong(2)
+      // 0 <= H(next|prev) <= ln(branching), up to ln-quantization noise
+      assert(h >= -1e-3 && h <= math.log(b.toDouble) + 1e-3,
+        s"${r.getString(0)}: h=$h branching=$b")
+    }
+    // rows reconcile with q190's pair total
+    assert(ce.map(_.getLong(1)).sum == EventOps.q190SeqMi(spark, sfDir)
+      .head().getLong(0))
+    val hhi = CurationOps.q198Hhi(spark, sfDir).head()
+    val k = hhi.getLong(0)
+    // perfect balance floor and monopoly ceiling
+    assert(hhi.getDouble(2) >= 1.0 / k.toDouble - 1e-12 &&
+      hhi.getDouble(2) <= 1.0, hhi.toString)
+  }
+
   test("q195: integer Fano classification equals an in-driver recount") {
     import org.apache.spark.sql.functions._
     val r = EventOps.q195Burstiness(spark, sfDir).head()
