@@ -447,7 +447,38 @@ object Multimodal {
       |  CAST(sum(nd) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_distinct
       |FROM d GROUP BY doc_id""".stripMargin
 
+  /** Magic-byte format sniffing over the opaque media column — the
+    * container-format audit a multimodal ingest runs BEFORE any decode
+    * (mismatched magic vs declared format = corrupt or mislabeled
+    * media; JPEG is FFD8, PNG 8950, …). The point is the Spark shape:
+    * a 2-byte `substring` on the BINARY column reads nothing else —
+    * media stays opaque end to end, no codec, no mapPartitions.
+    *
+    * On the synthetic corpus media bytes are UTF-8 text (the documented
+    * qm contract), so the oracle reproduces the prefix with `substr` on
+    * the text itself. All-integer output; shares are exact per-milles
+    * over a window on the ≤ 2¹⁶-cardinality magic table. */
+  def qm7MagicBytes(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    asMediaTable(Tables.documents(s, dir))
+      .select(hex(substring(col("media"), 1, 2)).as("magic"))
+      .groupBy(col("magic")).agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .select(col("magic"), col("n"),
+        expr("n * 1000 div tot").as("share_pm"))
+  }
+
+  val qm7Sql: String =
+    """WITH m AS (
+      |  SELECT upper(hex(substr(text, 1, 2))) AS magic,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1)
+      |SELECT magic, n,
+      |  CAST(n * 1000 // sum(n) OVER () AS BIGINT) AS share_pm
+      |FROM m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("qm7_magic_bytes", qm7MagicBytes, Some(qm7Sql)),
     QueryDef("qm1_multimodal_features", qm1Features, Some(qm1Sql)),
     QueryDef("qm2_multimodal_frames", qm2Frames, Some(qm2Sql)),
     QueryDef("qm3_frame_dedup", qm3FrameDedup, Some(qm3Sql)),

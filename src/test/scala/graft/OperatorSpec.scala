@@ -1553,6 +1553,17 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("qm7: magic-byte shares reconcile and stay opaque-binary-shaped") {
+    val rows = multimodal.Multimodal.qm7MagicBytes(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every magic is the hex of exactly two bytes (4 uppercase hex chars)
+    assert(rows.forall(_.getString(0).matches("[0-9A-F]{4}")))
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sfDir).count())
+    val s = rows.map(_.getLong(2)).sum
+    assert(s <= 1000 && s > 1000 - rows.length, s"shares sum $s")
+  }
+
   test("q197/q198: entropies bounded by ln(branching); HHI by 1/#sources") {
     val ce = EventOps.q197CondEntropy(spark, sfDir).collect()
     assert(ce.nonEmpty)
