@@ -939,12 +939,19 @@ object StatsOps {
     * pattern); the window and both aggregates run on that bounded table,
     * keyed by event_type so types parallelize. Never a global sort of
     * raw events, never a single-task funnel. */
-  def q183TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+  def q183TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    trimmedFromCounts(Tables.events(s, dir)
+      .groupBy(col("event_type"), cents(col("value")).as("v"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Trimmed mean from a per-(event_type, cents-value) count table —
+    * the mergeable-histogram core shared by [[q183TrimmedMean]] and the
+    * streaming monitor (counts merge by addition, so an incremental
+    * state table recomputes the EXACT same value the batch query
+    * produces — the q139/ksMonitor merge story). */
+  def trimmedFromCounts(cts: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
-    val cts = Tables.events(s, dir)
-      .groupBy(col("event_type"), cents(col("value")).as("v"))
-      .agg(count(lit(1)).as("c"))
     val e = cts
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(col("event_type")).orderBy(col("v"))))

@@ -470,6 +470,52 @@ object StreamingOps {
     batches.get()
   }
 
+  /** Online robust-metric monitor — the streaming tier of batch q183:
+    * the per-(type, cents) count histogram is the MERGEABLE state
+    * (counts add, so the fold is exact — the ksMonitor/q139 pattern),
+    * persisted in the lake; each micro-batch folds its counts in and
+    * recomputes the exact trimmed mean per event type from the merged
+    * histogram, appending one log row per type. After the last trigger
+    * the monitor's values equal batch q183 EXACTLY — integer cents all
+    * the way, no double drift across the batch/stream split.
+    *
+    * State is value-cardinality-bounded (never event-volume): the same
+    * contract as the batch ecdf family. */
+  def trimmedMeanMonitorStream(spark: SparkSession, srcDir: String,
+      stateDir: String, logDir: String, filesPerTrigger: Int = 2): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Exact.cents
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          val bCounts = graft.Tables.normalizeTs(batch)
+            .groupBy(col("event_type"), cents(col("value")).as("v"))
+            .agg(count(lit(1)).as("c"))
+          val existing = scala.util.Try(
+            spark.read.schema("event_type STRING, v LONG, c LONG")
+              .parquet(stateDir)).toOption
+          val merged = existing.fold(bCounts)(old =>
+            bCounts.unionByName(old).groupBy(col("event_type"), col("v"))
+              .agg(sum(col("c")).as("c")))
+            .localCheckpoint(true) // plan must not read the path it overwrites
+          merged.write.mode("overwrite").parquet(stateDir)
+          graft.operators.StatsOps.trimmedFromCounts(merged)
+            .select(lit(id).as("batch_id"), col("event_type"), col("n"),
+              col("trimmed_n"), col("trimmed_mean"))
+            .write.mode("append").parquet(logDir)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    batches.get()
+  }
+
   /** Streaming multi-touch attribution — the online tier of batch q152:
     * per-user touch history (click/view/signup) is carried in
     * `flatMapGroupsWithState`, and each arriving purchase emits one

@@ -596,6 +596,35 @@ class StreamingSpec extends SparkTestBase {
     assert(stateRows <= feed.select("n_chars").distinct().count())
   }
 
+  test("streaming trimmed-mean monitor converges to batch q183 exactly") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("strim").toString
+    val src = s"$tmp/src"
+    val events = Tables.events(spark, sfDir)
+    (0 until 4).foreach { i =>
+      events.filter(pmod(col("event_id"), lit(4)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+      Thread.sleep(5)
+    }
+    val n = StreamingOps.trimmedMeanMonitorStream(spark, src,
+      s"$tmp/state", s"$tmp/log", filesPerTrigger = 1)
+    assert(n >= 4, s"expected >= 4 non-empty batches, got $n")
+    val log = spark.read.parquet(s"$tmp/log")
+    val lastId = log.agg(max(col("batch_id"))).head().getLong(0)
+    val fin = log.filter(col("batch_id") === lastId)
+      .select("event_type", "n", "trimmed_n", "trimmed_mean")
+    val want = operators.StatsOps.q183TrimmedMean(spark, sfDir)
+    assert(fin.exceptAll(want).isEmpty && want.exceptAll(fin).isEmpty)
+    // monitored totals grow monotonically across triggers
+    val perBatch = log.groupBy("batch_id").agg(sum(col("n")).as("tot"))
+      .orderBy("batch_id").collect().map(_.getLong(1)).toSeq
+    assert(perBatch == perBatch.sorted)
+    // state stays value-sized, not event-sized
+    assert(spark.read.parquet(s"$tmp/state").count() <=
+      events.select(col("event_type"),
+        graft.functions.Exact.cents(col("value"))).distinct().count())
+  }
+
   test("streaming first-seen feed reproduces the batch q179 daily curve") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("snew").toString
