@@ -460,7 +460,59 @@ object Relational {
       |SELECT e.event_id, e.k, c.n_type
       |FROM e JOIN c ON e.k IS NOT DISTINCT FROM c.k""".stripMargin
 
+  /** Brand pricing rollup: gross vs discounted revenue and the
+    * effective (revenue-weighted) discount rate per brand — the finance
+    * close query over the star schema, computed entirely in integer
+    * cents × per-mille before the final divisions (the q01 exact-money
+    * family, composed with a broadcast dim join).
+    *
+    * eff_discount_pm = Σ(ext·d) / Σ(ext) is the revenue-WEIGHTED
+    * per-mille rate — a plain avg(discount) would weight a 10-cent line
+    * equally with a 10k line. Each output is one double division of
+    * exact decimal(38,0) sums.
+    *
+    * Scale shape: part broadcasts onto one lineitem pass; the aggregate
+    * collapses to #brands rows with map-side combine. */
+  def q200BrandPricing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.cents
+    val d38 = "decimal(38,0)"
+    val li = graft.Tables.lineitem(s, dir).select(col("l_partkey"),
+      cents(col("l_extendedprice")).as("e"),
+      floor(col("l_discount") * 1000 + 0.5).cast("long").as("d"))
+    li.join(broadcast(graft.Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        Seq("l_partkey"))
+      .groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("e").cast(d38)).as("ge"),
+        sum((col("e").cast(d38) * (lit(1000L) - col("d")).cast(d38))
+          .cast(d38)).as("ne"),
+        sum((col("e").cast(d38) * col("d").cast(d38)).cast(d38)).as("ed"))
+      .select(col("p_brand"), col("n_lines"),
+        (col("ge").cast("double") / 100.0).as("gross_revenue"),
+        (col("ne").cast("double") / 1e5).as("net_revenue"),
+        (col("ed").cast("double") /
+          nullif(col("ge").cast("double"), lit(0.0)))
+          .as("eff_discount_pm"))
+  }
+
+  val q200Sql: String =
+    """WITH li AS (
+      |  SELECT p_brand,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS e,
+      |    CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS d
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |  CAST(sum(CAST(e AS HUGEINT)) AS DOUBLE) / 100.0 AS gross_revenue,
+      |  CAST(sum(CAST(e AS HUGEINT) * (1000 - d)) AS DOUBLE) / 1e5
+      |    AS net_revenue,
+      |  CAST(sum(CAST(e AS HUGEINT) * d) AS DOUBLE)
+      |    / nullif(CAST(sum(CAST(e AS HUGEINT)) AS DOUBLE), 0.0)
+      |    AS eff_discount_pm
+      |FROM li GROUP BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_brand_pricing", q200BrandPricing, Some(q200Sql)),
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
     QueryDef("q03_join_agg", q03JoinAgg, Some(q03Sql)),

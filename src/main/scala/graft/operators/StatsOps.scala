@@ -1124,7 +1124,63 @@ object StatsOps {
       |    / (CAST(max(tot) AS DOUBLE) * 100.0) AS winsorized_mean
       |FROM kp GROUP BY event_type""".stripMargin
 
+  /** Discount elasticity by brand: exact-moment correlation between a
+    * line's discount (per-mille) and its quantity, per `p_brand` — the
+    * "do discounts actually move volume for this brand" merchandising
+    * answer, and the star-join + exact-moment composition in one query
+    * (broadcast dim join, q188's correctly-rounded-sqrt correlation).
+    *
+    * Scale shape: part broadcasts onto one lineitem pass (the DPP-
+    * friendly star shape); moments collapse per brand (map-side
+    * combine, #brands rows). All moments exact decimal(38,0); r is
+    * num / (√a·√b) of exact integers. */
+  def q199DiscountElasticity(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val li = Tables.lineitem(s, dir).select(col("l_partkey"),
+      floor(col("l_discount") * 1000 + 0.5).cast("long").as("x"),
+      floor(col("l_quantity") + 0.5).cast("long").as("y"))
+    val m = li
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        Seq("l_partkey"))
+      .groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum((col("x").cast(d38) * col("y").cast(d38)).cast(d38)).as("sxy"),
+        sum((col("x").cast(d38) * col("x").cast(d38)).cast(d38)).as("sxx"),
+        sum((col("y").cast(d38) * col("y").cast(d38)).cast(d38)).as("syy"))
+    m.select(col("p_brand"), col("n_lines"),
+      ((col("n_lines") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        nullif(
+          sqrt((col("n_lines") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+          sqrt((col("n_lines") * col("syy") - col("sy") * col("sy"))
+            .cast("double")), lit(0.0))).as("elasticity"))
+  }
+
+  val q199Sql: String =
+    """WITH li AS (
+      |  SELECT p_brand,
+      |    CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |m AS (
+      |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM li GROUP BY 1)
+      |SELECT p_brand, n_lines,
+      |  CAST(n_lines * sxy - sx * sy AS DOUBLE)
+      |    / nullif(sqrt(CAST(n_lines * sxx - sx * sx AS DOUBLE))
+      |        * sqrt(CAST(n_lines * syy - sy * sy AS DOUBLE)), 0.0)
+      |    AS elasticity
+      |FROM m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_discount_elasticity", q199DiscountElasticity, Some(q199Sql)),
     QueryDef("q186_winsorize", q186Winsorize, Some(q186Sql)),
     QueryDef("q185_gini", q185Gini, Some(q185Sql)),
     QueryDef("q183_trimmed_mean", q183TrimmedMean, Some(q183Sql)),

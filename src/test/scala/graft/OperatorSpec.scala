@@ -1553,6 +1553,31 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q199/q200: star-join stats reconcile with the money identities") {
+    import org.apache.spark.sql.functions._
+    val el = StatsOps.q199DiscountElasticity(spark, sfDir).collect()
+    assert(el.nonEmpty)
+    el.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val e = r.getDouble(2)
+        assert(e >= -1.0 - 1e-12 && e <= 1.0 + 1e-12,
+          s"${r.getString(0)}: $e")
+      }
+    }
+    val bp = Relational.q200BrandPricing(spark, sfDir).collect()
+    assert(bp.nonEmpty)
+    bp.foreach { r =>
+      val (g, n, d) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // net <= gross; effective rate within the discount domain; and the
+      // identity net = gross * (1 - eff/1000) holds up to one double op
+      assert(n <= g + 1e-9 && d >= 0.0 && d <= 1000.0)
+      assert(math.abs(n - g * (1 - d / 1000.0)) <= 1e-6 * g, r.toString)
+    }
+    // line counts reconcile with the fact table
+    assert(bp.map(_.getLong(1)).sum ==
+      Tables.lineitem(spark, sfDir).count())
+  }
+
   test("qm7: magic-byte shares reconcile and stay opaque-binary-shaped") {
     val rows = multimodal.Multimodal.qm7MagicBytes(spark, sfDir).collect()
     assert(rows.nonEmpty)
