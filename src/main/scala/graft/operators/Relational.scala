@@ -511,7 +511,148 @@ object Relational {
       |    AS eff_discount_pm
       |FROM li GROUP BY 1""".stripMargin
 
+  /** Fulfillment-SLA profile: exact P50/P90/P99 ship lag (days between
+    * order and line shipment) per order priority — the ops question
+    * ("are urgent orders actually faster, and what does the tail look
+    * like?") answered with EXACT order statistics, never approximate
+    * percentiles: the quantile value is min{lag : 100·cum ≥ q·n} off
+    * the per-(priority, lag-day) ecdf, an all-integer comparison.
+    *
+    * Scale shape: the lineitem↔orders fact join shuffles on orderkey
+    * (AQE-splittable); the corpus then collapses to per-(priority, lag)
+    * counts (map-side combine, lag-cardinality-bounded); the window and
+    * the conditional-min quantile picks run on that bounded table. */
+  def q201ShipLag(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lags = graft.Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(graft.Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag"))
+    val e = lags.groupBy(col("o_orderpriority"), col("lag"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("o_orderpriority")).orderBy(col("lag"))))
+      .withColumn("tot", sum(col("c")).over(
+        Window.partitionBy(col("o_orderpriority"))))
+    def pick(q: Int) =
+      min(when(col("cum") * 100 >= lit(q.toLong) * col("tot"), col("lag")))
+    e.groupBy(col("o_orderpriority"))
+      .agg(max(col("tot")).as("n_lines"),
+        pick(50).as("p50_days"), pick(90).as("p90_days"),
+        pick(99).as("p99_days"))
+  }
+
+  val q201Sql: String =
+    """WITH lags AS (
+      |  SELECT o_orderpriority,
+      |    CAST(datediff('day', CAST(o_orderdate AS DATE),
+      |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lag
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e AS (
+      |  SELECT o_orderpriority, lag, CAST(count(*) AS BIGINT) AS c
+      |  FROM lags GROUP BY 1, 2),
+      |w AS (
+      |  SELECT o_orderpriority, lag,
+      |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY lag) AS cum,
+      |    sum(c) OVER (PARTITION BY o_orderpriority) AS tot
+      |  FROM e)
+      |SELECT o_orderpriority, CAST(max(tot) AS BIGINT) AS n_lines,
+      |  min(CASE WHEN cum * 100 >= 50 * tot THEN lag END) AS p50_days,
+      |  min(CASE WHEN cum * 100 >= 90 * tot THEN lag END) AS p90_days,
+      |  min(CASE WHEN cum * 100 >= 99 * tot THEN lag END) AS p99_days
+      |FROM w GROUP BY 1""".stripMargin
+
+  /** RFM customer segmentation grid: each customer scored 1–5 on
+    * Recency (days since last order), Frequency (#orders) and Monetary
+    * (lifetime cents), output as the ≤125-cell (r,f,m) count grid — the
+    * classic CRM segmentation, exact end to end: quintile boundaries
+    * are order statistics off value-bounded ecdfs
+    * (b_j = min{v : 5·cum ≥ j·n}), scores are integer comparisons
+    * against the four broadcast boundaries (score = 1 + #boundaries
+    * strictly below the value; ties land in the lower bucket). Scores
+    * are ascending-by-value on all three axes — consumers flip recency.
+    *
+    * Scale shape: one orders pass to per-customer triples (unbounded
+    * keys, map-side combine); each metric's boundary set comes from a
+    * value-bounded ecdf + window (never a per-customer ntile window,
+    * which would funnel all customers through one task); boundaries
+    * broadcast back; the grid aggregate is ≤ 5³ cells. */
+  def q202RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Exact.cents
+    val ords = graft.Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        cents(col("o_totalprice")).as("p"))
+    val maxD = ords.agg(max(col("d")).as("dmax"))
+    val per = ords.crossJoin(broadcast(maxD))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("d")).as("dlast"), first(col("dmax")).as("dmax"),
+        count(lit(1)).as("f"), sum(col("p")).as("m"))
+      .select(col("o_custkey"),
+        datediff(col("dmax"), col("dlast")).cast("long").as("r"),
+        col("f"), col("m"))
+    def bounds(metric: String, prefix: String) = {
+      val e = per.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+        .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      val picks = (1 to 4).map(j =>
+        min(when(col("cum") * 5 >= lit(j.toLong) * col("tot"), col("v")))
+          .as(s"$prefix$j"))
+      e.agg(picks.head, picks.tail: _*)
+    }
+    def score(c: org.apache.spark.sql.Column, prefix: String) =
+      (1 to 4).map(j => when(c > col(s"$prefix$j"), 1L).otherwise(0L))
+        .reduce(_ + _) + 1L
+    per
+      .crossJoin(broadcast(bounds("r", "rb")))
+      .crossJoin(broadcast(bounds("f", "fb")))
+      .crossJoin(broadcast(bounds("m", "mb")))
+      .groupBy(score(col("r"), "rb").as("r_score"),
+        score(col("f"), "fb").as("f_score"),
+        score(col("m"), "mb").as("m_score"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  val q202Sql: String = {
+    def boundsSql(src: String, pfx: String) = {
+      val picks = (1 to 4).map(j =>
+        s"min(CASE WHEN cum * 5 >= $j * tot THEN v END) AS $pfx$j")
+        .mkString(", ")
+      s"""(SELECT $picks FROM (
+         |  SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS tot
+         |  FROM (SELECT $src AS v, CAST(count(*) AS BIGINT) AS c
+         |        FROM per GROUP BY 1)))""".stripMargin
+    }
+    def scoreSql(c: String, pfx: String) =
+      "1 + " + (1 to 4).map(j =>
+        s"(CASE WHEN $c > $pfx$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', max(CAST(o_orderdate AS DATE)),
+       |      (SELECT max(CAST(o_orderdate AS DATE)) FROM orders))
+       |      AS BIGINT) AS r,
+       |    CAST(count(*) AS BIGINT) AS f,
+       |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS m
+       |  FROM orders GROUP BY o_custkey)
+       |SELECT CAST(${scoreSql("r", "rb")} AS BIGINT) AS r_score,
+       |  CAST(${scoreSql("f", "fb")} AS BIGINT) AS f_score,
+       |  CAST(${scoreSql("m", "mb")} AS BIGINT) AS m_score,
+       |  CAST(count(*) AS BIGINT) AS n_customers
+       |FROM per
+       |CROSS JOIN ${boundsSql("r", "rb")} rb
+       |CROSS JOIN ${boundsSql("f", "fb")} fb
+       |CROSS JOIN ${boundsSql("m", "mb")} mb
+       |GROUP BY 1, 2, 3""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_rfm_segments", q202RfmSegments, Some(q202Sql)),
+    QueryDef("q201_ship_lag", q201ShipLag, Some(q201Sql)),
     QueryDef("q200_brand_pricing", q200BrandPricing, Some(q200Sql)),
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),

@@ -1553,6 +1553,42 @@ class OperatorSpec extends SparkTestBase {
     assert(real.getDouble(2) > 0.0 && real.getDouble(2) <= 1.0)
   }
 
+  test("q201: quantile picks are exact order statistics of the lag set") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.q201ShipLag(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val lags = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        Seq("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lag")).collect()
+      .groupBy(_.getString(0))
+    val want = lags.map { case (p, rs) =>
+      val xs = rs.map(_.getLong(1)).sorted
+      def pick(q: Int) = xs((q * xs.length + 99) / 100 - 1) // ceil rank
+      p -> ((xs.length.toLong, pick(50), pick(90), pick(99)))
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("q202: every customer lands in exactly one cell; scores in 1..5") {
+    val grid = Relational.q202RfmSegments(spark, sfDir).collect()
+    assert(grid.map(_.getLong(3)).sum ==
+      Tables.orders(spark, sfDir).select("o_custkey").distinct().count())
+    assert(grid.forall { r =>
+      (0 to 2).forall(i => r.getLong(i) >= 1 && r.getLong(i) <= 5)
+    })
+    // quintile boundaries actually spread customers: at least 3 distinct
+    // scores used on every axis at sf0.001
+    (0 to 2).foreach { i =>
+      assert(grid.map(_.getLong(i)).distinct.length >= 3, s"axis $i collapsed")
+    }
+  }
+
   test("q199/q200: star-join stats reconcile with the money identities") {
     import org.apache.spark.sql.functions._
     val el = StatsOps.q199DiscountElasticity(spark, sfDir).collect()
