@@ -43,6 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("count_in_array"),
       info("count_in_array", "count of left-array elements present in the right array"),
       (es: Seq[Expression]) => functions.VectorExprs.CountInArray(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "Jaro-Winkler similarity (RapidFuzz semantics)"),
+      (es: Seq[Expression]) => functions.StringSimExprs.JaroWinkler(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("md5long60"),
       info("md5long60", "first 60 bits of md5(x) as a non-negative long"),
       (es: Seq[Expression]) => functions.HashExprs.Md5Long60(es.head)))

@@ -999,6 +999,63 @@ object DedupOps {
       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE levenshtein(a.adj, b.adj) BETWEEN 1 AND 2""".stripMargin
 
+  /** Jaro–Winkler token linkage — the OTHER classic record-linkage
+    * similarity, complementing q160's Levenshtein: Winkler's
+    * prefix-boosted Jaro score is the standard measure for short
+    * identifiers where edit distance over-penalizes transposed typos
+    * ("rod"/"row" vs "cold"/"column"). Spark has no Jaro family builtin;
+    * [[graft.functions.StringSimExprs.JaroWinkler]] is a codegen'd
+    * Catalyst expression pinned bit-exactly to the RapidFuzz arithmetic
+    * DuckDB embeds (20k-pair fuzz parity), so the DOUBLE scores here
+    * hash-match the oracle — not just the pair set.
+    *
+    * Scale design mirrors q160: never fuzzy-join records. Collapse both
+    * corpora to the distinct-token DICTIONARY first (Heaps' law — vocab
+    * grows sublinearly in corpus size), then block the dictionary
+    * self-join on (first char, ±2 length band) — the classic
+    * edit-distance blocking key; JW < 0.75 is impossible outside the
+    * band only heuristically, but the gate is part of the operator's
+    * declared contract (mirrored in the oracle), exactly like an LSH
+    * band bound. Occurrence counts n_a·n_b give the record-level linkage
+    * workload a broadcast map-back would materialize. */
+  def q203JaroLinkage(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.StringSimExprs.jaro_winkler
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .unionAll(Tables.part(s, dir)
+        .select(explode(split(lower(col("p_name")), " ")).as("w")))
+    val dict = toks.filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .withColumn("blk", substring(col("w"), 1, 1))
+    val a = dict.select(col("w").as("word_a"), col("blk"),
+      length(col("w")).as("la"), col("n").as("n_a"))
+    val b = dict.select(col("w").as("word_b"), col("blk"),
+      length(col("w")).as("lb"), col("n").as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("word_a") < col("word_b") &&
+        abs(col("la") - col("lb")) <= 2)
+      .withColumn("jw", jaro_winkler(col("word_a"), col("word_b")))
+      .filter(col("jw") >= 0.75)
+      .select(col("word_a"), col("word_b"), col("jw"),
+        col("n_a"), col("n_b"))
+  }
+
+  val q203Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(
+      |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT unnest(string_split(lower(p_name), ' ')) FROM part),
+      |d AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks
+      |      WHERE w <> '' GROUP BY 1),
+      |n AS (SELECT w, n, substr(w, 1, 1) AS blk FROM d)
+      |SELECT a.w AS word_a, b.w AS word_b,
+      |  jaro_winkler_similarity(a.w, b.w) AS jw, a.n AS n_a, b.n AS n_b
+      |FROM n a JOIN n b ON a.blk = b.blk AND a.w < b.w
+      |  AND abs(length(a.w) - length(b.w)) <= 2
+      |WHERE jaro_winkler_similarity(a.w, b.w) >= 0.75""".stripMargin
+
   /** Capture–recapture (Lincoln–Petersen) corpus-size estimate from two
     * overlapping feeds: if src0 holds n_a distinct fingerprints, src1
     * n_b, and they share m, the underlying population is ≈ n_a·n_b/m —
@@ -1046,6 +1103,7 @@ object DedupOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q191_capture_recapture", q191CaptureRecapture, Some(q191Sql)),
     QueryDef("q160_fuzzy_linkage", q160FuzzyLinkage, Some(q160Sql)),
+    QueryDef("q203_jaro_linkage", q203JaroLinkage, Some(q203Sql)),
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q145_containment", q145Containment, Some(q145Sql)),
     QueryDef("q146_cluster_sizes", q146ClusterSizes, Some(q146Sql)),

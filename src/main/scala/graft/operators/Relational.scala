@@ -112,6 +112,51 @@ object Relational {
       |JOIN nation   ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** Local-supplier revenue (TPC-H Q5 shape): revenue from lineitems
+    * where the SUPPLIER sits in the customer's own nation, per nation,
+    * one order year — the classic 5-way decision-support join with a
+    * non-key equi-predicate (c_nationkey = s_nationkey) that only
+    * becomes checkable after three fact joins.
+    *
+    * Scale shape: the o_orderdate year filter pushes to the orders scan
+    * (PushedFilters), shrinking the orders⋈lineitem shuffle to one
+    * year's keys; customer and supplier join by key (shuffle — both
+    * scale with the corpus, so no forced broadcast; AQE picks broadcast
+    * at small SF on its own); nation is the only compile-time broadcast.
+    * The local-supplier predicate is applied as soon as both nationkeys
+    * are in scope, before the final aggregate. */
+  def q204LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .filter(c("c_nationkey") === su("s_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(frevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q204Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE c_nationkey = s_nationkey
+      |  AND year(o_orderdate) = 1997
+      |GROUP BY n_name""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -657,6 +702,7 @@ object Relational {
     QueryDef("q01_pricing_summary", q01PricingSummary, Some(q01Sql)),
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
     QueryDef("q03_join_agg", q03JoinAgg, Some(q03Sql)),
+    QueryDef("q204_local_supplier", q204LocalSupplier, Some(q204Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),
