@@ -157,6 +157,73 @@ object Relational {
       |  AND year(o_orderdate) = 1997
       |GROUP BY n_name""".stripMargin
 
+  /** National market share (TPC-H Q8 shape): within ASIA-region
+    * customers' revenue, the fraction supplied by NATION_7's suppliers,
+    * per order year — the classic "market share trend" conditional-ratio
+    * aggregate: one grouped pass computes BOTH the conditional numerator
+    * and the unconditional denominator (no second scan, no join between
+    * two aggregates).
+    *
+    * Exactness: numerator and denominator are exact decimal revenue sums
+    * ([[graft.functions.Exact.lsum]] radix-chunked longs, the engine's
+    * overflow-safe-to-100TB idiom); the share is ONE double division of
+    * the two — bit-identical to the oracle's decimal-sum ratio.
+    *
+    * Scale shape: region/nation are compile-time broadcasts onto
+    * customer and supplier; the two fact joins shuffle on their keys;
+    * the ASIA filter rides the customer join so non-region rows drop
+    * before the supplier join; the final aggregate is
+    * year-cardinality-bounded with map-side combine. */
+  def q205MarketShare(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.{cents, lsum}
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n.join(r, n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))),
+        col("c_nationkey") === col("cn_key"))
+      .select("c_custkey")
+    val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation")
+    val volumeCents = cents(col("l_extendedprice")) *
+      (lit(100L) - cents(col("l_discount")))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(su, li("l_suppkey") === su("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(
+        lsum(when(col("supp_nation") === "NATION_7", volumeCents)
+          .otherwise(lit(0L)), 4).as("n7_revenue"),
+        lsum(volumeCents, 4).as("revenue"))
+      .withColumn("mkt_share", col("n7_revenue") / col("revenue"))
+  }
+
+  val q205Sql: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS n7_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(sum(CASE WHEN n2.n_name = 'NATION_7'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |GROUP BY 1""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -703,6 +770,7 @@ object Relational {
     QueryDef("q02_filter_project", q02FilterProject, Some(q02Sql)),
     QueryDef("q03_join_agg", q03JoinAgg, Some(q03Sql)),
     QueryDef("q204_local_supplier", q204LocalSupplier, Some(q204Sql)),
+    QueryDef("q205_market_share", q205MarketShare, Some(q205Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),

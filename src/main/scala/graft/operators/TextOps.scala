@@ -18,6 +18,11 @@ object TextOps {
     "list_filter(string_split(regexp_replace(trim(lower(text)), " +
       "'\\s+', ' ', 'g'), ' '), x -> x <> '')"
 
+  /** DuckDB snippet for the raw (unfiltered) token array — exactly
+    * `tokens(text)` on the Spark side. */
+  private val toksSql =
+    "string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')"
+
   /** Token-count / length statistics per document. The average token
     * length is derived from exact integer counts (chars minus separators
     * over tokens), so the double division is bit-identical cross-engine. */
@@ -1919,7 +1924,126 @@ object TextOps {
        |FROM p GROUP BY 1
        |ORDER BY n_docs DESC, prefix LIMIT 10""".stripMargin
 
+  /** Pairwise weighted-Jaccard similarity between sources' term
+    * DISTRIBUTIONS — Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b) over the
+    * term union. Where q128's overlap matrix counts shared DOCUMENTS and
+    * q182's χ² flags individually skewed terms, this scores whole-corpus
+    * lexical closeness between feeds — the "are these two crawls the
+    * same distribution" signal that decides whether a new source adds
+    * diversity or duplicates an existing one.
+    *
+    * Exactness: tf's are exact counts; Σ max is NOT computed directly —
+    * the identity Σ max = T_a + T_b − Σ min (T = source token total)
+    * turns the union-aggregate into an INNER join on shared terms plus
+    * two broadcast totals, and keeps everything integer until one final
+    * double division per pair.
+    *
+    * Scale shape: one corpus pass → (source, term) aggregate (map-side
+    * combine, vocab·S-bounded by Heaps' law); the pair space is S², so
+    * the operator's contract is a bounded source PANEL (same contract as
+    * q128's matrix — for open-world domains, block pairs through LSH on
+    * tf sketches first); the term-keyed self-join is skew-safe (a term
+    * present in all S sources contributes S² rows, AQE-splittable, never
+    * an aggregation buffer). */
+  def q206SourceWJaccard(s: SparkSession, dir: String): DataFrame =
+    wJaccardCore(Tables.documents(s, dir))
+
+  /** See [[q206SourceWJaccard]]. */
+  def wJaccardCore(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+    val tot = tf.groupBy(col("source")).agg(sum(col("tf")).as("t"))
+    val a = tf.select(col("source").as("src_a"), col("term"),
+      col("tf").as("tf_a"))
+    val b = tf.select(col("source").as("src_b"), col("term"),
+      col("tf").as("tf_b"))
+    a.join(b, Seq("term"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(least(col("tf_a"), col("tf_b"))).as("sum_min"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("t").as("t_a"))),
+        Seq("src_a"))
+      .join(broadcast(tot.select(col("source").as("src_b"), col("t").as("t_b"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("sum_min"),
+        (col("sum_min").cast("double") /
+          (col("t_a") + col("t_b") - col("sum_min")).cast("double"))
+          .as("w_jaccard"))
+  }
+
+  val q206Sql: String =
+    s"""WITH tf AS (
+       |  SELECT source, w AS term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT source, unnest($toksSql) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS t FROM tf GROUP BY 1),
+       |shared AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS sum_min
+       |  FROM tf a JOIN tf b ON a.term = b.term AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, sum_min,
+       |  CAST(sum_min AS DOUBLE) / CAST(ta.t + tb.t - sum_min AS DOUBLE)
+       |    AS w_jaccard
+       |FROM shared
+       |JOIN tot ta ON ta.source = src_a
+       |JOIN tot tb ON tb.source = src_b""".stripMargin
+
+  /** Good–Turing missing mass over word bigrams — the classic estimate
+    * of how much probability the corpus has NOT yet seen: the fraction
+    * of bigram occurrences that are singletons (n₁/N) estimates the
+    * probability that the next sampled bigram is novel. The "is more
+    * crawling still buying new n-grams" saturation check, complementing
+    * q181's Heaps exponent (vocabulary GROWTH rate) with an absolute
+    * unseen-mass number; bigrams rather than unigrams because the
+    * closed synthetic unigram vocab saturates immediately (n₁ = 0).
+    *
+    * Exactness: all counts exact integers off one bigram aggregate; the
+    * mass is one double division. Scale: one corpus pass → bigram-keyed
+    * count (map-side combine) → single-row moment; no joins, no windows,
+    * no lists. */
+  def q207GoodTuring(s: SparkSession, dir: String): DataFrame =
+    goodTuringCore(Tables.documents(s, dir))
+
+  /** See [[q207GoodTuring]]. */
+  def goodTuringCore(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat(element_at(col("toks"), i), lit(" "),
+          element_at(col("toks"), i + 1)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("tf"))
+    bg.agg(sum(col("tf")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("vocab"),
+        count_if(col("tf") === 1L).as("n1"),
+        count_if(col("tf") === 2L).as("n2"))
+      .withColumn("gt_missing_mass",
+        col("n1").cast("double") / col("n_bigrams").cast("double"))
+  }
+
+  val q207Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT toks, len(toks) AS n FROM t WHERE len(toks) >= 2),
+       |bg AS (
+       |  SELECT toks[i] || ' ' || toks[i+1] AS g, CAST(count(*) AS BIGINT) AS tf
+       |  FROM f, UNNEST(range(1, n)) AS u(i)
+       |  GROUP BY 1)
+       |SELECT CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(count_if(tf = 1) AS BIGINT) AS n1,
+       |  CAST(count_if(tf = 2) AS BIGINT) AS n2,
+       |  CAST(count_if(tf = 1) AS DOUBLE) / CAST(sum(tf) AS DOUBLE)
+       |    AS gt_missing_mass
+       |FROM bg""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_source_wjaccard", q206SourceWJaccard, Some(q206Sql)),
+    QueryDef("q207_good_turing", q207GoodTuring, Some(q207Sql)),
     QueryDef("q194_template_prefix", q194TemplatePrefix, Some(q194Sql)),
     QueryDef("q193_lang_confusion", q193LangConfusion, Some(q193Sql)),
     QueryDef("q181_heaps_law", q181HeapsLaw, Some(q181Sql)),

@@ -310,6 +310,39 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("heaps_beta")))
   }
 
+  test("wJaccardCore: single-source corpus yields an empty pair frame") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta", "only"), (2L, "beta gamma", "only"))
+      .toDF("doc_id", "text", "source")
+    assert(operators.TextOps.wJaccardCore(docs).count() == 0)
+  }
+
+  test("wJaccardCore: identical distributions score exactly 1.0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b b c", "s1"), (2L, "b a c b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.TextOps.wJaccardCore(docs).head()
+    assert(r.getDouble(3) == 1.0, r.toString)
+  }
+
+  test("goodTuringCore: sub-bigram docs yield the empty-aggregate row, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "single", "s"), (2L, "", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.TextOps.goodTuringCore(docs).head()
+    assert(r.isNullAt(r.fieldIndex("n_bigrams")))
+    assert(r.getLong(r.fieldIndex("vocab")) == 0)
+    assert(r.isNullAt(r.fieldIndex("gt_missing_mass")))
+  }
+
+  test("goodTuringCore: all-distinct bigrams give missing mass exactly 1.0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d", "s")).toDF("doc_id", "text", "source")
+    val r = operators.TextOps.goodTuringCore(docs).head()
+    assert(r.getLong(0) == 3 && r.getLong(2) == 3)
+    assert(r.getDouble(r.fieldIndex("gt_missing_mass")) == 1.0)
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
