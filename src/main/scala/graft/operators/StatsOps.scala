@@ -1179,7 +1179,192 @@ object StatsOps {
       |    AS elasticity
       |FROM m""".stripMargin
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) between two sources' document
+    * lengths, with exact tie handling — the standard nonparametric "are
+    * these two feeds drawn from the same length distribution" test,
+    * complementing q176's exact KS (distance statistic) with the
+    * rank-sum family: U, AUC = U/(n_a·n_b) (the probability a random
+    * src0 doc is longer than a random src1 doc — the effect size), and
+    * the tie-corrected normal z.
+    *
+    * Exactness: ranks are never materialized per row. The samples
+    * collapse to a VALUE HISTOGRAM (ca, cb per distinct length); tied
+    * average ranks come out as exact integers via 2·ranksum_a =
+    * Σ ca·(2·prefix_before + c + 1); the tie correction Σ(c³−c) is
+    * integer too. Every output is a fixed double-expression tree over
+    * those exact integers — bit-identical cross-engine (sums ride
+    * DECIMAL(38) on the Spark side: rank sums are O(n²) ≈ 4e23 at 100 TB
+    * corpus counts, past int64).
+    *
+    * Scale shape: one pass → value-keyed histogram (map-side combine,
+    * distinct-value-bounded); the prefix-sum window runs over that
+    * bounded histogram (same contract as q174's shard plan), never over
+    * rows; one single-row moment closes. */
+  def q208MannWhitney(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyCore(Tables.documents(s, dir), "src0", "src1")
+
+  /** See [[q208MannWhitney]]: rank-sum test of `n_chars` between two
+    * source feeds of `docs`. */
+  def mannWhitneyCore(docs: DataFrame, sa: String, sb: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val h = docs.filter(col("source").isin(sa, sb))
+      .groupBy(col("n_chars").as("v"))
+      .agg(count_if(col("source") === sa).as("ca"),
+        count_if(col("source") === sb).as("cb"))
+      .withColumn("c", col("ca") + col("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = h.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+    val m = p.agg(
+      sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+      sum((col("ca") * (lit(2L) * col("before") + col("c") + lit(1L)))
+        .cast(d38)).as("ranksum2"),
+      sum((col("c").cast(d38) * col("c") * col("c") - col("c")))
+        .as("ties3"))
+    val u2 = (col("ranksum2") - col("n_a") * (col("n_a") + lit(1L)))
+      .cast("double")
+    val nn = (col("n_a") + col("n_b")).cast("double")
+    // ANSI sessions (Spark 4 default) raise on ANY division by zero,
+    // doubles included — degenerate inputs (one empty sample, all values
+    // tied) must yield NULL, not a task failure, so the zero-denominator
+    // cases are when()-guarded. Driver data never hits them, so the
+    // oracle needs no mirror.
+    val pairs = (lit(2L) * col("n_a") * col("n_b")).cast("double")
+    val varTerm = col("n_a").cast("double") * col("n_b").cast("double") /
+      lit(12.0) *
+      ((col("n_a") + col("n_b") + lit(1L)).cast("double") -
+        col("ties3").cast("double") /
+          (nn * (col("n_a") + col("n_b") - lit(1L)).cast("double")))
+    // CaseWhen branches evaluate lazily in order, so varTerm's inner
+    // division only runs once nn >= 2 guarantees its divisor is nonzero,
+    // and the z division only runs once varTerm > 0.
+    val z = when(nn <= 1.0 || col("n_a") * col("n_b") === 0L,
+        lit(null).cast("double"))
+      .when(varTerm > 0.0,
+        (u2 / lit(2.0) - (col("n_a") * col("n_b")).cast("double") / lit(2.0))
+          / sqrt(varTerm))
+    m.select(col("n_a"), col("n_b"),
+      (u2 / lit(2.0)).as("u_a"),
+      when(pairs =!= 0.0, u2 / pairs).as("auc"),
+      z.as("z"))
+  }
+
+  val q208Sql: String =
+    """WITH h AS (
+      |  SELECT n_chars AS v,
+      |    CAST(count_if(source = 'src0') AS BIGINT) AS ca,
+      |    CAST(count_if(source = 'src1') AS BIGINT) AS cb
+      |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1),
+      |p AS (
+      |  SELECT v, ca, cb, ca + cb AS c,
+      |    CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS before
+      |  FROM h),
+      |m AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+      |    sum(ca * (2 * before + c + 1)) AS ranksum2,
+      |    sum(c * c * c - c) AS ties3
+      |  FROM p)
+      |SELECT n_a, n_b,
+      |  CAST(ranksum2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+      |  CAST(ranksum2 - n_a * (n_a + 1) AS DOUBLE)
+      |    / CAST(2 * n_a * n_b AS DOUBLE) AS auc,
+      |  (CAST(ranksum2 - n_a * (n_a + 1) AS DOUBLE) / 2
+      |     - CAST(n_a * n_b AS DOUBLE) / 2)
+      |  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
+      |      (CAST(n_a + n_b + 1 AS DOUBLE)
+      |       - CAST(ties3 AS DOUBLE)
+      |         / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))
+      |    AS z
+      |FROM m""".stripMargin
+
+  /** Cramér's V association between two metadata columns (lang ×
+    * source) — "is language independent of feed" as one number in
+    * [0,1], the metadata-trust audit that catches a crawler tagging all
+    * of one domain with one language. Complements q193 (which compares
+    * DECLARED vs content-detected lang) by testing the joint
+    * distribution of two declared labels, and q197 (conditional
+    * entropy) with the χ²-based effect size reviewers actually report.
+    *
+    * The contingency table must include EMPTY cells ((0−e)²/e = e
+    * contributes): the observed-cell aggregate is left-joined onto the
+    * full margin cross product, so absent combinations count.
+    *
+    * Exactness: margins and counts are exact integers; each cell's χ²
+    * contribution is one fixed double tree, quantized to 1e-9 longs and
+    * summed EXACTLY (the q88 integer-quantization idiom — a raw double
+    * Σ over cells would be partition-order-dependent); √ of the final
+    * ratio is correctly rounded in both engines.
+    *
+    * Scale shape: one corpus pass → (lang, source) counts (map-side
+    * combine, grid-bounded); margins derive from the cell table (no
+    * second corpus scan); the grid cross join is label-cardinality ×
+    * source-panel — bounded by contract, like q128/q206's panel. */
+  def q209CramersV(s: SparkSession, dir: String): DataFrame =
+    cramersVCore(Tables.documents(s, dir))
+
+  /** See [[q209CramersV]]. */
+  def cramersVCore(docs: DataFrame): DataFrame = {
+    val c0 = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val r = c0.groupBy(col("lang")).agg(sum(col("o")).as("rn"))
+    val k = c0.groupBy(col("source")).agg(sum(col("o")).as("cn"))
+    val t = c0.agg(sum(col("o")).cast("long").as("n"),
+      countDistinct(col("lang")).as("nr"),
+      countDistinct(col("source")).as("nc"))
+    val cells = broadcast(r).crossJoin(broadcast(k))
+      .join(c0, Seq("lang", "source"), "left")
+      .select(col("rn"), col("cn"), coalesce(col("o"), lit(0L)).as("o"))
+    val e = col("rn").cast("double") * col("cn").cast("double") /
+      col("n").cast("double")
+    val d = col("o").cast("double") - e
+    val chi2q = cells.crossJoin(broadcast(t))
+      .select(floor(d * d / e * lit(1e9) + lit(0.5)).cast("long").as("cq"))
+      .agg(sum(col("cq")).cast("long").as("chi2q"))
+    chi2q.crossJoin(broadcast(t))
+      .select(col("n"), col("nr").as("n_langs"), col("nc").as("n_sources"),
+        (col("chi2q").cast("double") / lit(1e9)).as("chi2"),
+        // a single-label column makes the V denominator 0 (min(r,c)=1):
+        // NULL, not an ANSI divide-by-zero task failure
+        when(least(col("nr"), col("nc")) > 1L,
+          sqrt(col("chi2q").cast("double") / lit(1e9) /
+            (col("n").cast("double") *
+              (least(col("nr"), col("nc")) - lit(1L)).cast("double"))))
+          .as("cramers_v"))
+  }
+
+  val q209Sql: String =
+    """WITH c0 AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      |  FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rn FROM c0 GROUP BY 1),
+      |k AS (SELECT source, CAST(sum(o) AS BIGINT) AS cn FROM c0 GROUP BY 1),
+      |c AS (
+      |  SELECT r.lang, k.source, r.rn, k.cn, coalesce(c0.o, 0) AS o
+      |  FROM r CROSS JOIN k
+      |  LEFT JOIN c0 ON c0.lang = r.lang AND c0.source = k.source),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS nr,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS nc FROM c0),
+      |q AS (
+      |  SELECT CAST(sum(CAST(floor(
+      |      (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE)*CAST(cn AS DOUBLE)/CAST(n AS DOUBLE))
+      |    * (CAST(o AS DOUBLE) - CAST(rn AS DOUBLE)*CAST(cn AS DOUBLE)/CAST(n AS DOUBLE))
+      |    / (CAST(rn AS DOUBLE)*CAST(cn AS DOUBLE)/CAST(n AS DOUBLE))
+      |    * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS chi2q
+      |  FROM c CROSS JOIN t)
+      |SELECT t.n, t.nr AS n_langs, t.nc AS n_sources,
+      |  CAST(q.chi2q AS DOUBLE) / 1e9 AS chi2,
+      |  sqrt(CAST(q.chi2q AS DOUBLE) / 1e9
+      |    / (CAST(t.n AS DOUBLE) * CAST(least(t.nr, t.nc) - 1 AS DOUBLE)))
+      |    AS cramers_v
+      |FROM q CROSS JOIN t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q208_mann_whitney", q208MannWhitney, Some(q208Sql)),
+    QueryDef("q209_cramers_v", q209CramersV, Some(q209Sql)),
     QueryDef("q199_discount_elasticity", q199DiscountElasticity, Some(q199Sql)),
     QueryDef("q186_winsorize", q186Winsorize, Some(q186Sql)),
     QueryDef("q185_gini", q185Gini, Some(q185Sql)),

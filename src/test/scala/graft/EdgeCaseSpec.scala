@@ -343,6 +343,46 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("gt_missing_mass")) == 1.0)
   }
 
+  test("mannWhitneyCore: all-tied samples give AUC exactly 0.5 and NaN z") {
+    import spark.implicits._
+    // every doc the same length: U must be exactly n_a*n_b/2, and the
+    // tie-corrected variance collapses to 0 -> z undefined (NaN), not a crash
+    val docs = (1L to 8L).map(i =>
+      (i, "x", if (i <= 4) "src0" else "src1", 100L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = operators.StatsOps.mannWhitneyCore(docs, "src0", "src1").head()
+    assert(r.getDouble(r.fieldIndex("u_a")) == 8.0)
+    assert(r.getDouble(r.fieldIndex("auc")) == 0.5)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("mannWhitneyCore: complete separation gives AUC exactly 1.0") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i =>
+      (i, "x", if (i <= 4) "src0" else "src1", if (i <= 4) 900L + i else i))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = operators.StatsOps.mannWhitneyCore(docs, "src0", "src1").head()
+    assert(r.getDouble(r.fieldIndex("auc")) == 1.0)
+  }
+
+  test("cramersVCore: single-label column gives chi2 0 and NULL V, not a crash") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, "x", "only", s"src${i % 3}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = operators.StatsOps.cramersVCore(docs).head()
+    assert(r.getDouble(r.fieldIndex("chi2")) == 0.0)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")))
+  }
+
+  test("cramersVCore: perfect 2x2 association scores exactly 1.0") {
+    import spark.implicits._
+    val docs = (1L to 8L).map(i =>
+      (i, "x", if (i % 2 == 0) "l1" else "l2", if (i % 2 == 0) "s1" else "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val r = operators.StatsOps.cramersVCore(docs).head()
+    assert(r.getDouble(r.fieldIndex("cramers_v")) == 1.0, r.toString)
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
