@@ -1030,7 +1030,63 @@ object EventOps {
        |FROM pairs GROUP BY prev""".stripMargin
   }
 
+  /** Daily open-order backlog via interval stabbing — how many orders
+    * are "in flight" (placed but not fully shipped) on each calendar
+    * day. The scale-defining choice is the DIFFERENCE ARRAY: each order
+    * contributes exactly TWO delta rows (+1 at placement, −1 the day
+    * after its last shipment) instead of one row per open day — an
+    * order open for two years would otherwise explode into ~730 rows,
+    * turning a 6e9-order corpus into 4e12 intermediate rows. The deltas
+    * collapse to a day-keyed aggregate (calendar-bounded, ~2.5k rows)
+    * and one prefix-sum window over that bounded frame (the q174
+    * contract) yields the running backlog.
+    *
+    * Orders with no lineitems never opened a fulfillment interval and
+    * are excluded by the inner join (they are q162's FK-audit subject,
+    * mirrored in the oracle). All outputs exact integers. */
+  def q211OpenOrders(s: SparkSession, dir: String): DataFrame = {
+    val span = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(to_date(min(col("o_orderdate"))).as("opened"),
+        to_date(max(col("l_shipdate"))).as("closed"))
+    val deltas = span.select(col("opened").as("d"), lit(1L).as("x"))
+      .unionAll(span.select(date_add(col("closed"), 1).as("d"),
+        lit(-1L).as("x")))
+      .groupBy(col("d"))
+      .agg(sum(col("x")).as("delta"),
+        count_if(col("x") === 1L).as("n_opened"),
+        count_if(col("x") === -1L).as("n_closed"))
+    deltas
+      .withColumn("n_open",
+        sum(col("delta")).over(Window.orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .select(col("d"), col("n_opened"), col("n_closed"), col("n_open"))
+  }
+
+  val q211Sql: String =
+    """WITH span AS (
+      |  SELECT o_orderkey, CAST(min(o_orderdate) AS DATE) AS opened,
+      |    CAST(max(l_shipdate) AS DATE) AS closed
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY 1),
+      |deltas AS (
+      |  SELECT d, CAST(sum(x) AS BIGINT) AS delta,
+      |    CAST(count_if(x = 1) AS BIGINT) AS n_opened,
+      |    CAST(count_if(x = -1) AS BIGINT) AS n_closed
+      |  FROM (SELECT opened AS d, 1 AS x FROM span
+      |        UNION ALL SELECT closed + 1, -1 FROM span)
+      |  GROUP BY 1)
+      |SELECT d, n_opened, n_closed,
+      |  CAST(sum(delta) OVER (ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS n_open
+      |FROM deltas""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q211_open_orders", q211OpenOrders, Some(q211Sql)),
     QueryDef("q197_cond_entropy", q197CondEntropy, Some(q197Sql)),
     QueryDef("q195_burstiness", q195Burstiness, Some(q195Sql)),
     QueryDef("q192_audience_overlap", q192AudienceOverlap, Some(q192Sql)),

@@ -758,7 +758,72 @@ object MiscOps {
        |FROM t""".stripMargin
   }
 
+  /** Count–Min sketch — the mergeable bounded-memory frequency sketch
+    * completing the sketch family (q42 HLL distinct counts, q71 bloom
+    * membership, q80 SpaceSaving top-k, q139 histogram quantiles): d=4
+    * hash rows × w=16 counters per row, estimate = min over rows of the
+    * hashed cell, guaranteed ≥ the true count (one-sided error ≤ εN with
+    * ε = e/w at δ = e^-d). Sized deliberately small so the synthetic
+    * corpus's 46-term vocabulary actually collides — the overcount
+    * column demonstrates (and the spec asserts) the one-sided bound.
+    *
+    * Determinism: the hashes are the engine's seeded md5 family
+    * ([[graft.functions.TextFns.hash60Seeded]]), so the SKETCH ITSELF is
+    * oracle-reproducible in SQL — unlike q42's opaque HLL registers,
+    * every cell and every estimate hash-matches DuckDB.
+    *
+    * Scale shape: one corpus pass explodes d rows per token into a
+    * (row, cell)-keyed count — map-side combine collapses to d·w = 64
+    * cells per map task before the shuffle, the textbook mergeable-
+    * sketch property (cells ADD across partitions/feeds). The probe side
+    * reuses the top-k cut (TakeOrderedAndProject) and joins the 64-cell
+    * sketch as a broadcast. */
+  def q210CountMin(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 16L
+    val tok = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+    def rows(c: org.apache.spark.sql.Column) = array((0 until d).map(j =>
+      struct(lit(j).as("j"), pmod(hash60Seeded(j, c), lit(w)).as("idx"))): _*)
+    val cells = tok.select(explode(rows(col("term"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.idx").as("idx"))
+      .agg(count(lit(1)).as("c"))
+    val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term").asc).limit(20)
+    exact
+      .select(col("term"), col("tf"), explode(rows(col("term"))).as("p"))
+      .select(col("term"), col("tf"), col("p.j").as("j"), col("p.idx").as("idx"))
+      .join(broadcast(cells), Seq("j", "idx"))
+      .groupBy(col("term"), col("tf"))
+      .agg(min(col("c")).as("est"))
+      .withColumn("overcount", col("est") - col("tf"))
+  }
+
+  val q210Sql: String =
+    """WITH tok AS (
+      |  SELECT w AS term FROM (SELECT unnest(string_split(
+      |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> ''),
+      |cells AS (
+      |  SELECT j,
+      |    CAST('0x' || substr(md5(j || ':' || term), 1, 15) AS BIGINT) % 16
+      |      AS idx,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tok, UNNEST([0, 1, 2, 3]) AS s(j)
+      |  GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+      |  ORDER BY tf DESC, term LIMIT 20)
+      |SELECT e.term, e.tf, min(c.c) AS est, min(c.c) - e.tf AS overcount
+      |FROM exact e JOIN cells c
+      |  ON c.idx =
+      |    CAST('0x' || substr(md5(c.j || ':' || e.term), 1, 15) AS BIGINT) % 16
+      |GROUP BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q210_count_min", q210CountMin, Some(q210Sql)),
     QueryDef("q187_benford", q187Benford, Some(q187Sql)),
     QueryDef("q180_mutual_info", q180MutualInfo, Some(q180Sql)),
     QueryDef("q171_fd_audit", q171FdAudit, Some(q171Sql)),

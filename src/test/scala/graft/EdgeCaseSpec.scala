@@ -383,6 +383,24 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(r.getDouble(r.fieldIndex("cramers_v")) == 1.0, r.toString)
   }
 
+  test("q210 count-min estimates honor the one-sided bound and do collide") {
+    val r = operators.MiscOps.q210CountMin(spark, sfDir).collect()
+    assert(r.length == 20)
+    // CMS never underestimates…
+    r.foreach(row => assert(row.getLong(row.fieldIndex("overcount")) >= 0L))
+    // …and at w=16 the 46-term vocab must actually share cells
+    assert(r.exists(_.getLong(3) > 0L))
+  }
+
+  test("q211 backlog opens and closes every order exactly once") {
+    val rows = operators.EventOps.q211OpenOrders(spark, sfDir)
+      .orderBy(col("d")).collect()
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(2)).sum)
+    // the difference array must never dip negative and must fully drain
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("n_open")) >= 0L))
+    assert(rows.last.getLong(rows.last.fieldIndex("n_open")) == 0L)
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
