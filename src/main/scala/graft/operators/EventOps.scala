@@ -1085,8 +1085,51 @@ object EventOps {
       |    AS n_open
       |FROM deltas""".stripMargin
 
+  /** Rolling 7-day distinct active users per day — the windowed
+    * COUNT(DISTINCT) that naive SQL cannot express scalably (a sliding
+    * window cannot deduplicate across its frame without re-scanning it
+    * per day). The scale-correct shape: collapse events to distinct
+    * (user, day) activity ONCE, then explode each activity into the ≤7
+    * window-days it contributes to — a bounded ×7 fan-out of the already
+    * day-deduplicated frame, NOT of raw events — and close with one
+    * (window-day)-keyed distinct aggregate. Each day's single-day
+    * actives ride the same frame for the engagement-ratio denominator.
+    * Window-days past the feed's last activity (the trailing 6) are kept
+    * — they report the genuine decaying tail of the final week. */
+  def q213RollingActives(s: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val win = act.select(col("user_id"),
+        explode(sequence(lit(0), lit(6))).as("i"),
+        col("d"))
+      .select(col("user_id"), date_add(col("d"), col("i")).as("wd"))
+      .groupBy(col("wd"))
+      .agg(countDistinct(col("user_id")).as("actives_7d"))
+    val daily = act.groupBy(col("d").as("wd"))
+      .agg(countDistinct(col("user_id")).as("actives_1d"))
+    win.join(daily, Seq("wd"), "left")
+      .select(col("wd"), coalesce(col("actives_1d"), lit(0L)).as("actives_1d"),
+        col("actives_7d"))
+  }
+
+  val q213Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |win AS (
+      |  SELECT d + CAST(i AS INTEGER) AS wd, CAST(count(DISTINCT user_id) AS BIGINT)
+      |    AS actives_7d
+      |  FROM act, UNNEST(range(0, 7)) AS u(i)
+      |  GROUP BY 1),
+      |daily AS (
+      |  SELECT d AS wd, CAST(count(DISTINCT user_id) AS BIGINT) AS actives_1d
+      |  FROM act GROUP BY 1)
+      |SELECT win.wd, coalesce(daily.actives_1d, 0) AS actives_1d,
+      |  win.actives_7d
+      |FROM win LEFT JOIN daily ON win.wd = daily.wd""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q211_open_orders", q211OpenOrders, Some(q211Sql)),
+    QueryDef("q213_rolling_actives", q213RollingActives, Some(q213Sql)),
     QueryDef("q197_cond_entropy", q197CondEntropy, Some(q197Sql)),
     QueryDef("q195_burstiness", q195Burstiness, Some(q195Sql)),
     QueryDef("q192_audience_overlap", q192AudienceOverlap, Some(q192Sql)),

@@ -778,21 +778,32 @@ object MiscOps {
     * sketch property (cells ADD across partitions/feeds). The probe side
     * reuses the top-k cut (TakeOrderedAndProject) and joins the 64-cell
     * sketch as a broadcast. */
+  /** CMS geometry shared by the batch query and the streaming tier. */
+  val CmsDepth = 4
+  val CmsWidth = 16L
+
+  /** The d per-row (hash-row, cell) coordinates of one term. */
+  def cmsCoords(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until CmsDepth).map(j =>
+      struct(lit(j).as("j"), pmod(hash60Seeded(j, c), lit(CmsWidth)).as("idx"))): _*)
+
+  /** Sketch cells from a `term` stream/frame — works unchanged on a
+    * streaming frame ([[graft.streaming.StreamingOps.countMinStream]]):
+    * the cells ARE a bounded-key streaming aggregate. */
+  def cmsCells(terms: DataFrame): DataFrame =
+    terms.select(explode(cmsCoords(col("term"))).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.idx").as("idx"))
+      .agg(count(lit(1)).as("c"))
+
   def q210CountMin(s: SparkSession, dir: String): DataFrame = {
-    val d = 4
-    val w = 16L
     val tok = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
-    def rows(c: org.apache.spark.sql.Column) = array((0 until d).map(j =>
-      struct(lit(j).as("j"), pmod(hash60Seeded(j, c), lit(w)).as("idx"))): _*)
-    val cells = tok.select(explode(rows(col("term"))).as("c"))
-      .groupBy(col("c.j").as("j"), col("c.idx").as("idx"))
-      .agg(count(lit(1)).as("c"))
+    val cells = cmsCells(tok)
     val exact = tok.groupBy(col("term")).agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("term").asc).limit(20)
     exact
-      .select(col("term"), col("tf"), explode(rows(col("term"))).as("p"))
+      .select(col("term"), col("tf"), explode(cmsCoords(col("term"))).as("p"))
       .select(col("term"), col("tf"), col("p.j").as("j"), col("p.idx").as("idx"))
       .join(broadcast(cells), Seq("j", "idx"))
       .groupBy(col("term"), col("tf"))

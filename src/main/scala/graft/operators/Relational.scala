@@ -224,6 +224,36 @@ object Relational {
       |JOIN nation n2 ON s_nationkey = n2.n_nationkey
       |GROUP BY 1""".stripMargin
 
+  /** Forecast-revenue-change scan (TPC-H Q6 shape): the canonical
+    * predicate-pushdown benchmark — a single wide-fact scan with three
+    * selective range predicates and NO join, measuring whether filters
+    * reach the parquet reader. The year + discount-band + quantity
+    * predicates all push to the scan (`PushedFilters`, plan-locked in
+    * PlanShapeSpec); at 100 TB with date-partitioned or min/max-indexed
+    * lineitem files this is the difference between reading one year's
+    * row groups and reading the decade. The aggregate itself is one
+    * exact cents-product sum to a single row. */
+  def q212ForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.{cents, lsum}
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24.0)
+      .agg(lsum(cents(col("l_extendedprice")) * cents(col("l_discount")), 4)
+          .as("lost_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q212Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS lost_revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -771,6 +801,7 @@ object Relational {
     QueryDef("q03_join_agg", q03JoinAgg, Some(q03Sql)),
     QueryDef("q204_local_supplier", q204LocalSupplier, Some(q204Sql)),
     QueryDef("q205_market_share", q205MarketShare, Some(q205Sql)),
+    QueryDef("q212_forecast_revenue", q212ForecastRevenue, Some(q212Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),

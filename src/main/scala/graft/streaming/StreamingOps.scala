@@ -429,6 +429,26 @@ object StreamingOps {
     * checkpoint via the returned frame's own query; here the contract is
     * the drift VALUE, which the spec pins to the batch operator. Returns
     * the number of non-empty batches committed. */
+  /** Streaming Count–Min sketch over a live document feed — the q210
+    * sketch maintained incrementally. This is the mergeable-sketch
+    * property expressed as a streaming AGGREGATE: the state is exactly
+    * the d·w = 64 cells (bounded regardless of feed volume — the whole
+    * point of sketching), each micro-batch's token counts ADD into the
+    * cells, and any point-in-time snapshot is the true sketch of every
+    * row seen so far (spec: final snapshot ≡ the batch [[graft.operators.MiscOps.cmsCells]]
+    * on the same corpus). Run in complete/update mode; probing
+    * estimates off a snapshot is the batch q210 probe join. */
+  def countMinStream(spark: SparkSession, srcDir: String,
+      filesPerTrigger: Int = 2): DataFrame = {
+    import graft.functions.TextFns
+    val schema = spark.read.parquet(srcDir).schema
+    graft.operators.MiscOps.cmsCells(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(srcDir)
+        .select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= ""))
+  }
+
   def ksMonitorStream(spark: SparkSession, srcDir: String,
       reference: DataFrame, stateDir: String, logDir: String,
       filesPerTrigger: Int = 2): Long = {

@@ -38,6 +38,26 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!plan.contains("cast(l_extendedprice#"), plan)
   }
 
+  test("q212: all three range predicates push to the lineitem scan") {
+    val df = operators.Relational.q212ForecastRevenue(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    })
+    assert(scans.nonEmpty)
+    // the explain string elides long filter lists — read the scan's own
+    // pushed-filter set instead
+    val full = scans.head.metadata("PushedFilters")
+    assert(full.contains("GreaterThanOrEqual(l_shipdate"), full)
+    assert(full.contains("GreaterThanOrEqual(l_discount,0.05)"), full)
+    assert(full.contains("LessThan(l_quantity,24.0)"), full)
+    // single-row global aggregate: one exchange, nothing else
+    val plan = initialPlan(df)
+    assert(count(plan, "Exchange") == 1, plan)
+  }
+
   test("q02: projection pruned to exactly the selected columns") {
     val df = operators.Relational.q02FilterProject(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collect {

@@ -656,4 +656,25 @@ class StreamingSpec extends SparkTestBase {
       .select("d", "new_users")
     assert(gotDaily.exceptAll(want).isEmpty && want.exceptAll(gotDaily).isEmpty)
   }
+
+  test("streaming count-min snapshot equals the batch sketch cells") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFns
+    val tmp = java.nio.file.Files.createTempDirectory("scms").toString
+    val src = s"$tmp/src"
+    val docs = Tables.documents(spark, sfDir)
+    // several files so cells must accumulate across micro-batches
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val got = StreamingOps.runToMemory(spark,
+      StreamingOps.countMinStream(spark, src, filesPerTrigger = 1),
+      "cms_cells", outputMode = "complete")
+    val want = operators.MiscOps.cmsCells(
+      docs.select(explode(TextFns.tokens(col("text"))).as("term"))
+        .filter(col("term") =!= ""))
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
