@@ -1056,6 +1056,57 @@ object DedupOps {
       |  AND abs(length(a.w) - length(b.w)) <= 2
       |WHERE jaro_winkler_similarity(a.w, b.w) >= 0.75""".stripMargin
 
+  /** LSH candidate-quality evaluation — the dedup-pipeline tuning
+    * harness: MinHash-LSH (q36's banded candidates) scored against the
+    * EXACT 3-gram-Jaccard ≥ 0.6 pair set (q35's PPJoin+ output) as
+    * precision / recall / F1. This is how band/row geometry gets chosen
+    * in practice: sweep (b, r), read this one-row report, pick the knee.
+    * Sibling of q136 (ANN recall@k) for the retrieval side.
+    *
+    * Both inputs are the engine's own bucket-bounded pipelines (never
+    * all-pairs); the eval itself is one join on the two SMALL pair sets
+    * (near-dup pairs, orders of magnitude below corpus size) plus three
+    * counts. Ratios are single divisions of exact counts; F1 re-derives
+    * from the same counts in one fixed tree. Empty pair sets yield NULL
+    * ratios (ANSI-safe), not failures. */
+  def q214LshEval(s: SparkSession, dir: String): DataFrame = {
+    val e = q35NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
+    val a = q36MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val m = e.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(a.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(e.join(a, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_both")))
+    val prec = col("n_both").cast("double") / col("n_approx").cast("double")
+    val rec = col("n_both").cast("double") / col("n_exact").cast("double")
+    m.select(col("n_exact"), col("n_approx"), col("n_both"),
+      when(col("n_approx") =!= 0L, prec).as("prec"),
+      when(col("n_exact") =!= 0L, rec).as("rec"),
+      when(col("n_approx") =!= 0L && col("n_exact") =!= 0L &&
+          col("n_both") =!= 0L,
+        lit(2.0) * prec * rec / (prec + rec)).as("f1"))
+  }
+
+  val q214Sql: String =
+    s"""WITH e AS (
+       |${q35Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |a AS (
+       |${q36Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |m AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_exact,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_approx,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM e
+       |     JOIN a USING (doc_a, doc_b)) AS n_both)
+       |SELECT n_exact, n_approx, n_both,
+       |  CAST(n_both AS DOUBLE) / CAST(n_approx AS DOUBLE) AS prec,
+       |  CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE) AS rec,
+       |  2.0 * (CAST(n_both AS DOUBLE) / CAST(n_approx AS DOUBLE))
+       |      * (CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE))
+       |    / (CAST(n_both AS DOUBLE) / CAST(n_approx AS DOUBLE)
+       |       + CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE)) AS f1
+       |FROM m""".stripMargin
+
   /** Capture–recapture (Lincoln–Petersen) corpus-size estimate from two
     * overlapping feeds: if src0 holds n_a distinct fingerprints, src1
     * n_b, and they share m, the underlying population is ≈ n_a·n_b/m —
@@ -1104,6 +1155,7 @@ object DedupOps {
     QueryDef("q191_capture_recapture", q191CaptureRecapture, Some(q191Sql)),
     QueryDef("q160_fuzzy_linkage", q160FuzzyLinkage, Some(q160Sql)),
     QueryDef("q203_jaro_linkage", q203JaroLinkage, Some(q203Sql)),
+    QueryDef("q214_lsh_eval", q214LshEval, Some(q214Sql)),
     QueryDef("q34_dedup_exact", q34DedupExact, Some(q34Sql)),
     QueryDef("q145_containment", q145Containment, Some(q145Sql)),
     QueryDef("q146_cluster_sizes", q146ClusterSizes, Some(q146Sql)),

@@ -254,6 +254,48 @@ object Relational {
       |  AND l_discount BETWEEN 0.05 AND 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Returned-items customer ranking (TPC-H Q10 shape): which customers
+    * returned the most revenue in one quarter — fact-fact join filtered
+    * on BOTH fact sides (order-date quarter pushes to the orders scan,
+    * return flag to the lineitem scan), revenue aggregated per customer,
+    * then a bounded top-20 cut. The cut compiles to
+    * `TakeOrderedAndProject` (partial per-partition top-k before the
+    * single-partition merge — never a global sort of all customers);
+    * revenue is the exact cents-product sum, so the ordering and the
+    * custkey tiebreak are deterministic cross-engine. */
+  def q215ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01") &&
+        col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(frevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q215Sql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -802,6 +844,7 @@ object Relational {
     QueryDef("q204_local_supplier", q204LocalSupplier, Some(q204Sql)),
     QueryDef("q205_market_share", q205MarketShare, Some(q205Sql)),
     QueryDef("q212_forecast_revenue", q212ForecastRevenue, Some(q212Sql)),
+    QueryDef("q215_returned_items", q215ReturnedItems, Some(q215Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),

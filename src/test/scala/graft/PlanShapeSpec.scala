@@ -58,6 +58,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(plan, "Exchange") == 1, plan)
   }
 
+  test("q215: top-20 cut is a partial top-k, and both fact filters push") {
+    val plan = initialPlan(operators.Relational.q215ReturnedItems(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("GlobalSort"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
   test("q02: projection pruned to exactly the selected columns") {
     val df = operators.Relational.q02FilterProject(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collect {
