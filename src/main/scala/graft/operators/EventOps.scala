@@ -1127,8 +1127,68 @@ object EventOps {
       |  win.actives_7d
       |FROM win LEFT JOIN daily ON win.wd = daily.wd""".stripMargin
 
+  /** Continuous-time burstiness per event type (Goh & Barabási's B =
+    * (σ/μ − 1)/(σ/μ + 1) over inter-event gaps): −1 = metronome, 0 =
+    * Poisson, →1 = heavy-tailed bursts. Complements q195's Fano factor
+    * (which bins into days and misses sub-day burst structure): this
+    * works on the raw inter-arrival times, the signal that sizes rate
+    * limiters and stream buffers.
+    *
+    * Exactness: gaps are exact integer µs from one (user, type)-keyed
+    * lag window (user-keyed — parallel, never a global sort); Σg and
+    * Σg² ride DECIMAL(38) (g² ~ 9e26 overflows int64); CV² =
+    * n·Σg²/(Σg)² − 1 is a fixed double tree over those exact moments,
+    * and Cauchy–Schwarz makes it ≥ 0 exactly, so `sqrt` is safe. Types
+    * whose users never repeat contribute no gaps and drop out. */
+  def q217GapBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g").cast(d38)).as("sg"),
+        sum(col("g").cast(d38) * col("g")).as("sg2"))
+    val cv2 = col("n_gaps").cast("double") * col("sg2").cast("double") /
+      (col("sg").cast("double") * col("sg").cast("double")) - lit(1.0)
+    m.select(col("event_type"), col("n_gaps"),
+      (col("sg").cast("double") / col("n_gaps").cast("double") / lit(1e6))
+        .as("mean_gap_s"),
+      when(col("sg") > 0, sqrt(cv2)).as("cv"),
+      when(col("sg") > 0, (sqrt(cv2) - lit(1.0)) / (sqrt(cv2) + lit(1.0)))
+        .as("burstiness"))
+  }
+
+  val q217Sql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts), event_id) AS g
+      |  FROM events),
+      |m AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    sum(CAST(g AS HUGEINT)) AS sg,
+      |    sum(CAST(g AS HUGEINT) * g) AS sg2
+      |  FROM g WHERE g IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps,
+      |  CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1e6 AS mean_gap_s,
+      |  sqrt(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+      |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) - 1.0) AS cv,
+      |  (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+      |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) - 1.0) - 1.0)
+      |  / (sqrt(CAST(n_gaps AS DOUBLE) * CAST(sg2 AS DOUBLE)
+      |    / (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) - 1.0) + 1.0)
+      |    AS burstiness
+      |FROM m""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q211_open_orders", q211OpenOrders, Some(q211Sql)),
+    QueryDef("q217_gap_burstiness", q217GapBurstiness, Some(q217Sql)),
     QueryDef("q213_rolling_actives", q213RollingActives, Some(q213Sql)),
     QueryDef("q197_cond_entropy", q197CondEntropy, Some(q197Sql)),
     QueryDef("q195_burstiness", q195Burstiness, Some(q195Sql)),

@@ -296,6 +296,31 @@ object Relational {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING k = 0 — the left join
+    * keeps order-less customers, the classic "distribution of engagement"
+    * frequency-of-frequencies. Two key-uniform aggregates (custkey, then
+    * the count-bounded k histogram) — no skew, no windows; the second
+    * aggregate's key domain is tiny (max orders per customer), so the
+    * final shuffle is near-free at any scale. */
+  def q218CustDist(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select("c_custkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_custs"))
+  }
+
+  val q218Sql: String =
+    """WITH oc AS (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY 1)
+      |SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
+      |FROM oc GROUP BY 1""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -845,6 +870,7 @@ object Relational {
     QueryDef("q205_market_share", q205MarketShare, Some(q205Sql)),
     QueryDef("q212_forecast_revenue", q212ForecastRevenue, Some(q212Sql)),
     QueryDef("q215_returned_items", q215ReturnedItems, Some(q215Sql)),
+    QueryDef("q218_custdist", q218CustDist, Some(q218Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),

@@ -1991,6 +1991,91 @@ object TextOps {
        |JOIN tot ta ON ta.source = src_a
        |JOIN tot tb ON tb.source = src_b""".stripMargin
 
+  /** Jensen–Shannon divergence between two sources' term distributions —
+    * the symmetric, bounded (≤ ln 2) probabilistic counterpart of q206's
+    * multiset weighted Jaccard: where wJaccard scores shared MASS, JSD
+    * scores distributional SHAPE difference (a half-size exact copy of a
+    * feed has wJaccard ≈ 0.5 but JSD ≈ 0 — different questions, both
+    * asked before admitting a new crawl).
+    *
+    * Cross-engine exactness (the q130 idiom): per-term log-ratios
+    * ln(2aT_b/(aT_b+bT_a)) take exact-integer-derived doubles through
+    * `ln` and quantize to a 2^-14 grid immediately, ON THE VOCAB-BOUNDED
+    * TABLE; the divergence is then two exact DECIMAL(38) integer sums
+    * Σa·⌊ln·2¹⁴⌋ and two final double divisions. A mismatch needs both
+    * engines' ≤1-ulp `ln` to straddle a grid line (~5e-12/term).
+    *
+    * Scale: one pass over the two feeds → term-keyed (a,b) count pairs
+    * (map-side combine, Heaps-bounded), broadcast totals, single-row
+    * close. Zero-count sides contribute exactly 0 (guarded — their
+    * branch is never evaluated, so no ln(0)). */
+  def q216SourceJsd(s: SparkSession, dir: String): DataFrame =
+    jsdCore(Tables.documents(s, dir), "src0", "src1")
+
+  /** See [[q216SourceJsd]]. */
+  def jsdCore(docs: DataFrame, sa: String, sb: String): DataFrame = {
+    val d38 = "decimal(38,0)"
+    val tf = docs.filter(col("source").isin(sa, sb))
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(sum(when(col("source") === sa, 1L).otherwise(0L)).cast("long").as("a"),
+        sum(when(col("source") === sb, 1L).otherwise(0L)).cast("long").as("b"))
+    val tot = tf.agg(sum(col("a")).cast("long").as("ta"),
+      sum(col("b")).cast("long").as("tb"),
+      count(lit(1)).as("n_terms"))
+    val x = col("a").cast("double") * col("tb").cast("double")
+    val y = col("b").cast("double") * col("ta").cast("double")
+    val lqp = floor(log(lit(2.0) * x / (x + y)) * 16384).cast("long")
+    val lqq = floor(log(lit(2.0) * y / (x + y)) * 16384).cast("long")
+    val sums = tf.crossJoin(broadcast(tot))
+      .select(
+        when(col("a") > 0, col("a") * lqp).otherwise(0L).cast(d38).as("sa"),
+        when(col("b") > 0, col("b") * lqq).otherwise(0L).cast(d38).as("sb"))
+      .agg(sum(col("sa")).as("ssa"), sum(col("sb")).as("ssb"))
+    sums.crossJoin(broadcast(tot))
+      .select(col("n_terms"), col("ta"), col("tb"),
+        ((col("ssa").cast("double") / col("ta").cast("double") +
+          col("ssb").cast("double") / col("tb").cast("double"))
+          / lit(2.0) / lit(16384.0)).as("jsd"))
+      // ln 2 as the correctly-rounded LITERAL on both sides — the two
+      // engines' ln(2) calls need not agree to the last ulp
+      .withColumn("jsd_bits", col("jsd") / lit(0.6931471805599453))
+  }
+
+  val q216Sql: String =
+    s"""WITH tf AS (
+       |  SELECT u.w AS term,
+       |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS b
+       |  FROM (SELECT source, $toksSql AS tk FROM documents
+       |        WHERE source IN ('src0', 'src1')) t,
+       |    UNNEST(tk) AS u(w)
+       |  WHERE u.w <> '' GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+       |    CAST(count(*) AS BIGINT) AS n_terms FROM tf),
+       |s AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN a > 0 THEN a * CAST(floor(ln(
+       |      2 * (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE))
+       |        / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+       |           + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 16384)
+       |      AS BIGINT) ELSE 0 END) AS HUGEINT) AS ssa,
+       |    CAST(sum(CASE WHEN b > 0 THEN b * CAST(floor(ln(
+       |      2 * (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))
+       |        / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
+       |           + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 16384)
+       |      AS BIGINT) ELSE 0 END) AS HUGEINT) AS ssb
+       |  FROM tf CROSS JOIN tot)
+       |SELECT n_terms, ta, tb,
+       |  (CAST(ssa AS DOUBLE) / CAST(ta AS DOUBLE)
+       |   + CAST(ssb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2 / 16384 AS jsd,
+       |  (CAST(ssa AS DOUBLE) / CAST(ta AS DOUBLE)
+       |   + CAST(ssb AS DOUBLE) / CAST(tb AS DOUBLE)) / 2 / 16384
+       |    / 0.6931471805599453 AS jsd_bits
+       |FROM s CROSS JOIN tot""".stripMargin
+
   /** Good–Turing missing mass over word bigrams — the classic estimate
     * of how much probability the corpus has NOT yet seen: the fraction
     * of bigram occurrences that are singletons (n₁/N) estimates the
@@ -2043,6 +2128,7 @@ object TextOps {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q206_source_wjaccard", q206SourceWJaccard, Some(q206Sql)),
+    QueryDef("q216_source_jsd", q216SourceJsd, Some(q216Sql)),
     QueryDef("q207_good_turing", q207GoodTuring, Some(q207Sql)),
     QueryDef("q194_template_prefix", q194TemplatePrefix, Some(q194Sql)),
     QueryDef("q193_lang_confusion", q193LangConfusion, Some(q193Sql)),
