@@ -46,7 +46,11 @@ object Bench {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Local-iteration filter (comma-separated names, Verify's contract);
+    // the driver never sets it, so driver benches always cover the suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // untimed warm pass: JIT/codegen/file-index costs land here, so the
     // timed passes below measure steady-state throughput (the regime a

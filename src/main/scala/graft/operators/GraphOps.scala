@@ -122,7 +122,8 @@ object GraphOps {
     * checkpoint after materializing, while PlanShapeSpec inspects the
     * REAL peel plan (the public entry returns a Scan-ExistingRDD stub
     * once checkpointed). */
-  private[graft] def kCoreLazy(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def kCoreLazy(s: SparkSession, dir: String,
+      eager: Boolean = false): (DataFrame, DataFrame) = {
     val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -131,7 +132,7 @@ object GraphOps {
     val e0 = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       .localCheckpoint(true)
-    val out = kCorePeel(e0, k = 3, rounds = 3)
+    val out = kCorePeel(e0, k = 3, rounds = 3, eager = eager)
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),
@@ -141,24 +142,43 @@ object GraphOps {
 
   /** Fixed-round degree peel over a SYMMETRIC `(src, dst)` edge list:
     * `rounds` synchronous removals of nodes with degree < k, then the
-    * survivors with their residual degree. Lazy — callers checkpoint the
-    * edge list if it is expensive to derive. */
-  def kCorePeel(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    * survivors with their residual degree. Callers checkpoint the input
+    * edge list if it is expensive to derive; `eager` (default) pins each
+    * round's shrinking edge list and releases the previous one. */
+  def kCorePeel(e0: DataFrame, k: Int, rounds: Int,
+      eager: Boolean = true): DataFrame = {
+    // Eager mode materializes each round: the next round's plan references
+    // the current edge list three times (degree count + two semi-joins),
+    // so a lazy chain re-executes round r-1 multiple times inside round r
+    // (exponential in principle; ReuseExchange recovers some of it, and the
+    // measured gain at sf0.1/3 rounds is a modest ~15% — the real payoff is
+    // bounded lineage depth at higher round counts). localCheckpoint pins
+    // each round's
+    // (monotonically shrinking) edge list; the previous round's pin is
+    // released immediately — O(1) rounds of storage, the q64 CC pattern.
+    // Lazy mode (PlanShapeSpec) keeps the full composed plan inspectable.
     var edges = e0
+    var prev: DataFrame = null
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
-      edges = edges
+      val next0 = edges
         .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
         .select(col("src"), col("dst"))
+      val next = if (eager) next0.localCheckpoint(true) else next0
+      if (prev != null) org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
+      if (eager) prev = next
+      edges = next
     }
-    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val out0 = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val out = if (eager) out0.localCheckpoint(true) else out0
+    if (prev != null) org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)
+    out
   }
 
   def q169KCore(s: SparkSession, dir: String): DataFrame = {
-    val (e0, lazyOut) = kCoreLazy(s, dir)
-    val out = lazyOut.localCheckpoint(true)
+    val (e0, out) = kCoreLazy(s, dir, eager = true)
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(e0)
     out
   }
