@@ -1156,7 +1156,66 @@ object SimilarityOps {
       |ORDER BY abs(CAST(n AS HUGEINT) * norm2 - sv) DESC, vec_id
       |LIMIT 10""".stripMargin
 
+  /** int8 quantization-error report — the QA readout for q93's
+    * compressed retrieval path: per-vector reconstruction error of the
+    * per-vector-scaled int8 codes (x̂ᵢ = qᵢ·scale/127), top-10 worst
+    * vectors by total squared error plus the per-vector MSE. Vectors
+    * with one dominant coordinate quantize worst (every other dimension
+    * gets ~7 effective bits of range); this is the query that finds them
+    * BEFORE recall quietly degrades.
+    *
+    * Exactness: reconstruction deltas are fixed per-element double
+    * trees over bit-identical inputs (scale and codes reproduce
+    * exactly in SQL — q93's contract); each squared error quantizes to
+    * a 1e-15 long immediately, so per-vector totals are exact integer
+    * sums and the top-10 order is integer-deterministic. One corpus
+    * pass, per-row work only, TakeOrderedAndProject cut. */
+  def q220QuantError(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val scale = greatest(aggregate(
+      transform(col("embedding"), x => abs(x.cast("double"))),
+      lit(0.0), (acc, v) => greatest(acc, v)), lit(1e-30))
+    val err = aggregate(
+      zip_with(col("embedding"), col("q8"), (x, c) => {
+        val d = x.cast("double") - c.cast("double") * col("scale") / lit(127.0)
+        floor(d * d * lit(1e15) + lit(0.5)).cast("long")
+      }),
+      lit(0L), (acc, v) => acc + v)
+    e.withColumn("scale", scale)
+      .withColumn("q8", graft.functions.VectorExprs.int8_codes(col("embedding")))
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"),
+        err.as("err_q"))
+      .withColumn("mse",
+        col("err_q").cast("double") / col("n_dims").cast("double") / lit(1e15))
+      .orderBy(col("err_q").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  val q220Sql: String =
+    """WITH sc AS (
+      |  SELECT vec_id, embedding,
+      |    greatest(list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS scale
+      |  FROM embeddings),
+      |q AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) / scale * 127 + 0.5) AS BIGINT)) AS q8
+      |  FROM sc),
+      |e AS (
+      |  SELECT vec_id, CAST(len(embedding) AS BIGINT) AS n_dims,
+      |    CAST(list_sum(list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(floor(
+      |        (CAST(embedding[i] AS DOUBLE) - CAST(q8[i] AS DOUBLE) * scale / 127.0)
+      |        * (CAST(embedding[i] AS DOUBLE) - CAST(q8[i] AS DOUBLE) * scale / 127.0)
+      |        * 1e15 + 0.5) AS BIGINT))) AS BIGINT) AS err_q
+      |  FROM q)
+      |SELECT vec_id, n_dims, err_q,
+      |  CAST(err_q AS DOUBLE) / CAST(n_dims AS DOUBLE) / 1e15 AS mse
+      |FROM e ORDER BY err_q DESC, vec_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_quant_error", q220QuantError, Some(q220Sql)),
     QueryDef("q196_norm_outliers", q196NormOutliers, Some(q196Sql)),
     QueryDef("q178_rank_tau", q178RankTau, Some(q178Sql)),
     QueryDef("q173_ndcg", q173Ndcg, Some(q173Sql)),

@@ -2076,6 +2076,61 @@ object TextOps {
        |    / 0.6931471805599453 AS jsd_bits
        |FROM s CROSS JOIN tot""".stripMargin
 
+  /** Source ranking by Wilson lower confidence bound on a quality-gate
+    * pass rate — the correct way to rank feeds when sample sizes differ
+    * wildly: a source with 3/3 passing docs must NOT outrank one with
+    * 970/1000, which a raw pass-rate sort does. The 95% Wilson score
+    * interval's lower bound (the classic "how not to sort by average
+    * rating" answer) shrinks toward 0 for small n.
+    *
+    * Gate: token count ≥ 48 (the corpus median-ish length floor — any
+    * deterministic per-row predicate slots in). Exactness: passes/n are
+    * exact counts; the bound is one fixed double tree per source with
+    * every literal double-cast identically on both engines (DuckDB
+    * would otherwise read `1.96` as DECIMAL and square it exactly,
+    * diverging from the double product). Scale: one corpus pass →
+    * source-keyed 2-counter aggregate; #sources output. */
+  def q219WilsonRank(s: SparkSession, dir: String): DataFrame =
+    wilsonRankCore(Tables.documents(s, dir)
+      .select(col("source"),
+        (size(filter(tokens(col("text")), t => t =!= "")) >= 48).as("pass")))
+
+  /** See [[q219WilsonRank]]: `docs` carries (source, pass). */
+  def wilsonRankCore(docs: DataFrame): DataFrame = {
+    val z = lit(1.96)
+    val m = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), count_if(col("pass")).as("passes"))
+    val nd = col("n").cast("double")
+    val z2 = z * z
+    val ph = col("passes").cast("double") / nd
+    val lb = (ph + z2 / (lit(2.0) * nd) -
+      z * sqrt(ph * (lit(1.0) - ph) / nd + z2 / (lit(4.0) * nd * nd))) /
+      (lit(1.0) + z2 / nd)
+    m.select(col("source"), col("n"), col("passes"),
+      ph.as("pass_rate"), lb.as("wilson_lb"))
+  }
+
+  val q219Sql: String =
+    s"""WITH m AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count_if(len(list_filter($toksSql, x -> x <> '')) >= 48)
+       |      AS BIGINT) AS passes
+       |  FROM documents GROUP BY 1)
+       |SELECT source, n, passes,
+       |  CAST(passes AS DOUBLE) / CAST(n AS DOUBLE) AS pass_rate,
+       |  (CAST(passes AS DOUBLE) / CAST(n AS DOUBLE)
+       |    + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       |      / (2.0 * CAST(n AS DOUBLE))
+       |    - CAST(1.96 AS DOUBLE) * sqrt(
+       |        CAST(passes AS DOUBLE) / CAST(n AS DOUBLE)
+       |          * (1.0 - CAST(passes AS DOUBLE) / CAST(n AS DOUBLE))
+       |          / CAST(n AS DOUBLE)
+       |        + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       |  / (1.0 + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+       |       / CAST(n AS DOUBLE)) AS wilson_lb
+       |FROM m""".stripMargin
+
   /** Good–Turing missing mass over word bigrams — the classic estimate
     * of how much probability the corpus has NOT yet seen: the fraction
     * of bigram occurrences that are singletons (n₁/N) estimates the
@@ -2129,6 +2184,7 @@ object TextOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q206_source_wjaccard", q206SourceWJaccard, Some(q206Sql)),
     QueryDef("q216_source_jsd", q216SourceJsd, Some(q216Sql)),
+    QueryDef("q219_wilson_rank", q219WilsonRank, Some(q219Sql)),
     QueryDef("q207_good_turing", q207GoodTuring, Some(q207Sql)),
     QueryDef("q194_template_prefix", q194TemplatePrefix, Some(q194Sql)),
     QueryDef("q193_lang_confusion", q193LangConfusion, Some(q193Sql)),

@@ -401,6 +401,35 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows.last.getLong(rows.last.fieldIndex("n_open")) == 0L)
   }
 
+  test("wilsonRankCore: small perfect sample ranks below a large near-perfect one") {
+    import spark.implicits._
+    val docs = (Seq.fill(3)(("tiny", true)) ++
+      Seq.fill(970)(("big", true)) ++ Seq.fill(30)(("big", false)))
+      .toDF("source", "pass")
+    val r = operators.TextOps.wilsonRankCore(docs).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val (tiny, big) = (r("tiny"), r("big"))
+    // raw rates would rank tiny (1.0) first; the Wilson bound must not
+    assert(tiny.getDouble(3) == 1.0)
+    assert(tiny.getDouble(4) < big.getDouble(4), s"$tiny vs $big")
+    r.values.foreach { row =>
+      val (p, lb) = (row.getDouble(3), row.getDouble(4))
+      assert(lb >= 0.0 && lb <= p, row.toString)
+    }
+  }
+
+  test("q220: quantization error is nonnegative and bounded by half-step per dim") {
+    val rows = operators.SimilarityOps.q220QuantError(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val err = r.getLong(r.fieldIndex("err_q"))
+      assert(err >= 0L)
+      // |e_i| <= scale/254 and scale <= max|x|; with unit-ish embeddings the
+      // per-vector total must stay far below one (1e15-scaled) unit
+      assert(r.getDouble(r.fieldIndex("mse")) < 1.0, r.toString)
+    }
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
