@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Suite-wide scale lint: every declared query's physical plan is scanned
+  * for the shapes that kill 100 TB jobs, and any occurrence must be
+  * ALLOWLISTED here with the reason its frame is bounded. A new query
+  * that plans a global-partition window, a cartesian product, or a
+  * collect_list/collect_set aggregation fails this spec by default —
+  * the reviewer's scale audit, automated and self-updating.
+  */
+class ScaleLintSpec extends SparkTestBase {
+
+  /** Queries whose empty-partition (single-task) windows run over frames
+    * that are BOUNDED by construction — each entry names the bound. */
+  private val boundedGlobalWindow: Map[String, String] = Map(
+    "q111_rrf_hybrid" -> "rank windows run on the two k-row retrieval lists",
+    "q133_novelty_decay" -> "cumulative curve over the #ingest-shards frame",
+    "q139_hist_quantile" -> "cum-sum over the fixed 1000-bin histogram",
+    "q156_synth_sample" -> "draws over the 1000-bin histogram / 256 rows",
+    "q163_exact_median" -> "cum-counts over value-domain bins (≤ domain/65536) and the straddling bin's distinct values",
+    "q168_zipf_slope" -> "rank over the top-1000 term cut (TakeOrdered feeds it)",
+    "q174_shard_plan" -> "prefix sums over the token-count bin histogram",
+    "q176_ks_test" -> "ecdf over the distinct-value histogram",
+    "q179_cumulative_uniques" -> "running sum over the calendar-day frame",
+    "q187_benford" -> "share window over the 9 leading digits",
+    "q202_rfm_segments" -> "quintile boundaries over value-bounded ecdfs",
+    "q208_mann_whitney" -> "prefix ranks over the distinct-length histogram",
+    "q211_open_orders" -> "backlog prefix sum over the calendar-day deltas",
+    "qm7_magic_bytes" -> "per-mille share over the magic-byte cardinality")
+
+  /** Queries whose collect_list/collect_set buffers are bounded — each
+    * entry names the bound. */
+  private val boundedCollect: Map[String, String] = Map(
+    "q35_ngram_jaccard" -> "per-doc df-sorted shingle set (doc-length-bounded) for the prefix filter",
+    "q36_minhash_lsh" -> "band-bucket member lists: bucket size tracks near-dup cluster size (declared trade-off vs a bucket self-join)",
+    "q37_simhash" -> "4-bit band blocks, same contract as q36",
+    "q49_embedding_lsh_dedup" -> "hyperplane-LSH bucket lists, same contract as q36",
+    "q43_array_agg" -> "array_agg IS the declared operator; arrays are per-group by contract",
+    "q92_vocab_coverage" -> "the top-100 vocab collapsed to one broadcast array",
+    "q99_unigram_lm" -> "the top-64 vocab collapsed to one broadcast map row",
+    "q165_block_scrub" -> "per-doc repeated-block list (doc-length-bounded)",
+    "q214_lsh_eval" -> "inherits q35/q36's bounded bucket machinery")
+
+  /** Queries with a declared, justified cartesian product. */
+  private val boundedCartesian: Map[String, String] = Map(
+    "q163_exact_median" -> "final lo×hi median join of two 1-row frames")
+
+  private def leaves(p: SparkPlan): Seq[SparkPlan] =
+    p.collect {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case x => x
+    }.flatMap(_.collect { case x => x })
+
+  test("no query plans an unallowlisted scale-killer shape") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    QueryDef.all.foreach { q =>
+      try {
+        val df = q.fn(spark, sfDir)
+        val nodes = leaves(df.queryExecution.executedPlan)
+        val globalWindows = nodes.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        if (globalWindows.nonEmpty && !boundedGlobalWindow.contains(q.name))
+          failures += s"${q.name}: empty-partition Window (single task)"
+        val cartesian = nodes.collect { case c: CartesianProductExec => c }
+        if (cartesian.nonEmpty && !boundedCartesian.contains(q.name))
+          failures += s"${q.name}: CartesianProduct"
+        val planStr = nodes.map(_.toString).mkString("\n")
+        if ((planStr.contains("collect_list") || planStr.contains("collect_set"))
+            && !boundedCollect.contains(q.name))
+          failures += s"${q.name}: collect_list/collect_set buffer"
+      } catch {
+        case e: Throwable => failures += s"${q.name}: plan build failed: ${e.getMessage}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}
