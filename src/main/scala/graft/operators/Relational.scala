@@ -321,6 +321,48 @@ object Relational {
       |SELECT n_orders, CAST(count(*) AS BIGINT) AS n_custs
       |FROM oc GROUP BY 1""".stripMargin
 
+  /** Frequently-bought-together part affinity — market-basket
+    * support/lift over order baskets, the retail complement of q141's
+    * per-user event-set rules: here the basket is the ORDER (bounded at
+    * a handful of lines by construction), so the pair fan-out is
+    * per-basket C(n,2), never parts². Pairs form inside an orderkey
+    * equi-join (a hot part is join-output volume, AQE-splittable); the
+    * pair aggregate's key space is the observed co-purchase pairs; the
+    * n_ab ≥ 3 support gate prunes the hapax tail before the two
+    * part-marginal joins. Lift = n_ab·N/(n_a·n_b) is one double
+    * division of exact int64 products. */
+  def q221PartAffinity(s: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val n = b.agg(countDistinct(col("o")).as("n_orders"))
+    val sGl = b.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
+    val pr = b.join(b.select(col("o"), col("p").as("p2")), Seq("o"))
+      .filter(col("p") < col("p2"))
+      .groupBy(col("p").as("part_a"), col("p2").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pr.join(sGl.select(col("p").as("part_a"), col("n_p").as("n_a")), Seq("part_a"))
+      .join(sGl.select(col("p").as("part_b"), col("n_p").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(n))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
+  val q221Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM b),
+      |s AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM b GROUP BY 1),
+      |pr AS (
+      |  SELECT a.p AS part_a, c.p AS part_b, CAST(count(*) AS BIGINT) AS n_ab
+      |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT part_a, part_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
+      |  CAST(n_ab * n_orders AS DOUBLE) / CAST(sa.n_p * sb.n_p AS DOUBLE)
+      |    AS lift
+      |FROM pr JOIN s sa ON sa.p = part_a JOIN s sb ON sb.p = part_b
+      |CROSS JOIN n""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -871,6 +913,7 @@ object Relational {
     QueryDef("q212_forecast_revenue", q212ForecastRevenue, Some(q212Sql)),
     QueryDef("q215_returned_items", q215ReturnedItems, Some(q215Sql)),
     QueryDef("q218_custdist", q218CustDist, Some(q218Sql)),
+    QueryDef("q221_part_affinity", q221PartAffinity, Some(q221Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),

@@ -1214,8 +1214,68 @@ object SimilarityOps {
       |  CAST(err_q AS DOUBLE) / CAST(n_dims AS DOUBLE) / 1e15 AS mse
       |FROM e ORDER BY err_q DESC, vec_id LIMIT 10""".stripMargin
 
+  /** LSH bucket label purity — the partition-quality readout for the
+    * hyperplane index family (q40/q49): per 8-bit sign bucket, the share
+    * of members carrying the bucket's majority label, plus sizes. High
+    * purity means the random hyperplanes separate the label structure
+    * (bucket-restricted search won't bleed recall); a bucket near 1/k
+    * purity is hashing noise. Deterministic end to end: the planes are
+    * the engine's fixed ±1 arrays, sign tests are exact integer dots,
+    * and the majority tie-break is (count desc, label asc) — so unlike
+    * most clustering metrics this one hash-matches the oracle.
+    *
+    * Scale: one pass computes each vector's bucket (8 codegen dots);
+    * per-(bucket, label) counts are ≤ 256·k cells; the majority window
+    * partitions BY BUCKET over that bounded cell table. */
+  def q222BucketPurity(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir)
+    val key = (0 until 8).map { p =>
+      val plane = array(planes(p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
+      when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    val lab = e.select(key.as("bucket"), col("label"))
+      .groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("c").desc, col("label").asc)
+    val maj = lab.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("label").as("maj_label"), col("c").as("n_maj"))
+    lab.groupBy(col("bucket")).agg(sum(col("c")).cast("long").as("n_vecs"))
+      .join(maj, Seq("bucket"))
+      .select(col("bucket"), col("n_vecs"), col("maj_label"), col("n_maj"),
+        (col("n_maj").cast("double") / col("n_vecs").cast("double"))
+          .as("purity"))
+  }
+
+  val q222Sql: String = {
+    val keyExpr = (0 until 8).map { p =>
+      val lits = planes(p).mkString("[", ", ", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), i -> q[i] * ($lits)[i])) > 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |bk AS (SELECT label, $keyExpr AS bucket FROM qv),
+       |lab AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
+       |        FROM bk GROUP BY 1, 2),
+       |maj AS (
+       |  SELECT bucket, label AS maj_label, c AS n_maj FROM (
+       |    SELECT bucket, label, c,
+       |      row_number() OVER (PARTITION BY bucket ORDER BY c DESC, label)
+       |        AS rn
+       |    FROM lab) WHERE rn = 1),
+       |tot AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_vecs
+       |        FROM lab GROUP BY 1)
+       |SELECT tot.bucket, n_vecs, maj_label, n_maj,
+       |  CAST(n_maj AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS purity
+       |FROM tot JOIN maj ON tot.bucket = maj.bucket""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q220_quant_error", q220QuantError, Some(q220Sql)),
+    QueryDef("q222_bucket_purity", q222BucketPurity, Some(q222Sql)),
     QueryDef("q196_norm_outliers", q196NormOutliers, Some(q196Sql)),
     QueryDef("q178_rank_tau", q178RankTau, Some(q178Sql)),
     QueryDef("q173_ndcg", q173Ndcg, Some(q173Sql)),
