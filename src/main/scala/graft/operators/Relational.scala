@@ -363,6 +363,99 @@ object Relational {
       |FROM pr JOIN s sa ON sa.p = part_a JOIN s sb ON sb.p = part_b
       |CROSS JOIN n""".stripMargin
 
+  /** Year-over-year monthly revenue growth — the reporting staple: each
+    * month joined to itself twelve months back on an integer month index
+    * (y·12+m), LEFT so first-year months survive with NULL growth. The
+    * fact collapses to the #months frame FIRST (exact decimal sums,
+    * map-side combine); the YoY self-join then touches only that
+    * calendar-bounded table — never a fact-fact join. Growth is one
+    * double division, NULL-guarded for zero/missing baselines. */
+  def q223YoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.fsum
+    val m = Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 +
+        month(col("o_orderdate")) - 1).as("mkey"))
+      .agg(fsum(col("o_totalprice")).as("rev"),
+        count(lit(1)).as("n_orders"))
+    val prev = m.select((col("mkey") + 12).as("mkey"),
+      col("rev").as("rev_prior"))
+    m.join(prev, Seq("mkey"), "left")
+      .select((col("mkey") / 12).cast("long").as("y"),
+        (pmod(col("mkey"), lit(12)) + 1).cast("long").as("mo"),
+        col("n_orders"), col("rev"), col("rev_prior"),
+        when(col("rev_prior") > 0.0,
+          col("rev") / col("rev_prior") - lit(1.0)).as("yoy_growth"))
+  }
+
+  val q223Sql: String =
+    """WITH m AS (
+      |  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+      |    count(*) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT CAST(m.mkey // 12 AS BIGINT) AS y,
+      |  CAST(m.mkey % 12 + 1 AS BIGINT) AS mo,
+      |  m.n_orders, m.rev, p.rev AS rev_prior,
+      |  CASE WHEN p.rev > 0 THEN m.rev / p.rev - 1.0 END AS yoy_growth
+      |FROM m LEFT JOIN m p ON p.mkey = m.mkey - 12""".stripMargin
+
+  /** Per-segment order-value box-plot profile — Tukey five-number
+    * summary plus 1.5·IQR whisker outlier counts, the distribution
+    * audit behind every "order value by segment" dashboard. Quartiles
+    * interpolate over exact CENTS integers (dyadic quarter fractions —
+    * bit-exact cross-engine, the q57 contract; raw 2-decimal doubles
+    * would interpolate inexactly), whiskers are eighth-exact doubles,
+    * and the outlier count is a second narrow pass against the
+    * broadcast per-segment bounds. */
+  def q224Boxplot(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.cents
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), cents(col("o_totalprice")).as("vc"))
+    val q = o.groupBy(col("c_mktsegment"))
+      .agg(expr("percentile(vc, 0.25)").as("q1c"),
+        expr("percentile(vc, 0.5)").as("medc"),
+        expr("percentile(vc, 0.75)").as("q3c"),
+        count(lit(1)).as("n"))
+      .withColumn("lo_c", col("q1c") - lit(1.5) * (col("q3c") - col("q1c")))
+      .withColumn("hi_c", col("q3c") + lit(1.5) * (col("q3c") - col("q1c")))
+    o.join(broadcast(q), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"), col("n"), col("q1c"), col("medc"),
+        col("q3c"), col("lo_c"), col("hi_c"))
+      .agg(count_if(col("vc") < col("lo_c") || col("vc") > col("hi_c"))
+        .as("n_outliers"))
+      .select(col("c_mktsegment"), col("n"),
+        (col("q1c") / 100).as("q1"), (col("medc") / 100).as("median"),
+        (col("q3c") / 100).as("q3"),
+        (col("lo_c") / 100).as("whisker_lo"), (col("hi_c") / 100).as("whisker_hi"),
+        col("n_outliers"))
+  }
+
+  val q224Sql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment,
+      |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |q AS (
+      |  SELECT c_mktsegment,
+      |    quantile_cont(vc, 0.25) AS q1c,
+      |    quantile_cont(vc, 0.5)  AS medc,
+      |    quantile_cont(vc, 0.75) AS q3c,
+      |    count(*) AS n
+      |  FROM o GROUP BY 1),
+      |b AS (
+      |  SELECT *, q1c - 1.5 * (q3c - q1c) AS lo_c,
+      |    q3c + 1.5 * (q3c - q1c) AS hi_c
+      |  FROM q)
+      |SELECT o.c_mktsegment, b.n,
+      |  b.q1c / 100 AS q1, b.medc / 100 AS median, b.q3c / 100 AS q3,
+      |  b.lo_c / 100 AS whisker_lo, b.hi_c / 100 AS whisker_hi,
+      |  CAST(count_if(o.vc < b.lo_c OR o.vc > b.hi_c) AS BIGINT)
+      |    AS n_outliers
+      |FROM o JOIN b ON o.c_mktsegment = b.c_mktsegment
+      |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -914,6 +1007,8 @@ object Relational {
     QueryDef("q215_returned_items", q215ReturnedItems, Some(q215Sql)),
     QueryDef("q218_custdist", q218CustDist, Some(q218Sql)),
     QueryDef("q221_part_affinity", q221PartAffinity, Some(q221Sql)),
+    QueryDef("q223_yoy_growth", q223YoyGrowth, Some(q223Sql)),
+    QueryDef("q224_boxplot", q224Boxplot, Some(q224Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),
     QueryDef("q06_join_anti", q06JoinAnti, Some(q06Sql)),

@@ -430,6 +430,26 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("q223: exactly the first twelve months carry NULL growth") {
+    val rows = operators.Relational.q223YoyGrowth(spark, sfDir).collect()
+    val nulls = rows.filter(_.isNullAt(rows.head.fieldIndex("yoy_growth")))
+    // the orders feed starts 1995-01: its first calendar year has no baseline
+    assert(nulls.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (1 to 12).map(m => (1995L, m.toLong)).toSet, nulls.mkString(","))
+  }
+
+  test("q224: five-number summaries are ordered and outliers are a minority") {
+    val rows = operators.Relational.q224Boxplot(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(q1, med, q3, lo, hi) = Seq("q1", "median", "q3",
+        "whisker_lo", "whisker_hi").map(c => r.getDouble(r.fieldIndex(c)))
+      assert(lo <= q1 && q1 <= med && med <= q3 && q3 <= hi, r.toString)
+      assert(r.getLong(r.fieldIndex("n_outliers")) <
+        r.getLong(r.fieldIndex("n")), r.toString)
+    }
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
