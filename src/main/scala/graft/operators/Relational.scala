@@ -456,6 +456,97 @@ object Relational {
       |FROM o JOIN b ON o.c_mktsegment = b.c_mktsegment
       |GROUP BY 1, 2, 3, 4, 5, 6, 7""".stripMargin
 
+  /** Point-in-time-correct feature join — the feature-store primitive
+    * that keeps training data leakage-free: every order is annotated
+    * with its customer's history STRICTLY BEFORE that order (prior order
+    * count and prior spend), via a customer-keyed window whose frame
+    * ends at `-1 PRECEDING`. An unwindowed join of per-customer totals
+    * would leak the order's own (and future) revenue into its features —
+    * the classic target-leakage bug this operator exists to prevent.
+    *
+    * Scale: customer-keyed window (parallel across customers; a
+    * customer's orders are small by nature — bounded frame per key);
+    * spend sums ride exact cents longs (per-customer volumes sit far
+    * inside int64) and divide once to dollars. */
+  def q225PitFeatures(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("vc"))
+      .select(col("o_orderkey"),
+        coalesce(count(col("vc")).over(w), lit(0L)).as("prior_orders"),
+        (coalesce(sum(col("vc")).over(w), lit(0L)).cast("double") / lit(100.0))
+          .as("prior_spend"))
+  }
+
+  val q225Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS prior_orders,
+      |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |    OVER w, 0) AS DOUBLE) / 100.0 AS prior_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+
+  /** Deterministic negative sampling for recommendation training — per
+    * customer, 5 popular parts they have NEVER bought, the standard
+    * implicit-feedback negatives (popularity-matched so negatives are
+    * plausible, not trivially obscure). Candidates are the top-100
+    * popular parts (a TakeOrderedAndProject cut, broadcast), so the
+    * candidate fan-out is customers×100 — a fixed multiplier, never
+    * customers×parts; the anti-join removes true interactions; per-
+    * customer selection is a salted-hash rank (reproducible across
+    * runs/retries, independent of ingest order) over each customer's
+    * ≤100 candidates — a bounded-frame window per key. */
+  def q226NegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFns.hash60
+    val bought = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    val pop = bought.groupBy(col("partkey"))
+      .agg(count(lit(1)).as("n_buyers"))
+      .orderBy(col("n_buyers").desc, col("partkey").asc)
+      .limit(100)
+      .select(col("partkey"))
+    val cand = Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      .crossJoin(broadcast(pop))
+    val neg = cand.join(bought, Seq("custkey", "partkey"), "left_anti")
+      .withColumn("hk", hash60(concat(lit("neg:"), col("custkey").cast("string"),
+        lit(":"), col("partkey").cast("string"))))
+    val w = Window.partitionBy(col("custkey"))
+      .orderBy(col("hk"), col("partkey"))
+    neg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("custkey"), col("partkey"), col("rk"))
+  }
+
+  val q226Sql: String =
+    """WITH bought AS (
+      |  SELECT DISTINCT o_custkey AS custkey, l_partkey AS partkey
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |pop AS (
+      |  SELECT partkey FROM bought GROUP BY partkey
+      |  ORDER BY count(*) DESC, partkey LIMIT 100),
+      |cand AS (
+      |  SELECT c_custkey AS custkey, partkey FROM customer CROSS JOIN pop),
+      |neg AS (
+      |  SELECT cand.custkey, cand.partkey,
+      |    CAST('0x' || substr(md5('neg:' || cand.custkey || ':' || cand.partkey),
+      |      1, 15) AS BIGINT) AS hk
+      |  FROM cand ANTI JOIN bought
+      |    ON bought.custkey = cand.custkey AND bought.partkey = cand.partkey)
+      |SELECT custkey, partkey, rk FROM (
+      |  SELECT custkey, partkey,
+      |    CAST(row_number() OVER (PARTITION BY custkey ORDER BY hk, partkey)
+      |      AS BIGINT) AS rk
+      |  FROM neg) WHERE rk <= 5""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -1008,6 +1099,8 @@ object Relational {
     QueryDef("q218_custdist", q218CustDist, Some(q218Sql)),
     QueryDef("q221_part_affinity", q221PartAffinity, Some(q221Sql)),
     QueryDef("q223_yoy_growth", q223YoyGrowth, Some(q223Sql)),
+    QueryDef("q225_pit_features", q225PitFeatures, Some(q225Sql)),
+    QueryDef("q226_negative_samples", q226NegativeSamples, Some(q226Sql)),
     QueryDef("q224_boxplot", q224Boxplot, Some(q224Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),

@@ -450,6 +450,34 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("q225: point-in-time features never see the present or future") {
+    import org.apache.spark.sql.expressions.Window
+    val feats = operators.Relational.q225PitFeatures(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+    // per customer the prior-order counts must be exactly 0,1,2,... in
+    // (date, key) order — any other sequence leaks rows into the frame
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val seq0 = o.withColumn("expect", row_number().over(w).cast("long") - 1)
+      .join(feats, Seq("o_orderkey"))
+    assert(seq0.filter(col("expect") =!= col("prior_orders")).isEmpty)
+    // and a first order always has zero prior spend
+    assert(seq0.filter(col("expect") === 0 && col("prior_spend") =!= 0.0).isEmpty)
+  }
+
+  test("q226: negatives are never true interactions and cap at 5 per customer") {
+    val neg = operators.Relational.q226NegativeSamples(spark, sfDir)
+    val bought = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      .distinct()
+    assert(neg.join(bought, Seq("custkey", "partkey"), "left_semi").isEmpty)
+    val per = neg.groupBy("custkey").count().collect()
+    assert(per.nonEmpty)
+    per.foreach(r => assert(r.getLong(1) <= 5L))
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
