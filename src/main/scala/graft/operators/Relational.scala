@@ -547,6 +547,51 @@ object Relational {
       |      AS BIGINT) AS rk
       |  FROM neg) WHERE rk <= 5""".stripMargin
 
+  /** Churn label generation — the supervised-learning label factory:
+    * per customer, activity features (order count, exact lifetime spend,
+    * recency in days against the dataset's observation horizon) and the
+    * churn label `no order in the trailing 180 days`. Customers who
+    * never ordered are KEPT (left join) and labeled churned with NULL
+    * recency — silently dropping them is the classic class-imbalance
+    * bug. The horizon is max(o_orderdate) — a 1-row broadcast, so label
+    * definitions shift with the snapshot, not a hardcoded date. One
+    * custkey-keyed aggregate + one broadcast; no windows. */
+  def q228ChurnLabels(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        fsum(col("o_totalprice")).as("spend"),
+        max(col("o_orderdate")).as("last_order"))
+    val horizon = Tables.orders(s, dir)
+      .agg(max(col("o_orderdate")).as("horizon"))
+    Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      .join(per, Seq("custkey"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col("custkey"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"),
+        datediff(col("horizon"), col("last_order")).cast("long")
+          .as("recency_days"),
+        (col("last_order").isNull ||
+          datediff(col("horizon"), col("last_order")) > 180).as("churned"))
+  }
+
+  val q228Sql: String =
+    """WITH per AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+      |    max(o_orderdate) AS last_order
+      |  FROM orders GROUP BY 1),
+      |h AS (SELECT max(o_orderdate) AS horizon FROM orders)
+      |SELECT c_custkey AS custkey,
+      |  coalesce(n_orders, 0) AS n_orders,
+      |  coalesce(spend, 0.0) AS spend,
+      |  CAST(date_diff('day', last_order, horizon) AS BIGINT) AS recency_days,
+      |  last_order IS NULL OR date_diff('day', last_order, horizon) > 180
+      |    AS churned
+      |FROM customer LEFT JOIN per ON c_custkey = custkey
+      |CROSS JOIN h""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -1101,6 +1146,7 @@ object Relational {
     QueryDef("q223_yoy_growth", q223YoyGrowth, Some(q223Sql)),
     QueryDef("q225_pit_features", q225PitFeatures, Some(q225Sql)),
     QueryDef("q226_negative_samples", q226NegativeSamples, Some(q226Sql)),
+    QueryDef("q228_churn_labels", q228ChurnLabels, Some(q228Sql)),
     QueryDef("q224_boxplot", q224Boxplot, Some(q224Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),

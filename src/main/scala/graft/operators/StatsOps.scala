@@ -1362,7 +1362,96 @@ object StatsOps {
       |    AS cramers_v
       |FROM q CROSS JOIN t""".stripMargin
 
+  /** Kruskal–Wallis H — the k-group generalization of q208's rank-sum
+    * test: do the language subcorpora share one document-length
+    * distribution, or does at least one differ? The rank-based one-way
+    * ANOVA reviewers reach for when normality is off the table.
+    *
+    * Same no-per-row-ranks machinery as q208: a (value, group) count
+    * grid plus per-value totals with a prefix window (both
+    * distinct-value-bounded), exact integer 2·ranksums per group, then
+    * H = 12/(N(N+1))·ΣR²_g/n_g − 3(N+1). The Σ over groups is the one
+    * place doubles could sum in engine-dependent order, so each group's
+    * term is quantized to a 1e-6 long first (the q88 idiom; magnitudes
+    * ~N³·1e6 — fine through the bench scales, DECIMAL(38) is the
+    * documented upgrade past ~1e12 rows). Tie correction divides by
+    * 1 − Σ(c³−c)/(N³−N), NULL-guarded for the all-tied degenerate. */
+  def q227KruskalWallis(s: SparkSession, dir: String): DataFrame =
+    kruskalCore(Tables.documents(s, dir)
+      .select(col("n_chars").as("v"), col("lang")))
+
+  /** See [[q227KruskalWallis]]: `vals` carries (v, lang). */
+  def kruskalCore(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val cells = vals
+      .groupBy(col("v"), col("lang"))
+      .agg(count(lit(1)).as("cg"))
+    val totals = cells.groupBy(col("v")).agg(sum(col("cg")).as("c"))
+      .withColumn("before", coalesce(sum(col("c")).over(
+        Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val groups = cells.join(totals, Seq("v"))
+      .groupBy(col("lang"))
+      .agg(sum(col("cg")).cast("long").as("n_g"),
+        sum((col("cg") * (lit(2L) * col("before") + col("c") + lit(1L)))
+          .cast(d38)).as("r2_g"))
+    val ties = totals.agg(
+      sum(col("c")).cast("long").as("n"),
+      sum((col("c").cast(d38) * col("c") * col("c") - col("c"))).as("ties3"))
+    val termQ = floor(
+      (col("r2_g").cast("double") / lit(2.0)) *
+        (col("r2_g").cast("double") / lit(2.0)) /
+        col("n_g").cast("double") * lit(1e6) + lit(0.5)).cast("long")
+    val m = groups.agg(count(lit(1)).as("k"), sum(termQ).as("sq"))
+      .crossJoin(broadcast(ties))
+    val nd = col("n").cast("double")
+    val h = lit(12.0) / (nd * (nd + lit(1.0))) *
+      (col("sq").cast("double") / lit(1e6)) - lit(3.0) * (nd + lit(1.0))
+    val tieDen = lit(1.0) -
+      col("ties3").cast("double") / (nd * nd * nd - nd)
+    m.select(col("n"), col("k"), h.as("h"),
+      when(tieDen > 0.0, h / tieDen).as("h_tie_corrected"))
+  }
+
+  val q227Sql: String =
+    """WITH cells AS (
+      |  SELECT n_chars AS v, lang, CAST(count(*) AS BIGINT) AS cg
+      |  FROM documents GROUP BY 1, 2),
+      |tt AS (
+      |  SELECT v, c,
+      |    CAST(coalesce(sum(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS before
+      |  FROM (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM cells GROUP BY 1)),
+      |g AS (
+      |  SELECT lang, CAST(sum(cg) AS BIGINT) AS n_g,
+      |    sum(CAST(cg * (2 * before + c + 1) AS HUGEINT)) AS r2_g
+      |  FROM cells JOIN tt USING (v) GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    sum(CAST(c AS HUGEINT) * c * c - c) AS ties3
+      |  FROM tt),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(CAST(floor(
+      |      (CAST(r2_g AS DOUBLE) / 2.0) * (CAST(r2_g AS DOUBLE) / 2.0)
+      |        / CAST(n_g AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM g)
+      |SELECT t.n, m.k,
+      |  12.0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+      |    * (CAST(m.sq AS DOUBLE) / 1e6)
+      |    - 3.0 * (CAST(t.n AS DOUBLE) + 1.0) AS h,
+      |  (12.0 / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) + 1.0))
+      |    * (CAST(m.sq AS DOUBLE) / 1e6)
+      |    - 3.0 * (CAST(t.n AS DOUBLE) + 1.0))
+      |  / (1.0 - CAST(t.ties3 AS DOUBLE)
+      |       / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE)
+      |          - CAST(t.n AS DOUBLE))) AS h_tie_corrected
+      |FROM m CROSS JOIN t""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q227_kruskal_wallis", q227KruskalWallis, Some(q227Sql)),
     QueryDef("q208_mann_whitney", q208MannWhitney, Some(q208Sql)),
     QueryDef("q209_cramers_v", q209CramersV, Some(q209Sql)),
     QueryDef("q199_discount_elasticity", q199DiscountElasticity, Some(q199Sql)),

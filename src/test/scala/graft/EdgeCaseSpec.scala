@@ -478,6 +478,39 @@ class EdgeCaseSpec extends SparkTestBase {
     per.foreach(r => assert(r.getLong(1) <= 5L))
   }
 
+  test("kruskalCore: two groups reproduce the Mann-Whitney z (H = z^2)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(120) { i =>
+      val g = if (i % 2 == 0) "src0" else "src1"
+      val v = (if (g == "src0") 100 else 108) + rnd.nextInt(30)
+      (i.toLong, "x", g, v.toLong)
+    }
+    val kw = operators.StatsOps.kruskalCore(
+      rows.toDF("doc_id", "text", "lang", "n_chars")
+        .select(col("n_chars").as("v"), col("lang"))).head()
+    val mw = operators.StatsOps.mannWhitneyCore(
+      rows.toDF("doc_id", "text", "source", "n_chars"),
+      "src0", "src1").head()
+    val h = kw.getDouble(kw.fieldIndex("h_tie_corrected"))
+    val z = mw.getDouble(mw.fieldIndex("z"))
+    assert(math.abs(h - z * z) < 1e-6, s"H=$h z^2=${z * z}")
+  }
+
+  test("q228: never-ordered customers are kept, churned, with NULL recency") {
+    val rows = operators.Relational.q228ChurnLabels(spark, sfDir).collect()
+    val silent = rows.filter(_.getLong(1) == 0L)
+    silent.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("recency_days")))
+      assert(r.getBoolean(r.fieldIndex("churned")))
+      assert(r.getDouble(r.fieldIndex("spend")) == 0.0)
+    }
+    rows.filter(_.getLong(1) > 0L).foreach { r =>
+      val rec = r.getLong(r.fieldIndex("recency_days"))
+      assert(r.getBoolean(r.fieldIndex("churned")) == (rec > 180L), r.toString)
+    }
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
