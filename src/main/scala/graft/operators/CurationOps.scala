@@ -192,6 +192,73 @@ object CurationOps {
        |FROM sh JOIN b ON sh.g = b.g AND sh.doc_id <> b.bench_id
        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin
 
+  /** Dataset datasheet — the one-query corpus card ("Datasheets for
+    * Datasets", Gebru et al. 2021): size, vocabulary, metadata
+    * cardinalities, exact-duplicate fraction, Good–Turing unseen-bigram
+    * mass, and the domain-balance ESS fraction, as a (metric, value)
+    * long frame a release pipeline publishes next to the data. Each row
+    * is an already-scale-audited single-row summary (q34/q207/q184's
+    * shapes) unioned together — a handful of narrow corpus passes, every
+    * value either an exact count or an oracle-matched fixed double
+    * tree. */
+  def q229Datasheet(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def row(name: String, v: org.apache.spark.sql.Column) = (name, v)
+    val toks = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val tokStats = toks.agg(count(lit(1)).as("n_tokens"),
+      countDistinct(col("w")).as("vocab"))
+    val meta = docs.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(md5(normText(col("text")))).as("n_distinct_fp"))
+    def metric(name: String, v: org.apache.spark.sql.Column,
+        src: DataFrame): DataFrame =
+      src.select(lit(name).as("metric"), v.cast("double").as("value"))
+    metric("n_docs", col("n_docs"), meta)
+      .unionAll(metric("n_langs", col("n_langs"), meta))
+      .unionAll(metric("n_sources", col("n_sources"), meta))
+      .unionAll(metric("exact_dup_frac",
+        lit(1.0) - col("n_distinct_fp").cast("double") /
+          col("n_docs").cast("double"), meta))
+      .unionAll(metric("n_tokens", col("n_tokens"), tokStats))
+      .unionAll(metric("vocab", col("vocab"), tokStats))
+      .unionAll(metric("gt_missing_mass", col("gt_missing_mass"),
+        graft.operators.TextOps.goodTuringCore(docs)))
+      .unionAll(metric("lang_ess_frac", col("ess_frac"), essCore(docs)))
+  }
+
+  /** lazy: CurationOps and TextOps reference each other's SQL vals;
+    * eager init would read TextOps.q207Sql before TextOps finishes
+    * initializing (object-cycle NPE). */
+  lazy val q229Sql: String =
+    s"""WITH toks AS (
+       |  SELECT u.w FROM (SELECT $toksSql AS tk FROM documents) t,
+       |    UNNEST(tk) AS u(w) WHERE u.w <> ''),
+       |meta AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(count(DISTINCT md5(
+       |      regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))) AS BIGINT)
+       |      AS n_fp
+       |  FROM documents)
+       |SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM meta
+       |UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM meta
+       |UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM meta
+       |UNION ALL SELECT 'exact_dup_frac',
+       |  1.0 - CAST(n_fp AS DOUBLE) / CAST(n_docs AS DOUBLE) FROM meta
+       |UNION ALL SELECT 'n_tokens', CAST(count(*) AS DOUBLE) FROM toks
+       |UNION ALL SELECT 'vocab', CAST(count(DISTINCT w) AS DOUBLE) FROM toks
+       |UNION ALL SELECT 'gt_missing_mass',
+       |  (SELECT gt_missing_mass FROM (
+       |${TextOps.q207Sql.linesIterator.map("    " + _).mkString("\n")}
+       |  ))
+       |UNION ALL SELECT 'lang_ess_frac',
+       |  (SELECT ess_frac FROM (
+       |${q184Sql.linesIterator.map("    " + _).mkString("\n")}
+       |  ))""".stripMargin
+
   /** Bloom-filter join pruning — the runtime-filter shape made explicit:
     * a bloom filter over the (filtered) orders keys is built DISTRIBUTED
     * with Spark's own `BloomFilterAggregate`, its ~MB serialization
@@ -1255,6 +1322,7 @@ object CurationOps {
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
     QueryDef("q69_chunk", q69Chunk, Some(q69Sql)),
     QueryDef("q70_contamination", q70Contamination, Some(q70Sql)),
+    QueryDef("q229_datasheet", q229Datasheet, Some(q229Sql)),
     QueryDef("q71_bloom_join", q71BloomJoin, Some(q71Sql)),
     QueryDef("q72_tfidf", q72Tfidf, Some(q72Sql)),
     QueryDef("q73_zorder", q73Zorder, Some(q73Sql)),
