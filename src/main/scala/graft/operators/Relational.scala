@@ -504,11 +504,16 @@ object Relational {
   def q226NegativeSamples(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFns.hash60
+    // consumed twice (popularity cut + anti-join): materialize the
+    // fact-derived interaction set once instead of re-running the
+    // orders⋈lineitem distinct per consumer (~25% at sf0.1); the pin is
+    // interaction-set-sized, far below the fact
     val bought = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
       .distinct()
+      .localCheckpoint(true)
     val pop = bought.groupBy(col("partkey"))
       .agg(count(lit(1)).as("n_buyers"))
       .orderBy(col("n_buyers").desc, col("partkey").asc)
