@@ -597,6 +597,97 @@ object Relational {
       |FROM customer LEFT JOIN per ON c_custkey = custkey
       |CROSS JOIN h""".stripMargin
 
+  /** Exact AUC of a feature against the churn labels — the
+    * classifier-evaluation primitive computed in-engine: AUC is exactly
+    * the Mann–Whitney U statistic normalized by n₊·n₋ (the probability a
+    * random retained customer out-scores a random churned one, ties at
+    * half credit), so the q208 no-per-row-ranks machinery applies
+    * verbatim: a score histogram with per-class counts, one prefix
+    * window over the bounded histogram, exact integer 2·ranksum, one
+    * final division. Here the feature is the customer's order count
+    * (q228's frame) — the baseline any learned model must beat; an AUC
+    * of 0.5 would say order frequency carries no retention signal. */
+  def q230LabelAuc(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = "decimal(38,0)"
+    val labeled = q228ChurnLabels(s, dir)
+      .select(col("n_orders").as("v"), col("churned"))
+    val h = labeled.groupBy(col("v"))
+      .agg(count_if(!col("churned")).as("c1"),
+        count_if(col("churned")).as("c0"))
+      .withColumn("c", col("c1") + col("c0"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val p = h.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+    val m = p.agg(sum(col("c1")).as("n_pos"), sum(col("c0")).as("n_neg"),
+      sum((col("c1") * (lit(2L) * col("before") + col("c") + lit(1L)))
+        .cast(d38)).as("r2"))
+    val u2 = (col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+      .cast("double")
+    m.select(col("n_pos"), col("n_neg"),
+      when(col("n_pos") * col("n_neg") =!= 0L,
+        u2 / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+        .as("auc"))
+  }
+
+  lazy val q230Sql: String =
+    s"""WITH lab AS (
+       |${q228Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |h AS (
+       |  SELECT n_orders AS v,
+       |    CAST(count_if(NOT churned) AS BIGINT) AS c1,
+       |    CAST(count_if(churned) AS BIGINT) AS c0,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM lab GROUP BY 1),
+       |p AS (
+       |  SELECT c1, c0, c,
+       |    CAST(coalesce(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS before
+       |  FROM h),
+       |m AS (
+       |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
+       |    CAST(sum(c0) AS BIGINT) AS n_neg,
+       |    sum(CAST(c1 * (2 * before + c + 1) AS HUGEINT)) AS r2
+       |  FROM p)
+       |SELECT n_pos, n_neg,
+       |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+       |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+       |FROM m""".stripMargin
+
+  /** Churn-risk reliability table — observed churn rate per lifetime-
+    * spend band, the calibration readout next to q230's ranking power:
+    * does risk fall monotonically with spend, and by how much per band?
+    * Equal-width $1000 bands keep the frame value-domain-bounded (a
+    * decile binning would need a global rank; the band table IS the
+    * output, so fixed widths are the honest scale shape). Exact counts,
+    * one division per band. */
+  def q231RiskBands(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Exact.cents
+    q228ChurnLabels(s, dir)
+      .groupBy(floor(cents(col("spend")) / lit(100000L)).cast("long").as("band"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("churned")).as("n_churned"))
+      .withColumn("churn_rate",
+        col("n_churned").cast("double") / col("n").cast("double"))
+      .withColumn("band_lo_usd", (col("band") * 1000L).cast("long"))
+  }
+
+  lazy val q231Sql: String =
+    s"""WITH lab AS (
+       |${q228Sql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT CAST(floor(CAST(floor(spend * 100 + 0.5) AS BIGINT) / 100000)
+       |    AS BIGINT) AS band,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count_if(churned) AS BIGINT) AS n_churned,
+       |  CAST(count_if(churned) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS churn_rate,
+       |  CAST(floor(CAST(floor(spend * 100 + 0.5) AS BIGINT) / 100000)
+       |    AS BIGINT) * 1000 AS band_lo_usd
+       |FROM lab GROUP BY 1""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -1152,6 +1243,8 @@ object Relational {
     QueryDef("q225_pit_features", q225PitFeatures, Some(q225Sql)),
     QueryDef("q226_negative_samples", q226NegativeSamples, Some(q226Sql)),
     QueryDef("q228_churn_labels", q228ChurnLabels, Some(q228Sql)),
+    QueryDef("q230_label_auc", q230LabelAuc, Some(q230Sql)),
+    QueryDef("q231_risk_bands", q231RiskBands, Some(q231Sql)),
     QueryDef("q224_boxplot", q224Boxplot, Some(q224Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),

@@ -511,6 +511,25 @@ class EdgeCaseSpec extends SparkTestBase {
     }
   }
 
+  test("q230: AUC is a probability and order frequency carries retention signal") {
+    val r = operators.Relational.q230LabelAuc(spark, sfDir).head()
+    val auc = r.getDouble(r.fieldIndex("auc"))
+    assert(auc >= 0.0 && auc <= 1.0)
+    // churn is defined by inactivity, so activity count must rank above chance
+    assert(auc > 0.5, auc.toString)
+  }
+
+  test("q231: band rates are probabilities and bands partition all customers") {
+    val rows = operators.Relational.q231RiskBands(spark, sfDir).collect()
+    rows.foreach { r =>
+      val rate = r.getDouble(r.fieldIndex("churn_rate"))
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getLong(r.fieldIndex("n_churned")) <= r.getLong(r.fieldIndex("n")))
+    }
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n"))).sum
+    assert(total == Tables.customer(spark, sfDir).count())
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
