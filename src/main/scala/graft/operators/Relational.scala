@@ -688,6 +688,63 @@ object Relational {
        |    AS BIGINT) * 1000 AS band_lo_usd
        |FROM lab GROUP BY 1""".stripMargin
 
+  /** Cumulative-gains (lift) curve for the churn score — the third leg
+    * of the eval stool after q230 (ranking power) and q231
+    * (calibration): if a retention campaign targets everyone at or
+    * below an order-count threshold, what fraction of all churners does
+    * it capture, at what targeting cost, and at what lift over random?
+    * One point per distinct score value, so the whole curve is a
+    * histogram + prefix window over the score-cardinality frame
+    * (bounded) + a 1-row broadcast of the totals — never a global sort
+    * of customers. All fractions are single divisions of exact
+    * counts. */
+  def q232GainsCurve(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = q228ChurnLabels(s, dir)
+      .groupBy(col("n_orders").as("v"))
+      .agg(count(lit(1)).as("n"), count_if(col("churned")).as("n_churned"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h
+      .withColumn("cum_n", sum(col("n")).over(w).cast("long"))
+      .withColumn("cum_churned", sum(col("n_churned")).over(w).cast("long"))
+    val tot = h.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("n_churned")).cast("long").as("ct"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("cum_n"), col("cum_churned"),
+        (col("cum_n").cast("double") / col("nt").cast("double"))
+          .as("frac_targeted"),
+        (col("cum_churned").cast("double") / col("ct").cast("double"))
+          .as("capture_rate"),
+        ((col("cum_churned").cast("double") / col("ct").cast("double")) /
+          (col("cum_n").cast("double") / col("nt").cast("double")))
+          .as("lift"))
+  }
+
+  lazy val q232Sql: String =
+    s"""WITH lab AS (
+       |${q228Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |h AS (
+       |  SELECT n_orders AS v, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count_if(churned) AS BIGINT) AS n_churned
+       |  FROM lab GROUP BY 1),
+       |c AS (
+       |  SELECT v,
+       |    CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+       |    CAST(sum(n_churned) OVER w AS BIGINT) AS cum_churned
+       |  FROM h
+       |  WINDOW w AS (ORDER BY v
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(n_churned) AS BIGINT) AS ct FROM h)
+       |SELECT v, cum_n, cum_churned,
+       |  CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE) AS frac_targeted,
+       |  CAST(cum_churned AS DOUBLE) / CAST(ct AS DOUBLE) AS capture_rate,
+       |  (CAST(cum_churned AS DOUBLE) / CAST(ct AS DOUBLE))
+       |    / (CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE)) AS lift
+       |FROM c CROSS JOIN t""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -1245,6 +1302,7 @@ object Relational {
     QueryDef("q228_churn_labels", q228ChurnLabels, Some(q228Sql)),
     QueryDef("q230_label_auc", q230LabelAuc, Some(q230Sql)),
     QueryDef("q231_risk_bands", q231RiskBands, Some(q231Sql)),
+    QueryDef("q232_gains_curve", q232GainsCurve, Some(q232Sql)),
     QueryDef("q224_boxplot", q224Boxplot, Some(q224Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),

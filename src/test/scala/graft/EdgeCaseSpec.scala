@@ -530,6 +530,17 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(total == Tables.customer(spark, sfDir).count())
   }
 
+  test("q232: the gains curve is monotone and ends at full capture, lift >= 1 at the risky end") {
+    val rows = operators.Relational.q232GainsCurve(spark, sfDir)
+      .orderBy(col("v")).collect()
+    val caps = rows.map(_.getDouble(rows.head.fieldIndex("capture_rate")))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b })
+    assert(caps.last == 1.0)
+    assert(rows.last.getDouble(rows.last.fieldIndex("frac_targeted")) == 1.0)
+    // targeting the riskiest (fewest-order) customers must beat random
+    assert(rows.head.getDouble(rows.head.fieldIndex("lift")) >= 1.0)
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")

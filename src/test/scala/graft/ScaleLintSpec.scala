@@ -31,6 +31,7 @@ class ScaleLintSpec extends SparkTestBase {
     "q208_mann_whitney" -> "prefix ranks over the distinct-length histogram",
     "q227_kruskal_wallis" -> "prefix ranks over the distinct-length histogram (q208's frame)",
     "q230_label_auc" -> "prefix ranks over the distinct-score histogram (q208's frame)",
+    "q232_gains_curve" -> "cumulative capture over the distinct-score histogram",
     "q211_open_orders" -> "backlog prefix sum over the calendar-day deltas",
     "qm7_magic_bytes" -> "per-mille share over the magic-byte cardinality")
 
