@@ -297,6 +297,16 @@ object PipelineDemo {
       math.round(operators.CurationOps.essCore(
           spark.read.parquet(s"$outDir/curated"))
         .collect()(0).getAs[Double]("ess_frac") * 100)
+
+    // 20. shipped-corpus datasheet (q229 core): the release card —
+    // sizes, vocabulary, dup fraction, unseen-bigram mass, domain
+    // balance — written to the lake NEXT TO the data it describes, so
+    // every downstream consumer reads provenance with the corpus
+    val sheet = operators.CurationOps.datasheetCore(
+      spark.read.parquet(s"$outDir/curated"))
+    sources.Lake.writePlain(sheet, s"$outDir/datasheet")
+    counts += "datasheet_metrics" ->
+      spark.read.parquet(s"$outDir/datasheet").count()
     counts.toSeq
   }
 

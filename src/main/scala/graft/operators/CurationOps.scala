@@ -201,9 +201,11 @@ object CurationOps {
     * shapes) unioned together — a handful of narrow corpus passes, every
     * value either an exact count or an oracle-matched fixed double
     * tree. */
-  def q229Datasheet(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    def row(name: String, v: org.apache.spark.sql.Column) = (name, v)
+  def q229Datasheet(s: SparkSession, dir: String): DataFrame =
+    datasheetCore(Tables.documents(s, dir))
+
+  /** See [[q229Datasheet]]: `docs` carries (doc_id, text, lang, source). */
+  def datasheetCore(docs: DataFrame): DataFrame = {
     val toks = docs.select(explode(tokens(col("text"))).as("w"))
       .filter(col("w") =!= "")
     val tokStats = toks.agg(count(lit(1)).as("n_tokens"),

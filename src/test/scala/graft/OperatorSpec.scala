@@ -439,6 +439,12 @@ class OperatorSpec extends SparkTestBase {
     val probe = spark.read.parquet(s"$out/probe")
     assert(probe.count() == byName("probe_docs") && probe.count() > 0)
     assert(probe.join(back, Seq("doc_id"), "left_anti").count() == 0L)
+    // the datasheet shipped next to the corpus and describes the SHIPPED
+    // rows (its n_docs metric equals the lake row count)
+    val sheet = spark.read.parquet(s"$out/datasheet")
+    assert(sheet.count() == byName("datasheet_metrics") && sheet.count() >= 8)
+    assert(sheet.filter(col("metric") === "n_docs").head().getDouble(1) ==
+      back.count().toDouble)
   }
 
   test("generic AsOfJoin.backward agrees with the q41 window formulation") {
