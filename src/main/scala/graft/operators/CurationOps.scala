@@ -220,9 +220,12 @@ object CurationOps {
     metric("n_docs", col("n_docs"), meta)
       .unionAll(metric("n_langs", col("n_langs"), meta))
       .unionAll(metric("n_sources", col("n_sources"), meta))
+      // empty-corpus guard: ANSI raises on 0.0/0.0, and an empty feed's
+      // datasheet should report a NULL dup fraction, not kill the job
       .unionAll(metric("exact_dup_frac",
-        lit(1.0) - col("n_distinct_fp").cast("double") /
-          col("n_docs").cast("double"), meta))
+        when(col("n_docs") > 0L,
+          lit(1.0) - col("n_distinct_fp").cast("double") /
+            col("n_docs").cast("double")), meta))
       .unionAll(metric("n_tokens", col("n_tokens"), tokStats))
       .unionAll(metric("vocab", col("vocab"), tokStats))
       .unionAll(metric("gt_missing_mass", col("gt_missing_mass"),

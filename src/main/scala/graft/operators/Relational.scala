@@ -710,14 +710,18 @@ object Relational {
       .withColumn("cum_churned", sum(col("n_churned")).over(w).cast("long"))
     val tot = h.agg(sum(col("n")).cast("long").as("nt"),
       sum(col("n_churned")).cast("long").as("ct"))
+    // ct = 0 (a feed with no churners) must yield NULL capture/lift, not
+    // an ANSI divide-by-zero task failure; nt > 0 whenever rows exist
     cum.crossJoin(broadcast(tot))
       .select(col("v"), col("cum_n"), col("cum_churned"),
         (col("cum_n").cast("double") / col("nt").cast("double"))
           .as("frac_targeted"),
-        (col("cum_churned").cast("double") / col("ct").cast("double"))
+        when(col("ct") > 0L,
+          col("cum_churned").cast("double") / col("ct").cast("double"))
           .as("capture_rate"),
-        ((col("cum_churned").cast("double") / col("ct").cast("double")) /
-          (col("cum_n").cast("double") / col("nt").cast("double")))
+        when(col("ct") > 0L,
+          (col("cum_churned").cast("double") / col("ct").cast("double")) /
+            (col("cum_n").cast("double") / col("nt").cast("double")))
           .as("lift"))
   }
 

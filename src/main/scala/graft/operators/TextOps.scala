@@ -2028,16 +2028,24 @@ object TextOps {
     val y = col("b").cast("double") * col("ta").cast("double")
     val lqp = floor(log(lit(2.0) * x / (x + y)) * 16384).cast("long")
     val lqq = floor(log(lit(2.0) * y / (x + y)) * 16384).cast("long")
+    // the tb/ta > 0 legs guard the one-sided degenerate (either feed
+    // empty): x + y would be 0 and the log-ratio division would raise
+    // under ANSI before the outer NULL guard is reached
     val sums = tf.crossJoin(broadcast(tot))
       .select(
-        when(col("a") > 0, col("a") * lqp).otherwise(0L).cast(d38).as("sa"),
-        when(col("b") > 0, col("b") * lqq).otherwise(0L).cast(d38).as("sb"))
+        when(col("a") > 0 && col("tb") > 0, col("a") * lqp)
+          .otherwise(0L).cast(d38).as("sa"),
+        when(col("b") > 0 && col("ta") > 0, col("b") * lqq)
+          .otherwise(0L).cast(d38).as("sb"))
       .agg(sum(col("sa")).as("ssa"), sum(col("sb")).as("ssb"))
+    // a one-sided comparison (either feed empty) has no divergence to
+    // report: NULL, not an ANSI divide-by-zero failure
     sums.crossJoin(broadcast(tot))
       .select(col("n_terms"), col("ta"), col("tb"),
-        ((col("ssa").cast("double") / col("ta").cast("double") +
-          col("ssb").cast("double") / col("tb").cast("double"))
-          / lit(2.0) / lit(16384.0)).as("jsd"))
+        when(col("ta") > 0L && col("tb") > 0L,
+          (col("ssa").cast("double") / col("ta").cast("double") +
+            col("ssb").cast("double") / col("tb").cast("double"))
+            / lit(2.0) / lit(16384.0)).as("jsd"))
       // ln 2 as the correctly-rounded LITERAL on both sides — the two
       // engines' ln(2) calls need not agree to the last ulp
       .withColumn("jsd_bits", col("jsd") / lit(0.6931471805599453))

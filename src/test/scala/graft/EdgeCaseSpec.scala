@@ -541,6 +541,24 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(rows.head.getDouble(rows.head.fieldIndex("lift")) >= 1.0)
   }
 
+  test("datasheetCore: an empty feed reports counts of 0 and NULL ratios, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = operators.CurationOps.datasheetCore(empty).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("n_docs").getDouble(1) == 0.0)
+    assert(rows("exact_dup_frac").isNullAt(1))
+  }
+
+  test("jsdCore: a one-sided comparison yields NULL divergence, not a crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta", "src0"), (2L, "beta gamma", "src0"))
+      .toDF("doc_id", "text", "source")
+    val r = operators.TextOps.jsdCore(docs, "src0", "src1").head()
+    assert(r.isNullAt(r.fieldIndex("jsd")))
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
