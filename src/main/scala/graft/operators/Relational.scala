@@ -749,6 +749,76 @@ object Relational {
        |    / (CAST(cum_n AS DOUBLE) / CAST(nt AS DOUBLE)) AS lift
        |FROM c CROSS JOIN t""".stripMargin
 
+  /** Murphy-decomposition resolution of the risk banding — does the
+    * q231 spend banding actually SEPARATE churn risk? Resolution =
+    * Σ (n_b/N)·(rate_b − rate)² is the between-band variance the
+    * banding captures; uncertainty = rate·(1−rate) is the total
+    * binary-outcome variance; their ratio is the fraction of churn
+    * variance the bands explain (0 = the banding is noise, →1 = bands
+    * are near-deterministic). The forecast-verification standard
+    * (Murphy 1973) applied to a feature binning.
+    *
+    * Exactness: band terms are fixed double trees over exact counts,
+    * quantized to 1e-12 longs BEFORE the band sum (the band table can
+    * reach thousands of rows — a raw double Σ would be engine-order-
+    * dependent, the q88/q209 lesson); uncertainty and the ratio are
+    * single divisions. Scale: two bounded aggregates + a 1-row
+    * broadcast; no windows. */
+  def q233BandResolution(s: SparkSession, dir: String): DataFrame = {
+    val bands = q228ChurnLabels(s, dir)
+      .groupBy(floor(graft.functions.Exact.cents(col("spend")) / lit(100000L))
+        .cast("long").as("band"))
+      .agg(count(lit(1)).as("n"), count_if(col("churned")).as("c"))
+    val glob = bands.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("c")).cast("long").as("ct"),
+      count(lit(1)).as("n_bands"))
+    val rate = col("ct").cast("double") / col("nt").cast("double")
+    val d = col("c").cast("double") / col("n").cast("double") - rate
+    val termQ = floor(col("n").cast("double") / col("nt").cast("double") *
+      (d * d) * lit(1e12) + lit(0.5)).cast("long")
+    val res = bands.crossJoin(broadcast(glob))
+      .agg(sum(termQ).cast("long").as("rq"))
+    res.crossJoin(broadcast(glob))
+      .select(col("nt").as("n"), col("n_bands"),
+        (rate * (lit(1.0) - rate)).as("uncertainty"),
+        (col("rq").cast("double") / lit(1e12)).as("resolution"))
+      .withColumn("explained_frac",
+        when(col("uncertainty") > 0.0, col("resolution") / col("uncertainty")))
+  }
+
+  lazy val q233Sql: String =
+    s"""WITH lab AS (
+       |${q228Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |b AS (
+       |  SELECT CAST(floor(CAST(floor(spend * 100 + 0.5) AS BIGINT) / 100000)
+       |      AS BIGINT) AS band,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count_if(churned) AS BIGINT) AS c
+       |  FROM lab GROUP BY 1),
+       |g AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(sum(c) AS BIGINT) AS ct,
+       |    CAST(count(*) AS BIGINT) AS n_bands FROM b),
+       |r AS (
+       |  SELECT CAST(sum(CAST(floor(
+       |      CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)
+       |      * ((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+       |          - CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE))
+       |        * (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+       |          - CAST(ct AS DOUBLE) / CAST(nt AS DOUBLE)))
+       |      * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS rq
+       |  FROM b CROSS JOIN g)
+       |SELECT g.nt AS n, g.n_bands,
+       |  (CAST(g.ct AS DOUBLE) / CAST(g.nt AS DOUBLE))
+       |    * (1.0 - CAST(g.ct AS DOUBLE) / CAST(g.nt AS DOUBLE))
+       |    AS uncertainty,
+       |  CAST(r.rq AS DOUBLE) / 1e12 AS resolution,
+       |  (CAST(r.rq AS DOUBLE) / 1e12)
+       |    / ((CAST(g.ct AS DOUBLE) / CAST(g.nt AS DOUBLE))
+       |       * (1.0 - CAST(g.ct AS DOUBLE) / CAST(g.nt AS DOUBLE)))
+       |    AS explained_frac
+       |FROM r CROSS JOIN g""".stripMargin
+
   /** LEFT OUTER join preserving customers with zero orders (J2 family). */
   def q04JoinLeft(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
@@ -1307,6 +1377,7 @@ object Relational {
     QueryDef("q230_label_auc", q230LabelAuc, Some(q230Sql)),
     QueryDef("q231_risk_bands", q231RiskBands, Some(q231Sql)),
     QueryDef("q232_gains_curve", q232GainsCurve, Some(q232Sql)),
+    QueryDef("q233_band_resolution", q233BandResolution, Some(q233Sql)),
     QueryDef("q224_boxplot", q224Boxplot, Some(q224Sql)),
     QueryDef("q04_join_left", q04JoinLeft, Some(q04Sql)),
     QueryDef("q05_join_semi", q05JoinSemi, Some(q05Sql)),

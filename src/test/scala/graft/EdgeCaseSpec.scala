@@ -559,6 +559,15 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("jsd")))
   }
 
+  test("q233: resolution respects the Murphy bound (<= uncertainty)") {
+    val r = operators.Relational.q233BandResolution(spark, sfDir).head()
+    val unc = r.getDouble(r.fieldIndex("uncertainty"))
+    val res = r.getDouble(r.fieldIndex("resolution"))
+    val ef = r.getDouble(r.fieldIndex("explained_frac"))
+    assert(res >= 0.0 && res <= unc + 1e-9, s"res=$res unc=$unc")
+    assert(ef >= 0.0 && ef <= 1.0 + 1e-9, ef.toString)
+  }
+
   test("essCore: single-domain corpus has ESS exactly n") {
     import spark.implicits._
     val one = Seq.tabulate(12)(i => (i.toLong, "solo")).toDF("doc_id", "lang")
