@@ -16,20 +16,47 @@ import org.apache.spark.sql.functions._
   * partition-order-dependent sequence. Here rank mass is an integer in
   * units of 1e-12 (rank₀ = 10¹²), contributions are integer division
   * `rank div out_degree`, and the damping step is `(85·Σ) div 100 +
-  * 0.15·10¹²` — all exact int64 arithmetic (max Σ ≈ #nodes·10¹², ×85 stays
-  * under 2⁶³ for corpora up to ~10⁵ nodes at this scaling; at larger node
-  * counts the unit shrinks accordingly). Every engine computes the
-  * identical lattice point, so the hash gate applies to an ITERATIVE
-  * algorithm — the same fixed-point trick q88 uses for mixture weights.
+  * 0.15·unit` — all exact int64 arithmetic. The worst-case intermediate is
+  * a hub absorbing the whole graph's mass: 85·#nodes·unit must stay under
+  * 2⁶³, so the unit is SIZED TO THE GRAPH — [[sizedRankUnit]] picks the
+  * largest power of ten with 85·n·unit ≤ 2⁶² (10¹² up to ~5×10⁴ nodes,
+  * shrinking one decade per decade of nodes), and [[pageRankInt]] computes
+  * it from the node count unless the caller pins one. Every engine
+  * computes the identical lattice point, so the hash gate applies to an
+  * ITERATIVE algorithm — the same fixed-point trick q88 uses for mixture
+  * weights.
   */
 object GraphOps {
 
-  private val RankUnit = 1000000000000L // 10^12
-  private val BaseMass = 150000000000L  // 0.15 * RankUnit
+  private[graft] val RankUnit = 1000000000000L // 10^12
+
+  /** Largest power-of-ten rank unit that keeps the damping step's worst
+    * case — `85 · Σ(contributions)` with Σ bounded by the total mass
+    * n·unit — under 2⁶² (one bit of headroom below int64). Capped at the
+    * 10¹² default so small graphs keep maximum resolution; refuses graphs
+    * so large that fewer than 2 decimal digits of rank resolution remain
+    * (~5×10¹⁴ nodes — far past any real corpus). */
+  def sizedRankUnit(nodes: Long): Long = {
+    require(nodes > 0, "pageRankInt: empty node set")
+    val cap = (1L << 62) / (85L * nodes)
+    var u = 1L
+    while (u * 10 <= cap && u < RankUnit) u *= 10
+    require(u >= 100L,
+      s"pageRankInt: $nodes nodes leaves rank unit $u < 100 — too little integer resolution")
+    u
+  }
 
   /** Fixed-iteration integer PageRank over a directed edge list
     * `(src, dst)`. Every node must have out-degree ≥ 1 (callers build
     * symmetric edge lists, so no dangling-mass handling is needed).
+    *
+    * `rankUnit` is the integer mass each node starts with. Pass 0 (the
+    * default) to size it from the graph — one `count()` over the already-
+    * checkpointed node frame, then [[sizedRankUnit]] — so a 10⁶-node graph
+    * gets 10¹⁰ and a hub absorbing all mass still multiplies by 85 without
+    * wrapping int64. Pin an explicit power-of-ten ≥ 100 only when the
+    * lattice must be stable across differently-sized graphs (the declared
+    * q101 pins 10¹² to keep its oracle hash independent of this sizing).
     *
     * The edge⋈degree frame is consumed once per iteration — it is
     * localCheckpoint'ed so iteration n never re-runs the upstream edge
@@ -37,15 +64,23 @@ object GraphOps {
     * (the [[DedupOps.connectedComponents]] storage-lifecycle pattern).
     * Each iteration's plan chains off the previous one lazily; with a
     * small fixed iteration count no per-round checkpoint is needed. */
-  def pageRankInt(edges: DataFrame, iters: Int): DataFrame = {
+  def pageRankInt(edges: DataFrame, iters: Int, rankUnit: Long = 0L): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
-    var ranks = ed.select(col("src").as("node")).distinct()
-      .withColumn("r", lit(RankUnit))
+    val nodes = ed.select(col("src").as("node")).distinct()
+    val unit =
+      if (rankUnit == 0L) sizedRankUnit(nodes.count())
+      else {
+        require(rankUnit >= 100L && rankUnit % 100L == 0L,
+          s"pageRankInt: rank unit $rankUnit must be a multiple of 100 (0.15·unit must be exact)")
+        rankUnit
+      }
+    val baseMass = unit / 100L * 15L // exact: unit is a multiple of 100
+    var ranks = nodes.withColumn("r", lit(unit))
     for (_ <- 1 to iters) {
       ranks = ed.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(expr(s"$BaseMass + (85 * sum(r div d)) div 100").as("r"))
+        .agg(expr(s"${baseMass}L + (85 * sum(r div d)) div 100").as("r"))
     }
     val out = ranks.localCheckpoint(true)
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(ed)
@@ -65,7 +100,7 @@ object GraphOps {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-    pageRankInt(edges, iters = 3)
+    pageRankInt(edges, iters = 3, rankUnit = RankUnit)
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),

@@ -456,10 +456,13 @@ object MiscOps {
     * the schema, orphan-counted, in one result. The point is the COST
     * shape: the three fact-side edges (lineitem → orders/part/supplier)
     * ride ONE scan of the fact through a chain of left joins into one
-    * aggregate — at 100 TB that's one pass + one shuffle (orders) + two
-    * broadcasts, versus the naive three separate anti-join scans. The
-    * three dimension-side edges are scans of tiny tables with broadcast
-    * probes. Orphan counts assume dim keys are unique (their PK
+    * aggregate — one pass plus the key-partitioned shuffles, versus the
+    * naive three separate anti-join scans. No broadcast is FORCED on
+    * part/supplier: they scale with SF (part is SF×200k keys — ~2e10 at
+    * 100 TB), so size statistics/AQE decide, broadcasting only while
+    * genuinely small. The three dimension-side edges broadcast only the
+    * fixed-cardinality nation (25 rows) / region (5 rows) tables.
+    * Orphan counts assume dim keys are unique (their PK
     * uniqueness is q102's `unique_pk` rule — a duplicated dim key would
     * fan the left join out identically on both engines, so the hash
     * contract holds regardless). */
@@ -468,9 +471,9 @@ object MiscOps {
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey")),
         col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"))),
+      .join(Tables.part(s, dir).select(col("p_partkey")),
         col("l_partkey") === col("p_partkey"), "left")
-      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"))),
+      .join(Tables.supplier(s, dir).select(col("s_suppkey")),
         col("l_suppkey") === col("s_suppkey"), "left")
       .agg(count(lit(1)).as("total"),
         sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_o"),

@@ -118,8 +118,12 @@ object Relational {
     * non-key equi-predicate (c_nationkey = s_nationkey) that only
     * becomes checkable after three fact joins.
     *
-    * Scale shape: the o_orderdate year filter pushes to the orders scan
-    * (PushedFilters), shrinking the orders⋈lineitem shuffle to one
+    * Scale shape: the year filter is written as a HALF-OPEN DATE RANGE
+    * (`year(o_orderdate) = 1997` would wrap the column in a function
+    * Spark cannot translate into a data-source filter — the scan would
+    * read every row group), so it reaches the orders scan as
+    * PushedFilters (plan-locked in PlanShapeSpec, the q212/q215
+    * pattern), shrinking the orders⋈lineitem shuffle to one
     * year's keys; customer and supplier join by key (shuffle — both
     * scale with the corpus, so no forced broadcast; AQE picks broadcast
     * at small SF on its own); nation is the only compile-time broadcast.
@@ -129,7 +133,8 @@ object Relational {
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val o = Tables.orders(s, dir)
-      .filter(year(col("o_orderdate")) === 1997)
+      .filter(col("o_orderdate") >= lit("1997-01-01")
+        && col("o_orderdate") < lit("1998-01-01"))
       .select("o_orderkey", "o_custkey")
     val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
     val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
@@ -154,7 +159,7 @@ object Relational {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation   ON c_nationkey = n_nationkey
       |WHERE c_nationkey = s_nationkey
-      |  AND year(o_orderdate) = 1997
+      |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
       |GROUP BY n_name""".stripMargin
 
   /** National market share (TPC-H Q8 shape): within ASIA-region
@@ -329,8 +334,10 @@ object Relational {
     * equi-join (a hot part is join-output volume, AQE-splittable); the
     * pair aggregate's key space is the observed co-purchase pairs; the
     * n_ab ≥ 3 support gate prunes the hapax tail before the two
-    * part-marginal joins. Lift = n_ab·N/(n_a·n_b) is one double
-    * division of exact int64 products. */
+    * part-marginal joins. Lift = n_ab·N/(n_a·n_b): each operand is cast
+    * to double BEFORE the multiply — at ~1e11 orders the raw int64
+    * products pass 2⁶³ (silent wrap on non-ANSI Spark, a runtime error
+    * on DuckDB), so the products must form in double space. */
   def q221PartAffinity(s: SparkSession, dir: String): DataFrame = {
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
@@ -345,8 +352,9 @@ object Relational {
       .join(sGl.select(col("p").as("part_b"), col("n_p").as("n_b")), Seq("part_b"))
       .crossJoin(broadcast(n))
       .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
-        ((col("n_ab") * col("n_orders")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        ((col("n_ab").cast("double") * col("n_orders").cast("double")) /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
   }
 
   val q221Sql: String =
@@ -358,8 +366,8 @@ object Relational {
       |  FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
       |  GROUP BY 1, 2 HAVING count(*) >= 3)
       |SELECT part_a, part_b, n_ab, sa.n_p AS n_a, sb.n_p AS n_b,
-      |  CAST(n_ab * n_orders AS DOUBLE) / CAST(sa.n_p * sb.n_p AS DOUBLE)
-      |    AS lift
+      |  (CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE))
+      |    / (CAST(sa.n_p AS DOUBLE) * CAST(sb.n_p AS DOUBLE)) AS lift
       |FROM pr JOIN s sa ON sa.p = part_a JOIN s sb ON sb.p = part_b
       |CROSS JOIN n""".stripMargin
 
@@ -619,14 +627,17 @@ object Relational {
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val p = h.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+    // cast a factor to decimal(38) BEFORE each multiply (q208's overflow
+    // contract: the int64 products wrap once prefixes pass ~3e9 rows)
     val m = p.agg(sum(col("c1")).as("n_pos"), sum(col("c0")).as("n_neg"),
-      sum((col("c1") * (lit(2L) * col("before") + col("c") + lit(1L)))
-        .cast(d38)).as("r2"))
-    val u2 = (col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+      sum(col("c1").cast(d38)
+        * (lit(2L) * col("before") + col("c") + lit(1L))).as("r2"))
+    val u2 = (col("r2") - col("n_pos").cast(d38) * (col("n_pos") + lit(1L)))
       .cast("double")
     m.select(col("n_pos"), col("n_neg"),
-      when(col("n_pos") * col("n_neg") =!= 0L,
-        u2 / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+      when(col("n_pos") =!= 0L && col("n_neg") =!= 0L,
+        u2 / (lit(2.0) * col("n_pos").cast("double")
+          * col("n_neg").cast("double")))
         .as("auc"))
   }
 
@@ -649,11 +660,11 @@ object Relational {
        |m AS (
        |  SELECT CAST(sum(c1) AS BIGINT) AS n_pos,
        |    CAST(sum(c0) AS BIGINT) AS n_neg,
-       |    sum(CAST(c1 * (2 * before + c + 1) AS HUGEINT)) AS r2
+       |    sum(CAST(c1 AS HUGEINT) * (2 * before + c + 1)) AS r2
        |  FROM p)
        |SELECT n_pos, n_neg,
-       |  CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-       |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+       |  CAST(r2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+       |    / (2 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
        |FROM m""".stripMargin
 
   /** Churn-risk reliability table — observed churn rate per lifetime-
@@ -1178,16 +1189,18 @@ object Relational {
     * equally with a 10k line. Each output is one double division of
     * exact decimal(38,0) sums.
     *
-    * Scale shape: part broadcasts onto one lineitem pass; the aggregate
-    * collapses to #brands rows with map-side combine. */
+    * Scale shape: one lineitem pass joined to part; no broadcast is
+    * FORCED — part scales with SF, so size statistics/AQE decide (the
+    * hint would override Spark's size check and OOM at 100 TB). The
+    * aggregate collapses to #brands rows with map-side combine. */
   def q200BrandPricing(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Exact.cents
     val d38 = "decimal(38,0)"
     val li = graft.Tables.lineitem(s, dir).select(col("l_partkey"),
       cents(col("l_extendedprice")).as("e"),
       floor(col("l_discount") * 1000 + 0.5).cast("long").as("d"))
-    li.join(broadcast(graft.Tables.part(s, dir)
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+    li.join(graft.Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
         Seq("l_partkey"))
       .groupBy(col("p_brand")).agg(
         count(lit(1)).as("n_lines"),

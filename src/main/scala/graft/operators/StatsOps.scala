@@ -1128,20 +1128,22 @@ object StatsOps {
     * line's discount (per-mille) and its quantity, per `p_brand` — the
     * "do discounts actually move volume for this brand" merchandising
     * answer, and the star-join + exact-moment composition in one query
-    * (broadcast dim join, q188's correctly-rounded-sqrt correlation).
+    * (star dim join, q188's correctly-rounded-sqrt correlation).
     *
-    * Scale shape: part broadcasts onto one lineitem pass (the DPP-
-    * friendly star shape); moments collapse per brand (map-side
-    * combine, #brands rows). All moments exact decimal(38,0); r is
-    * num / (√a·√b) of exact integers. */
+    * Scale shape: one lineitem pass joined to part; no broadcast is
+    * FORCED — part scales with SF (~2e10 keys at 100 TB), so size
+    * statistics/AQE pick broadcast only while it is genuinely small,
+    * and the star shape gets DPP/shuffle-join otherwise. Moments
+    * collapse per brand (map-side combine, #brands rows). All moments
+    * exact decimal(38,0); r is num / (√a·√b) of exact integers. */
   def q199DiscountElasticity(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
     val li = Tables.lineitem(s, dir).select(col("l_partkey"),
       floor(col("l_discount") * 1000 + 0.5).cast("long").as("x"),
       floor(col("l_quantity") + 0.5).cast("long").as("y"))
     val m = li
-      .join(broadcast(Tables.part(s, dir)
-        .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
         Seq("l_partkey"))
       .groupBy(col("p_brand")).agg(
         count(lit(1)).as("n_lines"),
@@ -1216,13 +1218,17 @@ object StatsOps {
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val p = h.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+    // overflow contract: a FACTOR is cast to decimal(38) BEFORE each
+    // multiply (ca·(2·before+c+1) and n_a·(n_a+1) wrap int64 once the
+    // histogram prefix passes ~3e9 rows; the cast-then-multiply idiom
+    // ties3 already used)
     val m = p.agg(
       sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
-      sum((col("ca") * (lit(2L) * col("before") + col("c") + lit(1L)))
-        .cast(d38)).as("ranksum2"),
+      sum(col("ca").cast(d38)
+        * (lit(2L) * col("before") + col("c") + lit(1L))).as("ranksum2"),
       sum((col("c").cast(d38) * col("c") * col("c") - col("c")))
         .as("ties3"))
-    val u2 = (col("ranksum2") - col("n_a") * (col("n_a") + lit(1L)))
+    val u2 = (col("ranksum2") - col("n_a").cast(d38) * (col("n_a") + lit(1L)))
       .cast("double")
     val nn = (col("n_a") + col("n_b")).cast("double")
     // ANSI sessions (Spark 4 default) raise on ANY division by zero,
@@ -1230,7 +1236,7 @@ object StatsOps {
     // tied) must yield NULL, not a task failure, so the zero-denominator
     // cases are when()-guarded. Driver data never hits them, so the
     // oracle needs no mirror.
-    val pairs = (lit(2L) * col("n_a") * col("n_b")).cast("double")
+    val pairs = lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")
     val varTerm = col("n_a").cast("double") * col("n_b").cast("double") /
       lit(12.0) *
       ((col("n_a") + col("n_b") + lit(1L)).cast("double") -
@@ -1239,10 +1245,11 @@ object StatsOps {
     // CaseWhen branches evaluate lazily in order, so varTerm's inner
     // division only runs once nn >= 2 guarantees its divisor is nonzero,
     // and the z division only runs once varTerm > 0.
-    val z = when(nn <= 1.0 || col("n_a") * col("n_b") === 0L,
+    val z = when(nn <= 1.0 || col("n_a") === 0L || col("n_b") === 0L,
         lit(null).cast("double"))
       .when(varTerm > 0.0,
-        (u2 / lit(2.0) - (col("n_a") * col("n_b")).cast("double") / lit(2.0))
+        (u2 / lit(2.0)
+          - col("n_a").cast("double") * col("n_b").cast("double") / lit(2.0))
           / sqrt(varTerm))
     m.select(col("n_a"), col("n_b"),
       (u2 / lit(2.0)).as("u_a"),
@@ -1264,15 +1271,15 @@ object StatsOps {
       |  FROM h),
       |m AS (
       |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
-      |    sum(ca * (2 * before + c + 1)) AS ranksum2,
+      |    sum(CAST(ca AS HUGEINT) * (2 * before + c + 1)) AS ranksum2,
       |    sum(c * c * c - c) AS ties3
       |  FROM p)
       |SELECT n_a, n_b,
-      |  CAST(ranksum2 - n_a * (n_a + 1) AS DOUBLE) / 2 AS u_a,
-      |  CAST(ranksum2 - n_a * (n_a + 1) AS DOUBLE)
-      |    / CAST(2 * n_a * n_b AS DOUBLE) AS auc,
-      |  (CAST(ranksum2 - n_a * (n_a + 1) AS DOUBLE) / 2
-      |     - CAST(n_a * n_b AS DOUBLE) / 2)
+      |  CAST(ranksum2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2 AS u_a,
+      |  CAST(ranksum2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE)
+      |    / (2 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS auc,
+      |  (CAST(ranksum2 - CAST(n_a AS HUGEINT) * (n_a + 1) AS DOUBLE) / 2
+      |     - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
       |  / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 *
       |      (CAST(n_a + n_b + 1 AS DOUBLE)
       |       - CAST(ties3 AS DOUBLE)
@@ -1394,8 +1401,9 @@ object StatsOps {
     val groups = cells.join(totals, Seq("v"))
       .groupBy(col("lang"))
       .agg(sum(col("cg")).cast("long").as("n_g"),
-        sum((col("cg") * (lit(2L) * col("before") + col("c") + lit(1L)))
-          .cast(d38)).as("r2_g"))
+        // cast the factor BEFORE the multiply (q208's overflow contract)
+        sum(col("cg").cast(d38)
+          * (lit(2L) * col("before") + col("c") + lit(1L))).as("r2_g"))
     val ties = totals.agg(
       sum(col("c")).cast("long").as("n"),
       sum((col("c").cast(d38) * col("c") * col("c") - col("c"))).as("ties3"))
@@ -1426,7 +1434,7 @@ object StatsOps {
       |  FROM (SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM cells GROUP BY 1)),
       |g AS (
       |  SELECT lang, CAST(sum(cg) AS BIGINT) AS n_g,
-      |    sum(CAST(cg * (2 * before + c + 1) AS HUGEINT)) AS r2_g
+      |    sum(CAST(cg AS HUGEINT) * (2 * before + c + 1)) AS r2_g
       |  FROM cells JOIN tt USING (v) GROUP BY 1),
       |t AS (
       |  SELECT CAST(sum(c) AS BIGINT) AS n,

@@ -37,6 +37,41 @@ class GraphTextSpec extends SparkTestBase {
     assert(total > 5L * 1000000000000L - 1000000L)
   }
 
+  test("sizedRankUnit: 10^12 while safe, shrinks a decade per decade of nodes") {
+    assert(GraphOps.sizedRankUnit(2L) == 1000000000000L)       // tiny: capped default
+    assert(GraphOps.sizedRankUnit(50000L) == 1000000000000L)   // last 10^12-safe decade
+    assert(GraphOps.sizedRankUnit(1000001L) == 10000000000L)   // 10^6 nodes -> 10^10
+    assert(GraphOps.sizedRankUnit(100000000000L) == 100000L)   // 10^11 nodes -> 10^5
+    // worst case stays under 2^62 at the chosen unit, overflows one decade up
+    val n = 1000001L; val u = GraphOps.sizedRankUnit(n)
+    assert(BigInt(85) * BigInt(n) * BigInt(u) <= BigInt(1L << 62))
+    assert(BigInt(85) * BigInt(n) * BigInt(u * 10) > BigInt(1L << 62))
+    intercept[IllegalArgumentException](GraphOps.sizedRankUnit(600000000000000L))
+    intercept[IllegalArgumentException](GraphOps.sizedRankUnit(0L))
+  }
+
+  test("pageRankInt: 10^6-node hub graph survives with a sized unit") {
+    // a 10^6-leaf star is the overflow worst case: every leaf pours its
+    // whole rank into the hub, so the damping step multiplies ~n.unit by
+    // 85 — at the old fixed 10^12 unit that is 8.5e19 > 2^63 (wrap/ANSI
+    // error); the sized 10^10 unit keeps it at 8.5e17
+    val n = 1000000L
+    val leaves = spark.range(2L, n + 2L).select(col("id"))
+    val edges = leaves.select(lit(1L).as("src"), col("id").as("dst"))
+      .union(leaves.select(col("id").as("src"), lit(1L).as("dst")))
+    val unit = 10000000000L // sizedRankUnit(n + 1)
+    val ranks = GraphOps.pageRankInt(edges, iters = 2)
+      .agg(count(lit(1)).as("nodes"), min(col("r")).as("min_r"),
+        max(col("r")).as("max_r"), sum(col("r")).as("total"))
+      .head()
+    assert(ranks.getLong(0) == n + 1)
+    assert(ranks.getLong(1) > 0L)                     // no wrap to negative
+    assert(ranks.getLong(2) > 1000L * ranks.getLong(1)) // hub dwarfs any leaf
+    val total = ranks.getLong(3)
+    assert(total <= (n + 1) * unit)                   // mass only shrinks (div dust)
+    assert(total > (n + 1) / 10 * 9 * unit)           // ...and barely
+  }
+
   test("sortedNeighborhood: adjacent near-dups pair, far blocks don't") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),

@@ -66,6 +66,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(plan.contains("GreaterThanOrEqual(o_orderdate"), plan)
   }
 
+  test("q204: the year filter pushes to the orders scan as a date range") {
+    // year(o_orderdate) = 1997 would be untranslatable into a source
+    // filter; the half-open range form must reach the scan (r6 fix).
+    // Explain elides long filter lists — read the scan's own set.
+    val df = operators.Relational.q204LocalSupplier(spark, sfDir)
+    val scans = df.queryExecution.executedPlan.collect {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }.flatMap(_.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    })
+    val orders = scans.filter(_.schema.fieldNames.contains("o_orderdate"))
+    assert(orders.nonEmpty)
+    val full = orders.head.metadata("PushedFilters")
+    assert(full.contains("GreaterThanOrEqual(o_orderdate,1997-01-01"), full)
+    assert(full.contains("LessThan(o_orderdate,1998-01-01"), full)
+  }
+
   test("q02: projection pruned to exactly the selected columns") {
     val df = operators.Relational.q02FilterProject(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collect {

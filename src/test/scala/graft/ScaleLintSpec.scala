@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, GlobalLimit, LogicalPlan, ResolvedHint}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.joins.CartesianProductExec
@@ -52,6 +53,40 @@ class ScaleLintSpec extends SparkTestBase {
   private val boundedCartesian: Map[String, String] = Map(
     "q163_exact_median" -> "final lo×hi median join of two 1-row frames")
 
+  /** Queries allowed to FORCE-broadcast a frame that still contains an
+    * unreduced scan of an SF-scaling base table — each entry names why
+    * the broadcast side is bounded anyway. (nation/region are fixed
+    * 25/5 rows and carry no scaling marker, so they never trigger.) */
+  private val boundedForcedBroadcast: Map[String, String] = Map.empty
+
+  /** Leaf columns that identify an SF-scaling base table: a forced
+    * `broadcast()` whose subtree scans one of these without an
+    * intervening aggregate/limit pins O(SF) rows on the driver and every
+    * executor at 100 TB, overriding Spark's own size check (the
+    * q162/q199/q200 class, closed in r6). */
+  private val scalingMarkers: Map[String, String] = Map(
+    "p_partkey" -> "part", "s_suppkey" -> "supplier",
+    "c_custkey" -> "customer", "o_orderkey" -> "orders",
+    "l_linenumber" -> "lineitem", "doc_id" -> "documents/embeddings",
+    "event_id" -> "events")
+
+  private def forcedScalingBroadcasts(plan: LogicalPlan): Seq[String] =
+    plan.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }.flatMap { h =>
+      // an aggregate or limit between the hint and the scan re-bounds
+      // the broadcast side (1-row totals, top-k cuts, grouped panels)
+      val rebounded = h.child.exists {
+        case _: Aggregate | _: GlobalLimit => true
+        case _ => false
+      }
+      if (rebounded) Nil
+      else h.child.collectLeaves()
+        .flatMap(_.output.map(_.name))
+        .flatMap(scalingMarkers.get)
+        .distinct
+    }
+
   private def leaves(p: SparkPlan): Seq[SparkPlan] =
     p.collect {
       case a: AdaptiveSparkPlanExec => a.initialPlan
@@ -76,10 +111,33 @@ class ScaleLintSpec extends SparkTestBase {
         if ((planStr.contains("collect_list") || planStr.contains("collect_set"))
             && !boundedCollect.contains(q.name))
           failures += s"${q.name}: collect_list/collect_set buffer"
+        val forced = forcedScalingBroadcasts(df.queryExecution.analyzed)
+        if (forced.nonEmpty && !boundedForcedBroadcast.contains(q.name))
+          failures += s"${q.name}: forced broadcast of scaling table(s) ${forced.mkString(", ")}"
       } catch {
         case e: Throwable => failures += s"${q.name}: plan build failed: ${e.getMessage}"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("forced-broadcast lint catches a seeded violation and spares bounded shapes") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_partkey", "l_linenumber")
+    // the q162-class violation: hint-broadcast an unreduced part scan
+    val bad = li.join(
+      broadcast(Tables.part(spark, sfDir).select(col("p_partkey"))),
+      col("l_partkey") === col("p_partkey"))
+    assert(forcedScalingBroadcasts(bad.queryExecution.analyzed) == Seq("part"))
+    // an aggregate between hint and scan re-bounds the side: allowed
+    val agg = Tables.part(spark, sfDir)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+    val ok = li.join(broadcast(agg), lit(true))
+    assert(forcedScalingBroadcasts(ok.queryExecution.analyzed).isEmpty)
+    // fixed-cardinality dims carry no scaling marker: allowed
+    val dim = li.join(
+      broadcast(Tables.nation(spark, sfDir)),
+      col("l_partkey") === col("n_nationkey"))
+    assert(forcedScalingBroadcasts(dim.queryExecution.analyzed).isEmpty)
   }
 }
