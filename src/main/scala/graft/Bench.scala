@@ -95,7 +95,18 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // the driver truncates its BENCH_r*.json artifact to the tail of this
+    // line, losing most per-query medians; persist the full JSON in the
+    // repo so round-over-round comparison keeps the whole suite
+    // (overridable for ad-hoc runs via SPARK_GRAFT_BENCH_OUT)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     if (results.exists(_._2.isEmpty)) { spark.stop(); sys.exit(1) }
     spark.stop()
   }

@@ -205,28 +205,36 @@ object DedupOps {
       |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6""".stripMargin
 
   /** MinHash signatures (6 md5-seeded permutations) + LSH banding (2 bands
-    * of 3): candidate pairs agree on at least one full band. */
+    * of 3): candidate pairs agree on at least one full band.
+    *
+    * Pairs form by a bucket SELF-JOIN on (band, key) — join-output
+    * volume, which AQE can skew-split, with O(1) task memory; the
+    * round-5 bucket-and-explode kept a `collect_list` member buffer
+    * whose size tracked the largest near-dup cluster (closed in r6, the
+    * q70 reshape). Both join sides are the SAME frame, so the two
+    * bucket-key shuffles canonicalize identically and ReuseExchange runs
+    * the expensive md5 signature pipeline ONCE (plan-locked in
+    * PlanShapeSpec). A pair agreeing in BOTH bands is emitted only from
+    * band 1 (each side carries its band-1 key, one map-side predicate) —
+    * no DISTINCT shuffle. */
   def q36MinhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = docShingles(s, dir)
     val mins = (1 to 6).map(i => min(hash60Seeded(i, col("sh"))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-    val banded = sig.select(col("doc_id"),
+    val keyed = sig.select(col("doc_id"),
+      md5(concat_ws(",", col("m1"), col("m2"), col("m3"))).as("k1"),
+      md5(concat_ws(",", col("m4"), col("m5"), col("m6"))).as("k2"))
+    val banded = keyed.select(col("doc_id"), col("k1"),
       explode(array(
-        struct(lit(1L).as("band"),
-          md5(concat_ws(",", col("m1"), col("m2"), col("m3"))).as("key")),
-        struct(lit(2L).as("band"),
-          md5(concat_ws(",", col("m4"), col("m5"), col("m6"))).as("key")))).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
-    // bucket-and-explode instead of a self-join: the signature pipeline
-    // (the expensive md5 pass) runs once, pairs form inside each band
-    // bucket after one shuffle on the bucket key
-    banded.groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(col("docs")).as("doc_a"), col("docs"))
-      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
-      .distinct()
+        struct(lit(1L).as("band"), col("k1").as("key")),
+        struct(lit(2L).as("band"), col("k2").as("key")))).as("b"))
+      .select(col("doc_id"), col("k1"), col("b.band").as("band"),
+        col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === 1L || col("a.k1") =!= col("b.k1"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
   val q36Sql: String =
@@ -280,25 +288,28 @@ object DedupOps {
           shiftright(col("simhash"), k * 4).bitwiseAND(15L).as("key"))): _*)).as("b"))
       .select(col("doc_id"), col("simhash"),
         col("b.band").as("band"), col("b.key").as("key"))
-    // bucket-and-explode: the token-vote aggregation runs once; pairs form
-    // inside each 4-bit band bucket after one shuffle. A pair matching in
-    // several bands is emitted only from its FIRST matching band (map-side
-    // filter) — replaces a multi-million-row DISTINCT shuffle.
+    // pairs form by a bucket SELF-JOIN on (band, key) — join-output
+    // volume (AQE-skew-splittable, O(1) task memory) instead of the
+    // round-5 collect_list member buffer (closed in r6, the q70
+    // reshape). Both sides are the SAME frame, so ReuseExchange runs the
+    // token-vote aggregation once. A pair matching in several bands is
+    // emitted only from its FIRST matching band (each side carries its
+    // full simhash, so earlier-band agreement is one map-side
+    // predicate) — no multi-million-row DISTINCT shuffle.
     def nibble(c: Column, j: Int): Column =
       shiftright(c, j * 4).bitwiseAND(15L)
     val firstBandOnly = (0 until 4).map { j =>
-      when(col("band") > j, nibble(col("sim_a"), j) =!= nibble(col("b.simhash"), j))
+      when(col("a.band") > j,
+        nibble(col("a.simhash"), j) =!= nibble(col("b.simhash"), j))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    banded.groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(col("band"), explode(col("docs")).as("a"), col("docs"))
-      .select(col("band"), col("a.doc_id").as("doc_a"),
-        col("a.simhash").as("sim_a"), explode(col("docs")).as("b"))
-      .filter(col("doc_a") < col("b.doc_id") && firstBandOnly)
-      .select(col("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.doc_id") < col("b.doc_id"))
+      .filter(firstBandOnly)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
   }
 
@@ -373,11 +384,12 @@ object DedupOps {
     * adding bands to hold recall. A CONSTANT structure is the trap: the
     * declared q49 pins 2 bands × 4 bits for the 2k-vector testdata
     * (16 buckets/band ≈ 125 vectors each), and that same structure at
-    * 1e9 vectors would put ~6e7 vectors in one bucket — an O(corpus)
-    * aggregation buffer and a pair stage degenerating toward
-    * all-pairs/16. With buckets held at a constant target size the
-    * per-bucket list AND the bucket² pair volume stay bounded
-    * regardless of N. */
+    * 1e9 vectors would put ~6e7 vectors in one bucket — a pair stage
+    * degenerating toward all-pairs/16. With buckets held at a constant
+    * target size the bucket² pair volume stays bounded regardless of N
+    * (and since r6 pairs form as join output, not from a collected
+    * member list, even a mis-sized bucket costs volume, not task
+    * memory). */
   def embeddingLshPairs(e: DataFrame, bandsN: Int, bitsPerBand: Int,
       minCos: Double): DataFrame = {
     import graft.functions.VectorExprs.quantized_dot
@@ -390,22 +402,38 @@ object DedupOps {
       }.reduce(_ + _)
       struct(lit(bnd.toLong).as("band"), key.as("key"))
     }
+    // all band keys ride each row (keys array) so (1) the expensive
+    // hyperplane-dot key pass runs once per vector and (2) a pair
+    // agreeing in several bands is emitted only from its FIRST matching
+    // band — a map-side predicate over the two key arrays, no DISTINCT.
+    // Pairs form by a bucket SELF-JOIN on (band, key): join-output
+    // volume (AQE-skew-splittable, O(1) task memory) instead of the
+    // round-5 collect_list bucket buffer (closed in r6, the q70
+    // reshape); both sides are the SAME frame, so ReuseExchange runs the
+    // key pass once.
     val banded = e.select(col("vec_id"), col("q"), col("n2"),
-      explode(array(bands: _*)).as("b"))
-      .select(col("vec_id"), col("q"), col("n2"),
+      array((0 until bandsN).map(bnd => bands(bnd).getField("key")): _*)
+        .as("keys"))
+      .select(col("vec_id"), col("q"), col("n2"), col("keys"),
+        explode(array((0 until bandsN).map(bnd =>
+          struct(lit(bnd.toLong).as("band"),
+            col("keys").getItem(bnd).as("key"))): _*)).as("b"))
+      .select(col("vec_id"), col("q"), col("n2"), col("keys"),
         col("b.band").as("band"), col("b.key").as("key"))
-    banded.groupBy(col("band"), col("key"))
-      .agg(collect_list(struct(col("vec_id"), col("q"), col("n2"))).as("vs"))
-      .filter(size(col("vs")) > 1)
-      .select(explode(col("vs")).as("a"), col("vs"))
-      .select(col("a.vec_id").as("vec_a"), col("a.q").as("qa"),
-        col("a.n2").as("na2"), explode(col("vs")).as("b"))
-      .filter(col("vec_a") < col("b.vec_id"))
-      .withColumn("cos", quantized_dot(col("qa"), col("b.q")).cast("double")
-        / sqrt((col("na2") * col("b.n2")).cast("double")))
+    val firstBandOnly = (0 until bandsN).map { j =>
+      when(col("a.band") > j,
+        col("a.keys").getItem(j) =!= col("b.keys").getItem(j))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key")
+          && col("a.vec_id") < col("b.vec_id"))
+      .filter(firstBandOnly)
+      .withColumn("cos", quantized_dot(col("a.q"), col("b.q")).cast("double")
+        / sqrt((col("a.n2") * col("b.n2")).cast("double")))
       .filter(col("cos") >= minCos)
-      .select(col("vec_a"), col("b.vec_id").as("vec_b"), col("cos"))
-      .distinct()
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("cos"))
   }
 
   def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame = {

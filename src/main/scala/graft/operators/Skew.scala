@@ -20,14 +20,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join with the left side salted `n` ways. `salt` defaults
-    * to a hash of the whole left row (cheap, deterministic, uniform). */
+    * to a hash of the whole left row (cheap, deterministic, uniform).
+    *
+    * `n = 0` (the default) sizes the salt count to the session's shuffle
+    * parallelism — a hot key then spreads over every join task, which is
+    * the most a salt can buy; a pinned count that made sense on a laptop
+    * would leave a 1000-executor cluster 8-wide on its hottest key. The
+    * result is salt-count-INVARIANT (replication meets every match
+    * exactly once), so callers pin `n` only to bound the right side's
+    * n× replication, not for correctness. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
-      n: Int, saltExpr: Option[Column] = None): DataFrame = {
+      n: Int = 0, saltExpr: Option[Column] = None): DataFrame = {
+    val salts = if (n > 0) n
+      else math.max(2, left.sparkSession.sessionState.conf.numShufflePartitions)
     val salt = saltExpr.getOrElse(
-      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(n)))
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val l = left.withColumn("_salt", salt)
     val r = right.withColumn("_salt",
-      explode(sequence(lit(0L), lit(n.toLong - 1))))
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
     l.join(r, Seq(key, "_salt"), "inner").drop("_salt")
   }
 
@@ -41,7 +51,10 @@ object Skew {
     * small Spark would broadcast and salting would be moot; the declared
     * query exists to keep the shuffle-side mechanics under the hash
     * gate — at 100 TB the right side is a medium dim that does not fit a
-    * broadcast but has hot keys on the left.) */
+    * broadcast but has hot keys on the left.) The declared query PINS 8
+    * salts so the plan under the hash gate is stable; production callers
+    * take the parallelism-sized default, and the result is the same
+    * either way (salt-count invariance, spec'd). */
   def q94SaltedJoin(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val e = graft.Tables.events(s, dir)

@@ -1643,9 +1643,21 @@ object TextOps {
   }
 
   /** The greedy loop of [[q177GreedyCover]] over any distinct
-    * `(source, g)` pair table; stops early when sources run out. */
+    * `(source, g)` pair table; stops early when sources run out.
+    *
+    * DRIVER-STATE BOUND: each round collects exactly ONE row, and the
+    * accumulated pick list (which also feeds each round's `isin`
+    * predicate) is `rounds` entries — so driver state and predicate
+    * size are caller-bounded by `rounds`, never by data. Capped at 1000
+    * rounds so a runaway caller fails loudly instead of growing an
+    * unbounded isin list; selecting more sources than that calls for a
+    * join against a picks TABLE, not a literal predicate. */
   def greedyCoverRounds(s: SparkSession, sg: DataFrame,
       rounds: Int): DataFrame = {
+    require(rounds <= 1000,
+      s"greedyCoverRounds: $rounds rounds — the per-round isin predicate " +
+        "and driver pick list grow with rounds; past 1000 use a join " +
+        "against a materialized picks table instead")
     val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
     for (t <- 1 to rounds) {
       val selSrcs = picks.map(_._2).toSeq

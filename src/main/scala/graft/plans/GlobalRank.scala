@@ -116,7 +116,22 @@ object GlobalRank {
 
       // prefix offsets per (partition, group): group runs are contiguous
       // across the partition range, so a group's offset in partition p is
-      // the sum of its runs in partitions < p
+      // the sum of its runs in partitions < p.
+      // DRIVER-STATE BOUND: the offsets map is #partitions × #groups
+      // entries — fine for every in-repo caller (langs, buckets,
+      // histogram bins), but a caller grouping on an unbounded key would
+      // OOM the driver here, so the run count is capped (conf
+      // `spark.graft.globalrank.maxGroupRuns`) and a breach fails loudly
+      // with the re-shape to use instead.
+      val maxRuns = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.globalrank.maxGroupRuns", "1000000").toLong
+      val totalRuns = perPart.iterator.map(_._2.length.toLong).sum
+      require(totalRuns <= maxRuns,
+        s"GlobalRank: $totalRuns (partition, group) runs exceed " +
+          s"spark.graft.globalrank.maxGroupRuns=$maxRuns — the group key's " +
+          "cardinality is too high for the broadcast-offsets two-pass plan; " +
+          "use a per-key window (partitionBy the group) instead, which " +
+          "needs no global offsets")
       val offsets = scala.collection.mutable.HashMap
         .empty[(Int, InternalRow), (Long, Long)]
       val running = scala.collection.mutable.HashMap

@@ -150,4 +150,33 @@ class GlobalRankSpec extends SparkTestBase {
       sumCol = Some("b")).collect().head
     assert(got.getLong(2) == 0L && got.getLong(3) == 9L)
   }
+
+  test("group-cardinality breach fails loudly instead of OOMing the driver") {
+    // 200 distinct groups over a tiny cap: the driver offsets map would
+    // hold #partitions x #groups entries, so the guard must reject it
+    // with the per-key-window re-shape in the message
+    val key = "spark.graft.globalrank.maxGroupRuns"
+    spark.conf.set(key, "50")
+    try {
+      val df = spark.range(200).selectExpr("id AS g", "id AS k")
+      val e = intercept[Exception] {
+        plans.GlobalRank.withPosition(df, Seq("k" -> false), group = Seq("g"))
+          .count()
+      }
+      def root(t: Throwable): Throwable =
+        if (t.getCause == null) t else root(t.getCause)
+      assert(root(e).getMessage.contains("maxGroupRuns"), e.getMessage)
+    } finally spark.conf.unset(key)
+    // and the same shape passes under the default cap
+    val ok = spark.range(200).selectExpr("id AS g", "id AS k")
+    assert(plans.GlobalRank.withPosition(ok, Seq("k" -> false),
+      group = Seq("g")).count() == 200L)
+  }
+
+  test("greedyCoverRounds rejects an unbounded round count") {
+    val sg = Seq(("s1", 1L)).toDF("source", "g")
+    intercept[IllegalArgumentException] {
+      operators.TextOps.greedyCoverRounds(spark, sg, rounds = 1001)
+    }
+  }
 }

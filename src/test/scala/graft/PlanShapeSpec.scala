@@ -84,6 +84,29 @@ class PlanShapeSpec extends SparkTestBase {
     assert(full.contains("LessThan(o_orderdate,1998-01-01"), full)
   }
 
+  test("LSH bucket self-joins reuse one exchange: the signature pass runs once") {
+    // q36/q37/q49 (r6 reshape) pair up via a self-join on (band, key);
+    // both sides canonicalize identically, so the expensive signature
+    // pipeline must appear ONCE with the second side a ReusedExchange —
+    // and no collect_list bucket buffer anywhere. (AQE reuses stages by
+    // the same canonical key at runtime; asserted here on the static
+    // planner where the rule is visible in the plan.)
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      Seq(
+        "q36" -> operators.DedupOps.q36MinhashLsh(spark, sfDir),
+        "q37" -> operators.DedupOps.q37Simhash(spark, sfDir),
+        "q49" -> operators.DedupOps.q49EmbeddingLshDedup(spark, sfDir)
+      ).foreach { case (name, df) =>
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("ReusedExchange"), s"$name:\n$plan")
+        assert(!plan.contains("collect_list"), s"$name:\n$plan")
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
   test("q02: projection pruned to exactly the selected columns") {
     val df = operators.Relational.q02FilterProject(spark, sfDir)
     val scans = df.queryExecution.executedPlan.collect {

@@ -216,6 +216,22 @@ class PropertySpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join is salt-count invariant (pinned 3, pinned 8, parallelism default)") {
+    // replication meets every match exactly once regardless of n, so the
+    // declared q94 (pinned 8 for a stable oracle plan) and a production
+    // call on the parallelism-sized default must agree row-for-row
+    val e = Tables.events(spark, sfDir).select("event_id", "user_id", "value")
+    val dim = Tables.events(spark, sfDir).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val at8 = operators.Skew.saltedJoin(e, dim, "user_id", 8)
+    val at3 = operators.Skew.saltedJoin(e, dim, "user_id", 3)
+      .select(at8.columns.map(col).toIndexedSeq: _*)
+    val auto = operators.Skew.saltedJoin(e, dim, "user_id")
+      .select(at8.columns.map(col).toIndexedSeq: _*)
+    assert(at3.exceptAll(at8).isEmpty && at8.exceptAll(at3).isEmpty)
+    assert(auto.exceptAll(at8).isEmpty && at8.exceptAll(auto).isEmpty)
+  }
+
   test("stateful streaming running counts end at the batch totals") {
     val stream = streaming.StreamingOps.eventsStream(spark, sfDir)
     val got = streaming.StreamingOps.runToMemory(spark,

@@ -40,14 +40,11 @@ class ScaleLintSpec extends SparkTestBase {
     * entry names the bound. */
   private val boundedCollect: Map[String, String] = Map(
     "q35_ngram_jaccard" -> "per-doc df-sorted shingle set (doc-length-bounded) for the prefix filter",
-    "q36_minhash_lsh" -> "band-bucket member lists: bucket size tracks near-dup cluster size (declared trade-off vs a bucket self-join)",
-    "q37_simhash" -> "4-bit band blocks, same contract as q36",
-    "q49_embedding_lsh_dedup" -> "hyperplane-LSH bucket lists, same contract as q36",
     "q43_array_agg" -> "array_agg IS the declared operator; arrays are per-group by contract",
     "q92_vocab_coverage" -> "the top-100 vocab collapsed to one broadcast array",
     "q99_unigram_lm" -> "the top-64 vocab collapsed to one broadcast map row",
     "q165_block_scrub" -> "per-doc repeated-block list (doc-length-bounded)",
-    "q214_lsh_eval" -> "inherits q35/q36's bounded bucket machinery")
+    "q214_lsh_eval" -> "inherits q35's doc-length-bounded prefix-filter sets (q36's side is a collect-free bucket self-join since r6)")
 
   /** Queries with a declared, justified cartesian product. */
   private val boundedCartesian: Map[String, String] = Map(
