@@ -354,7 +354,10 @@ object CurationOps {
     val scored = tf.join(dfreq, Seq("term"))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        (col("tf") * (col("n_docs") + 1)).cast("double") / (col("doc_freq") + 1))
+        // factors to double BEFORE multiplying: tf·(N+1) is doc-length ×
+        // corpus docs, which wraps int64 at the 100 TB regime
+        (col("tf").cast("double") * (col("n_docs") + 1).cast("double"))
+          / (col("doc_freq") + 1).cast("double"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -370,7 +373,8 @@ object CurationOps {
        |nd AS (SELECT count(*) AS n_docs FROM documents),
        |scored AS (
        |  SELECT doc_id, term, tf, doc_freq,
-       |    CAST(tf * (n_docs + 1) AS DOUBLE) / (doc_freq + 1) AS score
+       |    (CAST(tf AS DOUBLE) * CAST(n_docs + 1 AS DOUBLE))
+       |      / CAST(doc_freq + 1 AS DOUBLE) AS score
        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd)
        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
        |  CAST(doc_freq AS BIGINT) AS doc_freq, score

@@ -1012,7 +1012,12 @@ object DedupOps {
         levenshtein(col("adj_a"), col("adj_b")).cast("long"))
       .filter(col("dist").between(1L, 2L))
       .select(col("name_a"), col("name_b"), col("dist"),
-        col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("n_pairs"))
+        col("n_a"), col("n_b"),
+        // decimal multiply, then a long cast that fails LOUDLY under
+        // ANSI if duplicate counts ever make the pair count pass 2^63
+        // (a raw int64 product would wrap silently)
+        (col("n_a").cast("decimal(38,0)") * col("n_b")).cast("long")
+          .as("n_pairs"))
   }
 
   val q160Sql: String =
@@ -1023,7 +1028,8 @@ object DedupOps {
       |  FROM part GROUP BY 1, 2, 3)
       |SELECT a.p_name AS name_a, b.p_name AS name_b,
       |  CAST(levenshtein(a.adj, b.adj) AS BIGINT) AS dist,
-      |  a.n AS n_a, b.n AS n_b, a.n * b.n AS n_pairs
+      |  a.n AS n_a, b.n AS n_b,
+      |  CAST(CAST(a.n AS HUGEINT) * b.n AS BIGINT) AS n_pairs
       |FROM n a JOIN n b ON a.blk = b.blk AND a.p_name < b.p_name
       |WHERE levenshtein(a.adj, b.adj) BETWEEN 1 AND 2""".stripMargin
 
@@ -1161,7 +1167,9 @@ object DedupOps {
     fp.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
         sum(col("a") * col("b")).as("m"))
       .withColumn("est_population",
-        (col("n_a") * col("n_b")).cast("double") /
+        // factors to double BEFORE the multiply: feed sizes past ~3e9
+        // wrap the int64 product (q208 overflow contract)
+        (col("n_a").cast("double") * col("n_b").cast("double")) /
           nullif(col("m").cast("double"), lit(0.0)))
   }
 
@@ -1175,7 +1183,8 @@ object DedupOps {
       |  FROM documents WHERE source IN ('src0', 'src1') GROUP BY 1)
       |SELECT CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
       |  CAST(sum(a * b) AS BIGINT) AS m,
-      |  CAST(CAST(sum(a) AS BIGINT) * CAST(sum(b) AS BIGINT) AS DOUBLE)
+      |  (CAST(CAST(sum(a) AS BIGINT) AS DOUBLE)
+      |     * CAST(CAST(sum(b) AS BIGINT) AS DOUBLE))
       |    / nullif(CAST(sum(a * b) AS DOUBLE), 0.0) AS est_population
       |FROM fp""".stripMargin
 

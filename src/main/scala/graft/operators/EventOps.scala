@@ -216,12 +216,14 @@ object EventOps {
     * term is the exact-integer deviation `dev = c_obs·N − n_day·n_type`
     * squared over `N·n_day·n_type`.
     *
-    * Exactness: every count product stays int64 (dev ≲ c·N; at sf0.1
-    * ~1e10); dev is cast to double (exact: < 2^53) and squared IN DOUBLE
-    * — squaring first would overflow int64 at this event volume — then
-    * ONE correctly-rounded division by the exact int64 denominator. No
-    * cross-row accumulation of doubles anywhere (callers wanting a
-    * per-day scalar sum that day's ≤ #types exact terms).
+    * Exactness: dev's two count products form in decimal(38) — a FACTOR
+    * is cast before each multiply, since c_obs·N is ~N² in the hub case
+    * and wraps int64 past ~3e9 events (the q208 overflow contract) —
+    * then dev is cast to double (exact while < 2^53) and squared IN
+    * DOUBLE; the N·n_day·n_type denominator likewise multiplies as
+    * doubles. ONE correctly-rounded division per term. No cross-row
+    * accumulation of doubles anywhere (callers wanting a per-day scalar
+    * sum that day's ≤ #types exact terms).
     *
     * Scale shape: ONE events pass into a (day × type)-cardinality
     * aggregate with map-side partial combine; day totals, type totals,
@@ -244,13 +246,16 @@ object EventOps {
     val typeTot = obs.groupBy(col("event_type"))
       .agg(sum(col("c_obs")).as("n_type"))
     val grand = obs.agg(sum(col("c_obs")).as("n_all"))
-    val dev = col("c_obs") * col("n_all") - col("n_day") * col("n_type")
+    val d38 = "decimal(38,0)"
+    val dev = (col("c_obs").cast(d38) * col("n_all")
+      - col("n_day").cast(d38) * col("n_type")).cast("double")
     obs.join(broadcast(dayTot), Seq("d"))
       .join(broadcast(typeTot), Seq("event_type"))
       .crossJoin(broadcast(grand))
       .withColumn("chi_term",
-        (dev.cast("double") * dev.cast("double")) /
-          (col("n_all") * col("n_day") * col("n_type")).cast("double"))
+        (dev * dev) /
+          (col("n_all").cast("double") * col("n_day").cast("double")
+            * col("n_type").cast("double")))
       .select(col("d"), col("event_type"), col("c_obs"),
         col("n_day"), col("n_type"), col("chi_term"))
   }
@@ -265,9 +270,12 @@ object EventOps {
       |       FROM obs GROUP BY event_type),
       |g AS (SELECT CAST(sum(c_obs) AS BIGINT) AS n_all FROM obs)
       |SELECT obs.d, obs.event_type, c_obs, n_day, n_type,
-      |  CAST(c_obs * n_all - n_day * n_type AS DOUBLE)
-      |    * CAST(c_obs * n_all - n_day * n_type AS DOUBLE)
-      |    / CAST(n_all * n_day * n_type AS DOUBLE) AS chi_term
+      |  CAST(CAST(c_obs AS HUGEINT) * n_all
+      |       - CAST(n_day AS HUGEINT) * n_type AS DOUBLE)
+      |    * CAST(CAST(c_obs AS HUGEINT) * n_all
+      |           - CAST(n_day AS HUGEINT) * n_type AS DOUBLE)
+      |    / (CAST(n_all AS DOUBLE) * CAST(n_day AS DOUBLE)
+      |       * CAST(n_type AS DOUBLE)) AS chi_term
       |FROM obs JOIN dt USING (d) JOIN tt USING (event_type), g""".stripMargin
 
   /** First-order Markov transition matrix over per-user event sequences:
@@ -351,8 +359,11 @@ object EventOps {
       .select(col("ante"), col("cons"), col("n_both"),
         (col("n_both").cast("double") / col("n_users")).as("support"),
         (col("n_both").cast("double") / col("n_ante")).as("confidence"),
-        ((col("n_both") * col("n_users")).cast("double")
-          / (col("n_ante") * col("n_cons"))).as("lift"))
+        // factors cast to double BEFORE multiplying: both products wrap
+        // int64 once counts pass ~3e9 users (q208 overflow contract)
+        ((col("n_both").cast("double") * col("n_users").cast("double"))
+          / (col("n_ante").cast("double") * col("n_cons").cast("double")))
+          .as("lift"))
   }
 
   val q141Sql: String =
@@ -370,8 +381,9 @@ object EventOps {
       |SELECT b.ante, b.cons, b.n_both,
       |  CAST(b.n_both AS DOUBLE) / n.n_users AS support,
       |  CAST(b.n_both AS DOUBLE) / sa.n_single AS confidence,
-      |  CAST(b.n_both * n.n_users AS DOUBLE)
-      |    / (sa.n_single * sc.n_single) AS lift
+      |  (CAST(b.n_both AS DOUBLE) * CAST(n.n_users AS DOUBLE))
+      |    / (CAST(sa.n_single AS DOUBLE) * CAST(sc.n_single AS DOUBLE))
+      |    AS lift
       |FROM b JOIN s sa ON b.ante = sa.event_type
       |JOIN s sc ON b.cons = sc.event_type, n""".stripMargin
 

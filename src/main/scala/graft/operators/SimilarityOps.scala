@@ -702,8 +702,12 @@ object SimilarityOps {
     * where q128 answers "which sources use the same WORDS" (mirrors and
     * paraphrase farms split exactly there). Centroids are elementwise
     * SUMS of 1e-3-quantized codes (global grid, so summation is linear
-    * — the per-vector-scaled int8 codes of q93 would NOT sum), norms
-    * and dots stay exact int64; cosine's denominator multiplies as
+    * — the per-vector-scaled int8 codes of q93 would NOT sum); norms
+    * and dots accumulate in decimal(38) with a FACTOR cast before each
+    * sv·sv / sv_a·sv_b multiply (the raw int64 product wraps once a
+    * source's per-dim mass passes ~3e9 — the q208 overflow contract),
+    * then emit as int64 diagnostics (a cast that fails loudly under
+    * ANSI rather than wrapping); cosine's denominator multiplies as
     * DOUBLE (the n2a·n2b product overflows int64 at corpus scale) —
     * correctly-rounded ops, engine-identical.
     *
@@ -723,12 +727,12 @@ object SimilarityOps {
       .groupBy(col("source"), col("dim"))
       .agg(sum(col("v").cast(d38)).cast("long").as("sv"))
     val norms = dims.groupBy(col("source"))
-      .agg(sum((col("sv") * col("sv")).cast(d38)).cast("long").as("n2"))
+      .agg(sum(col("sv").cast(d38) * col("sv")).cast("long").as("n2"))
     dims.as("a")
       .join(dims.as("b"),
         col("a.dim") === col("b.dim") && col("a.source") < col("b.source"))
       .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(sum((col("a.sv") * col("b.sv")).cast(d38)).cast("long")
+      .agg(sum(col("a.sv").cast(d38) * col("b.sv")).cast("long")
         .as("dot_i"))
       .join(broadcast(norms.select(col("source").as("src_a"),
         col("n2").as("n2_a"))), Seq("src_a"))
@@ -752,11 +756,11 @@ object SimilarityOps {
       |  SELECT source, dim, CAST(sum(v) AS BIGINT) AS sv
       |  FROM e GROUP BY 1, 2),
       |n AS (
-      |  SELECT source, CAST(sum(sv * sv) AS BIGINT) AS n2
+      |  SELECT source, CAST(sum(CAST(sv AS HUGEINT) * sv) AS BIGINT) AS n2
       |  FROM s GROUP BY 1),
       |p AS (
       |  SELECT a.source AS src_a, b.source AS src_b,
-      |    CAST(sum(a.sv * b.sv) AS BIGINT) AS dot_i
+      |    CAST(sum(CAST(a.sv AS HUGEINT) * b.sv) AS BIGINT) AS dot_i
       |  FROM s a JOIN s b ON a.dim = b.dim AND a.source < b.source
       |  GROUP BY 1, 2)
       |SELECT p.src_a, p.src_b, p.dot_i, na.n2 AS n2_a, nb.n2 AS n2_b,

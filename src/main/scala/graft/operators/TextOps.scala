@@ -326,7 +326,10 @@ object TextOps {
           .as("hit_mass"),
         col("n_corpus"))
       .withColumn("familiarity",
-        col("hit_mass").cast("double") / (col("n_tokens") * col("n_corpus")))
+        // factors to double BEFORE multiplying: doc length × corpus
+        // tokens passes 2^63 at the 100 TB regime (q208 contract)
+        col("hit_mass").cast("double")
+          / (col("n_tokens").cast("double") * col("n_corpus").cast("double")))
       .drop("n_corpus")
   }
 
@@ -350,16 +353,19 @@ object TextOps {
       |  CAST(count(*) AS BIGINT) AS n_tokens,
       |  CAST(sum(coalesce(v.tf, 0)) AS BIGINT) AS hit_mass,
       |  CAST(sum(coalesce(v.tf, 0)) AS DOUBLE)
-      |    / (count(*) * (SELECT n_corpus FROM total)) AS familiarity
+      |    / (CAST(count(*) AS DOUBLE)
+      |       * CAST((SELECT n_corpus FROM total) AS DOUBLE)) AS familiarity
       |FROM toks t LEFT JOIN vocab v USING (term)
       |GROUP BY t.doc_id""".stripMargin
 
   /** Top-k collocations by pointwise mutual information: bigrams whose
     * joint count beats what their unigram frequencies predict. The score
     * is the PMI *odds ratio* `c_ab·N / (c_a·c_b)` rather than its log —
-    * same ranking (log is monotone), but the value is ONE double division
-    * of exact integers, bit-identical cross-engine, where `ln` outputs
-    * need not agree between engines at the last ulp.
+    * same ranking (log is monotone), and the value is one fixed double
+    * tree with every count cast BEFORE its multiply (both products are
+    * corpus² and wrap int64 past ~3e9 tokens — r6 fix); identical trees
+    * of correctly-rounded IEEE ops are bit-identical cross-engine, where
+    * `ln` outputs need not agree at the last ulp.
     *
     * Scale shape: bigram and unigram counting are partially-aggregated
     * shuffles bounded by vocabulary size (never a raw token-stream
@@ -388,7 +394,10 @@ object TextOps {
       .join(uni.select(col("term").as("w2"), col("c").as("c_b")), Seq("w2"))
       .crossJoin(broadcast(total))
       .withColumn("pmi_odds",
-        (col("c_ab") * col("n_uni")).cast("double") / (col("c_a") * col("c_b")))
+        // factors to double BEFORE multiplying: c_ab·N and c_a·c_b are
+        // corpus² products — int64 wraps past ~3e9 tokens (q208 contract)
+        (col("c_ab").cast("double") * col("n_uni").cast("double"))
+          / (col("c_a").cast("double") * col("c_b").cast("double")))
       .orderBy(col("pmi_odds").desc, col("bg").asc)
       .limit(50)
       .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"), col("pmi_odds"))
@@ -411,7 +420,8 @@ object TextOps {
       |  SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
       |  FROM bg GROUP BY bg HAVING count(*) >= 5)
       |SELECT c.bg, c.c_ab, u1.c AS c_a, u2.c AS c_b,
-      |  CAST(c.c_ab * (SELECT n_uni FROM total) AS DOUBLE) / (u1.c * u2.c)
+      |  (CAST(c.c_ab AS DOUBLE) * CAST((SELECT n_uni FROM total) AS DOUBLE))
+      |    / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
       |    AS pmi_odds
       |FROM cab c
       |JOIN uni u1 ON u1.term = string_split(c.bg, ' ')[1]
@@ -429,11 +439,15 @@ object TextOps {
     *
     *   v_t = 22·S·tf·(2N − 2df + 1) / ((10·S·tf + 3·S + 9·dl·N)·(2df + 1))
     *
-    * (S = total corpus tokens, N = docs, dl = doc length) — ONE double
-    * division of exact int64s per term (num ≲ 22·S·dl·2N ≈ 3e12 at
-    * sf0.1; overflows int64 only past ~1e6× that), then a sum over the
-    * three terms in fixed left-to-right order, bit-identical
-    * cross-engine. tf = 0 zeroes the numerator, so absent terms
+    * (S = total corpus tokens, N = docs, dl = doc length) — evaluated
+    * ENTIRELY in double with every leaf cast first: the numerator scales
+    * as S·N ≈ corpus², which wraps int64 at ~1e3× the sf0.1 corpus —
+    * far below the 100 TB regime — so exact-int64-then-divide is not an
+    * option here (r6 fix; the docstring previously claimed a 1e6×
+    * margin, which mistook quadratic growth for linear). Both engines
+    * apply the IDENTICAL double tree (same leaves, same association),
+    * so correctly-rounded IEEE ops keep the hash contract without
+    * integer exactness. tf = 0 zeroes the numerator, so absent terms
     * contribute exactly 0.0 with no special-casing.
     *
     * Scale shape: corpus stats (N, S, per-term df) are ONE aggregate row
@@ -473,13 +487,16 @@ object TextOps {
         df.withColumn(s"tf_$i",
           size(filter(col("toks"), x => x === lit(t))).cast("long"))
     }
-    def v(i: Int) =
-      (lit(22L) * col("s_tokens") * col(s"tf_$i") *
-        (lit(2L) * col("n_docs") - lit(2L) * col(s"df_$i") + lit(1L)))
-        .cast("double") /
-        ((lit(10L) * col("s_tokens") * col(s"tf_$i") +
-          lit(3L) * col("s_tokens") + lit(9L) * col("dl") * col("n_docs")) *
-          (lit(2L) * col(s"df_$i") + lit(1L)))
+    def v(i: Int) = {
+      val sD = col("s_tokens").cast("double")
+      val nD = col("n_docs").cast("double")
+      val tfD = col(s"tf_$i").cast("double")
+      val dfD = col(s"df_$i").cast("double")
+      val dlD = col("dl").cast("double")
+      (lit(22.0) * sD * tfD * (lit(2.0) * nD - lit(2.0) * dfD + lit(1.0))) /
+        ((lit(10.0) * sD * tfD + lit(3.0) * sD + lit(9.0) * dlD * nD) *
+          (lit(2.0) * dfD + lit(1.0)))
+    }
     withTf
       // gate on the integer tf sum, not on score > 0: a score gate
       // would be pushed into the join condition and evaluate the whole
@@ -518,12 +535,24 @@ object TextOps {
       |    CAST(len(list_filter(toks, x -> x = 'fast')) AS BIGINT) AS tf_2
       |  FROM d)
       |SELECT doc_id, dl, tf_0 AS tf_query, tf_1 AS tf_merge, tf_2 AS tf_fast,
-      |  CAST(22 * s_tokens * tf_0 * (2 * n_docs - 2 * df_0 + 1) AS DOUBLE)
-      |    / ((10 * s_tokens * tf_0 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_0 + 1))
-      |  + CAST(22 * s_tokens * tf_1 * (2 * n_docs - 2 * df_1 + 1) AS DOUBLE)
-      |    / ((10 * s_tokens * tf_1 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_1 + 1))
-      |  + CAST(22 * s_tokens * tf_2 * (2 * n_docs - 2 * df_2 + 1) AS DOUBLE)
-      |    / ((10 * s_tokens * tf_2 + 3 * s_tokens + 9 * dl * n_docs) * (2 * df_2 + 1))
+      |  22 * CAST(s_tokens AS DOUBLE) * CAST(tf_0 AS DOUBLE)
+      |      * (2 * CAST(n_docs AS DOUBLE) - 2 * CAST(df_0 AS DOUBLE) + 1)
+      |    / ((10 * CAST(s_tokens AS DOUBLE) * CAST(tf_0 AS DOUBLE)
+      |        + 3 * CAST(s_tokens AS DOUBLE)
+      |        + 9 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |       * (2 * CAST(df_0 AS DOUBLE) + 1))
+      |  +   22 * CAST(s_tokens AS DOUBLE) * CAST(tf_1 AS DOUBLE)
+      |      * (2 * CAST(n_docs AS DOUBLE) - 2 * CAST(df_1 AS DOUBLE) + 1)
+      |    / ((10 * CAST(s_tokens AS DOUBLE) * CAST(tf_1 AS DOUBLE)
+      |        + 3 * CAST(s_tokens AS DOUBLE)
+      |        + 9 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |       * (2 * CAST(df_1 AS DOUBLE) + 1))
+      |  +   22 * CAST(s_tokens AS DOUBLE) * CAST(tf_2 AS DOUBLE)
+      |      * (2 * CAST(n_docs AS DOUBLE) - 2 * CAST(df_2 AS DOUBLE) + 1)
+      |    / ((10 * CAST(s_tokens AS DOUBLE) * CAST(tf_2 AS DOUBLE)
+      |        + 3 * CAST(s_tokens AS DOUBLE)
+      |        + 9 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE))
+      |       * (2 * CAST(df_2 AS DOUBLE) + 1))
       |  AS score
       |FROM tf, st
       |WHERE tf_0 + tf_1 + tf_2 > 0
@@ -642,14 +671,16 @@ object TextOps {
     *
     *   ((4·c_ab − 3)·nbb + 3·n1r_a·n1l_b) / (4·cl_a·nbb)
     *
-    * — ONE double division of int64s, bit-identical cross-engine (the
-    * usual Σ log p form would sum doubles in engine-dependent order).
+    * — ONE division per bigram (the usual Σ log p form would sum
+    * doubles in engine-dependent order; this is a fixed per-row tree).
     * cl_a = Σ_x c(w1,x) is the left-context mass, n1r_a = N1+(w1•) the
     * right-continuation count, n1l_b = N1+(•w2) the left-continuation
-    * count, nbb = N1+(••) the distinct-bigram-type count. Numerator
-    * magnitude is c_ab·nbb — overflows int64 only past ~10^9 bigram
-    * types × 10^9 max count; at that scale swap the two products to
-    * double (ranking unchanged, last-ulp parity lost).
+    * count, nbb = N1+(••) the distinct-bigram-type count. The rational
+    * evaluates in DOUBLE with every leaf cast first (r6): its numerator
+    * magnitude is c_ab·nbb ≈ max-count × bigram types, which wraps
+    * int64 at ~1e9 × 1e9 — inside the 100 TB regime — and both engines
+    * applying the identical double tree keeps the hash contract
+    * without integer exactness.
     *
     * Scale shape: every aggregate is vocabulary-bounded with map-side
     * partial combine — the raw token stream shuffles ONCE as
@@ -680,9 +711,12 @@ object TextOps {
       .join(n1l, Seq("w2"))
       .crossJoin(broadcast(nbb))
       .withColumn("p_kn",
-        ((lit(4L) * col("c_ab") - lit(3L)) * col("nbb") +
-          lit(3L) * col("n1r_a") * col("n1l_b")).cast("double") /
-          (lit(4L) * col("cl_a") * col("nbb")))
+        ((lit(4.0) * col("c_ab").cast("double") - lit(3.0))
+          * col("nbb").cast("double") +
+          lit(3.0) * col("n1r_a").cast("double")
+            * col("n1l_b").cast("double")) /
+          (lit(4.0) * col("cl_a").cast("double")
+            * col("nbb").cast("double")))
       .orderBy(col("p_kn").desc, col("w1").asc, col("w2").asc)
       .limit(50)
       .select(col("w1"), col("w2"), col("c_ab"), col("cl_a"),
@@ -709,8 +743,9 @@ object TextOps {
       |n1l AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1l_b FROM cab GROUP BY 1),
       |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM cab)
       |SELECT c.w1, c.w2, c.c_ab, cl.cl_a, cl.n1r_a, n1l.n1l_b,
-      |  CAST((4 * c.c_ab - 3) * nbb.nbb + 3 * cl.n1r_a * n1l.n1l_b AS DOUBLE)
-      |    / (4 * cl.cl_a * nbb.nbb) AS p_kn
+      |  ((4 * CAST(c.c_ab AS DOUBLE) - 3) * CAST(nbb.nbb AS DOUBLE)
+      |   + 3 * CAST(cl.n1r_a AS DOUBLE) * CAST(n1l.n1l_b AS DOUBLE))
+      |    / (4 * CAST(cl.cl_a AS DOUBLE) * CAST(nbb.nbb AS DOUBLE)) AS p_kn
       |FROM cab c JOIN cl USING (w1) JOIN n1l USING (w2) CROSS JOIN nbb
       |WHERE c.c_ab >= 5
       |ORDER BY p_kn DESC, c.w1, c.w2
@@ -1322,7 +1357,8 @@ object TextOps {
     * statistic: ordered (word, context) pairs where the context follows
     * within 2 positions, scored by the PMI odds ratio
     * `c_wc·N / (c_w·c_ctx)` (log-free per the q103 convention — same
-    * ranking as PMI, exact-integer determinism). q103's adjacent-bigram
+    * ranking as PMI; a fixed double tree with leaves cast before the
+    * corpus² multiplies, identical cross-engine). q103's adjacent-bigram
     * PMI is the phrase/collocation signal; the windowed table is the
     * distributional-semantics signal (what trains embeddings), and its
     * marginals are the CO-OCCURRENCE marginals (row/column sums of the
@@ -1362,8 +1398,12 @@ object TextOps {
       .join(cw, Seq("w")).join(cc, Seq("ctx"))
       .crossJoin(broadcast(nPairs))
       .select(col("w"), col("ctx"), col("c_wc"), col("c_w"), col("c_ctx"),
-        ((col("c_wc") * col("n_pairs")).cast("double")
-          / (col("c_w") * col("c_ctx"))).as("lift"))
+        // factors to double BEFORE multiplying: c_wc·n_pairs and
+        // c_w·c_ctx are corpus² products — int64 wraps past ~3e9 pairs
+        // (q208 overflow contract)
+        ((col("c_wc").cast("double") * col("n_pairs").cast("double"))
+          / (col("c_w").cast("double") * col("c_ctx").cast("double")))
+          .as("lift"))
       .orderBy(col("lift").desc, col("w").asc, col("ctx").asc)
       .limit(100)
   }
@@ -1384,7 +1424,8 @@ object TextOps {
        |cc AS (SELECT ctx, CAST(sum(c_wc) AS BIGINT) AS c_ctx
        |       FROM cooc GROUP BY 1)
        |SELECT co.w, co.ctx, co.c_wc, cw.c_w, cc.c_ctx,
-       |  CAST(co.c_wc * n.n_pairs AS DOUBLE) / (cw.c_w * cc.c_ctx) AS lift
+       |  (CAST(co.c_wc AS DOUBLE) * CAST(n.n_pairs AS DOUBLE))
+       |    / (CAST(cw.c_w AS DOUBLE) * CAST(cc.c_ctx AS DOUBLE)) AS lift
        |FROM cooc co JOIN cw USING (w) JOIN cc USING (ctx) CROSS JOIN n
        |WHERE co.c_wc >= 5
        |ORDER BY lift DESC, co.w, co.ctx
