@@ -778,11 +778,15 @@ object CurationOps {
     * Emits ONE ROW PER BUCKET with that bucket's chi-square
     * contribution rather than the summed statistic: the per-bucket
     * terms are each `(observed·total − side_total·bucket_total)² /
-    * (total·side_total·bucket_total)` — exact int64s until one double
-    * division per side, fixed-order sum of the two sides — while a
-    * cross-BUCKET sum of doubles would accumulate in engine-dependent
-    * order and break the hash gate. (Callers wanting the scalar χ² sum
-    * 10 exact terms however they like.)
+    * (total·side_total·bucket_total)` — the count products form in
+    * decimal(38) with a FACTOR cast first (count×total is corpus² and
+    * wraps int64 past ~3e9 docs, the q208 contract), the deviation is
+    * cast to double and squared IN DOUBLE, and the denominator
+    * multiplies as doubles; one division per side, fixed-order sum of
+    * the two sides — while a cross-BUCKET sum of doubles would
+    * accumulate in engine-dependent order and break the hash gate.
+    * (Callers wanting the scalar χ² sum 10 exact terms however they
+    * like.)
     *
     * Scale shape: one corpus pass → 10-bucket × 2-side aggregate
     * (map-side partial combine collapses everything before the
@@ -814,10 +818,13 @@ object CurationOps {
     val totals = counts.agg(
       sum(col("c_ref")).as("n_ref"), sum(col("c_cur")).as("n_cur"))
     def term(c: Column, sideTotal: Column) = {
+      val d38 = "decimal(38,0)"
       val total = col("n_ref") + col("n_cur")
       val bucketTotal = col("c_ref") + col("c_cur")
-      val dev = c * total - sideTotal * bucketTotal
-      (dev * dev).cast("double") / (total * sideTotal * bucketTotal)
+      val dev = (c.cast(d38) * total - sideTotal.cast(d38) * bucketTotal)
+        .cast("double")
+      (dev * dev) / (total.cast("double") * sideTotal.cast("double")
+        * bucketTotal.cast("double"))
     }
     counts.crossJoin(broadcast(totals))
       .withColumn("chi_term",
@@ -843,12 +850,18 @@ object CurationOps {
       |    CAST(sum(c_cur) AS BIGINT) AS n_cur
       |  FROM counts)
       |SELECT bucket, c_ref, c_cur,
-      |  CAST((c_ref * (n_ref + n_cur) - n_ref * (c_ref + c_cur))
-      |     * (c_ref * (n_ref + n_cur) - n_ref * (c_ref + c_cur)) AS DOUBLE)
-      |    / ((n_ref + n_cur) * n_ref * (c_ref + c_cur))
-      |  + CAST((c_cur * (n_ref + n_cur) - n_cur * (c_ref + c_cur))
-      |     * (c_cur * (n_ref + n_cur) - n_cur * (c_ref + c_cur)) AS DOUBLE)
-      |    / ((n_ref + n_cur) * n_cur * (c_ref + c_cur))
+      |  CAST(CAST(c_ref AS HUGEINT) * (n_ref + n_cur)
+      |       - CAST(n_ref AS HUGEINT) * (c_ref + c_cur) AS DOUBLE)
+      |    * CAST(CAST(c_ref AS HUGEINT) * (n_ref + n_cur)
+      |           - CAST(n_ref AS HUGEINT) * (c_ref + c_cur) AS DOUBLE)
+      |    / (CAST(n_ref + n_cur AS DOUBLE) * CAST(n_ref AS DOUBLE)
+      |       * CAST(c_ref + c_cur AS DOUBLE))
+      |  + CAST(CAST(c_cur AS HUGEINT) * (n_ref + n_cur)
+      |         - CAST(n_cur AS HUGEINT) * (c_ref + c_cur) AS DOUBLE)
+      |    * CAST(CAST(c_cur AS HUGEINT) * (n_ref + n_cur)
+      |           - CAST(n_cur AS HUGEINT) * (c_ref + c_cur) AS DOUBLE)
+      |    / (CAST(n_ref + n_cur AS DOUBLE) * CAST(n_cur AS DOUBLE)
+      |       * CAST(c_ref + c_cur AS DOUBLE))
       |  AS chi_term
       |FROM counts, tot""".stripMargin
 
@@ -862,9 +875,11 @@ object CurationOps {
     * Laplace +1 smoothing over the joint vocabulary on both sides.
     *
     * Cross-engine exactness: this is the suite's ONE transcendental.
-    * Each per-WORD log-ratio ln((c_t+1)(R+V) / ((c_r+1)(T+V))) takes an
-    * exact-int64-ratio double (bit-identical in both engines) through
-    * `ln` and is immediately quantized to a 2^-14 grid
+    * Each per-WORD log-ratio ln((c_t+1)(R+V) / ((c_r+1)(T+V))) forms
+    * its two products IN DOUBLE with every factor cast first (count ×
+    * corpus-total is corpus² and wraps int64 past ~3e9 tokens — r6
+    * fix; identical double trees stay bit-identical cross-engine),
+    * goes through `ln` and is immediately quantized to a 2^-14 grid
     * (⌊ln·16384⌋, BIGINT); per-document weights are then pure integer
     * sums. A cross-engine mismatch needs the two engines' `ln` (both
     * ≤ 1 ulp from correctly rounded) to straddle a grid line — the
@@ -896,8 +911,10 @@ object CurationOps {
       count(lit(1)).as("v"))
     val weights = counts.crossJoin(broadcast(tot))
       .select(col("term"), floor(log(
-        ((col("ct") + 1) * (col("r_tot") + col("v"))).cast("double") /
-          ((col("cr") + 1) * (col("t_tot") + col("v"))).cast("double")) *
+        ((col("ct") + 1).cast("double")
+          * (col("r_tot") + col("v")).cast("double")) /
+          ((col("cr") + 1).cast("double")
+            * (col("t_tot") + col("v")).cast("double"))) *
         16384).cast("long").as("lw"))
     toks.filter(!col("tgt"))
       .join(weights, Seq("term"))
@@ -928,9 +945,10 @@ object CurationOps {
        |  FROM c),
        |w AS (
        |  SELECT term,
-       |    CAST(floor(ln(CAST((ct + 1) * (r_tot + v) AS DOUBLE)
-       |      / CAST((cr + 1) * (t_tot + v) AS DOUBLE)) * 16384) AS BIGINT)
-       |      AS lw
+       |    CAST(floor(ln(
+       |      (CAST(ct + 1 AS DOUBLE) * CAST(r_tot + v AS DOUBLE))
+       |      / (CAST(cr + 1 AS DOUBLE) * CAST(t_tot + v AS DOUBLE)))
+       |      * 16384) AS BIGINT) AS lw
        |  FROM c CROSS JOIN tot)
        |SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
        |  CAST(sum(w.lw) AS BIGINT) AS w_sum,
@@ -1115,8 +1133,12 @@ object CurationOps {
     * whose scorer runs hot/cold stops distorting corpus-wide gates
     * (q91 equalizes pass RATES per domain; this equalizes the score
     * DISTRIBUTIONS themselves). Mid-rank mapping
-    * t = ⌈(2r−1)·N / 2n_h⌉ is exact int64 end to end; the looked-up
-    * value is an exact equi-join against the global rank table.
+    * t = ⌈(2r−1)·N / 2n_h⌉ must stay EXACT (it is a join key): the
+    * (2r−1)·N product is rank × corpus — corpus², wrapping int64 past
+    * ~2e9 docs — so it forms in decimal(38) with a factor cast first
+    * and the integral division returns the int64 index (r6 fix); the
+    * looked-up value is an exact equi-join against the global rank
+    * table.
     *
     * Scale shape: within-source ranks ride a source-keyed window
     * (domain-grained keys at corpus scale); the GLOBAL rank comes from
@@ -1140,7 +1162,8 @@ object CurationOps {
         .over(Window.partitionBy(col("lang"))))
       .crossJoin(broadcast(n))
       .withColumn("pos",
-        expr("((2 * r - 1) * n_total + 2 * n_h - 1) div (2 * n_h)") - 1)
+        expr("((2 * cast(r as decimal(38,0)) - 1) * n_total + 2 * n_h - 1)" +
+          " div (2 * n_h)") - 1)
       .join(globalRanks, Seq("pos"))
       .select(col("doc_id"), col("lang"), col("quality"),
         col("norm_quality"))
@@ -1162,7 +1185,8 @@ object CurationOps {
        |  FROM scored),
        |p AS (
        |  SELECT doc_id, lang, quality,
-       |    ((2 * r - 1) * n_total + 2 * n_h - 1) // (2 * n_h) - 1 AS pos
+       |    CAST(((2 * CAST(r AS HUGEINT) - 1) * n_total + 2 * n_h - 1)
+       |         // (2 * n_h) - 1 AS BIGINT) AS pos
        |  FROM r, n)
        |SELECT p.doc_id, p.lang, p.quality, g.norm_quality
        |FROM p JOIN g USING (pos)""".stripMargin

@@ -67,6 +67,57 @@ class ScaleLintSpec extends SparkTestBase {
     "l_linenumber" -> "lineitem", "doc_id" -> "documents/embeddings",
     "event_id" -> "events")
 
+  /** Queries whose surviving long×long products have a DOMAIN-bounded
+    * magnitude — each entry names the bound that keeps the product under
+    * 2⁶³ at any corpus size. Everything count×count (corpus²) was moved
+    * to decimal/double factor-casts in r6; what remains multiplies
+    * per-row values or fixed-domain counts. */
+  private val boundedLongProduct: Map[String, String] = {
+    val money = "per-row cents × per-mille factors: value-domain ≤ ~1e12 per ROW (sums ride decimal downstream)"
+    val qnorm = "quantized norm² products: each factor ≤ dims×quant² = 64·10⁶, product ≤ 4e15"
+    Map(
+      "q01_pricing_summary" -> money, "q03_join_agg" -> money,
+      "q204_local_supplier" -> money, "q205_market_share" -> money,
+      "q212_forecast_revenue" -> money, "q215_returned_items" -> money,
+      "q71_bloom_join" -> money,
+      "q55_moments" -> "per-row cents² moments: value-domain ≤ ~1e14 per ROW; sums are lsumDec decimal",
+      "q38_embedding_neardup" -> qnorm, "q39_knn_brute" -> qnorm,
+      "q40_knn_lsh" -> qnorm, "q49_embedding_lsh_dedup" -> qnorm,
+      "q52_knn_ivf" -> qnorm, "q93_knn_int8" -> qnorm,
+      "q111_rrf_hybrid" -> qnorm, "q112_semantic_decontam" -> qnorm,
+      "q121_hard_negatives" -> qnorm, "q136_ann_recall" -> qnorm,
+      "q178_rank_tau" -> qnorm,
+      "q173_ndcg" -> (qnorm + "; gain(≤3) × 1e6 idcg table entry"),
+      "q154_random_projection" -> "quantized code × ±1 sign matrix entry: |product| = |code| ≤ 1e3",
+      "q196_norm_outliers" -> "per-element code² inside aggregate lambda: ≤ (1e3)² = 1e6",
+      "q132_embed_covariance" -> "triangular pair indexing over the FIXED 64 dims: ≤ 2^13",
+      "q191_capture_recapture" -> "a·b of two presence BITS ∈ {0,1}",
+      "q146_cluster_sizes" -> "size × count-of-that-size ≤ total docs (sizes partition the corpus)",
+      "q150_bootstrap" -> "Poisson weight (≤4) × doc token count (doc-length-bounded)",
+      "q139_hist_quantile" -> "bin(≤4096) × value-range; q_pct(≤100) × corpus count",
+      "q156_synth_sample" -> "bin index (≤1000) × count; bin × value-range",
+      "q158_quantile_norm" -> "2·n_h literal-scaled only; the rank×corpus product rides decimal (r6)",
+      "q216_source_jsd" -> "histogram-cell count × 2^-14-quantized log (|q| ≤ ~1.1e4): ≤ 2^63 below ~8e14-count cells",
+      "qm5_chunk_dedup" -> "chunk count × fixed chunk length: doc-length-bounded")
+  }
+
+  /** int64 multiplies whose BOTH operands are data-derived (non-literal):
+    * the overflow class the r6 sweep closed — a count×count product
+    * wraps silently (non-ANSI) once both sides pass ~3e9. New queries
+    * must either cast a factor to decimal(38)/double first or allowlist
+    * with the domain bound. Literal-scaled multiplies (x·1000, cum·5)
+    * are exempt: one side is a small constant. */
+  private def longProducts(plan: LogicalPlan): Seq[String] =
+    plan.flatMap { node =>
+      node.expressions.flatMap(_.collect {
+        case m: org.apache.spark.sql.catalyst.expressions.Multiply
+            if m.dataType == org.apache.spark.sql.types.LongType &&
+              !m.left.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] &&
+              !m.right.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal] =>
+          m.sql
+      })
+    }
+
   private def forcedScalingBroadcasts(plan: LogicalPlan): Seq[String] =
     plan.collect {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
@@ -111,6 +162,9 @@ class ScaleLintSpec extends SparkTestBase {
         val forced = forcedScalingBroadcasts(df.queryExecution.analyzed)
         if (forced.nonEmpty && !boundedForcedBroadcast.contains(q.name))
           failures += s"${q.name}: forced broadcast of scaling table(s) ${forced.mkString(", ")}"
+        val prods = longProducts(df.queryExecution.optimizedPlan)
+        if (prods.nonEmpty && !boundedLongProduct.contains(q.name))
+          failures += s"${q.name}: unbounded long*long product(s) ${prods.distinct.mkString("; ")}"
       } catch {
         case e: Throwable => failures += s"${q.name}: plan build failed: ${e.getMessage}"
       }
