@@ -1024,6 +1024,88 @@ object TextOps {
       |FROM w JOIN c USING (g)
       |GROUP BY w.doc_id""".stripMargin
 
+  /** Duplicate-span REMOVAL PLAN — the actionable companion to
+    * [[q137RepeatedSpans]]: where q137 scores each document's repeated
+    * coverage, this emits the actual token intervals to cut, as MERGED
+    * spans (Lee et al. 2021's exact-substring dedup, materialized as a
+    * cut list). Every 10-token window occurring ≥ 2 times in the corpus
+    * (within- or cross-document, q137's "any second occurrence"
+    * contract) marks tokens [pos, pos+10); overlapping and adjacent
+    * marks coalesce into one `[span_start, span_end)` interval per run,
+    * so a downstream rewriter deletes each region exactly once.
+    *
+    * Scale shape: same gram machinery as q137 — fused
+    * [[graft.functions.HashExprs.GramKHash64]] windows (no span
+    * strings), a span-count aggregate with map-side combine (ONE long
+    * of state per key), and a hash-keyed scoring join where a viral
+    * boilerplate span is AQE-splittable join skew, never a buffer. The
+    * interval merge is a gaps-and-islands pass over doc_id-keyed
+    * windows: unbounded key cardinality (the anti-funnel), per-doc
+    * frames bounded by the doc's own window count. Window order is
+    * `pos` — unique within a doc, so island numbering is
+    * deterministic. */
+  def q234DupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansCore(Tables.documents(s, dir), k = 10)
+
+  /** See [[q234DupSpans]]: merged cut intervals over any
+    * `(doc_id, text)` frame, span length `k`. */
+  def dupSpansCore(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col("doc_id"), graft.functions.HashExprs.gramk_hash64(
+        filter(tokens(col("text")), t => t =!= ""), k).as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
+      .withColumn("pos", col("pos").cast("long"))
+    val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val hits = wins.join(counts.filter(col("c") >= 2), Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevMaxEnd = max(col("pos") + k)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevMaxEnd, lit(-1L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  val q234Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |    x -> x <> '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) >= 10),
+      |w AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(toks[i:i+9], ' ') AS g
+      |  FROM f, UNNEST(range(1, n - 8)) AS u(i)),
+      |c AS (SELECT g FROM (SELECT g, count(*) AS c FROM w GROUP BY g)
+      |      WHERE c >= 2),
+      |h AS (SELECT doc_id, pos FROM w JOIN c USING (g)),
+      |b AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 10) OVER (
+      |        PARTITION BY doc_id ORDER BY pos
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM h),
+      |i2 AS (
+      |  SELECT doc_id, pos,
+      |    CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+      |      AS island
+      |  FROM b)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |  CAST(max(pos) + 10 AS BIGINT) AS span_end,
+      |  CAST(count(*) AS BIGINT) AS n_windows
+      |FROM i2 GROUP BY doc_id, island""".stripMargin
+
   /** Exact phrase search: for each phrase in a (small, user-supplied)
     * list, every document containing it token-for-token, with the
     * occurrence count (overlapping occurrences each count — the windows
@@ -2272,6 +2354,7 @@ object TextOps {
     QueryDef("q129_bigram_fluency", q129BigramFluency, Some(q129Sql)),
     QueryDef("q133_novelty_decay", q133NoveltyDecay, Some(q133Sql)),
     QueryDef("q137_repeated_spans", q137RepeatedSpans, Some(q137Sql)),
+    QueryDef("q234_dup_spans", q234DupSpans, Some(q234Sql)),
     QueryDef("q138_phrase_search", q138PhraseSearch, Some(q138Sql)),
     QueryDef("q123_source_novelty", q123SourceNovelty, Some(q123Sql)),
     QueryDef("q128_source_overlap", q128SourceOverlap, Some(q128Sql)),

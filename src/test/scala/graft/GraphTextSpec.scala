@@ -72,6 +72,28 @@ class GraphTextSpec extends SparkTestBase {
     assert(total > (n + 1) / 10 * 9 * unit)           // ...and barely
   }
 
+  test("dupSpans: overlapping window hits merge; disjoint runs stay separate") {
+    // doc 1 and doc 2 share a 12-token run (positions 0..11 in doc 1):
+    // windows 0,1,2 all hit and must merge into ONE span [0, 12).
+    // doc 1 additionally shares a second, later 10-token run with doc 3
+    // at positions 20..29 — a separate island [20, 30).
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val run2 = (1 to 10).map(i => s"other$i").mkString(" ")
+    val filler = (1 to 8).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run $filler $run2 tail1 tail2"),
+      (2L, s"pre1 pre2 $run post"),
+      (3L, s"$run2 unrelated words here")).toDF("doc_id", "text")
+    val out = TextOps.dupSpansCore(docs, k = 10)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val spans = out.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sortBy(_._1).toSeq).toMap
+    assert(spans(1L) == Seq((0L, 12L), (20L, 30L)), spans)
+    assert(spans(2L) == Seq((2L, 14L)), spans) // run sits after 2 pre toks
+    assert(spans(3L) == Seq((0L, 10L)), spans)
+  }
+
   test("sortedNeighborhood: adjacent near-dups pair, far blocks don't") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
