@@ -335,8 +335,10 @@ object EventOps {
     * q127 contract: event-type is a VOCABULARY, not an id space — so
     * the self-join emits ≤ T² rows per user and the rule table itself
     * is ≤ T² rows. Singles counts ride a broadcast. All three metrics
-    * are single divisions of exact int64 products (n_both·N never
-    * overflows: both factors are user counts). */
+    * are single divisions; lift's two count products form in DOUBLE
+    * with each factor cast first (n_both·N is user-count² — wraps int64
+    * past ~3e9 users, the q208 overflow contract; identical double
+    * trees keep the cross-engine hash). */
   def q141AssocRules(s: SparkSession, dir: String): DataFrame = {
     val ut = Tables.events(s, dir)
       .select(col("user_id"), col("event_type")).distinct()
