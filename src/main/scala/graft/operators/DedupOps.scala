@@ -351,7 +351,8 @@ object DedupOps {
       .withColumn("dot",
         graft.functions.VectorExprs.quantized_dot(col("qa"), col("qb")))
       .withColumn("cos",
-        col("dot").cast("double") / sqrt((col("na2") * col("nb2")).cast("double")))
+        col("dot").cast("double")
+          / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
       .filter(col("cos") >= 0.4)
       .select("label", "vec_a", "vec_b", "cos")
   }
@@ -367,10 +368,10 @@ object DedupOps {
       |  FROM q)
       |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
-      |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+      |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
       |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
-      |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin
+      |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4""".stripMargin
 
   /** Label-free embedding near-dup: LSH hyperplane buckets (no cluster
     * column assumed — the true 100 TB path) then exact cosine inside each
@@ -430,7 +431,7 @@ object DedupOps {
           && col("a.vec_id") < col("b.vec_id"))
       .filter(firstBandOnly)
       .withColumn("cos", quantized_dot(col("a.q"), col("b.q")).cast("double")
-        / sqrt((col("a.n2") * col("b.n2")).cast("double")))
+        / sqrt(col("a.n2").cast("double") * col("b.n2").cast("double")))
       .filter(col("cos") >= minCos)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("cos"))
@@ -461,11 +462,11 @@ object DedupOps {
        |  SELECT vec_id, q, n2, 1 AS band, ${keyExpr(1, "q")} AS key FROM n)
        |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
        |FROM banded a JOIN banded b
        |  ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
        |WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |    / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) >= 0.4""".stripMargin
+       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.4""".stripMargin
   }
 
   /** Connected components over an undirected edge list `(doc_a, doc_b)`:

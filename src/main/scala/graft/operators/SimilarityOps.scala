@@ -53,7 +53,8 @@ object SimilarityOps {
       .withColumn("n2", quantized_norm2(col("q")))
 
   private def cosine(qa: Column, qb: Column, na2: Column, nb2: Column): Column =
-    quantized_dot(qa, qb).cast("double") / sqrt((na2 * nb2).cast("double"))
+    quantized_dot(qa, qb).cast("double") /
+      sqrt(na2.cast("double") * nb2.cast("double"))
 
   /** Exact top-10 cosine neighbors for query vectors vec_id < 5: broadcast
     * the queries, single scan over the corpus, per-query top-k window. */
@@ -80,7 +81,7 @@ object SimilarityOps {
       |scored AS (
       |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-      |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+      |      / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
       |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
       |SELECT q_id, neighbor_id, cos, rn FROM (
       |  SELECT q_id, neighbor_id, cos,
@@ -145,7 +146,7 @@ object SimilarityOps {
        |scored AS (
        |  SELECT qs.q_id, c.vec_id AS neighbor_id,
        |    CAST(list_sum(list_transform(range(1, len(qs.qq) + 1), i -> qs.qq[i] * c.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(qs.qn2 * c.n2 AS DOUBLE)) AS cos
+       |      / sqrt(CAST(qs.qn2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
        |  FROM probes qs JOIN b c ON qs.bucket = c.bucket AND c.vec_id <> qs.q_id)
        |SELECT q_id, neighbor_id, cos, rn FROM (
        |  SELECT q_id, neighbor_id, cos,
@@ -199,7 +200,8 @@ object SimilarityOps {
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
       .crossJoin(broadcast(cdf))
       .withColumn("ccos", quantized_dot(col("qq"), col("centroid")).cast("double")
-        / sqrt((col("qn2") * quantized_norm2(col("centroid"))).cast("double")))
+        / sqrt(col("qn2").cast("double")
+          * quantized_norm2(col("centroid")).cast("double")))
       .withColumn("crn", row_number().over(wc))
       .filter(col("crn") <= 2)
       .select(col("q_id"), col("qq"), col("qn2"), col("cell"))
@@ -244,7 +246,7 @@ object SimilarityOps {
       // element) — same exact int64 arithmetic, so the hash is unchanged
       .withColumn("cos8",
         graft.functions.VectorExprs.long_dot(col("qq"), col("q8")).cast("double")
-          / sqrt((col("qn2") * col("n2")).cast("double")))
+          / sqrt(col("qn2").cast("double") * col("n2").cast("double")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 10)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("cos8"), col("rn"))
@@ -269,7 +271,7 @@ object SimilarityOps {
       |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(range(1, len(qs.q8) + 1),
       |      i -> qs.q8[i] * c.q8[i])) AS DOUBLE)
-      |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos8
+      |      / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos8
       |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
       |SELECT q_id, neighbor_id, cos8, rn FROM (
       |  SELECT q_id, neighbor_id, cos8,
@@ -313,7 +315,7 @@ object SimilarityOps {
       |scored AS (
       |  SELECT qs.vec_id AS q_id, c.vec_id AS neg_id, c.label AS neg_label,
       |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-      |      / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+      |      / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
       |  FROM n qs JOIN n c ON qs.vec_id < 5 AND c.label <> qs.label)
       |SELECT q_id, neg_id, neg_label, cos, rn FROM (
       |  SELECT q_id, neg_id, neg_label, cos,
@@ -418,7 +420,7 @@ object SimilarityOps {
       |  FROM (
       |    SELECT c.vec_id AS doc_id,
       |      CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-      |        / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos
+      |        / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos
       |    FROM n qs JOIN n c ON qs.vec_id = 0 AND c.vec_id <> 0)
       |  ORDER BY cos DESC, doc_id LIMIT 20),
       |fused AS (
@@ -481,7 +483,7 @@ object SimilarityOps {
         col("n2"), col("ne2"))
       .distinct() // a pair agreeing in several bands counts once
       .withColumn("cos", quantized_dot(col("q"), col("qe")).cast("double")
-        / sqrt((col("n2") * col("ne2")).cast("double")))
+        / sqrt(col("n2").cast("double") * col("ne2").cast("double")))
       .filter(col("cos") >= 0.4)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
@@ -512,7 +514,7 @@ object SimilarityOps {
        |verified AS (
        |  SELECT vec_id, eval_id,
        |    CAST(list_sum(list_transform(range(1, len(qc) + 1), i -> qc[i] * qe[i])) AS DOUBLE)
-       |      / sqrt(CAST(nc2 * ne2 AS DOUBLE)) AS cos
+       |      / sqrt(CAST(nc2 AS DOUBLE) * CAST(ne2 AS DOUBLE)) AS cos
        |  FROM cand)
        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
        |  max(cos) AS max_cos
@@ -886,7 +888,7 @@ object SimilarityOps {
     def cos(a: Cand, b: Cand): Double = {
       var d = 0L; var i = 0
       while (i < a.codes.length) { d += a.codes(i) * b.codes(i); i += 1 }
-      d.toDouble / math.sqrt((a.n2 * b.n2).toDouble)
+      d.toDouble / math.sqrt(a.n2.toDouble * b.n2.toDouble)
     }
     val out = cands.groupBy(_.getLong(0)).toSeq.flatMap { case (qid, rows) =>
       val cs = rows.map { r =>
@@ -943,16 +945,16 @@ object SimilarityOps {
        |  SELECT q_id, vec_id, q, n2, cos_qd FROM (
        |    SELECT qs.vec_id AS q_id, c.vec_id, c.q, c.n2,
        |      CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-       |        / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) AS cos_qd,
+       |        / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) AS cos_qd,
        |      row_number() OVER (PARTITION BY qs.vec_id
        |        ORDER BY CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-       |          / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) DESC, c.vec_id) AS rn
+       |          / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC, c.vec_id) AS rn
        |    FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
        |  WHERE rn <= 20),
        |pairs AS MATERIALIZED (
        |  SELECT a.q_id, a.vec_id AS a_id, b.vec_id AS b_id,
        |    CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
-       |      / sqrt(CAST(a.n2 * b.n2 AS DOUBLE)) AS cos_dd
+       |      / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos_dd
        |  FROM cands a JOIN cands b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
        |sel1 AS MATERIALIZED (
        |  SELECT q_id, vec_id, cos_qd * 0.5 AS score, CAST(1 AS BIGINT) AS step
@@ -1024,7 +1026,7 @@ object SimilarityOps {
        |    SELECT qs.vec_id AS q_id, qs.label AS ql, c.vec_id, c.label,
        |      row_number() OVER (PARTITION BY qs.vec_id
        |        ORDER BY CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
-       |          / sqrt(CAST(qs.n2 * c.n2 AS DOUBLE)) DESC, c.vec_id) AS rn
+       |          / sqrt(CAST(qs.n2 AS DOUBLE) * CAST(c.n2 AS DOUBLE)) DESC, c.vec_id) AS rn
        |    FROM n qs JOIN n c ON qs.vec_id < 5 AND c.vec_id <> qs.vec_id)
        |  WHERE rn <= 10)
        |SELECT q_id,

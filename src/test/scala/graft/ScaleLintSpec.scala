@@ -74,20 +74,13 @@ class ScaleLintSpec extends SparkTestBase {
     * per-row values or fixed-domain counts. */
   private val boundedLongProduct: Map[String, String] = {
     val money = "per-row cents × per-mille factors: value-domain ≤ ~1e12 per ROW (sums ride decimal downstream)"
-    val qnorm = "quantized norm² products: each factor ≤ dims×quant² = 64·10⁶, product ≤ 4e15"
     Map(
       "q01_pricing_summary" -> money, "q03_join_agg" -> money,
       "q204_local_supplier" -> money, "q205_market_share" -> money,
       "q212_forecast_revenue" -> money, "q215_returned_items" -> money,
       "q71_bloom_join" -> money,
       "q55_moments" -> "per-row cents² moments: value-domain ≤ ~1e14 per ROW; sums are lsumDec decimal",
-      "q38_embedding_neardup" -> qnorm, "q39_knn_brute" -> qnorm,
-      "q40_knn_lsh" -> qnorm, "q49_embedding_lsh_dedup" -> qnorm,
-      "q52_knn_ivf" -> qnorm, "q93_knn_int8" -> qnorm,
-      "q111_rrf_hybrid" -> qnorm, "q112_semantic_decontam" -> qnorm,
-      "q121_hard_negatives" -> qnorm, "q136_ann_recall" -> qnorm,
-      "q178_rank_tau" -> qnorm,
-      "q173_ndcg" -> (qnorm + "; gain(≤3) × 1e6 idcg table entry"),
+      "q173_ndcg" -> "gain(≤3) × 1e6 idcg table entry (the norm² product rides double since r6)",
       "q154_random_projection" -> "quantized code × ±1 sign matrix entry: |product| = |code| ≤ 1e3",
       "q196_norm_outliers" -> "per-element code² inside aggregate lambda: ≤ (1e3)² = 1e6",
       "q132_embed_covariance" -> "triangular pair indexing over the FIXED 64 dims: ≤ 2^13",
