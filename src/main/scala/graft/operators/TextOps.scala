@@ -2166,12 +2166,15 @@ object TextOps {
     // the tb/ta > 0 legs guard the one-sided degenerate (either feed
     // empty): x + y would be 0 and the log-ratio division would raise
     // under ANSI before the outer NULL guard is reached
+    // the count FACTOR casts to decimal(38) before the multiply (q208
+    // overflow contract: a stop-term's count × the 2^-14 log grid can
+    // pass 2^63 at extreme corpus counts)
     val sums = tf.crossJoin(broadcast(tot))
       .select(
-        when(col("a") > 0 && col("tb") > 0, col("a") * lqp)
-          .otherwise(0L).cast(d38).as("sa"),
-        when(col("b") > 0 && col("ta") > 0, col("b") * lqq)
-          .otherwise(0L).cast(d38).as("sb"))
+        when(col("a") > 0 && col("tb") > 0, col("a").cast(d38) * lqp)
+          .otherwise(lit(0L).cast(d38)).as("sa"),
+        when(col("b") > 0 && col("ta") > 0, col("b").cast(d38) * lqq)
+          .otherwise(lit(0L).cast(d38)).as("sb"))
       .agg(sum(col("sa")).as("ssa"), sum(col("sb")).as("ssb"))
     // a one-sided comparison (either feed empty) has no divergence to
     // report: NULL, not an ANSI divide-by-zero failure
@@ -2200,12 +2203,12 @@ object TextOps {
        |    CAST(count(*) AS BIGINT) AS n_terms FROM tf),
        |s AS (
        |  SELECT
-       |    CAST(sum(CASE WHEN a > 0 THEN a * CAST(floor(ln(
+       |    CAST(sum(CASE WHEN a > 0 THEN CAST(a AS HUGEINT) * CAST(floor(ln(
        |      2 * (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE))
        |        / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
        |           + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 16384)
        |      AS BIGINT) ELSE 0 END) AS HUGEINT) AS ssa,
-       |    CAST(sum(CASE WHEN b > 0 THEN b * CAST(floor(ln(
+       |    CAST(sum(CASE WHEN b > 0 THEN CAST(b AS HUGEINT) * CAST(floor(ln(
        |      2 * (CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))
        |        / (CAST(a AS DOUBLE) * CAST(tb AS DOUBLE)
        |           + CAST(b AS DOUBLE) * CAST(ta AS DOUBLE))) * 16384)

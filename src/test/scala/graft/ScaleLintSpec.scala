@@ -90,7 +90,6 @@ class ScaleLintSpec extends SparkTestBase {
       "q139_hist_quantile" -> "bin(≤4096) × value-range; q_pct(≤100) × corpus count",
       "q156_synth_sample" -> "bin index (≤1000) × count; bin × value-range",
       "q158_quantile_norm" -> "2·n_h literal-scaled only; the rank×corpus product rides decimal (r6)",
-      "q216_source_jsd" -> "histogram-cell count × 2^-14-quantized log (|q| ≤ ~1.1e4): ≤ 2^63 below ~8e14-count cells",
       "qm5_chunk_dedup" -> "chunk count × fixed chunk length: doc-length-bounded")
   }
 
