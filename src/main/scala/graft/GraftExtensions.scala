@@ -55,6 +55,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("gram3_hash64"),
       info("gram3_hash64", "chained-XXH64 word-3-gram hashes of a token array"),
       (es: Seq[Expression]) => functions.HashExprs.Gram3Hash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("gramk_hash64"),
+      info("gramk_hash64",
+        "chained-XXH64 word-k-gram hashes of a token array; k an int literal"),
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gramk_hash64's k must be an INT literal, got $other")
+        }
+        functions.HashExprs.GramKHash64(es.head, k)
+      }))
+    ext.injectFunction((FunctionIdentifier("cov_pair_products"),
+      info("cov_pair_products",
+        "upper-triangle pairwise products of a quantized vector (covariance rollup input)"),
+      (es: Seq[Expression]) => functions.VectorExprs.CovPairProducts(es.head)))
+    ext.injectFunction((FunctionIdentifier("map_sum_lookup"),
+      info("map_sum_lookup",
+        "sum of map values at the given keys (absent keys contribute 0)"),
+      (es: Seq[Expression]) => functions.VectorExprs.MapSumLookup(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints",
         "distinct 60-bit winnowing fingerprints (8-gram, window 16)"),

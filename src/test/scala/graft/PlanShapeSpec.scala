@@ -181,10 +181,28 @@ class PlanShapeSpec extends SparkTestBase {
     val r = spark.sql(
       """SELECT md5long60('abc') AS h, md5_signmask16('abc') AS m,
         |       winnow_fingerprints('abcdefghijklmnop') AS fps,
-        |       quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d
+        |       quantized_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d,
+        |       gramk_hash64(array('a','b','c'), 2) AS g2,
+        |       map_sum_lookup(array('x','y','z'), map('x', 5L, 'z', 7L)) AS ms
         |""".stripMargin).head()
     assert(r.getLong(0) > 0 && r.getSeq[Long](2).nonEmpty
       && r.getLong(3) == 2000000L)
+    // k-gram of 3 tokens with k=2 -> 2 window hashes, equal to the column API's
+    val viaColumn = spark.range(1).select(
+      functions.HashExprs.gramk_hash64(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("a"),
+          org.apache.spark.sql.functions.lit("b"),
+          org.apache.spark.sql.functions.lit("c")), 2))
+      .head().getSeq[Long](0)
+    assert(r.getSeq[Long](4) == viaColumn && viaColumn.size == 2)
+    assert(r.getLong(5) == 12L)
+    // a non-literal k must be rejected loudly, not silently mis-hash
+    val e = intercept[Exception](spark.sql(
+      "SELECT gramk_hash64(array('a','b'), CAST(rand() * 2 AS INT))").head())
+    def root(t: Throwable): Throwable =
+      if (t.getCause == null) t else root(t.getCause)
+    assert(root(e).getMessage.contains("INT literal"), e.getMessage)
   }
 
   test("q71: bloom probe evaluates on the fact scan BEFORE any join/exchange") {
