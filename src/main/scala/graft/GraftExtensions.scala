@@ -67,6 +67,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         functions.HashExprs.GramKHash64(es.head, k)
       }))
+    ext.injectFunction((FunctionIdentifier("gramk_hash128"),
+      info("gramk_hash128",
+        "two independently-seeded chained-XXH64 word-k-gram hash structs; k an int literal"),
+      (es: Seq[Expression]) => {
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"gramk_hash128's k must be an INT literal, got $other")
+        }
+        functions.HashExprs.GramKHash128(es.head, k)
+      }))
     ext.injectFunction((FunctionIdentifier("cov_pair_products"),
       info("cov_pair_products",
         "upper-triangle pairwise products of a quantized vector (covariance rollup input)"),

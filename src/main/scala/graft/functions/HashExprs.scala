@@ -267,6 +267,69 @@ object HashExprs {
       copy(child = newChild)
   }
 
+  /** [[GramKHash64]] widened to 128 bits: per window start, TWO
+    * independently-seeded chained XXH64 streams computed in the SAME
+    * pass over the tokens (seed 42 — identical lattice to
+    * [[GramKHash64]] — and the golden-ratio seed 0x9E3779B97F4A7C15),
+    * emitted as `array<struct<h1,h2>>`. For keys that drive ACTIONABLE
+    * output (q234's deletion list), 64 bits collide by birthday at
+    * corpus scale (~2³² windows); the pair pushes the false-span
+    * expectation to ~n²/2¹²⁹ — zero for any physical corpus. Cost is
+    * one extra long of hash arithmetic per token, NOT a second pass:
+    * the token array is scanned once. */
+  case class GramKHash128(child: Expression, k: Int)
+      extends UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    require(k >= 1, s"gramk_hash128 needs k >= 1, got $k")
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h1", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("h2", LongType, nullable = false))),
+        containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"gramk_hash128 expects array<string>, got ${t.catalogString}")
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val g = n - (k - 1)
+      if (g <= 0) {
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array.empty[Any])
+      }
+      val out = new Array[Any](g)
+      var i = 0
+      while (i < g) {
+        var h1 = 42L
+        var h2 = 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < k) {
+          val t = arr.getUTF8String(i + j)
+          if (t == null) {
+            h1 = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(-1L, h1)
+            h2 = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(-1L, h2)
+          } else {
+            h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h1)
+            h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+              .hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, h2)
+          }
+          j += 1
+        }
+        out(i) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](h1, h2))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.GraftShims.{registerFunction, toColumn, toExpression}
 
   def md5long60(c: Column, prefix: String = ""): Column =
@@ -284,6 +347,9 @@ object HashExprs {
   def gramk_hash64(c: Column, k: Int): Column =
     toColumn(GramKHash64(toExpression(c), k))
 
+  def gramk_hash128(c: Column, k: Int): Column =
+    toColumn(GramKHash128(toExpression(c), k))
+
   /** SQL-text registration (`SELECT md5long60(x) ...`; the seeded form is
     * expressed in SQL as `md5long60(concat(seed, x))`, identical value).
     * [[graft.GraftExtensions]] registers the same set cluster-wide. */
@@ -299,6 +365,15 @@ object HashExprs {
           s"gramk_hash64's k must be an INT literal, got $other")
       }
       GramKHash64(es.head, k)
+    })
+    registerFunction(spark, "gramk_hash128", es => {
+      val k = es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"gramk_hash128's k must be an INT literal, got $other")
+      }
+      GramKHash128(es.head, k)
     })
     registerFunction(spark, "winnow_fingerprints",
       es => WinnowFingerprints(es.head, 8, 16))

@@ -68,11 +68,22 @@ object GraphOps {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
     val nodes = ed.select(col("src").as("node")).distinct()
+    // the node count is needed either way: to SIZE the unit (auto path)
+    // or to VALIDATE a pinned one — a pin that passes the multiple-of-100
+    // check but breaks 85·n·unit ≤ 2⁶² would wrap int64 SILENTLY in the
+    // damping multiply (the round-5 bug, reachable through the pin until
+    // r7), so a too-large pin now fails loudly instead. One count() over
+    // the already-checkpointed frame.
+    val n = nodes.count()
     val unit =
-      if (rankUnit == 0L) sizedRankUnit(nodes.count())
+      if (rankUnit == 0L) sizedRankUnit(n)
       else {
         require(rankUnit >= 100L && rankUnit % 100L == 0L,
           s"pageRankInt: rank unit $rankUnit must be a multiple of 100 (0.15·unit must be exact)")
+        require(n <= (1L << 62) / (85L * rankUnit),
+          s"pageRankInt: pinned rank unit $rankUnit overflows on $n nodes " +
+            s"(needs 85*n*unit <= 2^62; max ${(1L << 62) / (85L * rankUnit)} " +
+            "nodes at this unit) — pass rankUnit = 0 to size it to the graph")
         rankUnit
       }
     val baseMass = unit / 100L * 15L // exact: unit is a multiple of 100

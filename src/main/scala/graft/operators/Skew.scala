@@ -23,16 +23,23 @@ object Skew {
     * to a hash of the whole left row (cheap, deterministic, uniform).
     *
     * `n = 0` (the default) sizes the salt count to the session's shuffle
-    * parallelism — a hot key then spreads over every join task, which is
-    * the most a salt can buy; a pinned count that made sense on a laptop
-    * would leave a 1000-executor cluster 8-wide on its hottest key. The
+    * parallelism CAPPED AT 64 — a pinned count that made sense on a
+    * laptop would leave a 1000-executor cluster 8-wide on its hottest
+    * key, but matching parallelism exactly is the other failure: every
+    * salt replicates the ENTIRE right side, so an uncapped default on a
+    * 2000-partition cluster would 2000× a right side that by the
+    * documented use case ("medium dim that does not fit a broadcast") is
+    * not tiny — the replication would dwarf the skew it cures. 64 salts
+    * already spreads any hot key across 64 tasks (the point of
+    * diminishing returns for one key); callers with wider single-key
+    * hotspots pin `n` explicitly and own the replication cost. The
     * result is salt-count-INVARIANT (replication meets every match
-    * exactly once), so callers pin `n` only to bound the right side's
-    * n× replication, not for correctness. */
+    * exactly once), so `n` is a cost knob, not a correctness one. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       n: Int = 0, saltExpr: Option[Column] = None): DataFrame = {
     val salts = if (n > 0) n
-      else math.max(2, left.sparkSession.sessionState.conf.numShufflePartitions)
+      else math.min(64,
+        math.max(2, left.sparkSession.sessionState.conf.numShufflePartitions))
     val salt = saltExpr.getOrElse(
       pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(salts)))
     val l = left.withColumn("_salt", salt)

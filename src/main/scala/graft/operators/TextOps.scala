@@ -1034,29 +1034,57 @@ object TextOps {
     * marks coalesce into one `[span_start, span_end)` interval per run,
     * so a downstream rewriter deletes each region exactly once.
     *
-    * Scale shape: same gram machinery as q137 — fused
-    * [[graft.functions.HashExprs.GramKHash64]] windows (no span
-    * strings), a span-count aggregate with map-side combine (ONE long
-    * of state per key), and a hash-keyed scoring join where a viral
-    * boilerplate span is AQE-splittable join skew, never a buffer. The
-    * interval merge is a gaps-and-islands pass over doc_id-keyed
-    * windows: unbounded key cardinality (the anti-funnel), per-doc
-    * frames bounded by the doc's own window count. Window order is
-    * `pos` — unique within a doc, so island numbering is
-    * deterministic. */
+    * Scale shape: same gram machinery as q137 — fused hash windows (no
+    * span strings), a span-count aggregate with map-side combine (ONE
+    * long of state per key), and a hash-keyed scoring join where a
+    * viral boilerplate span is AQE-splittable join skew, never a
+    * buffer. The interval merge is a gaps-and-islands pass over
+    * doc_id-keyed windows: unbounded key cardinality (the anti-funnel),
+    * per-doc frames bounded by the doc's own window count. Window order
+    * is `pos` — unique within a doc, so island numbering is
+    * deterministic.
+    *
+    * COLLISION CONTRACT — hash equality stands in for exact k-gram
+    * string equality, and because this query's output is an ACTIONABLE
+    * deletion list (unlike q137's coverage score, where a colliding
+    * window is noise in a ratio), the key is the 128-bit
+    * [[graft.functions.HashExprs.GramKHash128]] pair, not the 64-bit
+    * single hash q137 rides: with n distinct windows the expected
+    * number of colliding pairs is ~n²/2¹²⁹ — at 10¹² corpus windows
+    * that is ~1.5e-15, i.e. zero false cut spans for any physical
+    * corpus, vs ~2.7e7 colliding pairs at 64 bits (birthday past ~2³²
+    * windows). If a collision DID occur, the failure mode is benign by
+    * construction: both windows are counted as one key (c ≥ 2), so
+    * each marks a spurious-but-well-formed `[pos, pos+k)` interval that
+    * merges like any other — over-deletion of ≤ k tokens per colliding
+    * window, never a malformed span (spec'd in EdgeCaseSpec by
+    * injecting a synthetic collision through [[dupSpansFromWins]]).
+    * ORACLE-PARITY PRECONDITION: the DuckDB oracle groups the exact
+    * gram STRING, so hash-parity holds exactly when the corpus is
+    * collision-free — guaranteed at test scale, expected ~always at
+    * any scale under the 128-bit bound above. */
   def q234DupSpans(s: SparkSession, dir: String): DataFrame =
     dupSpansCore(Tables.documents(s, dir), k = 10)
 
   /** See [[q234DupSpans]]: merged cut intervals over any
     * `(doc_id, text)` frame, span length `k`. */
   def dupSpansCore(docs: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = docs
-      .select(col("doc_id"), graft.functions.HashExprs.gramk_hash64(
+      .select(col("doc_id"), graft.functions.HashExprs.gramk_hash128(
         filter(tokens(col("text")), t => t =!= ""), k).as("hs"))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos", "h")))
       .withColumn("pos", col("pos").cast("long"))
+    dupSpansFromWins(wins, k)
+  }
+
+  /** The span-merge tail of [[dupSpansCore]] over a prebuilt
+    * `(doc_id, pos, h)` window frame — `h` of any groupable type. Split
+    * out so the collision contract is testable: a spec can inject two
+    * distinct grams sharing `h` and assert the merged-span (not
+    * corrupted-output) behavior. */
+  private[graft] def dupSpansFromWins(wins: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val counts = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val hits = wins.join(counts.filter(col("c") >= 2), Seq("h"))
       .select(col("doc_id"), col("pos"))

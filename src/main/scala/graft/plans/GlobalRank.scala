@@ -85,8 +85,36 @@ object GlobalRank {
       val groupRuns = longMetric("numGroupRuns")
       val childRDD = child.execute()
 
+      // pass 0: GUARD — per-partition run COUNTS only (one long each), so
+      // the maxGroupRuns bound is checked BEFORE any run-key array exists
+      // anywhere. Guarding after the run-array collect would be too late:
+      // for an unbounded group key the driver blow-up IS that collect.
+      // Costs one extra traversal of the sorted child (shuffle files are
+      // reused across the jobs; only the reduce-side sort re-runs) —
+      // cheap for every legitimate caller, and the price of failing
+      // loudly instead of OOMing the driver.
+      val maxRuns = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.globalrank.maxGroupRuns", "1000000").toLong
+      val runCounts: Array[Long] = childRDD.mapPartitions { it =>
+        val keyProj = UnsafeProjection.create(groupExprs, childOutput)
+        var curKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = null
+        var runs = 0L
+        it.foreach { row =>
+          val k = keyProj(row)
+          if (curKey == null || k != curKey) { curKey = k.copy(); runs += 1 }
+        }
+        Iterator.single(runs)
+      }.collect()
+      val totalRuns = runCounts.sum
+      require(totalRuns <= maxRuns,
+        s"GlobalRank: $totalRuns (partition, group) runs exceed " +
+          s"spark.graft.globalrank.maxGroupRuns=$maxRuns — the group key's " +
+          "cardinality is too high for the broadcast-offsets two-pass plan; " +
+          "use a per-key window (partitionBy the group) instead, which " +
+          "needs no global offsets")
+
       // pass 1: per-(partition, group-run) row counts and weight sums, in
-      // run order. Both passes map over childRDD — ONE shuffle dependency,
+      // run order. All passes map over childRDD — ONE shuffle dependency,
       // one set of range bounds.
       val perPart: Array[(Int, Array[(InternalRow, Long, Long)])] =
         childRDD.mapPartitionsWithIndex { (pid, it) =>
@@ -119,19 +147,9 @@ object GlobalRank {
       // the sum of its runs in partitions < p.
       // DRIVER-STATE BOUND: the offsets map is #partitions × #groups
       // entries — fine for every in-repo caller (langs, buckets,
-      // histogram bins), but a caller grouping on an unbounded key would
-      // OOM the driver here, so the run count is capped (conf
-      // `spark.graft.globalrank.maxGroupRuns`) and a breach fails loudly
-      // with the re-shape to use instead.
-      val maxRuns = org.apache.spark.sql.internal.SQLConf.get
-        .getConfString("spark.graft.globalrank.maxGroupRuns", "1000000").toLong
-      val totalRuns = perPart.iterator.map(_._2.length.toLong).sum
-      require(totalRuns <= maxRuns,
-        s"GlobalRank: $totalRuns (partition, group) runs exceed " +
-          s"spark.graft.globalrank.maxGroupRuns=$maxRuns — the group key's " +
-          "cardinality is too high for the broadcast-offsets two-pass plan; " +
-          "use a per-key window (partitionBy the group) instead, which " +
-          "needs no global offsets")
+      // histogram bins). Unbounded group keys were already rejected by
+      // the pass-0 counts-only guard above, BEFORE the run arrays were
+      // built or collected.
       val offsets = scala.collection.mutable.HashMap
         .empty[(Int, InternalRow), (Long, Long)]
       val running = scala.collection.mutable.HashMap

@@ -72,6 +72,48 @@ class GraphTextSpec extends SparkTestBase {
     assert(total > (n + 1) / 10 * 9 * unit)           // ...and barely
   }
 
+  test("pageRankInt: a pinned unit too large for the graph fails loudly") {
+    // the r5 overflow bug's last reachable path: pinning 10^12 on a
+    // 10^6-node graph would wrap the damping multiply SILENTLY
+    // (85 * n * unit = 8.5e19 > 2^63); since r7 the pinned path counts
+    // the node frame and rejects the pin instead
+    val n = 1000000L
+    val leaves = spark.range(2L, n + 2L).select(col("id"))
+    val edges = leaves.select(lit(1L).as("src"), col("id").as("dst"))
+      .union(leaves.select(col("id").as("src"), lit(1L).as("dst")))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRankInt(edges, iters = 2, rankUnit = 1000000000000L)
+    }
+    assert(e.getMessage.contains("85*n*unit"), e.getMessage)
+    // and the same pin is accepted on a graph inside the bound
+    val small = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    assert(GraphOps.pageRankInt(small, iters = 1,
+      rankUnit = 1000000000000L).count() == 2L)
+  }
+
+  test("dupSpans collision contract: a colliding window yields a merged span, not corruption") {
+    // inject a synthetic 'collision' through the testable seam: doc 10's
+    // window at pos 5 shares hash key h=77 with doc 20's (distinct-gram)
+    // window — the count key sees c=2, so BOTH sides emit a well-formed
+    // [pos, pos+k) interval that merges with real neighbors like any
+    // other hit; nothing is dropped or malformed (the documented
+    // over-deletion-bounded failure mode)
+    val k = 10
+    val wins = Seq(
+      (10L, 5L, 77L),   // "collides" with doc 20 pos 3
+      (10L, 9L, 88L),   // genuine dup with doc 20 pos 40 — overlaps pos 5's span
+      (10L, 50L, 99L),  // unique: no hit
+      (20L, 3L, 77L),
+      (20L, 40L, 88L)).toDF("doc_id", "pos", "h")
+    val got = TextOps.dupSpansFromWins(wins, k)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (10L, 5L, 19L, 2L),   // pos-5 (false) and pos-9 (true) hits merged
+      (20L, 3L, 13L, 1L),   // the colliding partner's spurious span: well-formed
+      (20L, 40L, 50L, 1L)))
+  }
+
   test("dupSpans: overlapping window hits merge; disjoint runs stay separate") {
     // doc 1 and doc 2 share a 12-token run (positions 0..11 in doc 1):
     // windows 0,1,2 all hit and must merge into ONE span [0, 12).

@@ -90,7 +90,9 @@ class PlanShapeSpec extends SparkTestBase {
     // pipeline must appear ONCE with the second side a ReusedExchange —
     // and no collect_list bucket buffer anywhere. (AQE reuses stages by
     // the same canonical key at runtime; asserted here on the static
-    // planner where the rule is visible in the plan.)
+    // planner where the rule is visible in the plan — probing the
+    // AQE-enabled runtime plan instead is scale-dependent, because at
+    // test SF AQE legitimately re-plans the pair join as a broadcast.)
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
