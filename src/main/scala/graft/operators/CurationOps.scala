@@ -118,6 +118,67 @@ object CurationOps {
   def q69Chunk(s: SparkSession, dir: String): DataFrame =
     chunkTokens(Tables.documents(s, dir))
 
+  /** INGEST DOC-LENGTH CAP — the contract that turns every
+    * "doc-length-bounded" buffer claim downstream (q35's prefix sets,
+    * q165's block lists, q214's inherited sets) into a REAL number: no
+    * document entering the dedup/text pipeline exceeds `maxTokens`
+    * tokens, because oversize documents are split here, at ingest, into
+    * disjoint consecutive chunks (stride = width = maxTokens — dedup
+    * wants disjoint coverage, unlike [[chunkTokens]]'s overlapping
+    * training windows). Every row — chunked or not — carries the
+    * normalized token text (idempotent under the pipeline's own
+    * [[graft.functions.TextFns.normText]]), a 0-based `chunk`, the
+    * doc's `n_chunks`, and a packed `chunk_key = doc_id·2¹⁶ + chunk`
+    * usable as the downstream doc identity; the packing guards its own
+    * domain (doc_id < 2⁴⁶, chunk < 2¹⁶ — i.e. docs up to
+    * maxTokens·65536 tokens) with raise_error, so an id overflow is a
+    * loud failure, never a silent key collision. Per-row work only —
+    * no shuffle; the explode fans out ⌈n/maxTokens⌉ rows. */
+  def chunkDocs(docs: DataFrame, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1, s"chunkDocs: maxTokens $maxTokens must be >= 1")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        ((col("n") + (maxTokens - 1)) / maxTokens).cast("long").as("n_chunks"))
+      .select(col("doc_id"), col("toks"), col("n"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk"))
+      .select(col("doc_id"), col("chunk"), col("n_chunks"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk") * maxTokens)
+          .as("n_chunk_tokens"),
+        when(col("doc_id").between(0L, (1L << 46) - 1)
+            && col("chunk") < (1L << 16),
+          col("doc_id") * 65536L + col("chunk"))
+          .otherwise(raise_error(concat(
+            lit("chunkDocs: chunk_key domain exceeded (doc_id "),
+            col("doc_id").cast("string"), lit(", chunk "),
+            col("chunk").cast("string"),
+            lit(") — needs doc_id < 2^46 and chunk < 2^16"))))
+          .as("chunk_key"),
+        concat_ws(" ",
+          slice(col("toks"), (col("chunk") * maxTokens + 1).cast("int"),
+            lit(maxTokens))).as("chunk_text"))
+  }
+
+  /** [[chunkDocs]] as a declared, oracle-checked query (maxTokens = 40
+    * so the sf corpus actually chunks). */
+  def q235DocChunks(s: SparkSession, dir: String): DataFrame =
+    chunkDocs(Tables.documents(s, dir), maxTokens = 40)
+
+  val q235Sql: String =
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t),
+       |c AS (SELECT doc_id, toks, n, (n + 39) // 40 AS n_chunks,
+       |        CAST(u.i AS BIGINT) AS chunk
+       |      FROM n, UNNEST(range(0, (n + 39) // 40)) AS u(i))
+       |SELECT doc_id, chunk, CAST(n_chunks AS BIGINT) AS n_chunks,
+       |  CAST(least(40, n - chunk * 40) AS BIGINT) AS n_chunk_tokens,
+       |  doc_id * 65536 + chunk AS chunk_key,
+       |  array_to_string(toks[chunk * 40 + 1 : least(chunk * 40 + 40, n)], ' ')
+       |    AS chunk_text
+       |FROM c""".stripMargin
+
   val q69Sql: String =
     s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
@@ -1354,6 +1415,7 @@ object CurationOps {
     QueryDef("q67_pii_redact", q67PiiRedact, Some(q67Sql)),
     QueryDef("q68_repetition", q68Repetition, Some(q68Sql)),
     QueryDef("q69_chunk", q69Chunk, Some(q69Sql)),
+    QueryDef("q235_doc_chunks", q235DocChunks, Some(q235Sql)),
     QueryDef("q70_contamination", q70Contamination, Some(q70Sql)),
     QueryDef("q229_datasheet", q229Datasheet, Some(q229Sql)),
     QueryDef("q71_bloom_join", q71BloomJoin, Some(q71Sql)),

@@ -82,9 +82,24 @@ object DedupOps {
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame =
     q35Verified(s, dir, positional = true)
 
+  /** The q35 pipeline over an arbitrary `(doc_id, text)` frame — the
+    * seam the ingest chunking contract ([[CurationOps.chunkDocs]]) plugs
+    * into: the per-doc shingle buffers here are doc-length-bounded, so
+    * capping doc length at ingest is what makes that bound a real
+    * number instead of "the largest document anyone uploads". */
+  private[graft] def ngramJaccardCore(docs: DataFrame): DataFrame =
+    verifiedCore(docSetsCore(docs
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .select(col("doc_id"), split(col("norm"), " ").as("toks"))),
+      positional = true)
+
   /** Per-doc df-sorted shingle-hash set + prefix (shared by candidate
     * generation and verification). */
-  private def q35DocSets(s: SparkSession, dir: String): DataFrame = {
+  private def q35DocSets(s: SparkSession, dir: String): DataFrame =
+    docSetsCore(docToks(s, dir))
+
+  /** [[q35DocSets]] over a prebuilt `(doc_id, toks)` frame. */
+  private[graft] def docSetsCore(toksDf: DataFrame): DataFrame = {
     // Shingles are hashed to longs before anything shuffles: the value is
     // only ever a join/group key, longs shuffle ~3× cheaper than strings,
     // and a 64-bit collision across ~10^5 distinct shingles is ~2^-30 —
@@ -92,7 +107,7 @@ object DedupOps {
     // The fused Gram3Hash64 produces the gram hashes straight from the
     // token array (chained XXH64 per gram) so no gram string is ever
     // allocated, concatenated, or copied.
-    val sh = docToks(s, dir)
+    val sh = toksDf
       .select(col("doc_id"),
         explode(graft.functions.HashExprs.gram3_hash64(col("toks"))).as("shh"))
       .distinct()
@@ -131,8 +146,11 @@ object DedupOps {
   /** Candidate pairs after prefix filtering; `positional` toggles the
     * PPJoin+ positional bound (spec compares candidate counts). */
   private[graft] def q35Candidates(s: SparkSession, dir: String,
+      positional: Boolean): DataFrame =
+    candidatesCore(q35DocSets(s, dir), positional)
+
+  private[graft] def candidatesCore(docsets: DataFrame,
       positional: Boolean): DataFrame = {
-    val docsets = q35DocSets(s, dir)
     // candidates: pairs sharing a PREFIX shingle, size-ratio pruned
     // (J <= min/max < 0.6 is exact, so pruned pairs could never pass);
     // prefix entries carry their 0-based position for the PPJoin+ bound
@@ -169,9 +187,12 @@ object DedupOps {
   }
 
   private[graft] def q35Verified(s: SparkSession, dir: String,
+      positional: Boolean): DataFrame =
+    verifiedCore(q35DocSets(s, dir), positional)
+
+  private[graft] def verifiedCore(docsets: DataFrame,
       positional: Boolean): DataFrame = {
-    val docsets = q35DocSets(s, dir)
-    val cands = q35Candidates(s, dir, positional)
+    val cands = candidatesCore(docsets, positional)
     // exact verification: set-intersection size over the candidates only
     val sa = docsets.select(col("doc_id").as("doc_a"), col("set").as("set_a"))
     val sb = docsets.select(col("doc_id").as("doc_b"), col("set").as("set_b"))

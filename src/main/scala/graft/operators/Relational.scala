@@ -1081,7 +1081,15 @@ object Relational {
     * row (measured 8×). Split, the exact agg's Expand carries only the two
     * keys (map-side dedup before the shuffle), the sketch agg stays a
     * plain single pass, and the 3-row join broadcasts — the shape that
-    * holds at 100 TB. */
+    * holds at 100 TB.
+    *
+    * Since r7 the row itself is SELF-CERTIFYING: `est_within_pct` is
+    * the worst relative sketch error on the row (×100), and
+    * `within_bound` evaluates a hard in-query assertion — if any
+    * estimate drifts past 5% (the 2% rsd with the spec's slack), the
+    * QUERY fails with raise_error instead of silently dumping a bad
+    * sketch. The driver's rows-only CORRECTNESS row therefore carries a
+    * machine-checked bound, not just `rows > 0`. */
   def q42ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val sketches = li.groupBy(col("l_returnflag"))
@@ -1092,7 +1100,19 @@ object Relational {
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    val errPct = greatest(
+      abs(col("approx_parts") - col("exact_parts")).cast("double")
+        / col("exact_parts") * 100,
+      abs(col("approx_orders") - col("exact_orders")).cast("double")
+        / col("exact_orders") * 100)
     sketches.join(exact, Seq("l_returnflag"))
+      .withColumn("est_within_pct", errPct)
+      .withColumn("within_bound",
+        when(col("est_within_pct") <= 5.0, lit(true))
+          .otherwise(raise_error(concat(
+            lit("q42: HLL estimate drifted past the 5% bound: "),
+            col("est_within_pct").cast("string"),
+            lit("% on returnflag "), col("l_returnflag")))))
   }
 
   /** ARRAY_AGG-style aggregation: per-user sorted distinct event types.

@@ -366,4 +366,47 @@ class CurationSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.toSet == got.toSet)
   }
+
+  test("chunkDocs: a giant doc is capped at ingest and flows through the dedup pipelines") {
+    import spark.implicits._
+    // the scenario the doc-length-bounded buffer claims assume away: one
+    // 200k-token document among normal ones. chunkDocs caps it; the
+    // downstream per-doc buffers are then bounded by maxTokens, not by
+    // the largest upload.
+    val vocab = (0 until 50).map(i => s"w$i")
+    val giantToks = Array.tabulate(200000)(i => vocab(i % 50))
+    val docs = Seq(
+      (1L, giantToks.mkString(" ")),
+      (2L, "a perfectly normal short document about ducks"),
+      (3L, "another normal short document about geese")).toDF("doc_id", "text")
+    val chunked = CurationOps.chunkDocs(docs, maxTokens = 1000)
+    val rows = chunked.collect()
+    // cap holds: every chunk <= maxTokens; the giant doc fans out to 200
+    val giant = rows.filter(_.getLong(0) == 1L)
+    assert(giant.length == 200 && giant.forall(_.getLong(2) == 200L))
+    assert(rows.forall(_.getAs[Long]("n_chunk_tokens") <= 1000L))
+    assert(rows.filter(_.getLong(0) == 2L).map(_.getLong(1)).toSeq == Seq(0L))
+    // chunk keys are unique and reassembly loses nothing: concatenating
+    // the giant doc's chunks in order gives back the normalized text
+    assert(rows.map(_.getAs[Long]("chunk_key")).distinct.length == rows.length)
+    val reassembled = giant.sortBy(_.getLong(1))
+      .map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(reassembled == giantToks.mkString(" "))
+    // the dedup trio's per-doc buffers now see 1000-token docs: the q35
+    // pipeline (prefix-filter ngram Jaccard) and the q234 span merge both
+    // run to completion on the chunked frame within task memory
+    val asDocs = chunked.select(col("chunk_key").as("doc_id"),
+      col("chunk_text").as("text"))
+    val pairs = graft.operators.DedupOps.ngramJaccardCore(asDocs)
+    // 50-word cycle over 1000-token chunks: all 200 giant chunks are
+    // identical, so every pair verifies at J = 1.0
+    assert(pairs.filter(col("jaccard") === 1.0).count() == 200L * 199 / 2)
+    val spans = graft.operators.TextOps.dupSpansCore(asDocs, k = 10)
+    // every giant chunk is one fully-covered span [0, 1000)
+    val giantSpans = spans.filter(col("doc_id") >= 65536L && col("doc_id") < 2L * 65536)
+      .collect()
+    assert(giantSpans.length == 200)
+    assert(giantSpans.forall(r =>
+      r.getAs[Long]("span_start") == 0L && r.getAs[Long]("span_end") == 1000L))
+  }
 }

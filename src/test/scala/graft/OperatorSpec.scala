@@ -100,11 +100,20 @@ class OperatorSpec extends SparkTestBase {
   test("IVF ANN with 2-of-16 probes recalls most brute-force neighbors") {
     val truth = SimilarityOps.q39KnnBrute(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SimilarityOps.q52KnnIvf(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = SimilarityOps.q52KnnIvf(spark, sfDir).collect()
+    val ivf = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = truth.count(ivf).toDouble / truth.size
     assert(recall >= 0.3, s"ivf recall@10 = $recall")
     assert(ivf.forall { case (q, _) => q < 5 })
+    // the self-certification columns (r7) must agree with the
+    // independently recomputed per-query recall
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val mine = rs.map(_.getLong(1)).count(n => truth((q, n))) / 10.0
+      rs.foreach { r =>
+        assert(r.getAs[Double]("recall_at_10") == mine, s"q$q")
+        assert(r.getAs[Boolean]("recall_ok"))
+      }
+    }
   }
 
   test("knn LSH results are a subset of correct cosine ordering in-bucket") {
@@ -512,15 +521,21 @@ class OperatorSpec extends SparkTestBase {
 
   test("approx_count_distinct lands within its 2% rsd band (5% slack)") {
     import org.apache.spark.sql.functions._
-    val approx = operators.Relational.q42ApproxDistinct(spark, sfDir)
+    // q42 is self-certifying since r7 (est_within_pct + an in-query
+    // raise_error at 5%); the spec cross-checks the emitted error
+    // column against an independently computed exact count
+    val rows = operators.Relational.q42ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     val exact = Tables.lineitem(spark, sfDir).groupBy("l_returnflag")
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    val joined = approx.join(exact, "l_returnflag").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
+      .agg(countDistinct(col("l_partkey")).as("x")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
       val a = r.getAs[Long]("approx_parts").toDouble
-      val x = r.getAs[Long]("exact_parts").toDouble
+      val x = exact(r.getString(0)).toDouble
       assert(math.abs(a - x) / x <= 0.05, s"approx $a vs exact $x")
+      assert(r.getAs[Long]("exact_parts").toDouble == x)
+      assert(r.getAs[Double]("est_within_pct") <= 5.0)
+      assert(r.getAs[Boolean]("within_bound"))
     }
   }
 

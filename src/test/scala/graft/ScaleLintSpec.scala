@@ -39,11 +39,11 @@ class ScaleLintSpec extends SparkTestBase {
   /** Queries whose collect_list/collect_set buffers are bounded — each
     * entry names the bound. */
   private val boundedCollect: Map[String, String] = Map(
-    "q35_ngram_jaccard" -> "per-doc df-sorted shingle set (doc-length-bounded) for the prefix filter",
+    "q35_ngram_jaccard" -> "per-doc df-sorted shingle set (doc-length-bounded; the chunkDocs ingest cap makes that a hard number) for the prefix filter",
     "q43_array_agg" -> "array_agg IS the declared operator; arrays are per-group by contract",
     "q92_vocab_coverage" -> "the top-100 vocab collapsed to one broadcast array",
     "q99_unigram_lm" -> "the top-64 vocab collapsed to one broadcast map row",
-    "q165_block_scrub" -> "per-doc repeated-block list (doc-length-bounded)",
+    "q165_block_scrub" -> "per-doc repeated-block list (doc-length-bounded; chunkDocs ingest cap)",
     "q214_lsh_eval" -> "inherits q35's doc-length-bounded prefix-filter sets (q36's side is a collect-free bucket self-join since r6)")
 
   /** Queries with a declared, justified cartesian product. */
@@ -110,6 +110,82 @@ class ScaleLintSpec extends SparkTestBase {
       })
     }
 
+  /** Queries allowed to keep a comparison predicate sitting directly
+    * over a parquet scan WITHOUT it reaching PushedFilters — each entry
+    * names why no pushable form exists (the lint's job is to catch the
+    * q204 class: predicates like `year(d) = 1997` that LOOK pushable,
+    * silently aren't, and have a range rewrite that is). */
+  private val unpushableScanPredicate: Map[String, String] = Map.empty
+
+  /** The q204 hazard class, generalized: a comparison sitting in a
+    * Filter directly over a parquet scan whose column side is a scan
+    * attribute under only MONOTONIC wrappers (cast, year, date_trunc,
+    * ± / ×positive literal) — exactly the shapes that LOOK pushable,
+    * silently aren't, and always admit a pushable range rewrite (the
+    * way q204's `year(o_orderdate)=1997` became a date range in r6) —
+    * yet did NOT reach the scan's PushedFilters. Structurally
+    * unpushable predicates (size(split(text)), hash-sampling pmod
+    * chains) peel to no attribute and are auto-exempt: no rewrite
+    * exists for them, so flagging them would only grow a noise
+    * allowlist. */
+  private def unpushedScanPredicates(plan: SparkPlan): Seq[String] = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.catalyst.expressions._
+    def scanBelow(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Some(s)
+      case x: ProjectExec => scanBelow(x.child)
+      case x: ColumnarToRowExec => scanBelow(x.child)
+      case x: InputAdapter => scanBelow(x.child)
+      case x: WholeStageCodegenExec => scanBelow(x.child)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // peel monotonic wrappers; Some(attr) iff the whole side is one scan
+    // column inside order-preserving transforms (every other operand
+    // foldable) — the "a range rewrite exists" certificate
+    def peel(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: Cast => peel(c.child)
+      case y: Year => peel(y.child)
+      case q: Quarter => peel(q.child)
+      case t: TruncDate if t.format.foldable => peel(t.date)
+      case t: TruncTimestamp if t.format.foldable => peel(t.timestamp)
+      case b: Add if b.right.foldable => peel(b.left)
+      case b: Add if b.left.foldable => peel(b.right)
+      case b: Subtract if b.right.foldable => peel(b.left)
+      case b: Multiply if b.right.foldable => peel(b.left)
+      case b: Multiply if b.left.foldable => peel(b.right)
+      case b: Divide if b.right.foldable => peel(b.left)
+      case _ => None
+    }
+    leaves(plan).collect { case f: FilterExec => f }.flatMap { f =>
+      scanBelow(f.child).toSeq.flatMap { scan =>
+        // IsNotNull entries don't count as "the comparison reached the
+        // scan" — they're auto-added for any referenced column and would
+        // mask a genuinely unpushed comparison on the same column
+        val pushed = (scan.metadata.getOrElse("PushedFilters", "") +
+          scan.metadata.getOrElse("PartitionFilters", ""))
+          .replaceAll("IsNotNull\\([^)]*\\)|IsNull\\([^)]*\\)", "")
+        conjuncts(f.condition).flatMap { c =>
+          val side = c match {
+            case b: BinaryComparison if b.right.foldable => peel(b.left)
+            case b: BinaryComparison if b.left.foldable => peel(b.right)
+            case in: In if in.list.forall(_.foldable) => peel(in.value)
+            case is: InSet => peel(is.child)
+            case _ => None
+          }
+          side.filter(a => c.deterministic &&
+              scan.output.exists(_.exprId == a.exprId) &&
+              !pushed.contains(a.name))
+            .map(a => s"${a.name} in ${c.sql}")
+        }
+      }
+    }
+  }
+
   private def forcedScalingBroadcasts(plan: LogicalPlan): Seq[String] =
     plan.collect {
       case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
@@ -157,11 +233,34 @@ class ScaleLintSpec extends SparkTestBase {
         val prods = longProducts(df.queryExecution.optimizedPlan)
         if (prods.nonEmpty && !boundedLongProduct.contains(q.name))
           failures += s"${q.name}: unbounded long*long product(s) ${prods.distinct.mkString("; ")}"
+        val unpushed = unpushedScanPredicates(df.queryExecution.executedPlan)
+        if (unpushed.nonEmpty && !unpushableScanPredicate.contains(q.name))
+          failures += s"${q.name}: scan predicate(s) not pushed: ${unpushed.distinct.mkString("; ")}"
       } catch {
         case e: Throwable => failures += s"${q.name}: plan build failed: ${e.getMessage}"
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("pushed-filter lint catches a seeded year()= violation and spares pushable/unpushable-by-nature shapes") {
+    import org.apache.spark.sql.functions.{col, expr, size, split}
+    // the q204 class: year(date) = c silently reads the whole table
+    val bad = Tables.orders(spark, sfDir)
+      .filter(expr("year(CAST(o_orderdate AS DATE)) = 1997"))
+      .select("o_orderkey")
+    val hits = unpushedScanPredicates(bad.queryExecution.executedPlan)
+    assert(hits.exists(_.startsWith("o_orderdate")), hits.mkString("; "))
+    // the pushable rewrite of the same predicate: clean
+    val good = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= "1997-01-01" && col("o_orderdate") < "1998-01-01")
+      .select("o_orderkey")
+    assert(unpushedScanPredicates(good.queryExecution.executedPlan).isEmpty)
+    // computed non-atomic predicates (array size) are structurally
+    // unpushable and must NOT be flagged
+    val arr = Tables.documents(spark, sfDir)
+      .filter(size(split(col("text"), " ")) > 3).select("doc_id")
+    assert(unpushedScanPredicates(arr.queryExecution.executedPlan).isEmpty)
   }
 
   test("forced-broadcast lint catches a seeded violation and spares bounded shapes") {
