@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-regression harness: materializes a `factor`× copy of
+  * the sf0.1 fixtures and runs the heavy dedup/graph chain at 1× and at
+  * `factor`×, recording wall-time, peak single-task execution memory,
+  * and total spill per query. This is the measurement behind the
+  * SCALING.md claim that the r6 self-join pair stage is task-memory
+  * bounded: the plan-shape argument says peak task memory should stay
+  * ~FLAT as the corpus grows (state is O(1) per join key, volume is
+  * join output), and wall-time should grow ~linearly. Run it; don't
+  * argue it.
+  *
+  * Scaling model: `factor` key-shifted, token-tagged replicas. Each
+  * replica's tokens get a distinct `r<k>_` prefix, so replicas share NO
+  * shingles/signatures/graph keys with each other — the scaled corpus
+  * behaves as `factor` independent copies (expected outputs exactly
+  * `factor`×, dup structure preserved within each replica, no
+  * quadratic cross-replica pair blow-up that naive row duplication
+  * would cause). Ids shift by `k·10¹⁰` (far below the 2⁴⁶ chunk-key
+  * domain). documents/orders/lineitem are scaled (the chain touches
+  * only those); id-shifting orders+lineitem keeps the q101 trade graph
+  * `factor` disjoint copies of the base graph.
+  *
+  * Usage: `runMain graft.ScaleRegression [baseDir] [factor] [workDir]`
+  * (defaults /root/testdata/sf0.1, 10, /tmp/graft_scale). Prints a
+  * markdown table; paste into SCALING.md.
+  */
+object ScaleRegression {
+
+  val chain: Seq[String] = Seq(
+    "q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash",
+    "q64_dedup_clusters", "q83_triangles", "q89_leakfree_split",
+    "q101_pagerank", "q118_cluster_canonical", "q146_cluster_sizes",
+    "q214_lsh_eval")
+
+  private val Stride = 10000000000L // 10^10 id shift per replica
+
+  private def replicate(df: DataFrame, factor: Int,
+      shift: Map[String, Boolean], tagText: Boolean): DataFrame =
+    (0 until factor).map { k =>
+      val shifted = shift.foldLeft(df) { case (d, (c, _)) =>
+        d.withColumn(c, col(c) + lit(k * Stride))
+      }
+      if (!tagText) shifted
+      else shifted
+        .withColumn("text",
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"r${k}_"), t))))
+        .withColumn("n_chars", length(col("text")))
+    }.reduce(_ union _)
+
+  def generate(spark: SparkSession, baseDir: String, factor: Int,
+      outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    replicate(docs, factor, Map("doc_id" -> true), tagText = true)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+    replicate(orders, factor,
+      Map("o_orderkey" -> true, "o_custkey" -> true), tagText = false)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+    replicate(li, factor,
+      Map("l_orderkey" -> true, "l_suppkey" -> true, "l_partkey" -> true),
+      tagText = false)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+  }
+
+  /** Max single-task peak execution memory + total spill since reset —
+    * the two numbers that decide OOM risk at scale. */
+  private class PeakListener extends org.apache.spark.scheduler.SparkListener {
+    val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def reset(): Unit = { peak.set(0L); spill.set(0L) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new PeakListener
+    spark.sparkContext.addSparkListener(listener)
+
+    val scaledDir = s"$workDir/x$factor"
+    println(s"[scale] generating ${factor}x fixtures at $scaledDir ...")
+    generate(spark, baseDir, factor, scaledDir)
+
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    case class M(sec: Double, peakMb: Double, spillMb: Double)
+    // q101 as an at-scale caller would run it: auto-sized rank unit.
+    // (The DECLARED q101 pins 10^12 for oracle-lattice stability, and at
+    // 10x — 159,990 graph nodes — the r7 pinned-unit guard correctly
+    // REFUSES that pin: first scale run of this harness proved the guard
+    // fires outside the pin's 54,255-node domain.)
+    val fns: Map[String, (SparkSession, String) => DataFrame] =
+      SparkEntry.queries + ("q101_pagerank" ->
+        ((s: SparkSession, d: String) =>
+          operators.GraphOps.q101PageRankWithUnit(s, d, 0L)))
+    def run(name: String, dir: String): M = {
+      listener.reset()
+      val t0 = System.nanoTime()
+      force(fns(name)(spark, dir))
+      // listener events are posted asynchronously; drain before reading
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+      M((System.nanoTime() - t0) / 1e9,
+        listener.peak.get() / 1048576.0, listener.spill.get() / 1048576.0)
+    }
+
+    // warm pass at 1x (codegen/JIT), then THREE measured passes of each
+    // (query, scale), interleaved, reporting per-cell medians — the
+    // Bench r6 lesson: this box has co-tenants, and a single sample can
+    // land inside a noise burst (first run of this harness showed q36
+    // "faster" at 10x than 1x — pure burst). Peak memory reports the
+    // MAX across passes (the OOM-relevant bound, and stable anyway).
+    chain.foreach(n => run(n, baseDir))
+    val passes = 3
+    val samples: Seq[Map[(String, String), M]] = (1 to passes).map { _ =>
+      chain.flatMap { n =>
+        Seq((n, "base") -> run(n, baseDir), (n, "scaled") -> run(n, scaledDir))
+      }.toMap
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    def agg(n: String, which: String): M = {
+      val ms = samples.map(_((n, which)))
+      M(median(ms.map(_.sec)), ms.map(_.peakMb).max, ms.map(_.spillMb).max)
+    }
+    val rows = chain.map { n =>
+      val base = agg(n, "base")
+      val scaled = agg(n, "scaled")
+      println(f"[scale] $n%-24s 1x ${base.sec}%7.2fs peak ${base.peakMb}%7.1fMB " +
+        f"spill ${base.spillMb}%8.1fMB | ${factor}x ${scaled.sec}%8.2fs " +
+        f"peak ${scaled.peakMb}%7.1fMB spill ${scaled.spillMb}%8.1fMB " +
+        f"| time x${scaled.sec / base.sec}%5.1f peak x${
+          scaled.peakMb / math.max(base.peakMb, 0.1)}%5.2f")
+      (n, base, scaled)
+    }
+    println("\n| query | 1x sec | 1x peak-task MB | 10x sec | 10x peak-task MB | 10x spill MB | time ratio | peak ratio |")
+    println("|---|---|---|---|---|---|---|---|")
+    rows.foreach { case (n, b, s) =>
+      println(f"| $n | ${b.sec}%.2f | ${b.peakMb}%.0f | ${s.sec}%.2f | " +
+        f"${s.peakMb}%.0f | ${s.spillMb}%.0f | ${s.sec / b.sec}%.1f | " +
+        f"${s.peakMb / math.max(b.peakMb, 0.1)}%.2f |")
+    }
+    spark.stop()
+  }
+}

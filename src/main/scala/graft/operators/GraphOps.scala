@@ -103,7 +103,16 @@ object GraphOps {
     * directions, nodes namespaced even/odd so the two key spaces cannot
     * collide. 3 iterations — high-degree suppliers accumulate rank from
     * their customer neighborhoods. */
-  def q101PageRank(s: SparkSession, dir: String): DataFrame = {
+  def q101PageRank(s: SparkSession, dir: String): DataFrame =
+    q101PageRankWithUnit(s, dir, RankUnit)
+
+  /** The declared q101 pins 10¹² so the oracle lattice is independent of
+    * graph size (valid to ~5×10⁴ nodes — the r7 guard enforces it); an
+    * at-scale caller passes `rankUnit = 0` for the graph-sized unit
+    * (ScaleRegression runs that form at 10× data, where the pin
+    * correctly refuses). */
+  private[graft] def q101PageRankWithUnit(s: SparkSession, dir: String,
+      rankUnit: Long): DataFrame = {
     val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -111,7 +120,7 @@ object GraphOps {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
-    pageRankInt(edges, iters = 3, rankUnit = RankUnit)
+    pageRankInt(edges, iters = 3, rankUnit = rankUnit)
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
           .as("node_type"),

@@ -218,6 +218,24 @@ object StreamingOps {
       .select("doc_id", "fp", "text", "lang", "source")
   }
 
+  /** Streaming form of [[graft.operators.CurationOps.chunkDocs]] — the
+    * ingest doc-length cap applied AT the stream source, where it
+    * belongs: tokenize/explode/pack are per-row and stateless, so the
+    * micro-batch output is row-for-row the batch operator's output
+    * (spec'd), and the cap is enforced BEFORE any stateful stage
+    * (dedup state, watermark buffers) ever sees an oversize document —
+    * the streaming tier inherits the same hard per-doc buffer bound as
+    * the batch dedup pipeline. */
+  def chunkDocsStream(spark: SparkSession, srcDir: String, maxTokens: Int,
+      filesPerTrigger: Int = 2): DataFrame = {
+    val schema = spark.read.parquet(srcDir).schema
+    graft.operators.CurationOps.chunkDocs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", filesPerTrigger.toString)
+        .parquet(srcDir),
+      maxTokens)
+  }
+
   /** Ingest-time-watermarked streaming curation — the production variant
     * of [[curatedDocsStream]] for a CONTINUOUS feed. `ingestTs` supplies
     * the event-time column (a feed's arrival timestamp; the spec derives

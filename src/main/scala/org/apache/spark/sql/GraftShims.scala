@@ -81,4 +81,11 @@ object GraftShims {
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Drain the async listener bus so a metrics listener has seen every
+    * completed task before its counters are read (the ScaleRegression
+    * peak-memory harness). `listenerBus` is private[spark]; this package
+    * sits inside org.apache.spark, hence the shim. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Adversarial oracle-parity fuzz: the suite's standing corpus is
+  * well-behaved TPC-H-ish text, so the cross-engine determinism contract
+  * (normalization, hash grids, float casts, NULL propagation) has only
+  * been proven on friendly inputs. This spec generates PATHOLOGICAL
+  * document corpora — empty/whitespace/null texts, unicode (CJK, emoji,
+  * combining marks, RTL), a giant doc, all-identical docs, kilotoken
+  * single tokens, quote/backslash soup, near-dup pairs, repeated
+  * phrases — from 10 deterministic seeds, runs the core dedup/text
+  * queries over each, and diffs every result against the same DuckDB
+  * oracle the driver uses (`tools/check.py`, byte-identical compare
+  * path: columns sorted, rows sorted, stringified).
+  *
+  * Known divergence classes deliberately NOT generated (documented, not
+  * hidden): locale-special casefolds where Java and utf8proc disagree
+  * (e.g. U+0130 İ lowercases to "i"+combining-dot in Java, single "i" in
+  * some libs) — the normalization contract is `lower()` parity on the
+  * engines' shared casefold domain.
+  *
+  * Cost control: the DuckDB oracle side of the dedup queries is
+  * all-pairs over string shingles (no prefix filter), so a full run is
+  * minutes per seed. The spec defaults to 3 seeds to keep `sbt test`
+  * bounded; `SPARK_GRAFT_FUZZ_SEEDS=10` runs the full battery (green on
+  * 2026-08-14, round 7: 10 seeds × 18 queries, 0 diffs, 41 min).
+  */
+class OracleFuzzSpec extends SparkTestBase {
+
+  private val nSeeds =
+    sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEEDS", "3").toInt
+
+  /** Queries under fuzz: the dedup/text core whose parity leans on
+    * hashing + normalization (not joins against the TPC-H tables). */
+  private val fuzzQueries = Seq(
+    "q33_fingerprint", "q34_dedup_exact", "q35_ngram_jaccard",
+    "q36_minhash_lsh", "q37_simhash", "q51_winnow_fingerprint",
+    "q64_dedup_clusters", "q68_repetition", "q70_contamination",
+    "q119_dup_gram_frac", "q123_source_novelty", "q128_source_overlap",
+    "q137_repeated_spans", "q145_containment", "q207_good_turing",
+    "q234_dup_spans", "q235_doc_chunks", "q58_hash_sample")
+
+  private def fuzzDocs(seed: Int): Seq[(Long, String, String, String)] = {
+    val rnd = new scala.util.Random(seed * 1000003 + 17)
+    val vocab = Vector.tabulate(100)(i => s"w${(i * 7 + seed) % 100}")
+    def sent(n: Int): String =
+      Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val phrase = sent(10)
+    val base = sent(40)
+    val docs = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    // pathological rows (every seed gets all classes; content varies)
+    docs += (("", "en", "web"))
+    docs += (("   \t\n  \r ", "en", "web"))
+    docs += ((null, "en", "books"))
+    docs += (("こんにちは 世界 🌍 🌍 éclair café naïve ß straße", "zh", "web"))
+    docs += (("éclair éclair éclair", "fr", "books")) // NFC vs NFD
+    docs += (("مرحبا بالعالم hello world", "ar", "web"))
+    docs += (("x", null, "code"))
+    docs += ((".", "en", null))
+    docs += (("🙂", "en", "web"))
+    docs += (("a" * 5000, "en", "code")) // one kilotoken token
+    docs += (("!!! ??? ... --- ,,, ;;;", "en", "web"))
+    docs += ((Seq.fill(50)(phrase).mkString(" "), "en", "books")) // repeated phrase
+    docs += (("he said \"hi\" \\ {\"k\": 1} 'quoted' `tick`", "en", "code"))
+    docs += (("0 00 000 0.0 -1 1e9 NaN null NULL None", "en", "code"))
+    docs += (("  leading and trailing  ", "en", "web"))
+    docs += ((sent(20000), "en", "books")) // the giant doc
+    // ten identical docs
+    val ident = sent(30)
+    (1 to 10).foreach(_ => docs += ((ident, "en", "web")))
+    // five near-dup pairs: one token appended
+    (1 to 5).foreach { _ =>
+      docs += ((base, "en", "web"))
+      docs += ((base + " " + vocab(rnd.nextInt(vocab.size)), "en", "web"))
+    }
+    // normal filler docs across langs/sources (nulls included)
+    val langs = Vector("en", "fr", "zh", null)
+    val sources = Vector("web", "books", "code", null)
+    (1 to 30).foreach { _ =>
+      docs += ((sent(20 + rnd.nextInt(180)),
+        langs(rnd.nextInt(langs.size)), sources(rnd.nextInt(sources.size))))
+    }
+    docs.zipWithIndex.map { case ((t, l, src), i) =>
+      ((i + 1).toLong, t, l, src)
+    }.toSeq
+  }
+
+  /** Write a docs frame as a single parquet FILE (the layout check.py
+    * and Tables expect), alongside copies of the other base tables. */
+  private def writeSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir/_tmp_documents"
+    fuzzDocs(seed).toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, Paths.get(s"$dir/documents.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "embeddings").foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("pathological corpora hash-match the DuckDB oracle on the dedup/text core") {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
+      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/seed$seed"
+      val outDir = s"/tmp/graft_fuzz/out$seed"
+      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
+      writeSeedDir(seed, dir)
+      fuzzQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += s"seed$seed $name: query failed: ${e.getMessage}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        Verify.oracleJson(
+          SparkEntry.oracleSql.view.filterKeys(fuzzQueries.contains).toMap))
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      if (code != 0)
+        failures += s"seed$seed oracle diff:\n" +
+          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+}

@@ -213,6 +213,26 @@ class StreamingSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("streaming ingest chunking equals batch chunkDocs, stateless") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("schunk").toString
+    val src = s"$tmp/src"
+    val docs = Tables.documents(spark, sfDir)
+    (0 until 3).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val streamed = StreamingOps.chunkDocsStream(spark, src, maxTokens = 40,
+      filesPerTrigger = 1)
+    val out = s"$tmp/chunks"
+    StreamingOps.runAppendToLake(spark, streamed, out, s"$tmp/ckpt")
+    val got = spark.read.parquet(out)
+    val want = operators.CurationOps.chunkDocs(
+      spark.read.parquet(src), maxTokens = 40)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("streaming triage equals batch ingest triage for id-ordered arrival") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFns
