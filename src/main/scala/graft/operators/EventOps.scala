@@ -342,8 +342,12 @@ object EventOps {
   def q141AssocRules(s: SparkSession, dir: String): DataFrame = {
     val ut = Tables.events(s, dir)
       .select(col("user_id"), col("event_type")).distinct()
-    val totals = ut.select(col("user_id")).distinct()
-      .agg(count(lit(1)).as("n_users"))
+    // countDistinct, NOT distinct().count(): a NULL user_id is not a
+    // user. count(DISTINCT) excludes NULLs in both engines, whereas the
+    // distinct-then-count-rows form counts the NULL group too and
+    // silently shifts every support/lift denominator on data with null
+    // ids (found by the events oracle fuzz)
+    val totals = ut.agg(countDistinct(col("user_id")).as("n_users"))
     val singles = ut.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_single"))
     val both = ut.as("a")
@@ -629,8 +633,13 @@ object EventOps {
     val den = (0 to 7).map(k =>
       when(col(s"c$k").isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)))
       .reduce(_ + _)
+    // den = 0 exactly when the row's own value AND all visible lags are
+    // NULL (a null-valued first event): no observed mass → ewma NULL,
+    // via a null divisor (NULLIF in the oracle). Under ANSI the bare
+    // division would throw DIVIDE_BY_ZERO instead (events oracle fuzz).
     lagged.select(col("user_id"), col("event_id"),
-      (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma"))
+      (num.cast("double") / when(den =!= 0L, den).cast("double")
+        / lit(100.0)).as("ewma"))
   }
 
   val q164Sql: String = {
@@ -648,7 +657,7 @@ object EventOps {
       |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT user_id, event_id,
       |  CAST($num AS DOUBLE)
-      |    / CAST($den AS DOUBLE) / 100.0 AS ewma
+      |    / CAST(NULLIF($den, 0) AS DOUBLE) / 100.0 AS ewma
       |FROM l""".stripMargin
   }
 

@@ -1067,8 +1067,21 @@ object Relational {
       .groupBy("event_type")
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
 
+  /** The oracle mirrors Spark's `from_json` semantics EXPLICITLY
+    * (probed, not assumed): NULL for absent key, invalid JSON, empty
+    * string, JSON null, nested object, FLOAT value (no rounding — a
+    * bare TRY_CAST('1.5') would give 2 in DuckDB), and wrong-case key
+    * (field matching is case-sensitive). Hence json_valid + a
+    * json_type ∈ (BIGINT, UBIGINT) guard before the cast. On the
+    * driver's always-valid integer-k corpus the guards are no-ops
+    * (hash unchanged); under the hostile-input fuzz both engines agree
+    * on NULL for every pathological shape. */
   val q23Sql: String =
-    """SELECT event_type, CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k, count(*) AS n
+    """SELECT event_type,
+      |  CAST(sum(CASE WHEN json_valid(props)
+      |    AND json_type(json_extract(props, '$.k')) IN ('BIGINT', 'UBIGINT')
+      |    THEN CAST(props->>'$.k' AS BIGINT) END) AS BIGINT) AS sum_k,
+      |  count(*) AS n
       |FROM events GROUP BY event_type""".stripMargin
 
   /** Approximate aggregates (HLL++). No oracle — DuckDB's sketch differs;

@@ -77,12 +77,17 @@ object Skew {
         graft.functions.Exact.fsum(col("value")).as("sum_value"))
   }
 
+  /** The oracle is the join-free aggregate, which would KEEP null-key
+    * rows a real (salted or not) inner join drops — so it filters them
+    * explicitly to mirror inner-join semantics. No-op on the driver's
+    * null-free corpus; required for parity under the events fuzz. */
   val q94Sql: String =
     """SELECT CASE WHEN event_type IN ('purchase', 'signup')
       |         THEN 'conversion' ELSE 'engagement' END AS type_group,
       |  CAST(count(*) AS BIGINT) AS n,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events
+      |WHERE event_type IS NOT NULL
       |GROUP BY 1""".stripMargin
 
   def defs: Seq[graft.QueryDef] = Seq(

@@ -1057,7 +1057,7 @@ object TextOps {
     * construction: both windows are counted as one key (c ≥ 2), so
     * each marks a spurious-but-well-formed `[pos, pos+k)` interval that
     * merges like any other — over-deletion of ≤ k tokens per colliding
-    * window, never a malformed span (spec'd in EdgeCaseSpec by
+    * window, never a malformed span (spec'd in GraphTextSpec by
     * injecting a synthetic collision through [[dupSpansFromWins]]).
     * ORACLE-PARITY PRECONDITION: the DuckDB oracle groups the exact
     * gram STRING, so hash-parity holds exactly when the corpus is

@@ -107,6 +107,124 @@ class OracleFuzzSpec extends SparkTestBase {
     }
   }
 
+  /** Event-time core under fuzz: events-only queries whose parity leans
+    * on timestamp truncation, JSON leniency, NULL grouping, and
+    * window/session semantics. */
+  private val eventsFuzzQueries = Seq(
+    "q23_json_extract", "q24_tumbling_window", "q26_sessionize",
+    "q27_time_dim", "q46_session_window", "q75_scd2", "q78_range_frame",
+    "q94_salted_join", "q127_transitions", "q131_cohort_retention",
+    "q141_assoc_rules", "q164_ewma", "q179_cumulative_uniques",
+    "q188_autocorr", "q190_seq_mi", "q195_burstiness")
+
+  /** Pathological event stream, deterministic per seed. Respects the
+    * DOCUMENTED input contracts (ts globally unique — determinism
+    * contract #6; money values 2-decimal — the cents-exact contract);
+    * hostile in everything else: NULL/empty/unicode/multiword event
+    * types, NULL and negative user ids, NULL values and ±1e9 extremes,
+    * props cycling through invalid JSON / empty / NULL / nested k /
+    * float k / wrong-case key / unicode keys, and timestamps spanning
+    * pre-1970 (negative epoch), epoch 0, and 2100 alongside the normal
+    * 2024 cluster. */
+  private def fuzzEvents(seed: Int): Seq[(Long, Long,
+      java.lang.Long, String, java.lang.Double, String)] = {
+    val rnd = new scala.util.Random(seed * 7777777 + 3)
+    val types = Vector("view", "click", "purchase", "signup", "error",
+      "", "购买", "a b", null)
+    val users: Vector[java.lang.Long] =
+      Vector(0L, 1L, 2L, 3L, 4L, 5L, -5L, null)
+    def props(i: Int): String = (i % 10) match {
+      case 0 => s"""{"k": ${rnd.nextInt(100)}}"""
+      case 1 => null
+      case 2 => ""
+      case 3 => "not json"
+      case 4 => """{"k": null}"""
+      case 5 => """{"k": {"x": 1}}"""
+      case 6 => """{"k": 1.5}"""
+      case 7 => """{"K": 2}"""
+      case 8 => s"""{"k": ${rnd.nextInt(100)}, "メモ": "ok"}"""
+      case _ => s"""{"j": ${rnd.nextInt(9)}}"""
+    }
+    def value(i: Int): java.lang.Double = (i % 7) match {
+      case 0 => null
+      case 1 => 0.00
+      case 2 => -999999.99
+      case 3 => 1000000000.00
+      case _ => math.floor(rnd.nextDouble() * 20000) / 100.0
+    }
+    val base = 1704067200000000L // 2024-01-01 00:00:00 UTC in micros
+    // unique-by-construction micros: normal cluster strides 61s + a
+    // per-row sub-second jitter in [0, 1e6) from the row index
+    val normal = (0 until 300).map { i =>
+      base + i.toLong * 61000000L + (i * 997 % 1000000).toLong
+    }
+    val extremes = Seq(
+      -86400000000L + 123456L,     // 1969-12-31, negative epoch micros
+      0L,                          // epoch 0
+      4102444800000000L,           // 2100-01-01
+      -1L)                         // one microsecond before epoch
+    val all = normal ++ extremes
+    all.zipWithIndex.map { case (us, i) =>
+      ((i + 1).toLong, us,
+        users(rnd.nextInt(users.size)), types(rnd.nextInt(types.size)),
+        value(i), props(i))
+    }
+  }
+
+  private def writeEventsSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val tmp = s"$dir/_tmp_events"
+    fuzzEvents(seed)
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      // exact micros → TimestampType; negative epochs included, no
+      // java.sql.Timestamp nanos-field pitfalls
+      .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, Paths.get(s"$dir/events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("pathological event streams hash-match the DuckDB oracle on the event-time core") {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
+      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/events$seed"
+      val outDir = s"/tmp/graft_fuzz/events_out$seed"
+      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
+      writeEventsSeedDir(seed, dir)
+      eventsFuzzQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += s"events$seed $name: query failed: ${e.getMessage}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        Verify.oracleJson(
+          SparkEntry.oracleSql.view.filterKeys(eventsFuzzQueries.contains).toMap))
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      if (code != 0)
+        failures += s"events$seed oracle diff:\n" +
+          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("pathological corpora hash-match the DuckDB oracle on the dedup/text core") {
     import scala.sys.process._
     assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
