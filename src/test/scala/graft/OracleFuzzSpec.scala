@@ -194,6 +194,176 @@ class OracleFuzzSpec extends SparkTestBase {
     }
   }
 
+  /** Relational/money core under fuzz: join/agg/set-op/scalar queries
+    * over pathological customer/orders/lineitem — NULL and orphan join
+    * keys, NULL/empty/unicode dimension strings, NULL dates and
+    * negative-epoch/2100 extremes, money values at 0 / negative / 1e10
+    * (2-decimal — the cents contract), NULL quantities and discounts,
+    * a negative discount. Windowed per-row queries are excluded
+    * (their ORDER BY tiebreak uniqueness is a documented input
+    * contract this generator doesn't model); aggregates, joins, set
+    * ops, grouping sets, subqueries, and scalar functions are in. */
+  private val relFuzzQueries = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_join_agg",
+    "q04_join_left", "q05_join_semi", "q06_join_anti", "q07_join_full",
+    "q08_distinct", "q13_union", "q14_intersect", "q15_except",
+    "q16_rollup", "q17_cube", "q18_above_avg", "q44_date_arith",
+    "q47_math_funcs", "q55_moments", "q57_percentiles",
+    "q61_misc_scalars", "q63_date_funcs", "q81_nullsafe_join")
+
+  private def fuzzRelational(seed: Int): (Seq[(java.lang.Long, String,
+      java.lang.Integer, java.lang.Double, String)],
+      Seq[(java.lang.Long, java.lang.Long, String, java.lang.Double,
+        java.lang.Long, String)],
+      Seq[(java.lang.Long, java.lang.Long, java.lang.Long,
+        java.lang.Integer, java.lang.Double, java.lang.Double,
+        java.lang.Double, java.lang.Double, String, String,
+        java.lang.Long)]) = {
+    val rnd = new scala.util.Random(seed * 31337 + 11)
+    // money extreme: the LARGEST value inside the documented domain —
+    // DECIMAL(12,2) money and q55's cents² ≤ 2⁶³ bound (cents ≤ ~3e9).
+    // A first fuzz draft used 1e10 and proved the domain edges fail
+    // LOUD on both engines (Spark ANSI long-overflow in the moments
+    // products, DuckDB DECIMAL(12,2) conversion error) — silent wrap is
+    // impossible, which is the overflow contract working; the standing
+    // fuzz stays inside the documented domain.
+    def money(i: Int): java.lang.Double = (i % 8) match {
+      case 0 => null
+      case 1 => 0.00
+      case 2 => -12345.67
+      case 3 => 9999999.99
+      case _ => math.floor(rnd.nextDouble() * 1000000) / 100.0
+    }
+    val names = Vector("Customer#1", "", null, "客户 一", "O'Brien \\ \"quoted\"")
+    val segs = Vector("BUILDING", "AUTOMOBILE", "", null, "市场")
+    val custs = (1 to 120).map { i =>
+      (java.lang.Long.valueOf(i.toLong), names(rnd.nextInt(names.size)),
+        (i % 9) match {
+          case 7 => null
+          case 8 => java.lang.Integer.valueOf(99) // no such nation
+          case _ => java.lang.Integer.valueOf(rnd.nextInt(25))
+        },
+        money(i), segs(rnd.nextInt(segs.size)))
+    } :+ ((null: java.lang.Long), "null-key customer",
+      java.lang.Integer.valueOf(1), java.lang.Double.valueOf(0.0), "BUILDING")
+    val statuses = Vector("O", "F", "P", "", null)
+    val prios = Vector("1-URGENT", "5-LOW", "", null, "急")
+    val day = 86400000000L
+    def orderDate(i: Int): java.lang.Long = (i % 11) match {
+      case 0 => null
+      case 1 => -400L * day + 123L       // 1968, negative epoch
+      case 2 => 4102444800000000L        // 2100-01-01
+      case _ => 725846400000000L + (i.toLong * 37 % 2000) * day // 1993..
+    }
+    val orders = (1 to 250).map { i =>
+      (java.lang.Long.valueOf(i.toLong),
+        (i % 10) match {
+          case 8 => null
+          case 9 => java.lang.Long.valueOf(99999L) // orphan cust
+          case _ => java.lang.Long.valueOf((rnd.nextInt(120) + 1).toLong)
+        },
+        statuses(rnd.nextInt(statuses.size)), money(i + 3),
+        orderDate(i), prios(rnd.nextInt(prios.size)))
+    } :+ ((null: java.lang.Long), java.lang.Long.valueOf(1L), "O",
+      java.lang.Double.valueOf(1.00), java.lang.Long.valueOf(725846400000000L),
+      "1-URGENT")
+    val flags = Vector("A", "N", "R", "", null, "X")
+    def disc(i: Int): java.lang.Double = (i % 9) match {
+      case 0 => null
+      case 1 => 0.00
+      case 2 => 0.99
+      case 3 => -0.25
+      case _ => rnd.nextInt(11) / 100.0
+    }
+    val lines = (1 to 900).map { i =>
+      ((i % 13) match {
+        case 11 => null
+        case 12 => java.lang.Long.valueOf(88888L) // orphan order
+        case _ => java.lang.Long.valueOf((rnd.nextInt(250) + 1).toLong)
+      },
+        java.lang.Long.valueOf((rnd.nextInt(200) + 1).toLong),
+        java.lang.Long.valueOf((rnd.nextInt(10) + 1).toLong),
+        // duplicate (orderkey, linenumber) pairs are an EXISTING corpus
+        // property (determinism note #6) — keep generating them
+        java.lang.Integer.valueOf(rnd.nextInt(4) + 1),
+        (i % 7) match {
+          case 5 => null
+          case 6 => java.lang.Double.valueOf(-3.00)
+          case _ => java.lang.Double.valueOf((rnd.nextInt(50) + 1).toDouble)
+        },
+        money(i + 1), disc(i), disc(i + 4),
+        flags(rnd.nextInt(flags.size)), flags(rnd.nextInt(flags.size)),
+        orderDate(i + 5))
+    }
+    (custs, orders, lines)
+  }
+
+  private def writeRelSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val (custs, orders, lines) = fuzzRelational(seed)
+    def writeOne(df: org.apache.spark.sql.DataFrame, table: String): Unit = {
+      val tmp = s"$dir/_tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(s"$dir/$table.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    writeOne(custs.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"), "customer")
+    writeOne(orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "ts_us", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), timestamp_micros(col("ts_us")).as("o_orderdate"),
+        col("o_orderpriority")), "orders")
+    writeOne(lines.toDF("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "ts_us")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), timestamp_micros(col("ts_us")).as("l_shipdate")),
+      "lineitem")
+    Seq("region", "nation", "supplier", "part", "events", "documents",
+      "embeddings").foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("pathological relational tables hash-match the DuckDB oracle on the join/agg core") {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
+      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/rel$seed"
+      val outDir = s"/tmp/graft_fuzz/rel_out$seed"
+      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
+      writeRelSeedDir(seed, dir)
+      relFuzzQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += s"rel$seed $name: query failed: ${e.getMessage}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        Verify.oracleJson(
+          SparkEntry.oracleSql.view.filterKeys(relFuzzQueries.contains).toMap))
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      if (code != 0)
+        failures += s"rel$seed oracle diff:\n" +
+          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("pathological event streams hash-match the DuckDB oracle on the event-time core") {
     import scala.sys.process._
     assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
