@@ -364,6 +364,9 @@ object DedupOps {
     val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").as("q"))
       .withColumn("n2", graft.functions.VectorExprs.quantized_norm2(col("q")))
+      // zero-norm contract (SimilarityOps.quantized): no direction, no
+      // cosine — excluded on both engines
+      .filter(col("n2") > 0)
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("n2").as("na2"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"),
@@ -386,7 +389,7 @@ object DedupOps {
       |n AS (
       |  SELECT vec_id, label, q,
       |    list_sum(list_transform(q, x -> x * x)) AS n2
-      |  FROM q)
+      |  FROM q WHERE n2 > 0)
       |SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  CAST(list_sum(list_transform(range(1, len(a.q) + 1), i -> a.q[i] * b.q[i])) AS DOUBLE)
       |    / sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) AS cos
@@ -463,6 +466,7 @@ object DedupOps {
     val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
+      .filter(col("n2") > 0) // zero-norm contract (SimilarityOps.quantized)
     embeddingLshPairs(e, bandsN = 2, bitsPerBand = 4, minCos = 0.4)
   }
 
@@ -476,7 +480,7 @@ object DedupOps {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv WHERE n2 > 0),
        |banded AS (
        |  SELECT vec_id, q, n2, 0 AS band, ${keyExpr(0, "q")} AS key FROM n
        |  UNION ALL

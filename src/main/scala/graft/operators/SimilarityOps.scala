@@ -46,11 +46,25 @@ object SimilarityOps {
 
   /** Vectors with their exact int squared norm ([[VectorExprs]] fused
     * codegen expression — the float arrays travel as-is; quantization
-    * happens inside the primitive loop). */
+    * happens inside the primitive loop).
+    *
+    * ZERO-NORM CONTRACT (r7, found by the embeddings fuzz): a vector
+    * whose QUANTIZED norm is 0 (the zero vector, or magnitudes below
+    * the 1e-3 grid) has no direction — cosine against it is 0/0, which
+    * ANSI turns into a DIVIDE_BY_ZERO crash and a NULL would sort
+    * differently across engines (Spark nulls-last vs DuckDB
+    * nulls-first under DESC). Such vectors are EXCLUDED from the
+    * cosine-retrieval universe here, once, for every consumer
+    * (q39/q40/q52/q112/q121/q136/q166/q222…); every paired oracle
+    * mirrors with `WHERE n2 > 0`. Queries that profile rather than
+    * retrieve (q48 dim stats, q196 norm outliers — where a zero norm
+    * is exactly what you're looking for) read the raw table and keep
+    * them. */
   private def quantized(s: SparkSession, dir: String): DataFrame =
     Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
       .select(col("vec_id"), col("label"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
+      .filter(col("n2") > 0)
 
   private def cosine(qa: Column, qb: Column, na2: Column, nb2: Column): Column =
     quantized_dot(qa, qb).cast("double") /
@@ -77,7 +91,7 @@ object SimilarityOps {
       |  SELECT vec_id, label,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
       |  FROM embeddings),
-      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q WHERE n2 > 0),
       |scored AS (
       |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
@@ -134,7 +148,7 @@ object SimilarityOps {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv WHERE n2 > 0),
        |b AS (
        |  SELECT vec_id, q, n2,
        |    $bucketExpr AS bucket
@@ -262,6 +276,9 @@ object SimilarityOps {
         graft.functions.VectorExprs.int8_codes(col("embedding")).as("q8"))
       .withColumn("n2", graft.functions.VectorExprs.long_dot(col("q8"), col("q8")))
       .select(col("vec_id"), col("q8"), col("n2"))
+      // zero-norm contract (see quantized()): a zero vector's int8 codes
+      // are all 0 — no direction, excluded on both engines
+      .filter(col("n2") > 0)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("q8").as("qq"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("q_id"))
@@ -293,7 +310,7 @@ object SimilarityOps {
       |  FROM sc),
       |n AS (SELECT vec_id, q8,
       |        CAST(list_sum(list_transform(q8, x -> x * x)) AS BIGINT) AS n2
-      |      FROM q),
+      |      FROM q WHERE n2 > 0),
       |scored AS (
       |  SELECT qs.vec_id AS q_id, c.vec_id AS neighbor_id,
       |    CAST(list_sum(list_transform(range(1, len(qs.q8) + 1),
@@ -338,7 +355,7 @@ object SimilarityOps {
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
       |  FROM embeddings),
       |n AS (SELECT vec_id, label, q,
-      |        list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+      |        list_sum(list_transform(q, x -> x * x)) AS n2 FROM q WHERE n2 > 0),
       |scored AS (
       |  SELECT qs.vec_id AS q_id, c.vec_id AS neg_id, c.label AS neg_label,
       |    CAST(list_sum(list_transform(range(1, len(qs.q) + 1), i -> qs.q[i] * c.q[i])) AS DOUBLE)
@@ -441,7 +458,7 @@ object SimilarityOps {
       |  SELECT vec_id,
       |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
       |  FROM embeddings),
-      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+      |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv WHERE n2 > 0),
       |sem AS (
       |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_sem
       |  FROM (
@@ -529,7 +546,7 @@ object SimilarityOps {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv),
+       |n AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qv WHERE n2 > 0),
        |banded AS (
        |  $bandRows),
        |cand AS (
@@ -967,7 +984,7 @@ object SimilarityOps {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
        |  FROM embeddings),
-       |n AS MATERIALIZED (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+       |n AS MATERIALIZED (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM q WHERE n2 > 0),
        |cands AS MATERIALIZED (
        |  SELECT q_id, vec_id, q, n2, cos_qd FROM (
        |    SELECT qs.vec_id AS q_id, c.vec_id, c.q, c.n2,
@@ -1047,7 +1064,7 @@ object SimilarityOps {
        |  FROM embeddings),
        |n AS MATERIALIZED (
        |  SELECT vec_id, label, q,
-       |    list_sum(list_transform(q, x -> x * x)) AS n2 FROM q),
+       |    list_sum(list_transform(q, x -> x * x)) AS n2 FROM q WHERE n2 > 0),
        |top AS MATERIALIZED (
        |  SELECT q_id, ql, vec_id, label, rn FROM (
        |    SELECT qs.vec_id AS q_id, qs.label AS ql, c.vec_id, c.label,
@@ -1268,8 +1285,14 @@ object SimilarityOps {
     }.reduce(_ + _)
     val lab = e.select(key.as("bucket"), col("label"))
       .groupBy(col("bucket"), col("label")).agg(count(lit(1)).as("c"))
+    // asc_nulls_last, NOT asc: Spark's ASC default is nulls-FIRST,
+    // DuckDB's is nulls-LAST — on a bucket of tied counts containing an
+    // unlabeled (NULL) group the two engines would crown different
+    // majority labels (embeddings fuzz). Nulls-last also encodes the
+    // right semantic: an unlabeled group wins only when nothing labeled
+    // ties it.
     val w = Window.partitionBy(col("bucket"))
-      .orderBy(col("c").desc, col("label").asc)
+      .orderBy(col("c").desc, col("label").asc_nulls_last)
     val maj = lab.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("bucket"), col("label").as("maj_label"), col("c").as("n_maj"))
@@ -1288,8 +1311,9 @@ object SimilarityOps {
     s"""WITH qv AS (
        |  SELECT vec_id, label,
        |    list_transform(embedding,
-       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q
-       |  FROM embeddings),
+       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS q,
+       |    list_sum(list_transform(q, x -> x * x)) AS n2
+       |  FROM embeddings WHERE n2 > 0),
        |bk AS (SELECT label, $keyExpr AS bucket FROM qv),
        |lab AS (SELECT bucket, label, CAST(count(*) AS BIGINT) AS c
        |        FROM bk GROUP BY 1, 2),

@@ -333,6 +333,104 @@ class OracleFuzzSpec extends SparkTestBase {
     }
   }
 
+  /** Similarity core under fuzz: the cosine/ANN/covariance family over
+    * pathological embeddings — the ZERO vector and a near-zero vector
+    * that quantizes to zero norm (no direction: the divide-by-zero /
+    * NULL-ordering hazard for every cosine), extreme ±1000 magnitudes,
+    * one-hot, exact duplicates, a negated mirror pair (cosine −1), and
+    * NULL labels. Dimension stays the fixed 64 and elements stay finite
+    * non-null — both documented schema contracts of the embedding
+    * column. The first 5 vec_ids are the retrieval probes by the
+    * queries' own convention, so the pathological vectors are planted
+    * THERE. */
+  private val embFuzzQueries = Seq(
+    "q38_embedding_neardup", "q39_knn_brute", "q40_knn_lsh",
+    "q48_dim_stats", "q49_embedding_lsh_dedup", "q93_knn_int8",
+    "q112_semantic_decontam", "q121_hard_negatives",
+    "q132_embed_covariance", "q136_ann_recall", "q154_random_projection",
+    "q155_source_affinity", "q166_mmr_rerank", "q196_norm_outliers",
+    "q222_bucket_purity")
+
+  private def fuzzEmbeddings(seed: Int): Seq[(Long, Array[Float],
+      java.lang.Integer)] = {
+    val rnd = new scala.util.Random(seed * 424243 + 7)
+    val dim = 64
+    def normal(): Array[Float] =
+      Array.fill(dim)((rnd.nextFloat() * 2 - 1))
+    def oneHot(i: Int): Array[Float] = {
+      val a = Array.fill(dim)(0.0f); a(i % dim) = 1.0f; a
+    }
+    val dup = normal()
+    val mirrorBase = normal()
+    val rows = scala.collection.mutable.ArrayBuffer[(Array[Float],
+      java.lang.Integer)]()
+    rows += ((Array.fill(dim)(0.0f), 0))            // vec 0: zero vector
+    rows += ((Array.fill(dim)(1e-8f), 1))           // vec 1: quantizes to 0
+    rows += ((normal(), 2))                         // vec 2: normal probe
+    rows += ((oneHot(seed), 3))                     // vec 3: one-hot probe
+    rows += ((dup.clone(), 4))                      // vec 4: dup of vec 10
+    rows += ((Array.fill(dim)(1000.0f), 5))
+    rows += ((Array.fill(dim)(-1000.0f), 5))
+    rows += ((mirrorBase, 6))
+    rows += ((mirrorBase.map(-_), 6))               // exact mirror: cos −1
+    rows += ((Array.fill(dim)(1.0f), 7))
+    rows += ((dup.clone(), null))                   // dup with NULL label
+    (0 until 6).foreach(i => rows += ((oneHot(i), 8)))
+    (0 until 180).foreach { _ =>
+      rows += ((normal(),
+        if (rnd.nextInt(12) == 0) null else rnd.nextInt(10)))
+    }
+    rows.zipWithIndex.map { case ((v, l), i) => (i.toLong, v, l) }.toSeq
+  }
+
+  private def writeEmbSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    val tmp = s"$dir/_tmp_embeddings"
+    fuzzEmbeddings(seed).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, Paths.get(s"$dir/embeddings.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents").foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("pathological embeddings hash-match the DuckDB oracle on the similarity core") {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
+      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/emb$seed"
+      val outDir = s"/tmp/graft_fuzz/emb_out$seed"
+      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
+      writeEmbSeedDir(seed, dir)
+      embFuzzQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += s"emb$seed $name: query failed: ${e.getMessage}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        Verify.oracleJson(
+          SparkEntry.oracleSql.view.filterKeys(embFuzzQueries.contains).toMap))
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      if (code != 0)
+        failures += s"emb$seed oracle diff:\n" +
+          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("pathological relational tables hash-match the DuckDB oracle on the join/agg core") {
     import scala.sys.process._
     assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
