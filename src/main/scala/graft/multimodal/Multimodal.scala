@@ -40,9 +40,17 @@ object Multimodal {
   }
 
   /** Wrap a text table as a fake media table: (doc_id, media binary, meta
-    * struct) — the schema/partitioning shape a real image corpus has. */
+    * struct) — the schema/partitioning shape a real image corpus has.
+    *
+    * NULL-media boundary (r7, found by the fuzz): a row whose blob is
+    * NULL is not a media row — it is dropped HERE, at the table
+    * boundary, so every downstream `mapPartitions` decode lambda can
+    * assume non-null bytes (they take primitive `Array[Byte]` and would
+    * NPE otherwise). Every qm oracle mirrors with
+    * `WHERE text IS NOT NULL` (for the generate_series-fabric ones the
+    * filter is already implicit — series over NULL length is empty). */
   def asMediaTable(docs: DataFrame): DataFrame =
-    docs.select(
+    docs.filter(col("text").isNotNull).select(
       col("doc_id"),
       encode(col("text"), "UTF-8").as("media"),
       struct(
@@ -119,11 +127,13 @@ object Multimodal {
   val qm1Sql: String =
     """WITH b AS (
       |  SELECT doc_id, unicode(substr(text, i, 1)) // 32 AS bucket
-      |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)),
+      |  FROM documents, UNNEST(generate_series(1, length(text))) AS g(i)
+      |  WHERE text IS NOT NULL),
       |h AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
       |grid AS (
       |  SELECT doc_id, length(text) AS n, g.pos
-      |  FROM documents, UNNEST(generate_series(0, 7)) AS g(pos))
+      |  FROM documents, UNNEST(generate_series(0, 7)) AS g(pos)
+      |  WHERE text IS NOT NULL)
       |SELECT grid.doc_id, 'txt' AS format, CAST(grid.n AS BIGINT) AS n_bytes,
       |  CAST(grid.pos AS BIGINT) AS pos,
       |  CAST(CAST(coalesce(h.cnt, 0) AS FLOAT) / CAST(greatest(grid.n, 1) AS FLOAT) AS DOUBLE) AS value
@@ -141,7 +151,8 @@ object Multimodal {
     """SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
       |  md5(substr(text, CAST(f AS INT) * 32 + 1, 32)) AS frame_md5
       |FROM documents,
-      |  UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)""".stripMargin
+      |  UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)
+      |WHERE text IS NOT NULL""".stripMargin
 
   /** Keyframe-hash near-dup detection over the media column — the video
     * dedup shape: two media items are near-dup candidates when ≥ 2 of
@@ -187,7 +198,8 @@ object Multimodal {
       |  SELECT DISTINCT doc_id,
       |    md5(substr(text, CAST(f AS INT) * 32 + 1, 32)) AS fmd5
       |  FROM documents,
-      |    UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)),
+      |    UNNEST(generate_series(0, length(text) // 32 - 1, 4)) AS g(f)
+      |  WHERE text IS NOT NULL),
       |rare AS (
       |  SELECT fmd5 FROM fr GROUP BY fmd5
       |  HAVING count(*) BETWEEN 2 AND 20)
@@ -256,7 +268,8 @@ object Multimodal {
     """WITH ch AS (
       |  SELECT doc_id, (i - 1) // 32 AS f, unicode(substr(text, i, 1)) AS v
       |  FROM documents,
-      |    UNNEST(generate_series(1, (length(text) // 32) * 32)) AS g(i)),
+      |    UNNEST(generate_series(1, (length(text) // 32) * 32)) AS g(i)
+      |  WHERE text IS NOT NULL),
       |en AS (
       |  SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS energy
       |  FROM ch GROUP BY 1, 2),
@@ -472,7 +485,7 @@ object Multimodal {
     """WITH m AS (
       |  SELECT upper(hex(substr(text, 1, 2))) AS magic,
       |    CAST(count(*) AS BIGINT) AS n
-      |  FROM documents GROUP BY 1)
+      |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
       |SELECT magic, n,
       |  CAST(n * 1000 // sum(n) OVER () AS BIGINT) AS share_pm
       |FROM m""".stripMargin

@@ -41,6 +41,21 @@ class OracleFuzzSpec extends SparkTestBase {
     "q137_repeated_spans", "q145_containment", "q207_good_turing",
     "q234_dup_spans", "q235_doc_chunks", "q58_hash_sample")
 
+  /** The multimodal family fuzzes on its own corpus variant: the fake
+    * codec's DuckDB oracles model media bytes as text CHARACTERS, which
+    * is exact only under the family's documented printable-ASCII
+    * corpus contract (qm6's byte/char-equivalence note) — so the qm
+    * battery keeps every pathology EXCEPT non-ASCII text (nulls, empty,
+    * whitespace, the giant doc, kilotoken tokens, identical docs all
+    * stay). The null rows are the ones that caught the decode-lambda
+    * NPE this battery exists for. Real media blobs are bytes on BOTH
+    * sides, so the chars-vs-bytes limitation is the test fixture's,
+    * not the operators'. */
+  private val mmFuzzQueries = Seq(
+    "qm1_multimodal_features", "qm2_multimodal_frames", "qm3_frame_dedup",
+    "qm4_audio_segments", "qm5_chunk_dedup", "qm6_frame_diversity",
+    "qm7_magic_bytes")
+
   private def fuzzDocs(seed: Int): Seq[(Long, String, String, String)] = {
     val rnd = new scala.util.Random(seed * 1000003 + 17)
     val vocab = Vector.tabulate(100)(i => s"w${(i * 7 + seed) % 100}")
@@ -87,11 +102,15 @@ class OracleFuzzSpec extends SparkTestBase {
   }
 
   /** Write a docs frame as a single parquet FILE (the layout check.py
-    * and Tables expect), alongside copies of the other base tables. */
-  private def writeSeedDir(seed: Int, dir: String): Unit = {
+    * and Tables expect), alongside copies of the other base tables.
+    * `keep` filters the generated texts (the qm battery drops
+    * non-ASCII, see [[mmFuzzQueries]]). */
+  private def writeSeedDir(seed: Int, dir: String,
+      keep: String => Boolean = _ => true): Unit = {
     import spark.implicits._
     val tmp = s"$dir/_tmp_documents"
-    fuzzDocs(seed).toDF("doc_id", "text", "lang", "source")
+    fuzzDocs(seed).filter(r => keep(r._2))
+      .toDF("doc_id", "text", "lang", "source")
       .selectExpr("doc_id", "text", "lang", "source",
         "CAST(coalesce(length(text), 0) AS BIGINT) AS n_chars")
       .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -105,6 +124,38 @@ class OracleFuzzSpec extends SparkTestBase {
       Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
         StandardCopyOption.REPLACE_EXISTING)
     }
+  }
+
+  test("pathological ASCII media corpora hash-match the DuckDB oracle on the multimodal core") {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
+      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/mm$seed"
+      val outDir = s"/tmp/graft_fuzz/mm_out$seed"
+      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
+      writeSeedDir(seed, dir,
+        keep = t => t == null || t.forall(_ < 128)) // ASCII media contract
+      mmFuzzQueries.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += s"mm$seed $name: query failed: ${e.getMessage}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        Verify.oracleJson(
+          SparkEntry.oracleSql.view.filterKeys(mmFuzzQueries.contains).toMap))
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      if (code != 0)
+        failures += s"mm$seed oracle diff:\n" +
+          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 
   /** Event-time core under fuzz: events-only queries whose parity leans
