@@ -137,6 +137,14 @@ object CurationOps {
   def chunkDocs(docs: DataFrame, maxTokens: Int): DataFrame = {
     require(maxTokens >= 1, s"chunkDocs: maxTokens $maxTokens must be >= 1")
     docs
+      // ANSI-independence (r8, ADVICE): with ansi off, size(NULL) = -1,
+      // so a null doc would plan n_chunks = 0 and sequence(0, -1) =
+      // [0, -1] — TWO phantom rows, one with chunk = -1 whose packed key
+      // collides into doc (doc_id-1)'s chunk-65535 slot. Null text is
+      // dropped at the boundary (the asMediaTable pattern); the oracle
+      // emits 0 rows for such docs either way, and under ANSI (the
+      // default) the filter is a no-op.
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("long").as("n"))
@@ -148,13 +156,13 @@ object CurationOps {
         least(lit(maxTokens.toLong), col("n") - col("chunk") * maxTokens)
           .as("n_chunk_tokens"),
         when(col("doc_id").between(0L, (1L << 46) - 1)
-            && col("chunk") < (1L << 16),
+            && col("chunk").between(0L, (1L << 16) - 1),
           col("doc_id") * 65536L + col("chunk"))
           .otherwise(raise_error(concat(
             lit("chunkDocs: chunk_key domain exceeded (doc_id "),
             col("doc_id").cast("string"), lit(", chunk "),
             col("chunk").cast("string"),
-            lit(") — needs doc_id < 2^46 and chunk < 2^16"))))
+            lit(") — needs 0 <= doc_id < 2^46 and 0 <= chunk < 2^16"))))
           .as("chunk_key"),
         concat_ws(" ",
           slice(col("toks"), (col("chunk") * maxTokens + 1).cast("int"),

@@ -38,7 +38,12 @@ object GraphOps {
     * (~5×10¹⁴ nodes — far past any real corpus). */
   def sizedRankUnit(nodes: Long): Long = {
     require(nodes > 0, "pageRankInt: empty node set")
-    val cap = (1L << 62) / (85L * nodes)
+    // divide twice instead of multiplying 85·nodes: the product itself
+    // wraps int64 past ~1.08e17 nodes, and a wrap landing on a small
+    // positive value would defeat the very bound being computed (r8,
+    // ADVICE). Double flooring is conservative by at most one ulp of
+    // the quotient — irrelevant to a power-of-ten search.
+    val cap = (1L << 62) / 85L / nodes
     var u = 1L
     while (u * 10 <= cap && u < RankUnit) u *= 10
     require(u >= 100L,
@@ -80,10 +85,15 @@ object GraphOps {
       else {
         require(rankUnit >= 100L && rankUnit % 100L == 0L,
           s"pageRankInt: rank unit $rankUnit must be a multiple of 100 (0.15·unit must be exact)")
-        require(n <= (1L << 62) / (85L * rankUnit),
+        // overflow-safe form of n ≤ 2⁶²/(85·unit): the guard's own
+        // 85·unit product wraps for unit > ~1.08e17, and a wrap landing
+        // on a small positive value would PASS the check and reintroduce
+        // the silent damping-multiply overflow it exists to prevent (r8,
+        // ADVICE). unit ≤ 2⁶²/85/n never multiplies data-derived values.
+        require(rankUnit <= (1L << 62) / 85L / math.max(n, 1L),
           s"pageRankInt: pinned rank unit $rankUnit overflows on $n nodes " +
-            s"(needs 85*n*unit <= 2^62; max ${(1L << 62) / (85L * rankUnit)} " +
-            "nodes at this unit) — pass rankUnit = 0 to size it to the graph")
+            s"(needs 85*n*unit <= 2^62; max unit ${(1L << 62) / 85L / math.max(n, 1L)} " +
+            "at this node count) — pass rankUnit = 0 to size it to the graph")
         rankUnit
       }
     val baseMass = unit / 100L * 15L // exact: unit is a multiple of 100

@@ -409,4 +409,25 @@ class CurationSpec extends SparkTestBase {
     assert(giantSpans.forall(r =>
       r.getAs[Long]("span_start") == 0L && r.getAs[Long]("span_end") == 1000L))
   }
+
+  test("chunkDocs: null-text docs yield zero rows under ANSI on AND off") {
+    import spark.implicits._
+    // r8 (ADVICE): with ansi off, size(NULL) = -1 used to plan
+    // sequence(0, -1) = [0, -1] — two phantom rows for a null doc, one
+    // with chunk = -1 whose packed key collided into doc (doc_id-1)'s
+    // chunk-65535 slot. The isNotNull boundary makes the operator
+    // ANSI-independent; the negative-chunk domain guard backstops it.
+    val docs = Seq((7L, "one real document here"), (8L, null: String))
+      .toDF("doc_id", "text")
+    def run(): Seq[(Long, Long)] =
+      CurationOps.chunkDocs(docs, maxTokens = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val ansiOn = run()
+    assert(ansiOn == Seq((7L, 0L), (7L, 1L)), ansiOn)
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      assert(run() == ansiOn)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
 }

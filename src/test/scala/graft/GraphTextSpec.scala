@@ -89,6 +89,16 @@ class GraphTextSpec extends SparkTestBase {
     val small = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     assert(GraphOps.pageRankInt(small, iters = 1,
       rankUnit = 1000000000000L).count() == 2L)
+    // r8 (ADVICE): the guard must not itself wrap. For this unit,
+    // 85·unit = 2^64 + 6884 — as a raw int64 product it wraps to the
+    // SMALL POSITIVE 6884, so the old n ≤ 2^62/(85·unit) form computed
+    // a huge bogus node cap and ACCEPTED the pin; the divide-only form
+    // rejects it even on a 2-node graph
+    val wrapPin = 217020518514230100L // multiple of 100; 85·it ≡ +6884 (mod 2^64)
+    val e2 = intercept[IllegalArgumentException] {
+      GraphOps.pageRankInt(small, iters = 1, rankUnit = wrapPin)
+    }
+    assert(e2.getMessage.contains("85*n*unit"), e2.getMessage)
   }
 
   test("dupSpans collision contract: a colliding window yields a merged span, not corruption") {

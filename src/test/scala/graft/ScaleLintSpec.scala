@@ -179,6 +179,16 @@ class ScaleLintSpec extends SparkTestBase {
         val pushed = (scan.metadata.getOrElse("PushedFilters", "") +
           scan.metadata.getOrElse("PartitionFilters", ""))
           .replaceAll("IsNotNull\\([^)]*\\)|IsNull\\([^)]*\\)", "")
+        // token match, not raw substring (r8, ADVICE): a column whose
+        // name is a substring of another pushed column's ("d" vs
+        // "o_orderdate", "pos" vs "pos_id") must NOT read as pushed —
+        // that false negative silently masks a q204-class violation.
+        // Identifier-boundary lookarounds cover both formats in play:
+        // PushedFilters' `GreaterThan(name,…)` and PartitionFilters'
+        // catalyst `name#id`.
+        def pushedHas(name: String): Boolean =
+          ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(name) +
+            "(?![A-Za-z0-9_])").r.findFirstIn(pushed).isDefined
         conjuncts(f.condition).flatMap { c =>
           val side = c match {
             case b: BinaryComparison if b.right.foldable => peel(b.left)
@@ -189,7 +199,7 @@ class ScaleLintSpec extends SparkTestBase {
           }
           side.filter(a => c.deterministic &&
               scan.output.exists(_.exprId == a.exprId) &&
-              !pushed.contains(a.name))
+              !pushedHas(a.name))
             .map(a => s"${a.name} in ${c.sql}")
         }
       }

@@ -54,6 +54,19 @@ def main(sf_dir, out_dir):
             if dict(got_schema) != dict(want_schema):
                 print(f"  schema spark:  {got_schema}")
                 print(f"  schema oracle: {want_schema}")
+    # Self-certified rows-only queries (no oracle SQL): Verify exports
+    # their measured in-query bounds to bounds.json — surface them so
+    # the gate's output carries the numbers, not a bare "no oracle".
+    try:
+        bounds = json.load(open(f"{out_dir}/bounds.json"))
+    except Exception:
+        bounds = {}
+    for name, b in sorted(bounds.items()):
+        status = "ok  " if b.get("ok") else "FAIL"
+        if not b.get("ok"):
+            fail += 1
+        print(f"{status} {name} [bound]: {b['bound']} = {b['value']:.4g} "
+              f"{b['op']} {b['limit']}")
     print(f"\n{ok} ok, {fail} fail")
     return 1 if fail else 0
 
