@@ -25,6 +25,31 @@ object TextFns {
   /** Whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normText(c), " ")
 
+  /** INGEST-CAP CONTRACT (r8). The per-document buffers inside the
+    * dedup/scrub pipelines (q35's df-sorted shingle sets, q165's kept-
+    * block lists, q214's inherited prefix sets) are O(doc tokens); that
+    * bound is a REAL number only if no document longer than this may
+    * enter. [[CurationOps.chunkDocs]] is the sanctioned capper (its
+    * packed chunk key supports chunks up to 2¹⁶, hence this value);
+    * [[cappedToks]] is the matching ENFORCEMENT at the pipelines'
+    * tokenize boundary — an uncapped oversize document fails loudly
+    * there instead of growing an unbounded task buffer. */
+  val DocTokenCap: Int = 1 << 16
+
+  /** `toks` verified against [[DocTokenCap]] — the guard the declared
+    * per-doc-buffer pipelines tokenize through. Per-row, no shuffle;
+    * codegen subexpression elimination evaluates the token array once.
+    * Oversize input is a LOUD error directing callers to pre-chunk
+    * with [[graft.operators.CurationOps.chunkDocs]], never a silent
+    * task-memory hazard. A no-op on any corpus that respected the
+    * ingest cap (the sf corpora and every oracle do). */
+  def cappedToks(toks: Column): Column =
+    when(size(toks) <= DocTokenCap, toks)
+      .otherwise(raise_error(concat(
+        lit(s"doc exceeds the $DocTokenCap-token ingest cap ("),
+        size(toks).cast("string"),
+        lit(" tokens) — pre-chunk with CurationOps.chunkDocs before dedup/scrub"))))
+
   /** Deterministic 60-bit non-negative hash from the md5 hex prefix —
     * the fused [[HashExprs.Md5Long60]] expression (value identical to
     * `conv(substring(md5(c),1,15),16,10)`, spec-asserted; ~3× faster). */

@@ -34,9 +34,17 @@ object DedupOps {
     * touches them: a lambda that captures a complex expression (e.g.
     * `split(regexp_replace(...))`) re-evaluates that whole subtree on
     * every lambda invocation — measured 15× on shingle generation. An
-    * attribute reference is evaluated once per row. */
+    * attribute reference is evaluated once per row.
+    *
+    * Tokenizes through [[TextFns.cappedToks]]: this is the shared
+    * tokenize boundary of q35/q36/q214's per-doc-buffer pipelines, so
+    * the ingest-cap contract ([[graft.functions.TextFns.DocTokenCap]];
+    * pre-chunk with [[CurationOps.chunkDocs]]) is ENFORCED here — an
+    * oversize document is a loud error, never an unbounded shingle
+    * buffer. */
   private def docToks(s: SparkSession, dir: String): DataFrame =
-    docsNorm(s, dir).select(col("doc_id"), split(col("norm"), " ").as("toks"))
+    docsNorm(s, dir).select(col("doc_id"),
+      graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))
 
   /** Distinct (doc_id, shingle) pairs over word 3-grams. */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
@@ -84,13 +92,17 @@ object DedupOps {
 
   /** The q35 pipeline over an arbitrary `(doc_id, text)` frame — the
     * seam the ingest chunking contract ([[CurationOps.chunkDocs]]) plugs
-    * into: the per-doc shingle buffers here are doc-length-bounded, so
-    * capping doc length at ingest is what makes that bound a real
-    * number instead of "the largest document anyone uploads". */
+    * into: the per-doc shingle buffers here are doc-length-bounded, and
+    * that bound is ENFORCED (r8) by tokenizing through
+    * [[TextFns.cappedToks]] — a document past
+    * [[graft.functions.TextFns.DocTokenCap]] tokens fails loudly with a
+    * pointer to `chunkDocs`, so the bound is a real number instead of
+    * "the largest document anyone uploads". */
   private[graft] def ngramJaccardCore(docs: DataFrame): DataFrame =
     verifiedCore(docSetsCore(docs
       .select(col("doc_id"), normText(col("text")).as("norm"))
-      .select(col("doc_id"), split(col("norm"), " ").as("toks"))),
+      .select(col("doc_id"),
+        graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))),
       positional = true)
 
   /** Per-doc df-sorted shingle-hash set + prefix (shared by candidate

@@ -1611,9 +1611,19 @@ object TextOps {
     * AQE's skew split handles) → per-doc rebuild whose buffer is bounded
     * by document length (same bound as q69's chunker). Three corpus
     * passes of narrow columns, no window, no driver state. */
-  def q165BlockScrub(s: SparkSession, dir: String): DataFrame = {
-    val blocks = Tables.widen(Tables.documents(s, dir), col("doc_id"))
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+  def q165BlockScrub(s: SparkSession, dir: String): DataFrame =
+    blockScrubCore(Tables.widen(Tables.documents(s, dir), col("doc_id")))
+
+  /** The q165 scrub over an arbitrary `(doc_id, text)` frame. The
+    * per-doc rebuild buffer is doc-length-bounded, and that bound is
+    * ENFORCED (r8) by tokenizing through [[TextFns.cappedToks]] — an
+    * uncapped oversize document fails loudly with a pointer to
+    * [[CurationOps.chunkDocs]] instead of growing an unbounded
+    * kept-block list in one task. */
+  private[graft] def blockScrubCore(docs: DataFrame): DataFrame = {
+    val blocks = docs
+      .select(col("doc_id"),
+        graft.functions.TextFns.cappedToks(tokens(col("text"))).as("toks"))
       .select(col("doc_id"), posexplode(
         transform(
           sequence(lit(0L), ceil(size(col("toks")) / lit(8.0)).cast("long") - 1),

@@ -410,6 +410,29 @@ class CurationSpec extends SparkTestBase {
       r.getAs[Long]("span_start") == 0L && r.getAs[Long]("span_end") == 1000L))
   }
 
+  test("ingest cap is ENFORCED: an uncapped oversize doc fails loudly in the declared dedup/scrub paths") {
+    import spark.implicits._
+    // r8: the scale-lint's "doc-length-bounded" buffer claims cite the
+    // chunkDocs ingest cap — this proves the declared entry points
+    // actually REFUSE a document that skipped it, instead of quietly
+    // growing an O(doc) task buffer. 70k tokens > DocTokenCap (65536).
+    val giant = (0 until 70000).map(i => s"w${i % 50}").mkString(" ")
+    val docs = Seq((1L, giant), (2L, "a small document")).toDF("doc_id", "text")
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception](
+      graft.operators.DedupOps.ngramJaccardCore(docs).collect())
+    assert(chain(e1).contains("ingest cap"), chain(e1).take(300))
+    val e2 = intercept[Exception](
+      graft.operators.TextOps.blockScrubCore(docs).collect())
+    assert(chain(e2).contains("ingest cap"), chain(e2).take(300))
+    // and the sanctioned fix — pre-chunking — sails through the same path
+    val chunked = CurationOps.chunkDocs(docs, maxTokens = 1000)
+      .select(col("chunk_key").as("doc_id"), col("chunk_text").as("text"))
+    assert(graft.operators.TextOps.blockScrubCore(chunked).count() == 71L)
+  }
+
   test("chunkDocs: null-text docs yield zero rows under ANSI on AND off") {
     import spark.implicits._
     // r8 (ADVICE): with ansi off, size(NULL) = -1 used to plan

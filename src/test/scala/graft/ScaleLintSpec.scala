@@ -39,12 +39,12 @@ class ScaleLintSpec extends SparkTestBase {
   /** Queries whose collect_list/collect_set buffers are bounded — each
     * entry names the bound. */
   private val boundedCollect: Map[String, String] = Map(
-    "q35_ngram_jaccard" -> "per-doc df-sorted shingle set (doc-length-bounded; the chunkDocs ingest cap makes that a hard number) for the prefix filter",
+    "q35_ngram_jaccard" -> "per-doc df-sorted shingle set for the prefix filter: <= DocTokenCap by the ENFORCED cappedToks guard at docToks (oversize docs raise, pointing at chunkDocs)",
     "q43_array_agg" -> "array_agg IS the declared operator; arrays are per-group by contract",
     "q92_vocab_coverage" -> "the top-100 vocab collapsed to one broadcast array",
     "q99_unigram_lm" -> "the top-64 vocab collapsed to one broadcast map row",
-    "q165_block_scrub" -> "per-doc repeated-block list (doc-length-bounded; chunkDocs ingest cap)",
-    "q214_lsh_eval" -> "inherits q35's doc-length-bounded prefix-filter sets (q36's side is a collect-free bucket self-join since r6)")
+    "q165_block_scrub" -> "per-doc repeated-block list: <= DocTokenCap/8 blocks by the ENFORCED cappedToks guard at blockScrubCore",
+    "q214_lsh_eval" -> "inherits q35's cappedToks-guarded prefix-filter sets (q36's side is a collect-free bucket self-join since r6)")
 
   /** Queries with a declared, justified cartesian product. */
   private val boundedCartesian: Map[String, String] = Map(
