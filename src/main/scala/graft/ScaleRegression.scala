@@ -4,29 +4,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Empirical scale-regression harness: materializes a `factor`× copy of
-  * the sf0.1 fixtures and runs the heavy dedup/graph chain at 1× and at
-  * `factor`×, recording wall-time, peak single-task execution memory,
-  * and total spill per query. This is the measurement behind the
-  * SCALING.md claim that the r6 self-join pair stage is task-memory
+  * the sf0.1 fixtures and runs the heavy dedup/graph/text chain at 1×
+  * and at `factor`×, recording wall-time, peak single-task execution
+  * memory, and total spill per query. This is the measurement behind
+  * the SCALING.md claim that the r6 self-join pair stage is task-memory
   * bounded: the plan-shape argument says peak task memory should stay
   * ~FLAT as the corpus grows (state is O(1) per join key, volume is
   * join output), and wall-time should grow ~linearly. Run it; don't
   * argue it.
   *
-  * Scaling model: `factor` key-shifted, token-tagged replicas. Each
-  * replica's tokens get a distinct `r<k>_` prefix, so replicas share NO
-  * shingles/signatures/graph keys with each other — the scaled corpus
-  * behaves as `factor` independent copies (expected outputs exactly
-  * `factor`×, dup structure preserved within each replica, no
-  * quadratic cross-replica pair blow-up that naive row duplication
-  * would cause). Ids shift by `k·10¹⁰` (far below the 2⁴⁶ chunk-key
-  * domain). documents/orders/lineitem are scaled (the chain touches
-  * only those); id-shifting orders+lineitem keeps the q101 trade graph
-  * `factor` disjoint copies of the base graph.
+  * Two scaling modes (r8 — the r7 run had only the first):
   *
-  * Usage: `runMain graft.ScaleRegression [baseDir] [factor] [workDir]`
-  * (defaults /root/testdata/sf0.1, 10, /tmp/graft_scale). Prints a
-  * markdown table; paste into SCALING.md.
+  *  - `tagged` (default): `factor` key-shifted, TOKEN-TAGGED replicas.
+  *    Each replica's tokens get a distinct `r<k>_` prefix, so replicas
+  *    share NO shingles/signatures with each other — the scaled corpus
+  *    behaves as `factor` independent copies (outputs exactly
+  *    `factor`×, dup structure preserved per replica, no cross-replica
+  *    pair blow-up). CAVEAT this mode carries: the tag inflates the
+  *    DISTINCT-TOKEN vocabulary `factor`× (a real corpus grows ~log),
+  *    so per-distinct-token costs (q37's signature stage, q72's vocab
+  *    aggregate) read WORSE than reality.
+  *  - `shared-vocab`: ids shift, text is UNTOUCHED — the vocabulary
+  *    stays exactly the base vocabulary (the faithful-vocab mode the
+  *    r7 caveat asked for). The flip side is the workload semantics:
+  *    every document now has `factor−1` exact cross-replica copies, so
+  *    dup clusters grow `factor`× and pair outputs ~`factor`²× within
+  *    each base cluster — a heavy-duplication corpus, measured as
+  *    such. Both modes are honest; they bracket reality from opposite
+  *    sides (vocabulary too big vs duplication too heavy).
+  *
+  * Ids shift by `k·10¹⁰` (far below the 2⁴⁶ chunk-key domain);
+  * documents/orders/lineitem/embeddings are scaled per the selected
+  * chain's needs. Id-shifting orders+lineitem keeps the q101 trade
+  * graph `factor` disjoint copies; id-shifting embeddings keeps vector
+  * content identical (duplicate vectors — ANN over a dup-heavy corpus).
+  *
+  * Usage:
+  *   runMain graft.ScaleRegression [baseDir] [factor] [workDir] [mode] [chainCsv]
+  * (defaults /root/testdata/sf0.1, 10, /tmp/graft_scale, tagged, the
+  * full chain). Prints a markdown table; paste into SCALING.md. When
+  * the chain includes q101, the rank⋈edges JOIN-STRATEGY probe prints
+  * the round-plan join operators at both scales — the broadcast→SMJ
+  * flip observation (run factor 30+ to see it cross).
   */
 object ScaleRegression {
 
@@ -34,14 +53,27 @@ object ScaleRegression {
     "q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash",
     "q64_dedup_clusters", "q83_triangles", "q89_leakfree_split",
     "q101_pagerank", "q118_cluster_canonical", "q146_cluster_sizes",
-    "q214_lsh_eval")
+    "q214_lsh_eval",
+    // r8: the text/similarity heavies — plan-shape-only until now
+    "q51_winnow_fingerprint", "q70_contamination", "q72_tfidf",
+    "q111_rrf_hybrid", "q52_knn_ivf")
+
+  /** Which scaled tables each chain query needs (everything else is
+    * read from the base fixtures unscaled). */
+  private val docQueries = Set("q35_ngram_jaccard", "q36_minhash_lsh",
+    "q37_simhash", "q64_dedup_clusters", "q83_triangles",
+    "q89_leakfree_split", "q118_cluster_canonical", "q146_cluster_sizes",
+    "q214_lsh_eval", "q51_winnow_fingerprint", "q70_contamination",
+    "q72_tfidf", "q111_rrf_hybrid")
+  private val graphQueries = Set("q101_pagerank")
+  private val embQueries = Set("q52_knn_ivf", "q111_rrf_hybrid")
 
   private val Stride = 10000000000L // 10^10 id shift per replica
 
   private def replicate(df: DataFrame, factor: Int,
-      shift: Map[String, Boolean], tagText: Boolean): DataFrame =
+      shift: Seq[String], tagText: Boolean): DataFrame =
     (0 until factor).map { k =>
-      val shifted = shift.foldLeft(df) { case (d, (c, _)) =>
+      val shifted = shift.foldLeft(df) { (d, c) =>
         d.withColumn(c, col(c) + lit(k * Stride))
       }
       if (!tagText) shifted
@@ -53,19 +85,40 @@ object ScaleRegression {
     }.reduce(_ union _)
 
   def generate(spark: SparkSession, baseDir: String, factor: Int,
-      outDir: String): Unit = {
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    replicate(docs, factor, Map("doc_id" -> true), tagText = true)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    val orders = spark.read.parquet(s"$baseDir/orders.parquet")
-    replicate(orders, factor,
-      Map("o_orderkey" -> true, "o_custkey" -> true), tagText = false)
-      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
-    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-    replicate(li, factor,
-      Map("l_orderkey" -> true, "l_suppkey" -> true, "l_partkey" -> true),
-      tagText = false)
-      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+      outDir: String, tagged: Boolean, selected: Seq[String]): Unit = {
+    val needDocs = selected.exists(docQueries)
+    val needGraph = selected.exists(graphQueries)
+    val needEmb = selected.exists(embQueries)
+    if (needDocs) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      replicate(docs, factor, Seq("doc_id"), tagText = tagged)
+        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    }
+    if (needGraph) {
+      val orders = spark.read.parquet(s"$baseDir/orders.parquet")
+      replicate(orders, factor, Seq("o_orderkey", "o_custkey"),
+        tagText = false)
+        .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      replicate(li, factor, Seq("l_orderkey", "l_suppkey", "l_partkey"),
+        tagText = false)
+        .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    }
+    if (needEmb) {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      replicate(emb, factor, Seq("vec_id"), tagText = false)
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    // unscaled tables resolve from the base dir via symlink copies
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    Seq("region", "nation", "customer", "supplier", "part", "events",
+      "documents", "orders", "lineitem", "embeddings").foreach { t =>
+      val target = new java.io.File(out, s"$t.parquet")
+      if (!target.exists())
+        java.nio.file.Files.createSymbolicLink(target.toPath,
+          java.nio.file.Paths.get(s"$baseDir/$t.parquet"))
+    }
   }
 
   /** Max single-task peak execution memory + total spill since reset —
@@ -88,6 +141,11 @@ object ScaleRegression {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val factor = if (args.length > 1) args(1).toInt else 10
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
+    val mode = if (args.length > 3) args(3) else "tagged"
+    require(mode == "tagged" || mode == "shared-vocab",
+      s"mode must be tagged|shared-vocab, got $mode")
+    val selected =
+      if (args.length > 4) args(4).split(",").toSeq else chain
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,9 +160,9 @@ object ScaleRegression {
     val listener = new PeakListener
     spark.sparkContext.addSparkListener(listener)
 
-    val scaledDir = s"$workDir/x$factor"
-    println(s"[scale] generating ${factor}x fixtures at $scaledDir ...")
-    generate(spark, baseDir, factor, scaledDir)
+    val scaledDir = s"$workDir/x$factor-$mode"
+    println(s"[scale] generating ${factor}x $mode fixtures at $scaledDir ...")
+    generate(spark, baseDir, factor, scaledDir, mode == "tagged", selected)
 
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -135,10 +193,10 @@ object ScaleRegression {
     // land inside a noise burst (first run of this harness showed q36
     // "faster" at 10x than 1x — pure burst). Peak memory reports the
     // MAX across passes (the OOM-relevant bound, and stable anyway).
-    chain.foreach(n => run(n, baseDir))
+    selected.foreach(n => run(n, baseDir))
     val passes = 3
     val samples: Seq[Map[(String, String), M]] = (1 to passes).map { _ =>
-      chain.flatMap { n =>
+      selected.flatMap { n =>
         Seq((n, "base") -> run(n, baseDir), (n, "scaled") -> run(n, scaledDir))
       }.toMap
     }
@@ -151,7 +209,7 @@ object ScaleRegression {
       val ms = samples.map(_((n, which)))
       M(median(ms.map(_.sec)), ms.map(_.peakMb).max, ms.map(_.spillMb).max)
     }
-    val rows = chain.map { n =>
+    val rows = selected.map { n =>
       val base = agg(n, "base")
       val scaled = agg(n, "scaled")
       println(f"[scale] $n%-24s 1x ${base.sec}%7.2fs peak ${base.peakMb}%7.1fMB " +
@@ -161,12 +219,34 @@ object ScaleRegression {
           scaled.peakMb / math.max(base.peakMb, 0.1)}%5.2f")
       (n, base, scaled)
     }
-    println("\n| query | 1x sec | 1x peak-task MB | 10x sec | 10x peak-task MB | 10x spill MB | time ratio | peak ratio |")
+    println(s"\n[scale] mode=$mode factor=$factor")
+    println(s"\n| query | 1x sec | 1x peak-task MB | ${factor}x sec | ${factor}x peak-task MB | ${factor}x spill MB | time ratio | peak ratio |")
     println("|---|---|---|---|---|---|---|---|")
     rows.foreach { case (n, b, s) =>
       println(f"| $n | ${b.sec}%.2f | ${b.peakMb}%.0f | ${s.sec}%.2f | " +
         f"${s.peakMb}%.0f | ${s.spillMb}%.0f | ${s.sec / b.sec}%.1f | " +
         f"${s.peakMb / math.max(b.peakMb, 0.1)}%.2f |")
+    }
+
+    // rank⋈edges JOIN-STRATEGY probe: one un-checkpointed PageRank
+    // round, forced through noop so AQE commits to a FINAL plan, then
+    // the join operators it actually ran — the broadcast→SMJ flip
+    // observation (SCALING.md's "self-corrects, no hint prevents it").
+    if (selected.contains("q101_pagerank")) {
+      def joinOps(dir: String): String = {
+        val df = operators.GraphOps.q101RoundPlan(spark, dir)
+        // execute through THIS QueryExecution (a write would plan a new
+        // one) so the AQE plan below is the final, post-reopt one
+        df.queryExecution.toRdd.count()
+        val plan = df.queryExecution.executedPlan.toString
+        plan.linesIterator
+          .filter(l => l.contains("Join") || l.contains("BroadcastExchange"))
+          .map(_.trim.replaceAll("\\(\\d+\\)", "").takeWhile(_ != ',')
+            .take(80))
+          .mkString("; ")
+      }
+      println(s"\n[scale] q101 round-plan joins at 1x:       ${joinOps(baseDir)}")
+      println(s"[scale] q101 round-plan joins at ${factor}x: ${joinOps(scaledDir)}")
     }
     spark.stop()
   }

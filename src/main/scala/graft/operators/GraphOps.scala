@@ -137,6 +137,29 @@ object GraphOps {
         col("r").as("rank_i"))
   }
 
+  /** ONE un-checkpointed PageRank round over the trade graph — the lazy
+    * plan PROBE [[graft.ScaleRegression]] uses to OBSERVE the
+    * rank⋈edges join strategy at different scales (broadcast while the
+    * rank frame fits under the threshold, sort-merge once it outgrows
+    * it — the self-correcting flip SCALING.md records). Identical
+    * shape to [[pageRankInt]]'s loop body; never declared as a query. */
+  private[graft] def q101RoundPlan(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val ed = edges.join(deg, Seq("src"))
+    val ranks = ed.select(col("src").as("node")).distinct()
+      .withColumn("r", lit(1000000L))
+    ed.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(expr("150000L + (85 * sum(r div d)) div 100").as("r"))
+  }
+
   val q101Sql: String = {
     def round(prev: String, cur: String): String =
       s"""$cur AS (

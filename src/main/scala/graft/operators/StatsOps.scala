@@ -45,17 +45,22 @@ object StatsOps {
     val n = col("n")
     def varNum(sq: Column, lin: Column): Column = n * sq - lin * lin
     val covNum = n * col("sxy") - col("sx") * col("sy")
+    // DEGENERATE-GROUP CONTRACT (r8, caught by the stats fuzz battery):
+    // a single-row group makes the sample-variance denominator n·(n−1)
+    // zero, and an all-identical group zeroes the correlation
+    // denominator — under ANSI both are DIVIDE_BY_ZERO crashes (even in
+    // double). The statistics are UNDEFINED there, so both denominators
+    // ride nullif → NULL, the q175-kappa pattern; oracles mirror.
+    val nn1 = nullif(n.cast("double") * (n - 1).cast("double"), lit(0.0))
     m.select(col("l_returnflag"), n,
       // sample variance/stddev of quantity, natural units (cents²/1e4)
-      (varNum(col("sxx"), col("sx")).cast("double")
-        / (n.cast("double") * (n - 1).cast("double")) / lit(1e4)).as("var_qty"),
-      sqrt(varNum(col("sxx"), col("sx")).cast("double")
-        / (n.cast("double") * (n - 1).cast("double")) / lit(1e4)).as("stddev_qty"),
+      (varNum(col("sxx"), col("sx")).cast("double") / nn1 / lit(1e4)).as("var_qty"),
+      sqrt(varNum(col("sxx"), col("sx")).cast("double") / nn1 / lit(1e4)).as("stddev_qty"),
+      (covNum.cast("double") / nn1 / lit(1e4)).as("covar_qty_price"),
       (covNum.cast("double")
-        / (n.cast("double") * (n - 1).cast("double")) / lit(1e4)).as("covar_qty_price"),
-      (covNum.cast("double")
-        / (sqrt(varNum(col("sxx"), col("sx")).cast("double"))
-          * sqrt(varNum(col("syy"), col("sy")).cast("double")))).as("corr_qty_price"))
+        / nullif(sqrt(varNum(col("sxx"), col("sx")).cast("double"))
+          * sqrt(varNum(col("syy"), col("sy")).cast("double")), lit(0.0)))
+        .as("corr_qty_price"))
   }
 
   val q55Sql: String =
@@ -71,11 +76,11 @@ object StatsOps {
       |    sum(CAST(x AS HUGEINT) * y) AS sxy
       |  FROM c GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
-      |  CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4 AS var_qty,
-      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4) AS stddev_qty,
-      |  CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) / 1e4 AS covar_qty_price,
+      |  CAST(n * sxx - sx * sx AS DOUBLE) / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0) / 1e4 AS var_qty,
+      |  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0) / 1e4) AS stddev_qty,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) / nullif(CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE), 0.0) / 1e4 AS covar_qty_price,
       |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_price
+      |    / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0) AS corr_qty_price
       |FROM m""".stripMargin
 
   /** Edit-distance match of part names against a fixed lexicon: classic

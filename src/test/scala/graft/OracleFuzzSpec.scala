@@ -574,4 +574,260 @@ class OracleFuzzSpec extends SparkTestBase {
     }
     assert(failures.isEmpty, failures.mkString("\n"))
   }
+
+  // ------------------------------------------------------------------
+  // r8 batteries: graph and stats/windows — the two families the r7
+  // batteries left unfuzzed. Shared runner (same dump-then-check.py
+  // diff path as the five r7 batteries above).
+  // ------------------------------------------------------------------
+
+  private def runBattery(label: String, queries: Seq[String],
+      write: (Int, String) => Unit): Unit = {
+    import scala.sys.process._
+    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
+      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/$label$seed"
+      val outDir = s"/tmp/graft_fuzz/${label}_out$seed"
+      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
+      write(seed, dir)
+      queries.foreach { name =>
+        try SparkEntry.queries(name)(spark, dir)
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          failures += s"$label$seed $name: query failed: ${e.getMessage}"
+        }
+      }
+      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
+        Verify.oracleJson(
+          SparkEntry.oracleSql.view.filterKeys(queries.contains).toMap))
+      val out = new StringBuilder
+      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
+        new java.io.File("/root/repo"))
+        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
+      if (code != 0)
+        failures += s"$label$seed oracle diff:\n" +
+          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  /** Single-parquet-file writer + base-table copier shared by the r8
+    * generators (the writeOne/copy pattern of the r7 writers). */
+  private def writeTables(dir: String,
+      tables: Map[String, org.apache.spark.sql.DataFrame]): Unit = {
+    tables.foreach { case (table, df) =>
+      val tmp = s"$dir/_tmp_$table"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp))
+        .filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, Paths.get(s"$dir/$table.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .filterNot(tables.contains).foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  /** Graph core under fuzz: q101 pagerank / q169 k-core over
+    * pathological customer–supplier trade graphs — a global hub
+    * supplier, duplicate edges (many orders repeating one pair — the
+    * DISTINCT must collapse them), a dense bipartite block, pendant
+    * stars whose leaves peel in round 1 and cascade the center out in
+    * round 2, a disconnected component, a degree-≤2 chain that peels
+    * entirely, NULL customer/supplier keys, and orphan lineitem rows.
+    * Self-loops and isolated nodes are impossible BY CONSTRUCTION
+    * (even/odd node namespacing; nodes are defined by edges) — that is
+    * the documented contract, not a generator gap. q83's triangle graph
+    * is the q36 near-dup doc graph, fuzzed by the documents battery.
+    * Node counts stay ~200, far inside the pinned 10¹² unit's ~5×10⁴
+    * guard bound. */
+  private val graphFuzzQueries = Seq("q101_pagerank", "q169_kcore")
+
+  private def writeGraphSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val rnd = new scala.util.Random(seed * 99991 + 5)
+    val day = 86400000000L
+    val t0 = 725846400000000L // 1993-01-01
+    def money2(): Double = math.floor(rnd.nextDouble() * 100000) / 100.0
+    // (custkey, suppkey) intents; null = the null-key pathology
+    val pairs = scala.collection.mutable.ArrayBuffer[(java.lang.Long, java.lang.Long)]()
+    // 1. hub: supplier 1 trades with customers 1..80
+    (1 to 80).foreach(c => pairs += ((c.toLong, 1L)))
+    // 2. duplicate edges: (cust 1, supp 1) repeated 30× more
+    (1 to 30).foreach(_ => pairs += ((1L, 1L)))
+    // 3. dense bipartite block: customers 1..10 × suppliers 2..11
+    for (c <- 1 to 10; s <- 2 to 11) pairs += ((c.toLong, s.toLong))
+    // 4. pendant star: customers 201..203 trade ONLY with supplier 50 —
+    //    leaves have degree 1 (peel round 1), the center's degree drops
+    //    3 → 0 (peel round 2): the k-core cascade case
+    (201 to 203).foreach(c => pairs += ((c.toLong, 50L)))
+    // 5. disconnected component: customers 300..305 × suppliers 60..63
+    for (c <- 300 to 305; s <- 60 to 63) pairs += ((c.toLong, s.toLong))
+    // 6. chain c400–s70–c401–s71–c402: degree ≤ 2 everywhere, peels out
+    pairs += ((400L, 70L)); pairs += ((401L, 70L))
+    pairs += ((401L, 71L)); pairs += ((402L, 71L))
+    // 7. null keys
+    pairs += ((null, 2L)); pairs += ((5L, null))
+    // 8. random background
+    (1 to 60).foreach(_ =>
+      pairs += (((rnd.nextInt(80) + 1).toLong, (rnd.nextInt(30) + 1).toLong)))
+    val statuses = Vector("O", "F", "P")
+    val orders = pairs.zipWithIndex.map { case ((c, _), i) =>
+      (java.lang.Long.valueOf((i + 1).toLong), c,
+        statuses(rnd.nextInt(statuses.size)), money2(),
+        t0 + (rnd.nextInt(2000).toLong * day), "1-URGENT")
+    }.toSeq
+    val lines = pairs.zipWithIndex.flatMap { case ((_, s), i) =>
+      // 1–2 lines per order, SAME supplier — duplicate (order, supp)
+      // lines must still collapse to one edge
+      (1 to (1 + rnd.nextInt(2))).map { ln =>
+        (java.lang.Long.valueOf((i + 1).toLong),
+          (rnd.nextInt(200) + 1).toLong, s, ln,
+          (rnd.nextInt(50) + 1).toDouble, money2(), 0.05, 0.02,
+          "N", "O", t0 + (rnd.nextInt(2000).toLong * day))
+      }
+    }.toSeq :+ ((java.lang.Long.valueOf(999999L), 1L,
+      java.lang.Long.valueOf(3L), 1, 1.0, 100.0, 0.0, 0.0, "N", "O", t0))
+    writeTables(dir, Map(
+      "orders" -> orders.toDF("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "ts_us", "o_orderpriority")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), timestamp_micros(col("ts_us")).as("o_orderdate"),
+          col("o_orderpriority")),
+      "lineitem" -> lines.toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "ts_us")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber").cast("int").as("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"),
+          timestamp_micros(col("ts_us")).as("l_shipdate"))))
+  }
+
+  test("pathological trade graphs hash-match the DuckDB oracle on the graph core") {
+    runBattery("graph", graphFuzzQueries, writeGraphSeedDir)
+  }
+
+  /** Stats/window core under fuzz: degenerate DISTRIBUTIONS — the
+    * blind spot the money-domain rel battery doesn't cover. Groups with
+    * a single row, all-identical values (rank/dense_rank/ntile full
+    * ties; MAD 0), exactly two values, an all-NULL-quantity group
+    * (percentile of an empty non-null set), NULL group keys, a 12-way
+    * tie across a global top-10 cut, 50 orders of one customer at one
+    * price through a top-3-per-key window, heavy duplication AT the
+    * median, and cents values pinned to q163's 65536-cent bin boundary
+    * (±1), with even/odd total row counts alternating by seed.
+    * Ordering columns (acctbal, totalprice, extendedprice, shipdate)
+    * stay NON-NULL and keys stay unique: every window's documented
+    * tiebreak contract — Spark's ASC-nulls-first vs DuckDB's
+    * nulls-last makes NULL ordering keys an engine-semantics
+    * difference, not an operator bug. */
+  private val statsFuzzQueries = Seq(
+    "q10_window_topn", "q11_window_running", "q12_topk",
+    "q21_rank_battery", "q65_window_battery2", "q135_global_ntile",
+    "q224_boxplot", "q55_moments", "q57_percentiles", "q77_mad",
+    "q139_hist_quantile", "q163_exact_median")
+
+  private def writeStatsSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val rnd = new scala.util.Random(seed * 52361 + 29)
+    val day = 86400000000L
+    val t0 = 725846400000000L
+    def money2(lo: Double, hi: Double): Double =
+      math.floor((lo + rnd.nextDouble() * (hi - lo)) * 100) / 100.0
+    // customers: degenerate segment structure
+    val custs = scala.collection.mutable.ArrayBuffer[(Long, String,
+      Int, Double, String)]()
+    custs += ((1L, "solo", 3, 9500.00, "ONE"))               // single-row segment
+    (2 to 41).foreach(i =>                                    // 40-way full tie
+      custs += ((i.toLong, s"tie$i", i % 25, 9123.45, "TIE")))
+    (42 to 71).foreach(i =>                                    // two-valued segment
+      custs += ((i.toLong, s"two$i", i % 25,
+        if (i % 2 == 0) 100.00 else 200.00, "TWO")))
+    (72 to 131).foreach(i =>
+      custs += ((i.toLong, s"n$i", i % 25, money2(0, 10000), "NORM")))
+    (132 to 137).foreach(i =>                                  // NULL segment key
+      custs += ((i.toLong, s"x$i", i % 25, money2(8000, 10000), null)))
+    (138 to 140).foreach(i =>                                  // empty-string segment
+      custs += ((i.toLong, s"e$i", i % 25, money2(0, 100), "")))
+    // orders: tie shapes for the ranking family
+    val orders = scala.collection.mutable.ArrayBuffer[(Long, java.lang.Long,
+      String, Double, Long, String)]()
+    var ok = 0L
+    def addOrder(c: java.lang.Long, price: Double): Unit = {
+      ok += 1
+      orders += ((ok, c, "O", price, t0 + (rnd.nextInt(2000).toLong * day),
+        "1-URGENT"))
+    }
+    addOrder(1L, 5000.00)                                      // cust 1: one order
+    (1 to 3).foreach(_ => addOrder(2L, 5000.00))               // cust 2: exactly 3, tied
+    (1 to 50).foreach(_ => addOrder(3L, 777.77))               // cust 3: 50-way tie at the rn<=3 cut
+    (1 to 12).foreach(_ =>                                     // 12-way tie across the global top-10 cut
+      addOrder((rnd.nextInt(130) + 4).toLong, 99999.99))
+    (1 to 150).foreach { i =>
+      addOrder((rnd.nextInt(140) + 1).toLong,
+        if (i % 3 == 0) 1234.56 else money2(1, 50000))         // heavy dup mass
+    }
+    addOrder(java.lang.Long.valueOf(99999L), 10.00)            // orphan custkey
+    addOrder(null, 20.00)                                      // NULL custkey
+    // lineitem: degenerate flag groups + bin-boundary cents
+    val lines = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int,
+      java.lang.Double, Double, java.lang.Double, java.lang.Double,
+      String, String, Long)]()
+    var lk = 0L
+    def addLine(supp: Long, flag: String, qty: java.lang.Double,
+        price: Double, ship: Long): Unit = {
+      lk += 1
+      lines += ((lk % 400 + 1, (rnd.nextInt(200) + 1).toLong, supp,
+        (lk / 400).toInt + 1, qty, price,
+        if (lk % 9 == 0) null
+        else java.lang.Double.valueOf(0.05),
+        java.lang.Double.valueOf(0.02), flag, "O", ship))
+    }
+    addLine(7L, "S1", 13.0, 655.36, t0)                        // single-row flag group; supplier 7 single row
+    (1 to 100).foreach(i =>                                    // all-identical qty; supplier 8: same shipdate, tie-broken by key
+      addLine(8L, "ID", 7.0, 655.36, t0 + day))
+    (1 to 40).foreach(i =>                                     // all-NULL-quantity group
+      addLine((rnd.nextInt(5) + 1).toLong, "NQ", null,
+        if (i % 2 == 0) 655.35 else 655.37, t0 + (i.toLong * day)))
+    (1 to 30).foreach(i =>                                     // NULL flag group
+      addLine((rnd.nextInt(5) + 1).toLong, null,
+        (rnd.nextInt(50) + 1).toDouble, money2(1, 2000),
+        t0 + (i.toLong * 2 * day)))
+    (1 to 200).foreach { i =>
+      addLine((rnd.nextInt(10) + 1).toLong, "N",
+        (rnd.nextInt(50) + 1).toDouble,
+        if (i % 2 == 0) 655.36 else money2(1, 2000),           // half the mass AT the bin boundary / median
+        t0 + (rnd.nextInt(2000).toLong * day))
+    }
+    if (seed % 2 == 1)                                         // flip even/odd n for the median interpolation
+      addLine(9L, "N", 3.0, 655.36, t0 + 3 * day)
+    writeTables(dir, Map(
+      "customer" -> custs.toSeq.toDF("c_custkey", "c_name", "c_nationkey",
+        "c_acctbal", "c_mktsegment"),
+      "orders" -> orders.toSeq.toDF("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "ts_us", "o_orderpriority")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), timestamp_micros(col("ts_us")).as("o_orderdate"),
+          col("o_orderpriority")),
+      "lineitem" -> lines.toSeq.toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "ts_us")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), timestamp_micros(col("ts_us")).as("l_shipdate"))))
+  }
+
+  test("degenerate distributions hash-match the DuckDB oracle on the stats/window core") {
+    runBattery("stats", statsFuzzQueries, writeStatsSeedDir)
+  }
 }
