@@ -239,10 +239,12 @@ object ScaleRegression {
         // one) so the AQE plan below is the final, post-reopt one
         df.queryExecution.toRdd.count()
         val plan = df.queryExecution.executedPlan.toString
-        plan.linesIterator
-          .filter(l => l.contains("Join") || l.contains("BroadcastExchange"))
-          .map(_.trim.replaceAll("\\(\\d+\\)", "").takeWhile(_ != ',')
-            .take(80))
+        // keep only the FINAL adaptive plan (toString appends the
+        // "== Initial Plan ==" section) and only the rank⋈edges join —
+        // the src-keyed one whose strategy the flip claim is about
+        plan.split("== Initial Plan ==")(0).linesIterator
+          .filter(_.contains("Join [src"))
+          .map(_.trim.replaceAll("#\\d+L?", "").take(60))
           .mkString("; ")
       }
       println(s"\n[scale] q101 round-plan joins at 1x:       ${joinOps(baseDir)}")

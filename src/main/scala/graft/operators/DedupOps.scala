@@ -165,20 +165,29 @@ object DedupOps {
       positional: Boolean): DataFrame = {
     // candidates: pairs sharing a PREFIX shingle, size-ratio pruned
     // (J <= min/max < 0.6 is exact, so pruned pairs could never pass);
-    // prefix entries carry their 0-based position for the PPJoin+ bound
-    val perBucket = docsets
+    // prefix entries carry their 0-based position for the PPJoin+ bound.
+    //
+    // Pairs form as a bucket SELF-JOIN of the prefix-entry stream on the
+    // shingle hash — the q36 r6 reshape, applied here in r8 after the
+    // shared-vocab scale run CAUGHT the previous collect_list(docs)-per-
+    // bucket buffer growing linearly with exact-duplication multiplicity
+    // (65 → 674 MB peak task memory at 10x dup-heavy data): a hot prefix
+    // bucket is now JOIN VOLUME, never an aggregation buffer, and both
+    // join sides are the same frame so ReuseExchange runs the prefix
+    // pipeline once. Identical pair output (the old form enumerated the
+    // same a<b combinations from its per-bucket list).
+    val pre = docsets
       .select(col("doc_id"), col("n_sh"),
         posexplode(col("prefix")).as(Seq("pos", "shh")))
-      .groupBy(col("shh"))
-      .agg(collect_list(struct(col("doc_id"), col("n_sh"), col("pos"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a.doc_id").as("doc_a"), col("a.n_sh").as("n_a"),
-        col("a.pos").as("pa"), explode(col("docs")).as("b"))
-      .filter(col("doc_a") < col("b.doc_id")
-        && col("n_a") * 3 <= col("b.n_sh") * 5 && col("b.n_sh") * 3 <= col("n_a") * 5)
-      .select(col("doc_a"), col("n_a"), col("pa"), col("b.doc_id").as("doc_b"),
-        col("b.n_sh").as("n_b"), col("b.pos").as("pb"))
+    val perBucket = pre
+      .select(col("shh"), col("doc_id").as("doc_a"),
+        col("n_sh").as("n_a"), col("pos").as("pa"))
+      .join(pre.select(col("shh"), col("doc_id").as("doc_b"),
+        col("n_sh").as("n_b"), col("pos").as("pb")), Seq("shh"))
+      .filter(col("doc_a") < col("doc_b")
+        && col("n_a") * 3 <= col("n_b") * 5 && col("n_b") * 3 <= col("n_a") * 5)
+      .select(col("doc_a"), col("n_a"), col("pa"), col("doc_b"),
+        col("n_b"), col("pb"))
     // one pair-keyed aggregate replaces the old DISTINCT (same shuffle);
     // min(pa)/min(pb) = positions of the pair's earliest shared prefix
     // token (identical sort order on both sides ⇒ both minima come from

@@ -152,7 +152,9 @@ object GraphOps {
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, Seq("src"))
+    // checkpoint like the real loop: the probe must face the same
+    // exactly-known build-side size the declared query's planner sees
+    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
     val ranks = ed.select(col("src").as("node")).distinct()
       .withColumn("r", lit(1000000L))
     ed.join(ranks.withColumnRenamed("node", "src"), Seq("src"))

@@ -39,7 +39,10 @@ class OracleFuzzSpec extends SparkTestBase {
     "q64_dedup_clusters", "q68_repetition", "q70_contamination",
     "q119_dup_gram_frac", "q123_source_novelty", "q128_source_overlap",
     "q137_repeated_spans", "q145_containment", "q207_good_turing",
-    "q234_dup_spans", "q235_doc_chunks", "q58_hash_sample")
+    "q234_dup_spans", "q235_doc_chunks", "q58_hash_sample",
+    // r8: triangles over the q36 near-dup graph — the ten identical
+    // docs form a 10-clique, so the triangle join is actually exercised
+    "q83_triangles")
 
   /** The multimodal family fuzzes on its own corpus variant: the fake
     * codec's DuckDB oracles model media bytes as text CHARACTERS, which

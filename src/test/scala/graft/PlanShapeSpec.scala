@@ -98,13 +98,21 @@ class PlanShapeSpec extends SparkTestBase {
     spark.conf.set(key, "false")
     try {
       Seq(
-        "q36" -> operators.DedupOps.q36MinhashLsh(spark, sfDir),
-        "q37" -> operators.DedupOps.q37Simhash(spark, sfDir),
-        "q49" -> operators.DedupOps.q49EmbeddingLshDedup(spark, sfDir)
-      ).foreach { case (name, df) =>
+        ("q36", operators.DedupOps.q36MinhashLsh(spark, sfDir), true),
+        ("q37", operators.DedupOps.q37Simhash(spark, sfDir), true),
+        ("q49", operators.DedupOps.q49EmbeddingLshDedup(spark, sfDir), true),
+        // r8: q35's candidate stage reshaped the same way after the
+        // shared-vocab scale run caught its per-prefix-bucket collect
+        // growing with exact-dup multiplicity (65→674 MB at 10x). Its
+        // docsets INPUT legitimately keeps the per-doc entries collect
+        // (DocTokenCap-enforced), so only the reuse is asserted here.
+        ("q35cand",
+          operators.DedupOps.q35Candidates(spark, sfDir, positional = true),
+          false)
+      ).foreach { case (name, df, noCollect) =>
         val plan = df.queryExecution.executedPlan.toString
         assert(plan.contains("ReusedExchange"), s"$name:\n$plan")
-        assert(!plan.contains("collect_list"), s"$name:\n$plan")
+        if (noCollect) assert(!plan.contains("collect_list"), s"$name:\n$plan")
       }
     } finally spark.conf.set(key, prev)
   }
