@@ -44,11 +44,18 @@ object TextFns {
     * task-memory hazard. A no-op on any corpus that respected the
     * ingest cap (the sf corpora and every oracle do). */
   def cappedToks(toks: Column): Column =
-    when(size(toks) <= DocTokenCap, toks)
-      .otherwise(raise_error(concat(
+    // guard on the VIOLATION branch: size(NULL) is NULL, whose
+    // comparison is never true, so a null-text doc passes through as
+    // null tokens (contributing no shingles downstream — the pre-guard
+    // behavior) instead of tripping a null-message raise_error. The
+    // documents fuzz battery caught exactly that on this guard's first
+    // suite run.
+    when(size(toks) > DocTokenCap,
+      raise_error(concat(
         lit(s"doc exceeds the $DocTokenCap-token ingest cap ("),
         size(toks).cast("string"),
         lit(" tokens) — pre-chunk with CurationOps.chunkDocs before dedup/scrub"))))
+      .otherwise(toks)
 
   /** Deterministic 60-bit non-negative hash from the md5 hex prefix —
     * the fused [[HashExprs.Md5Long60]] expression (value identical to

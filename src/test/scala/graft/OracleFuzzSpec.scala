@@ -736,7 +736,10 @@ class OracleFuzzSpec extends SparkTestBase {
     "q10_window_topn", "q11_window_running", "q12_topk",
     "q21_rank_battery", "q65_window_battery2", "q135_global_ntile",
     "q224_boxplot", "q55_moments", "q57_percentiles", "q77_mad",
-    "q139_hist_quantile", "q163_exact_median")
+    "q139_hist_quantile", "q163_exact_median",
+    // r8 second wave: the orders/lineitem analytics no battery covered
+    "q85_histogram", "q199_discount_elasticity", "q202_rfm_segments",
+    "q218_custdist", "q223_yoy_growth")
 
   private def writeStatsSeedDir(seed: Int, dir: String): Unit = {
     import spark.implicits._
