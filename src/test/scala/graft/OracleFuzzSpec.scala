@@ -130,35 +130,8 @@ class OracleFuzzSpec extends SparkTestBase {
   }
 
   test("pathological ASCII media corpora hash-match the DuckDB oracle on the multimodal core") {
-    import scala.sys.process._
-    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
-      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    (0 until nSeeds).foreach { seed =>
-      val dir = s"/tmp/graft_fuzz/mm$seed"
-      val outDir = s"/tmp/graft_fuzz/mm_out$seed"
-      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
-      writeSeedDir(seed, dir,
-        keep = t => t == null || t.forall(_ < 128)) // ASCII media contract
-      mmFuzzQueries.foreach { name =>
-        try SparkEntry.queries(name)(spark, dir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          failures += s"mm$seed $name: query failed: ${e.getMessage}"
-        }
-      }
-      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-        Verify.oracleJson(
-          SparkEntry.oracleSql.view.filterKeys(mmFuzzQueries.contains).toMap))
-      val out = new StringBuilder
-      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
-        new java.io.File("/root/repo"))
-        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-      if (code != 0)
-        failures += s"mm$seed oracle diff:\n" +
-          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    runBattery("mm", mmFuzzQueries, (seed, dir) =>
+      writeSeedDir(seed, dir, keep = t => t == null || t.forall(_ < 128)))
   }
 
   /** Event-time core under fuzz: events-only queries whose parity leans
@@ -455,127 +428,19 @@ class OracleFuzzSpec extends SparkTestBase {
   }
 
   test("pathological embeddings hash-match the DuckDB oracle on the similarity core") {
-    import scala.sys.process._
-    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
-      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    (0 until nSeeds).foreach { seed =>
-      val dir = s"/tmp/graft_fuzz/emb$seed"
-      val outDir = s"/tmp/graft_fuzz/emb_out$seed"
-      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
-      writeEmbSeedDir(seed, dir)
-      embFuzzQueries.foreach { name =>
-        try SparkEntry.queries(name)(spark, dir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          failures += s"emb$seed $name: query failed: ${e.getMessage}"
-        }
-      }
-      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-        Verify.oracleJson(
-          SparkEntry.oracleSql.view.filterKeys(embFuzzQueries.contains).toMap))
-      val out = new StringBuilder
-      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
-        new java.io.File("/root/repo"))
-        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-      if (code != 0)
-        failures += s"emb$seed oracle diff:\n" +
-          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    runBattery("emb", embFuzzQueries, writeEmbSeedDir)
   }
 
   test("pathological relational tables hash-match the DuckDB oracle on the join/agg core") {
-    import scala.sys.process._
-    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
-      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    (0 until nSeeds).foreach { seed =>
-      val dir = s"/tmp/graft_fuzz/rel$seed"
-      val outDir = s"/tmp/graft_fuzz/rel_out$seed"
-      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
-      writeRelSeedDir(seed, dir)
-      relFuzzQueries.foreach { name =>
-        try SparkEntry.queries(name)(spark, dir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          failures += s"rel$seed $name: query failed: ${e.getMessage}"
-        }
-      }
-      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-        Verify.oracleJson(
-          SparkEntry.oracleSql.view.filterKeys(relFuzzQueries.contains).toMap))
-      val out = new StringBuilder
-      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
-        new java.io.File("/root/repo"))
-        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-      if (code != 0)
-        failures += s"rel$seed oracle diff:\n" +
-          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    runBattery("rel", relFuzzQueries, writeRelSeedDir)
   }
 
   test("pathological event streams hash-match the DuckDB oracle on the event-time core") {
-    import scala.sys.process._
-    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
-      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    (0 until nSeeds).foreach { seed =>
-      val dir = s"/tmp/graft_fuzz/events$seed"
-      val outDir = s"/tmp/graft_fuzz/events_out$seed"
-      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
-      writeEventsSeedDir(seed, dir)
-      eventsFuzzQueries.foreach { name =>
-        try SparkEntry.queries(name)(spark, dir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          failures += s"events$seed $name: query failed: ${e.getMessage}"
-        }
-      }
-      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-        Verify.oracleJson(
-          SparkEntry.oracleSql.view.filterKeys(eventsFuzzQueries.contains).toMap))
-      val out = new StringBuilder
-      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
-        new java.io.File("/root/repo"))
-        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-      if (code != 0)
-        failures += s"events$seed oracle diff:\n" +
-          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    runBattery("events", eventsFuzzQueries, writeEventsSeedDir)
   }
 
   test("pathological corpora hash-match the DuckDB oracle on the dedup/text core") {
-    import scala.sys.process._
-    assume(Process(Seq("python3", "-c", "import duckdb")).! == 0,
-      "python3+duckdb unavailable — oracle fuzz runs only in the driver sandbox")
-    val failures = scala.collection.mutable.ArrayBuffer[String]()
-    (0 until nSeeds).foreach { seed =>
-      val dir = s"/tmp/graft_fuzz/seed$seed"
-      val outDir = s"/tmp/graft_fuzz/out$seed"
-      new java.io.File(dir).mkdirs(); new java.io.File(outDir).mkdirs()
-      writeSeedDir(seed, dir)
-      fuzzQueries.foreach { name =>
-        try SparkEntry.queries(name)(spark, dir)
-          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
-          failures += s"seed$seed $name: query failed: ${e.getMessage}"
-        }
-      }
-      Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-        Verify.oracleJson(
-          SparkEntry.oracleSql.view.filterKeys(fuzzQueries.contains).toMap))
-      val out = new StringBuilder
-      val code = Process(Seq("python3", "tools/check.py", dir, outDir),
-        new java.io.File("/root/repo"))
-        .!(ProcessLogger(l => out.append(l).append('\n'), _ => ()))
-      if (code != 0)
-        failures += s"seed$seed oracle diff:\n" +
-          out.toString.linesIterator.filter(_.startsWith("FAIL")).mkString("\n")
-    }
-    assert(failures.isEmpty, failures.mkString("\n"))
+    runBattery("docs", fuzzQueries, (seed, dir) => writeSeedDir(seed, dir))
   }
 
   // ------------------------------------------------------------------
