@@ -99,9 +99,15 @@ object CurationOps {
     * pipeline. One generate-series explode per doc; row count is bounded
     * by total tokens / stride, and the whole thing is a single narrow
     * pass (no shuffle). */
-  /** Reusable chunking over any (doc_id, text) frame — see [[q69Chunk]]. */
+  /** Reusable chunking over any (doc_id, text) frame — see [[q69Chunk]].
+    * NULL text emits NO chunks (r8, text fuzz battery): both engines'
+    * greatest/least skip NULL args, so an unfiltered NULL doc planned one
+    * phantom chunk whose text was '' in Spark (concat_ws never returns
+    * NULL) but NULL in DuckDB (array_to_string propagates). Same
+    * boundary as [[chunkDocs]]; empty text still chunks normally. */
   def chunkTokens(docs: DataFrame, W: Int = 64, S: Int = 48): DataFrame =
     docs
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
       .select(col("doc_id"), col("toks"), col("n"),
@@ -188,7 +194,8 @@ object CurationOps {
        |FROM c""".stripMargin
 
   val q69Sql: String =
-    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents
+       |  WHERE text IS NOT NULL),
        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
        |c AS (SELECT doc_id, toks, n, CAST(u.i AS BIGINT) AS chunk_id
        |      FROM n, UNNEST(range(0,
@@ -1326,8 +1333,14 @@ object CurationOps {
     * corpus size) — no second corpus scan, no join at all. */
   def q174ShardPlan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pieces = size(regexp_extract_all(normText(col("text")),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+    // coalesce: a NULL text carries ZERO token mass and belongs in bin 0
+    // — the writer still has to PLACE the empty doc somewhere (r8,
+    // curation fuzz battery: an uncoalesced NULL formed its own histogram
+    // bin, which sorts FIRST in Spark's prefix window but LAST in
+    // DuckDB's, planning the phantom bin into shard 0 vs a spurious
+    // shard 8). Oracle mirrors the coalesce.
+    val pieces = coalesce(size(regexp_extract_all(normText(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))), lit(0)).cast("long")
     val w = Window.orderBy(col("b"))
     val hist = Tables.documents(s, dir)
       .select((pieces / 16L).cast("long").as("b"), pieces.as("t"))
@@ -1350,9 +1363,9 @@ object CurationOps {
 
   val q174Sql: String =
     """WITH toks AS (
-      |  SELECT CAST(len(regexp_extract_all(
+      |  SELECT coalesce(CAST(len(regexp_extract_all(
       |      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
-      |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS t
+      |      '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT), 0) AS t
       |  FROM documents),
       |hist AS MATERIALIZED (
       |  SELECT t // 16 AS b, CAST(sum(t) AS BIGINT) AS mass,
@@ -1458,9 +1471,14 @@ object CurationOps {
     * carrying the running total. The TOTAL W comes from the same
     * per-partition sums, so corpus-scan count stays at one. */
   def q110PpsSample(s: SparkSession, dir: String): DataFrame =
+    // coalesce: a NULL text carries ZERO tokens (r8, curation fuzz
+    // battery — size(NULL) is NULL under ANSI and crashed ppsSample's
+    // typed two-long encoder). Weight 0 can never cross a step multiple,
+    // so the doc is unselectable in both engines; the oracle needs no
+    // change (its window sum skips the NULL weight — same running total).
     ppsSample(Tables.documents(s, dir)
       .select(col("doc_id"),
-        size(filter(tokens(col("text")), t => t =!= ""))
+        coalesce(size(filter(tokens(col("text")), t => t =!= "")), lit(0))
           .cast("long").as("n_tokens")), k = 50L)
 
   /** PPS core over a (doc_id, n_tokens) frame — see [[q110PpsSample]]. */

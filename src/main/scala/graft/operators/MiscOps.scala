@@ -234,6 +234,12 @@ object MiscOps {
         .otherwise(1L)).as("disc_oob"),
       sum(when(col("l_returnflag").isin("A", "N", "R"), 0L).otherwise(1L))
         .as("bad_flag"),
+      // countDistinct SKIPS tuples with any NULL key — which is the
+      // audit semantic wanted here: a NULL-keyed row can never satisfy
+      // a PK, so each one stays in n_rows − n_pk as a violation. The
+      // oracle mirrors with a CASE-wrapped row constructor (DuckDB's
+      // bare count(DISTINCT (a,b)) would count ROW(NULL,x) as a value —
+      // the r8 rel-battery divergence).
       countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"))
     val orphans = li.join(Tables.orders(s, dir)
         .select(col("o_orderkey").as("l_orderkey")), Seq("l_orderkey"),
@@ -261,7 +267,9 @@ object MiscOps {
       |      AS BIGINT) AS disc_oob,
       |    CAST(sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
       |      AS BIGINT) AS bad_flag,
-      |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_pk
+      |    CAST(count(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+      |      AND l_linenumber IS NOT NULL
+      |      THEN (l_orderkey, l_linenumber) END) AS BIGINT) AS n_pk
       |  FROM lineitem),
       |o AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n_orphan

@@ -945,7 +945,14 @@ object StatsOps {
     * keyed by event_type so types parallelize. Never a global sort of
     * raw events, never a single-task funnel. */
   def q183TrimmedMean(s: SparkSession, dir: String): DataFrame =
+    // NULL values are excluded BEFORE counting (r8, caught by the
+    // events fuzz battery): a NULL is not a measurement — mean()
+    // semantics skip it — and a NULL cents bucket would sit at
+    // opposite ends of the prefix window's ORDER BY across engines
+    // (Spark ASC nulls-first, DuckDB nulls-last), shifting every trim
+    // interval. Oracle mirrors; no-op on the null-free driver corpus.
     trimmedFromCounts(Tables.events(s, dir)
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"), cents(col("value")).as("v"))
       .agg(count(lit(1)).as("c")))
 
@@ -981,7 +988,7 @@ object StatsOps {
     """WITH cts AS (
       |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
       |    CAST(count(*) AS BIGINT) AS c
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |e AS (
       |  SELECT event_type, v, c,
       |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,

@@ -98,9 +98,19 @@ object TextOps {
       .withColumn("quality", col("ttr") * 0.5 + col("len_score") * 0.5)
 
   /** (doc_id, lang, quality) per the q32 formula — the per-document
-    * quality frame shared by q91's percentile gate and q95's tier cut. */
+    * quality frame shared by q91's percentile gate, q95's tier cut,
+    * q118's canonical argmax, and the q158/q159 gate tooling.
+    *
+    * NULL text is unscorable and excluded at this boundary (r8, text
+    * fuzz battery): a NULL propagates to a NULL quality, which CRASHES
+    * q91's typed three-column encoder and — worse — SORTS at opposite
+    * ends across engines (Spark nulls-first vs DuckDB nulls-last), so
+    * every rank/tier downstream shifts. The shared [[scoredSql]] CTE
+    * mirrors the WHERE, keeping every consumer's oracle in lockstep;
+    * no-op on the null-free driver corpus. */
   def scoredDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("lang"),
         size(split(normText(col("text")), " ")).cast("long").as("n_tokens"),
         size(array_distinct(split(normText(col("text")), " ")))
@@ -125,7 +135,7 @@ object TextOps {
       |      len(list_distinct(string_split(norm, ' '))) AS n_distinct
       |    FROM (SELECT doc_id, lang,
       |            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-      |          FROM documents))""".stripMargin
+      |          FROM documents WHERE text IS NOT NULL))""".stripMargin
 
   /** Per-domain quality gating: keep documents whose quality score (the
     * q32 formula) clears the bottom-20% PERCENTILE within their own
@@ -201,7 +211,7 @@ object TextOps {
       |      len(list_distinct(string_split(norm, ' '))) AS n_distinct
       |    FROM (SELECT doc_id, lang,
       |            regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-      |          FROM documents))),
+      |          FROM documents WHERE text IS NOT NULL))),
       |ranked AS (
       |  SELECT doc_id, lang, quality,
       |    percent_rank() OVER (PARTITION BY lang ORDER BY quality, doc_id)
@@ -404,10 +414,17 @@ object TextOps {
   }
 
   val q103Sql: String =
+    // list_filter mirrors the Spark side's empty-token drop (r8, text
+    // fuzz battery): trim strips only ' ' in BOTH engines, so a
+    // tab-leading text keeps a leading separator after the whitespace
+    // collapse and string_split emits a phantom '' term — without the
+    // filter those inflate the oracle's n_uni (and shift its bigram
+    // positions) while Spark's pre-filtered toks exclude them.
     """WITH t AS (
       |  SELECT doc_id,
-      |    string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
-      |      AS toks
+      |    list_filter(
+      |      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+      |      x -> x <> '') AS toks
       |  FROM documents
       |  WHERE regexp_replace(trim(lower(text)), '\s+', ' ', 'g') <> ''),
       |tok AS (SELECT u.term FROM t, UNNEST(toks) AS u(term)),
@@ -1797,7 +1814,13 @@ object TextOps {
     * round is one anti-join + source-cardinality aggregate over that
     * bounded table, and the per-round driver collect is ONE row. */
   def q177GreedyCover(s: SparkSession, dir: String): DataFrame = {
-    val sg = sourceGrams(s, dir).localCheckpoint(true)
+    // A NULL source is not selectable: the pick travels by VALUE (the
+    // driver-side pick list feeds each round's isin predicate, and
+    // `source IN (NULL)` is NULL-semantics poison in both engines), so
+    // cover selection requires an attributable source. Mirrored in the
+    // oracle's sg CTE (r8, curation fuzz battery).
+    val sg = sourceGrams(s, dir).filter(col("source").isNotNull)
+      .localCheckpoint(true)
     val out = greedyCoverRounds(s, sg, rounds = 4)
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(sg)
     out
@@ -1861,7 +1884,8 @@ object TextOps {
        |sg AS MATERIALIZED (
        |  SELECT DISTINCT source,
        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
-       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)),
+       |  FROM f, UNNEST(range(1, n - 1)) AS u(i)
+       |  WHERE source IS NOT NULL),
        |gain1 AS (SELECT source, CAST(count(*) AS BIGINT) AS c
        |  FROM sg GROUP BY 1),
        |s1 AS MATERIALIZED (

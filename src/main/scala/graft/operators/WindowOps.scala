@@ -180,7 +180,16 @@ object WindowOps {
       mode = graft.plans.TopKPerKey.DenseTies)
       .withColumn("tier", dense_rank().over(w).cast("long"))
       .select(col("lang"), col("bucket"), col("tier"))
-    buckets.join(broadcast(top2), Seq("lang", "bucket"))
+    // null-safe lang equality (r8, curation fuzz battery): an unknown
+    // language is still a DOMAIN — both engines' groupBy/PARTITION BY
+    // keep the NULL-lang group, so a plain equi-join here would silently
+    // drop every NULL-lang document on the way back while the oracle's
+    // window keeps them. bucket is non-null (scoredDocs excludes NULL
+    // text), so only lang needs <=>.
+    buckets.join(broadcast(top2.withColumnRenamed("lang", "t_lang")
+        .withColumnRenamed("bucket", "t_bucket")),
+        buckets("lang") <=> col("t_lang")
+          && buckets("bucket") === col("t_bucket"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("tier"))
   }
 

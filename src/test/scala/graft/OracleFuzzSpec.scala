@@ -42,7 +42,16 @@ class OracleFuzzSpec extends SparkTestBase {
     "q234_dup_spans", "q235_doc_chunks", "q58_hash_sample",
     // r8: triangles over the q36 near-dup graph — the ten identical
     // docs form a 10-clique, so the triangle join is actually exercised
-    "q83_triangles")
+    "q83_triangles",
+    // r8 second wave: the functional-dependency audit is exactly the
+    // kind of query a hostile corpus should exercise
+    "q171_fd_audit",
+    // r8 fourth wave: the cluster/eval layers ON TOP of the fuzzed
+    // dedup cores (canonical argmax, sizes, span scrubbing, the
+    // LSH-vs-prefix evaluator) — their oracles inline the all-pairs
+    // q36/q64 SQL, so they live in this battery's cost budget
+    "q118_cluster_canonical", "q146_cluster_sizes", "q165_block_scrub",
+    "q214_lsh_eval")
 
   /** The multimodal family fuzzes on its own corpus variant: the fake
     * codec's DuckDB oracles model media bytes as text CHARACTERS, which
@@ -142,7 +151,22 @@ class OracleFuzzSpec extends SparkTestBase {
     "q27_time_dim", "q46_session_window", "q75_scd2", "q78_range_frame",
     "q94_salted_join", "q127_transitions", "q131_cohort_retention",
     "q141_assoc_rules", "q164_ewma", "q179_cumulative_uniques",
-    "q188_autocorr", "q190_seq_mi", "q195_burstiness")
+    "q188_autocorr", "q190_seq_mi", "q195_burstiness",
+    // r8 second wave: sliding windows, funnel/attribution, per-user
+    // gap statistics, count-based trimmed mean, rolling actives — all
+    // ride the same unique-ts tiebreak contract the generator models
+    "q25_sliding_window", "q76_funnel", "q134_last_touch",
+    "q152_decay_attribution", "q183_trimmed_mean",
+    "q213_rolling_actives", "q217_gap_burstiness",
+    // r8 fourth wave: every remaining events-only query — reshaping
+    // (pivot/unpivot/array_agg), temporal joins (as-of, interval,
+    // gap-fill), sequence statistics (motifs, trend, conditional
+    // entropy), and per-user profiles
+    "q09_latest_per_user", "q28_pivot", "q41_asof_lookup",
+    "q43_array_agg", "q53_unpivot", "q59_gap_fill", "q79_interval_join",
+    "q82_conditional_aggs", "q113_drift_timeline", "q151_seq_motifs",
+    "q172_trend_mk", "q186_winsorize", "q189_dow_profile",
+    "q192_audience_overlap", "q197_cond_entropy")
 
   /** Pathological event stream, deterministic per seed. Respects the
     * DOCUMENTED input contracts (ts globally unique — determinism
@@ -236,7 +260,22 @@ class OracleFuzzSpec extends SparkTestBase {
     "q08_distinct", "q13_union", "q14_intersect", "q15_except",
     "q16_rollup", "q17_cube", "q18_above_avg", "q44_date_arith",
     "q47_math_funcs", "q55_moments", "q57_percentiles",
-    "q61_misc_scalars", "q63_date_funcs", "q81_nullsafe_join")
+    "q61_misc_scalars", "q63_date_funcs", "q81_nullsafe_join",
+    // r8 second wave: the data-quality audits — the generator's orphan
+    // keys, NULL FKs, and negative money are exactly their subject
+    "q102_constraints", "q162_fk_audit",
+    // r8 fourth wave: every remaining relational/join-shaped query —
+    // scalar/grouping surfaces, the specialty joins (range, bloom,
+    // as-of snapshots, CDC), revenue analytics over hostile money, and
+    // the label/eval join layer (PIT features, negative sampling)
+    "q19_having", "q20_case_when", "q45_range_join", "q54_topk_custom",
+    "q62_grouping_id", "q66_listagg", "q71_bloom_join", "q73_zorder",
+    "q86_profile", "q97_correlated_subquery", "q105_cdc_merge",
+    "q109_incremental_agg", "q117_snapshot_diff", "q187_benford",
+    "q200_brand_pricing", "q201_ship_lag", "q204_local_supplier",
+    "q205_market_share", "q211_open_orders", "q212_forecast_revenue",
+    "q215_returned_items", "q221_part_affinity", "q225_pit_features",
+    "q226_negative_samples")
 
   private def fuzzRelational(seed: Int): (Seq[(java.lang.Long, String,
       java.lang.Integer, java.lang.Double, String)],
@@ -376,7 +415,12 @@ class OracleFuzzSpec extends SparkTestBase {
     "q112_semantic_decontam", "q121_hard_negatives",
     "q132_embed_covariance", "q136_ann_recall", "q154_random_projection",
     "q155_source_affinity", "q166_mmr_rerank", "q196_norm_outliers",
-    "q222_bucket_purity")
+    "q222_bucket_purity",
+    // r8 fourth wave: the remaining embeddings-shaped queries — the
+    // hybrid fusion, spectral iteration, and retrieval-metric layers
+    // over the same zero-norm/NaN-adjacent hostile vectors
+    "q111_rrf_hybrid", "q161_power_iteration", "q173_ndcg",
+    "q178_rank_tau", "q220_quant_error")
 
   private def fuzzEmbeddings(seed: Int): Seq[(Long, Array[Float],
       java.lang.Integer)] = {
@@ -604,7 +648,13 @@ class OracleFuzzSpec extends SparkTestBase {
     "q139_hist_quantile", "q163_exact_median",
     // r8 second wave: the orders/lineitem analytics no battery covered
     "q85_histogram", "q199_discount_elasticity", "q202_rfm_segments",
-    "q218_custdist", "q223_yoy_growth")
+    "q218_custdist", "q223_yoy_growth",
+    // r8 fourth wave: the label/eval scoring family — degenerate
+    // distributions (one-class labels, mass ties, single-row segments)
+    // are exactly where rank-sum AUC, gains curves, and risk banding
+    // divide by things that can be zero
+    "q228_churn_labels", "q230_label_auc", "q231_risk_bands",
+    "q232_gains_curve", "q233_band_resolution")
 
   private def writeStatsSeedDir(seed: Int, dir: String): Unit = {
     import spark.implicits._
@@ -700,5 +750,164 @@ class OracleFuzzSpec extends SparkTestBase {
 
   test("degenerate distributions hash-match the DuckDB oracle on the stats/window core") {
     runBattery("stats", statsFuzzQueries, writeStatsSeedDir)
+  }
+
+  // ------------------------------------------------------------------
+  // r8 third wave: text-analysis and curation — the two remaining
+  // documents-shaped families. Both ride the SAME pathological corpus
+  // generator as the dedup battery (writeSeedDir): null/empty/
+  // whitespace/unicode texts, a giant doc, kilotoken tokens, ten
+  // identical docs (score TIES by construction), NULL langs and
+  // sources. Unlike the dedup core these are linear group-by/window
+  // pipelines, so the DuckDB oracle side is cheap — the cost per seed
+  // is seconds, not minutes.
+  // ------------------------------------------------------------------
+
+  /** Text-analysis core under fuzz: n-gram statistics (PMI, Kneser-Ney,
+    * skip-grams, BPE pairs), corpus-level score formulas whose parity
+    * rides bit-identical double expression trees (BM25, TF-IDF, Zipf
+    * slope, chi², conditional entropy, Heaps' law), language-id and
+    * quality scoring over NULL/unicode/degenerate texts, and the
+    * string-shaped scans (PII redaction, phrase search, template
+    * prefixes). */
+  private val textFuzzQueries = Seq(
+    "q30_text_stats", "q31_lang_id", "q32_quality_score", "q50_bpe_tokens",
+    "q67_pii_redact", "q69_chunk", "q72_tfidf", "q92_vocab_coverage",
+    "q99_unigram_lm", "q103_pmi_bigrams", "q104_bm25",
+    "q114_lang_top_bigrams", "q122_kneser_ney", "q129_bigram_fluency",
+    "q133_novelty_decay", "q138_phrase_search", "q142_head_tail_overlap",
+    "q143_char_diversity", "q147_bpe_pairs", "q148_skipgram",
+    "q149_code_switch", "q168_zipf_slope", "q170_fertility",
+    "q181_heaps_law", "q182_term_chi2", "q193_lang_confusion",
+    "q194_template_prefix",
+    // r8 fourth wave: the corpus-statistics layer — hypothesis tests,
+    // association/effect sizes, sketches, and the array-function
+    // surfaces, all over the same hostile corpus
+    "q60_array_hofs", "q80_heavy_hitters", "q84_array_setops",
+    "q108_drift", "q125_seq_poisson", "q126_group_regression",
+    "q150_bootstrap", "q175_gate_kappa", "q176_ks_test",
+    "q180_mutual_info", "q185_gini", "q191_capture_recapture",
+    "q208_mann_whitney", "q209_cramers_v", "q210_count_min",
+    "q219_wilson_rank", "q227_kruskal_wallis")
+
+  test("pathological corpora hash-match the DuckDB oracle on the text-analysis core") {
+    runBattery("text", textFuzzQueries, (seed, dir) => writeSeedDir(seed, dir))
+  }
+
+  /** Curation core under fuzz: deterministic salted sampling, grouped
+    * prefix-sum packing/budgeting, mixture/curriculum weights, splits,
+    * source caps, greedy cover, and the datasheet profile — the
+    * pipeline family whose determinism leans on hash-salted ordering
+    * and integer prefix sums rather than text normalization. The ten
+    * identical docs make every score formula TIE, so each ordering's
+    * documented unique-key tiebreak is actually load-bearing here. */
+  private val curationFuzzQueries = Seq(
+    "q74_stratified_sample", "q87_pack_sequences", "q88_domain_mixture",
+    "q89_leakfree_split", "q90_global_shuffle", "q91_quality_gate",
+    "q95_quality_tiers", "q96_source_cap", "q110_pps_sample",
+    "q115_curriculum", "q116_token_budget", "q120_token_mixture",
+    "q124_stratum_sample", "q130_dsir_weights", "q140_ingest_triage",
+    "q144_context_budget", "q159_gate_sweep", "q174_shard_plan",
+    "q177_greedy_cover", "q206_source_wjaccard", "q216_source_jsd",
+    // r8 fourth wave: the remaining sampling/audit tooling — blocking,
+    // allocation, anonymity, the datasheet profile, and the quantile
+    // normalizer (whose scored seam the third wave just hardened)
+    "q100_sorted_neighborhood", "q153_pareto", "q156_synth_sample",
+    "q157_neyman_alloc", "q158_quantile_norm", "q167_k_anonymity",
+    "q184_ess", "q198_hhi", "q229_datasheet")
+
+  test("pathological corpora hash-match the DuckDB oracle on the curation core") {
+    runBattery("cur", curationFuzzQueries, (seed, dir) => writeSeedDir(seed, dir))
+  }
+
+  // ------------------------------------------------------------------
+  // r8 fourth wave: the part-catalog family — the only declared table no
+  // battery fuzzed. Its queries are STRING-SHAPED (levenshtein linkage,
+  // jaro-winkler blocking, regex extraction, case mapping), which is a
+  // different divergence surface from the documents batteries: edit
+  // distances and case folds can disagree between a JVM codepoint
+  // implementation and a C++ byte/utf8proc one, so the generator leans
+  // on unicode (combining vs precomposed accents, CJK, non-BMP emoji,
+  // ß), NULL/empty/one-word names, duplicate names, and degenerate
+  // brand price distributions (single-part brands, all-identical
+  // prices, NULL prices/sizes for the skyline's NULL-dominance
+  // semantics).
+  // ------------------------------------------------------------------
+
+  private val partsFuzzQueries = Seq(
+    "q22_string_funcs", "q56_levenshtein", "q106_skyline",
+    "q107_group_outliers", "q160_fuzzy_linkage", "q203_jaro_linkage")
+
+  private def writePartsSeedDir(seed: Int, dir: String): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed * 88811 + 7)
+    def money(lo: Double, hi: Double): Double =
+      math.floor((lo + rnd.nextDouble() * (hi - lo)) * 100) / 100.0
+    val adjs = Seq("small", "big", "red", "blue", "heavy", "light")
+    val nouns = Seq("bolt", "nut", "washer", "screw", "spring", "ring",
+      "widget", "gear")
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String, String,
+      String, java.lang.Integer, java.lang.Double)]()
+    var k = 0L
+    def add(name: String, brand: String, tpe: String,
+        size: java.lang.Integer, price: java.lang.Double): Unit = {
+      k += 1; rows += ((k, name, brand, tpe, size, price))
+    }
+    // near-miss first words for the q56 distance gate (<= 2), incl. a
+    // unicode accent whose ASCII-only \w extraction keeps just "b"
+    Seq("bol", "boltt", "nutt", "wash3r", "scre", "sprin", "bôlt nut",
+      "b0lt", "nu", "washerrr").foreach(n =>
+      add(n + " unit", "Brand#1", "ECONOMY", rnd.nextInt(50), money(1, 100)))
+    // unicode names: combining vs precomposed, CJK, non-BMP emoji, ß,
+    // RTL — the case-map/edit-distance/substr probe set
+    Seq("café bolt", "café bolt", "螺栓 bolt",
+      "🙂 nut", "straße screw", "שלום nut",
+      "Über gear", "naïve spring").foreach(n =>
+      add(n, "Brand#U", "UNICODE", rnd.nextInt(50), money(1, 100)))
+    // structural edge names: NULL, empty, one word (split_part -> ''),
+    // multi-space, leading/trailing space, kilochar
+    add(null, "Brand#N", "NULLISH", 10, 50.0)
+    add("", "Brand#N", "NULLISH", 11, 51.0)
+    add("solo", "Brand#N", "NULLISH", 12, 52.0)
+    add("a  b", "Brand#N", "NULLISH", 13, 53.0)
+    add(" lead bolt", "Brand#N", "NULLISH", 14, 54.0)
+    add("trail bolt ", "Brand#N", "NULLISH", 15, 55.0)
+    add(("x" * 2000) + " bolt", "Brand#N", "NULLISH", 16, 56.0)
+    // duplicate full names (q160 groups by name and multiplies counts)
+    (1 to 4).foreach(_ => add("red bolt", "Brand#D", "DUP", 20, 42.0))
+    (1 to 3).foreach(_ => add("red bol", "Brand#D", "DUP", 21, 43.0))
+    // degenerate brands: single part; all-identical prices (MAD = 0 —
+    // every non-median price is an "outlier" iff strictly off-median);
+    // NULL prices/sizes (skyline NULL-dominance; quantiles skip NULLs)
+    add("lone gear", "Brand#S", "SINGLE", 30, 777.77)
+    (1 to 6).foreach(i => add(s"same$i part", "Brand#T", "TIED", 30 + i, 99.99))
+    add("null price bolt", "Brand#Z", "NULLY", 40, null)
+    add("null size nut", "Brand#Z", "NULLY", null, 60.0)
+    add("null both", "Brand#Z", "NULLY", null, null)
+    // bulk: random two-word names over a tight vocabulary so the
+    // blocking joins and the skyline actually produce pairs/frontiers
+    (1 to 120).foreach { _ =>
+      add(s"${adjs(rnd.nextInt(adjs.size))} ${nouns(rnd.nextInt(nouns.size))}",
+        s"Brand#${rnd.nextInt(6)}", if (rnd.nextBoolean()) "ECONOMY" else "SMALL",
+        rnd.nextInt(50), money(1, 2000))
+    }
+    val tmp = s"$dir/_tmp_part"
+    rows.toSeq.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, Paths.get(s"$dir/part.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem",
+      "events", "documents", "embeddings").foreach { t =>
+      Files.copy(Paths.get(s"$sfDir/$t.parquet"), Paths.get(s"$dir/$t.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  test("pathological part catalogs hash-match the DuckDB oracle on the linkage/string core") {
+    runBattery("parts", partsFuzzQueries, writePartsSeedDir)
   }
 }
