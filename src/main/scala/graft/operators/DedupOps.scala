@@ -1043,10 +1043,19 @@ object DedupOps {
     * broadcast map-back. Distance 0 (identical names) is exact-dedup
     * territory (q34); the gate keeps 1 ≤ dist ≤ 2. */
   def q160FuzzyLinkage(s: SparkSession, dir: String): DataFrame = {
+    // OOB-safe extraction (r8, parts battery): getItem under ANSI
+    // throws INVALID_ARRAY_INDEX on a one-word name, where DuckDB's
+    // split_part returns '' — get() + coalesce mirrors split_part
+    // exactly, and the isNotNull guard keeps a NULL name's block NULL
+    // (split_part(NULL) is NULL) instead of coalescing it to ''.
     val names = Tables.part(s, dir)
       .select(col("p_name"),
-        split(col("p_name"), " ").getItem(1).as("blk"),
-        split(col("p_name"), " ").getItem(0).as("adj"))
+        when(col("p_name").isNotNull,
+          coalesce(get(split(col("p_name"), " "), lit(1)), lit("")))
+          .as("blk"),
+        when(col("p_name").isNotNull,
+          coalesce(get(split(col("p_name"), " "), lit(0)), lit("")))
+          .as("adj"))
       .groupBy(col("p_name"), col("blk"), col("adj"))
       .agg(count(lit(1)).as("n"))
     val a = names.select(col("p_name").as("name_a"), col("blk"),

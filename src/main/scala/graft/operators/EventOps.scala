@@ -261,10 +261,17 @@ object EventOps {
   }
 
   val q113Sql: String =
+    // the null-key filter is mirrored INSIDE obs (r8, events battery):
+    // an event with no type belongs to no contingency cell, so it must
+    // not count toward the marginals either — without the WHERE the
+    // oracle's n_day/n_all include NULL-type events whose cell row the
+    // type join then drops, making its chi² internally inconsistent
+    // (marginal ≠ Σ cells) and divergent from the Spark frame.
     """WITH obs AS (
       |  SELECT CAST(ts AS DATE) AS d, event_type,
       |    CAST(count(*) AS BIGINT) AS c_obs
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL GROUP BY 1, 2),
       |dt AS (SELECT d, CAST(sum(c_obs) AS BIGINT) AS n_day FROM obs GROUP BY d),
       |tt AS (SELECT event_type, CAST(sum(c_obs) AS BIGINT) AS n_type
       |       FROM obs GROUP BY event_type),
@@ -524,7 +531,13 @@ object EventOps {
       .filter(col("e3").isNotNull)
       .groupBy(col("event_type").as("e1"), col("e2"), col("e3"))
       .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("e1").asc, col("e2").asc, col("e3").asc)
+      // asc_nulls_last: motif steps are NULLABLE (a NULL-typed event in
+      // the middle of a sequence), and the top-20 cut's tiebreak must
+      // put the null end where DuckDB's default does or the boundary
+      // ties select different SETS (r8, events battery — the §3.11
+      // null-ordering contract at a LIMIT cut)
+      .orderBy(col("c").desc, col("e1").asc_nulls_last,
+        col("e2").asc_nulls_last, col("e3").asc_nulls_last)
       .limit(20)
   }
 
@@ -1074,9 +1087,17 @@ object EventOps {
       .groupBy(col("o_orderkey"))
       .agg(to_date(min(col("o_orderdate"))).as("opened"),
         to_date(max(col("l_shipdate"))).as("closed"))
-    val deltas = span.select(col("opened").as("d"), lit(1L).as("x"))
-      .unionAll(span.select(date_add(col("closed"), 1).as("d"),
-        lit(-1L).as("x")))
+    // date boundaries (r8, rel fuzz battery): an order with an unknown
+    // open date cannot sit on the timeline at all (its NULL delta bucket
+    // would lead Spark's running sum but trail DuckDB's — a constant
+    // phantom offset on every later day), and an opened order whose
+    // lineitems never shipped has NO close delta — it stays open to the
+    // end of the timeline, which is exactly what "open orders" means.
+    val deltas = span.filter(col("opened").isNotNull)
+      .select(col("opened").as("d"), lit(1L).as("x"))
+      .unionAll(span
+        .filter(col("opened").isNotNull && col("closed").isNotNull)
+        .select(date_add(col("closed"), 1).as("d"), lit(-1L).as("x")))
       .groupBy(col("d"))
       .agg(sum(col("x")).as("delta"),
         count_if(col("x") === 1L).as("n_opened"),
@@ -1100,7 +1121,9 @@ object EventOps {
       |    CAST(count_if(x = 1) AS BIGINT) AS n_opened,
       |    CAST(count_if(x = -1) AS BIGINT) AS n_closed
       |  FROM (SELECT opened AS d, 1 AS x FROM span
-      |        UNION ALL SELECT closed + 1, -1 FROM span)
+      |          WHERE opened IS NOT NULL
+      |        UNION ALL SELECT closed + 1, -1 FROM span
+      |          WHERE opened IS NOT NULL AND closed IS NOT NULL)
       |  GROUP BY 1)
       |SELECT d, n_opened, n_closed,
       |  CAST(sum(delta) OVER (ORDER BY d
@@ -1251,9 +1274,19 @@ object EventOps {
       .filter(col("sum_value").isNotNull)
 
   val q53Sql: String =
+    // the oracle mirrors the MELT semantics, not a bare group-by (r8,
+    // events fuzz battery): q53 is declared as the round-trip of q28's
+    // explicit-values pivot, so event types outside the canonical five
+    // never had a column to melt, and an all-NULL (user, type) sum is an
+    // absent combination (stack row dropped by the isNotNull filter ≡
+    // SQL UNPIVOT's default EXCLUDE NULLS). On the driver corpus both
+    // clauses are no-ops.
     """SELECT user_id, event_type,
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-      |FROM events GROUP BY user_id, event_type""".stripMargin
+      |FROM events
+      |WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+      |GROUP BY user_id, event_type
+      |HAVING sum(CAST(value AS DECIMAL(18,2))) IS NOT NULL""".stripMargin
 
   /** Type-2 slowly-changing-dimension snapshot from an event stream: each
     * per-user update opens a validity interval, closed by the user's next

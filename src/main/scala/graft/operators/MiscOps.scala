@@ -16,7 +16,12 @@ object MiscOps {
     * pipeline uses before exploding anything. Everything stays per-row
     * (embarrassingly parallel). */
   def q60ArrayHofs(s: SparkSession, dir: String): DataFrame =
+    // NULL text has no token array to profile (r8, text battery): the
+    // engines disagree on every NULL-array corner (concat_ws '' vs
+    // array_to_string NULL, size NULL vs list_concat treating NULL as
+    // []), so the row is excluded at the boundary, as in chunkTokens.
     Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -38,7 +43,7 @@ object MiscOps {
       |  len(list_filter(toks, t -> length(t) >= 20)) = 0 AS all_short
       |FROM (SELECT doc_id,
       |        string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
-      |      FROM documents)""".stripMargin
+      |      FROM documents WHERE text IS NOT NULL)""".stripMargin
 
   /** Conditional/selective aggregate battery: count_if, bool_and/bool_or,
     * max_by/min_by (argmax/argmin — the "row with the best score" shape
@@ -77,7 +82,9 @@ object MiscOps {
   def q84ArraySetOps(s: SparkSession, dir: String): DataFrame = {
     val stop = array(Seq("the", "a", "and", "of", "value", "data")
       .map(lit): _*)
+    // NULL text boundary — same contract as q60 (r8, text battery)
     Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("u"))
       .select(col("doc_id"),
         concat_ws(",", sort_array(array_intersect(col("u"), stop)))
@@ -92,7 +99,7 @@ object MiscOps {
       |  SELECT doc_id,
       |    list_distinct(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS u,
       |    ['the', 'a', 'and', 'of', 'value', 'data'] AS stop
-      |  FROM documents)
+      |  FROM documents WHERE text IS NOT NULL)
       |SELECT doc_id,
       |  coalesce(array_to_string(list_sort(list_distinct(
       |    list_filter(u, x -> list_contains(stop, x)))), ','), '') AS stops_present,
@@ -370,16 +377,26 @@ object MiscOps {
         count(lit(1)).as("n"),
         sum(graft.functions.Exact.cents(col("o_totalprice"))).as("sc"),
         max(col("o_orderdate")).as("mx"))
-    val hist = state(o.filter(col("o_orderkey") % 10 =!= 0))
+    // null-safe split (r8, rel fuzz battery): the history/delta split
+    // must PARTITION the input — with plain =!= / === a NULL-keyed
+    // order satisfies neither predicate and silently vanishes from the
+    // merged view while the recompute oracle counts it. <=> sends NULL
+    // keys to the history side, keeping merge ≡ recompute on any input.
+    val hist = state(o.filter(!(col("o_orderkey") % 10 <=> 0)))
       .withColumnsRenamed(Map("n" -> "n_a", "sc" -> "sc_a", "mx" -> "mx_a"))
-    val delta = state(o.filter(col("o_orderkey") % 10 === 0))
+    val delta = state(o.filter(col("o_orderkey") % 10 <=> 0))
       .withColumnsRenamed(Map("n" -> "n_b", "sc" -> "sc_b", "mx" -> "mx_b"))
     hist.join(delta, Seq("o_custkey"), "full_outer")
       .select(col("o_custkey"),
         (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
           .as("n_orders"),
-        ((coalesce(col("sc_a"), lit(0L)) + coalesce(col("sc_b"), lit(0L)))
-          .cast("double") / 100.0d).as("sum_total"),
+        // NULL only when BOTH states are NULL (a customer whose every
+        // price is NULL) — the recompute's sum() semantics; a plain
+        // coalesce-add would mint a spurious 0.0 there
+        when(col("sc_a").isNull && col("sc_b").isNull, lit(null))
+          .otherwise((coalesce(col("sc_a"), lit(0L))
+            + coalesce(col("sc_b"), lit(0L)))
+            .cast("double") / 100.0d).as("sum_total"),
         greatest(col("mx_a"), col("mx_b")).as("last_order"))
   }
 

@@ -478,14 +478,24 @@ object Relational {
     * inside int64) and divide once to dollars. */
   def q225PitFeatures(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // r8 rel-battery contracts: (1) an order with no date has no place
+    // in a point-in-time sequence — "prior to everything" (Spark's
+    // nulls-first) silently leaks it into every feature row while
+    // DuckDB's nulls-last never counts it; dated-orders-only is the
+    // leak-safe semantic. (2) prior_orders counts ORDERS — count rows,
+    // not non-null prices. (3) the tiebreak extends to the value so the
+    // ROWS-frame prefix is deterministic even over duplicate-key rows
+    // with different prices; nulls pinned to DuckDB's end.
     val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey").asc_nulls_last,
+        col("vc").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)
     Tables.orders(s, dir)
+      .filter(col("o_orderdate").isNotNull)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
         cents(col("o_totalprice")).as("vc"))
       .select(col("o_orderkey"),
-        coalesce(count(col("vc")).over(w), lit(0L)).as("prior_orders"),
+        coalesce(count(lit(1)).over(w), lit(0L)).as("prior_orders"),
         (coalesce(sum(col("vc")).over(w), lit(0L)).cast("double") / lit(100.0))
           .as("prior_spend"))
   }
@@ -496,7 +506,9 @@ object Relational {
       |  CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
       |    OVER w, 0) AS DOUBLE) / 100.0 AS prior_spend
       |FROM orders
-      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |WHERE o_orderdate IS NOT NULL
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey,
+      |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
 
   /** Deterministic negative sampling for recommendation training — per
@@ -1285,6 +1297,11 @@ object Relational {
       .select(col("o_orderpriority"),
         datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
           .cast("long").as("lag"))
+      // a NULL lag (either date unknown) is not a measurement (r8, rel
+      // fuzz battery — the q183 contract): unfiltered it inflates tot
+      // AND sits at opposite ends of the ecdf across engines, shifting
+      // every percentile pick. Oracle mirrors.
+      .filter(col("lag").isNotNull)
     val e = lags.groupBy(col("o_orderpriority"), col("lag"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
@@ -1307,7 +1324,7 @@ object Relational {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |e AS (
       |  SELECT o_orderpriority, lag, CAST(count(*) AS BIGINT) AS c
-      |  FROM lags GROUP BY 1, 2),
+      |  FROM lags WHERE lag IS NOT NULL GROUP BY 1, 2),
       |w AS (
       |  SELECT o_orderpriority, lag,
       |    sum(c) OVER (PARTITION BY o_orderpriority ORDER BY lag) AS cum,

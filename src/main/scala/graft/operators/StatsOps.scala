@@ -300,7 +300,15 @@ object StatsOps {
     * pmax) frame back on price — a shuffle join, broadcastable when the
     * price domain is small. */
   def q106Skyline(s: SparkSession, dir: String): DataFrame =
+    // complete-dimensions boundary (r8, parts battery): a part with an
+    // unknown price or size has no trade-off coordinate — SQL's NULL
+    // dominance would keep every such row as vacuous "frontier" noise
+    // (no comparison can dominate it) while the typed two-pass prefix
+    // machinery crashes on the NULL encoder. Excluded here, mirrored in
+    // the oracle's WHERE; NULL rows never dominate others in either
+    // reading, so the frontier over complete rows is unchanged.
     paretoFrontier(Tables.part(s, dir)
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
       .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
 
   /** Skyline core over a (p_partkey, p_retailprice, p_size) frame — see
@@ -345,7 +353,8 @@ object StatsOps {
   val q106Sql: String =
     """SELECT p_partkey, p_retailprice, p_size
       |FROM part p
-      |WHERE NOT EXISTS (
+      |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+      |  AND NOT EXISTS (
       |  SELECT 1 FROM part q
       |  WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
       |     OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size))""".stripMargin
@@ -428,13 +437,22 @@ object StatsOps {
       sum((col("x").cast(d38) * col("x")).cast(d38)).as("sxx"),
       sum((col("y").cast(d38) * col("y")).cast(d38)).as("syy"))
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val denX = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val denY = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    // nullif: a zero-variance group (all docs the same length — e.g. a
+    // single-doc language, or the ten identical fuzz docs) has NO
+    // defined regression — NULL, never the ANSI divide-by-zero task
+    // failure (r8, text battery; the §3.11 undefined-statistics
+    // contract, same as q55/q175). Oracle mirrors with NULLIF.
+    val denX = nullif((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double"), lit(0.0))
+    val denY = nullif(((col("n") * col("sxx") - col("sx") * col("sx"))
+      .cast("double"))
+      * ((col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+      lit(0.0))
     m.select(col("lang"), col("n"),
       (num / denX).as("slope"),
       ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") / denX)
         .as("intercept"),
-      (num * num / (denX * denY)).as("r2"))
+      (num * num / denY).as("r2"))
   }
 
   val q126Sql: String =
@@ -452,11 +470,12 @@ object StatsOps {
       |  FROM b GROUP BY lang)
       |SELECT lang, n,
       |  CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+      |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS slope,
       |  CAST(sy * sxx - sx * sxy AS DOUBLE)
-      |    / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+      |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0) AS intercept,
       |  CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-      |    / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |    / nullif(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE), 0.0)
       |    AS r2
       |FROM m""".stripMargin
 
@@ -924,11 +943,12 @@ object StatsOps {
       |    CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
       |      AND UNBOUNDED FOLLOWING) AS BIGINT) AS n2
       |  FROM vals)
-      |SELECT n1, n2,
+      |SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
       |  CAST(max(abs(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1))
       |      AS DOUBLE)
-      |    / nullif(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE), 0.0) AS ks_d
-      |FROM cum GROUP BY n1, n2""".stripMargin
+      |    / nullif(CAST(max(n1) AS DOUBLE) * CAST(max(n2) AS DOUBLE), 0.0)
+      |    AS ks_d
+      |FROM cum""".stripMargin
 
   /** Per-type 10%-trimmed mean of `value` — the robust location estimate
     * that survives the fat-tailed/corrupted metrics a raw mean doesn't
@@ -1084,7 +1104,12 @@ object StatsOps {
   def q186Winsorize(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
+    // NULL values are not measurements (r8, events battery — the same
+    // catch as sibling q183): an unfiltered NULL cents bucket sits at
+    // opposite ends of the prefix windows across engines, shifting both
+    // boundary order statistics. No-op on the null-free driver corpus.
     val cts = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
       .groupBy(col("event_type"), cents(col("value")).as("v"))
       .agg(count(lit(1)).as("c"))
     val e = cts
@@ -1115,7 +1140,7 @@ object StatsOps {
     """WITH cts AS (
       |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
       |    CAST(count(*) AS BIGINT) AS c
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
       |e AS (
       |  SELECT event_type, v, c,
       |    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
