@@ -1746,11 +1746,20 @@ object TextOps {
        |    sum(CAST(x AS HUGEINT) * x) AS sxx
        |  FROM pts)
        |SELECT n_terms,
-       |  CAST(n_terms * sxy - sx * sy AS DOUBLE)
-       |    / nullif(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0.0) AS zipf_slope,
-       |  CAST(sy * sxx - sx * sxy AS DOUBLE)
-       |    / nullif(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0.0) AS zipf_intercept
+       |  CAST(CAST(n_terms * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |    / nullif(CAST(CAST(n_terms * sxx - sx * sx AS VARCHAR) AS DOUBLE),
+       |        0.0) AS zipf_slope,
+       |  CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+       |    / nullif(CAST(CAST(n_terms * sxx - sx * sx AS VARCHAR) AS DOUBLE),
+       |        0.0) AS zipf_intercept
        |FROM m""".stripMargin
+  // ^ the VARCHAR hop (r8, caught only at fuzz seeds 4/8/9): q168's
+  // 1e6-scaled log moments make these differences ~2^55 — past 2^53,
+  // DuckDB's HUGEINT→DOUBLE cast is NOT correctly rounded (its
+  // BIGINT→DOUBLE and VARCHAR→DOUBLE are, and Spark's decimal→double
+  // is), so the direct cast drifts one ulp from the engine value.
+  // HUGEINT→VARCHAR→DOUBLE is exact-decimal then strtod — correctly
+  // rounded at any magnitude.
 
   /** Per-language tokenizer fertility: BPE-ish pieces per whitespace
     * word and characters per piece — the "how expensive is this language
@@ -1965,12 +1974,17 @@ object TextOps {
        |    sum(CAST(x AS HUGEINT) * x) AS sxx
        |  FROM pts)
        |SELECT n_sources,
-       |  CAST(n_sources * sxy - sx * sy AS DOUBLE)
-       |    / nullif(CAST(n_sources * sxx - sx * sx AS DOUBLE), 0.0) AS heaps_beta,
-       |  CAST(sy * sxx - sx * sxy AS DOUBLE)
-       |    / nullif(CAST(n_sources * sxx - sx * sx AS DOUBLE), 0.0)
+       |  CAST(CAST(n_sources * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+       |    / nullif(CAST(CAST(n_sources * sxx - sx * sx AS VARCHAR) AS DOUBLE),
+       |        0.0) AS heaps_beta,
+       |  CAST(CAST(sy * sxx - sx * sxy AS VARCHAR) AS DOUBLE)
+       |    / nullif(CAST(CAST(n_sources * sxx - sx * sx AS VARCHAR) AS DOUBLE),
+       |        0.0)
        |    / 1e6 AS heaps_lnk
        |FROM m""".stripMargin
+  // ^ same VARCHAR hop as q168 (structural twin): the 1e6-scaled log
+  // moments put these differences past 2^53 within one corpus doubling,
+  // where DuckDB's HUGEINT→DOUBLE cast stops rounding correctly.
 
   /** Distinctive-term extraction: per-cell chi²/lift association between
     * the top-100 corpus terms and their sources — the keyword/topic-
