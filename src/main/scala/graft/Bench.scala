@@ -49,8 +49,32 @@ object Bench {
     // Local-iteration filter (comma-separated names, Verify's contract);
     // the driver never sets it, so driver benches always cover the suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val declared = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+
+    // POSITION CANARY (r9): a constant fixed-plan probe interleaved every
+    // 25 suite positions. Suite context (GC pressure, codegen-cache state
+    // accumulated from the queries before it) adds a reproducible
+    // position-dependent overhead — q111 measured ~1.7 s suite-position
+    // cost on a 1.1 s query and burned two rounds of attribution
+    // (SCALING.md r7/r8). The canary makes that overhead a MEASURED curve
+    // per bench run ("canary" in the JSON, name-keyed by position), so a
+    // >20% mover on an untouched sub-second query is adjudicated against
+    // the curve first. TRIAGE RULE: isolate before bisecting — any
+    // remaining suspect goes through graft.PerfAB, never suite-to-suite
+    // diffs. The canary itself is SF-independent (a range sum) and is
+    // excluded from `value` and `queries`.
+    val canaryFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(0, 4000000L, 1, 8)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("id") % 7).as("s"))
+    val canaryEvery = 25
+    val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      declared.zipWithIndex.flatMap { case (q, i) =>
+        if (i % canaryEvery == 0)
+          Seq(f"_canary_$i%03d" -> canaryFn, q)
+        else Seq(q)
+      } ++ Seq(f"_canary_${declared.size}%03d" -> canaryFn)
 
     // untimed warm pass: JIT/codegen/file-index costs land here, so the
     // timed passes below measure steady-state throughput (the regime a
@@ -81,21 +105,24 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     // a query is failed if ANY pass failed (flaky ≠ healthy)
-    val results: Seq[(String, Option[Double], Option[Double])] =
+    val allResults: Seq[(String, Option[Double], Option[Double])] =
       ordered.map { case (name, _) =>
         val runs = samples.map(_.find(_._1 == name).get._2)
         if (runs.exists(_.isEmpty)) (name, None, None)
         else (name, Some(median(runs.flatten)), Some(runs.flatten.min))
       }
-    def jsonMap(f: ((String, Option[Double], Option[Double])) => Option[Double]) =
-      results.map(r => "\"" + r._1 + "\":" + f(r).fold("null")(_.toString))
+    val (canaries, results) = allResults.partition(_._1.startsWith("_canary_"))
+    def jsonMap(rs: Seq[(String, Option[Double], Option[Double])])(
+        f: ((String, Option[Double], Option[Double])) => Option[Double]) =
+      rs.map(r => "\"" + r._1 + "\":" + f(r).fold("null")(_.toString))
         .mkString("{", ",", "}")
-    val qs = jsonMap(_._2)
-    val qsMin = jsonMap(_._3)
+    val qs = jsonMap(results)(_._2)
+    val qsMin = jsonMap(results)(_._3)
+    val canary = jsonMap(canaries)(_._2)
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // the driver truncates its BENCH_r*.json artifact to the tail of this
     // line, losing most per-query medians; persist the full JSON in the

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Isolated A/B attribution harness — the q111 lesson turned into a
+  * tool: a query's SUITE-position time carries ~1.7 s of GC/codegen
+  * context (SCALING.md r8), so a bench-to-bench mover must be
+  * adjudicated by an ISOLATED interleaved A/B of the two variants, not
+  * by bisecting suite runs. Runs each registered variant once to warm
+  * (codegen/JIT), then `passes` interleaved measured passes, and prints
+  * median + min per variant (min ≈ the noise floor on a co-tenant box).
+  *
+  * Usage: runMain graft.PerfAB [sfDir] [passes] [variantCsv]
+  * (defaults /root/testdata/sf0.1, 5, all registered variants).
+  */
+object PerfAB {
+
+  /** Variant registry: A/B pairs live here so the attribution that
+    * cleared (or convicted) a mover is re-runnable verbatim. */
+  val variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // r9: attribute q52's +27% r8 move (1.62 -> 2.06 s) — the round's
+    // only co-located change was the full-probe-set certified mean
+    "q52_full_probe_mean" ->
+      ((s, d) => operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = true)),
+    "q52_r7_found_mean" ->
+      ((s, d) => operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = false)))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 5
+    val names =
+      if (args.length > 2) args(2).split(",").toSeq else variants.keys.toSeq.sorted
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      variants(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    names.foreach(run) // warm
+    val samples: Map[String, Seq[Double]] = (1 to passes)
+      .flatMap(_ => names.map(n => n -> run(n)))
+      .groupMap(_._1)(_._2)
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    println(f"\n[perfab] $passes%d interleaved passes at $sfDir%s")
+    names.foreach { n =>
+      val xs = samples(n)
+      println(f"[perfab] $n%-24s median ${median(xs)}%6.3fs  min ${xs.min}%6.3fs  " +
+        xs.map(x => f"$x%.3f").mkString("[", ", ", "]"))
+    }
+    spark.stop()
+  }
+}

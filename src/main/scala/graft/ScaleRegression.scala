@@ -56,7 +56,9 @@ object ScaleRegression {
     "q214_lsh_eval",
     // r8: the text/similarity heavies — plan-shape-only until now
     "q51_winnow_fingerprint", "q70_contamination", "q72_tfidf",
-    "q111_rrf_hybrid", "q52_knn_ivf")
+    "q111_rrf_hybrid", "q52_knn_ivf",
+    // r9: the last unmeasured bench heavies
+    "q145_containment", "q221_part_affinity", "q226_negative_samples")
 
   /** Which scaled tables each chain query needs (everything else is
     * read from the base fixtures unscaled). */
@@ -64,9 +66,14 @@ object ScaleRegression {
     "q37_simhash", "q64_dedup_clusters", "q83_triangles",
     "q89_leakfree_split", "q118_cluster_canonical", "q146_cluster_sizes",
     "q214_lsh_eval", "q51_winnow_fingerprint", "q70_contamination",
-    "q72_tfidf", "q111_rrf_hybrid")
-  private val graphQueries = Set("q101_pagerank")
+    "q72_tfidf", "q111_rrf_hybrid", "q145_containment")
+  private val graphQueries = Set("q101_pagerank", "q221_part_affinity",
+    "q226_negative_samples")
   private val embQueries = Set("q52_knn_ivf", "q111_rrf_hybrid")
+  // q226 anti-joins the scaled interaction set against customer — the
+  // custkey shift must land on both sides or every replica's candidates
+  // silently vanish from the measurement
+  private val custQueries = Set("q226_negative_samples")
 
   private val Stride = 10000000000L // 10^10 id shift per replica
 
@@ -89,6 +96,32 @@ object ScaleRegression {
     val needDocs = selected.exists(docQueries)
     val needGraph = selected.exists(graphQueries)
     val needEmb = selected.exists(embQueries)
+    val needCust = selected.exists(custQueries)
+    // A prior run of the same workDir/factor/mode with a DIFFERENT query
+    // selection leaves mixed state: symlinks where this run needs scaled
+    // writes (the overwrite would land on a link into the read-only base
+    // fixtures) and real scaled dirs where this run wants base symlinks
+    // (silently measuring scaled data as "1x"). Reconcile the dir to the
+    // CURRENT selection up front: drop symlinks on to-be-scaled tables,
+    // drop stale scaled dirs on to-be-linked ones.
+    val scaledTables =
+      (if (needDocs) Set("documents") else Set.empty[String]) ++
+      (if (needGraph) Set("orders", "lineitem") else Set.empty[String]) ++
+      (if (needEmb) Set("embeddings") else Set.empty[String]) ++
+      (if (needCust) Set("customer") else Set.empty[String])
+    new java.io.File(outDir).mkdirs()
+    Seq("region", "nation", "customer", "supplier", "part", "events",
+      "documents", "orders", "lineitem", "embeddings").foreach { t =>
+      val p = java.nio.file.Paths.get(outDir, s"$t.parquet")
+      val isLink = java.nio.file.Files.isSymbolicLink(p)
+      if (scaledTables(t) && isLink) java.nio.file.Files.delete(p)
+      else if (!scaledTables(t) && !isLink &&
+          java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     if (needDocs) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       replicate(docs, factor, Seq("doc_id"), tagText = tagged)
@@ -109,9 +142,14 @@ object ScaleRegression {
       replicate(emb, factor, Seq("vec_id"), tagText = false)
         .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
     }
+    if (needCust) {
+      val cust = spark.read.parquet(s"$baseDir/customer.parquet")
+      replicate(cust, factor, Seq("c_custkey"), tagText = false)
+        .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+    }
     // unscaled tables resolve from the base dir via symlink copies
+    // (reconciliation above already removed any stale scaled dirs here)
     val out = new java.io.File(outDir)
-    out.mkdirs()
     Seq("region", "nation", "customer", "supplier", "part", "events",
       "documents", "orders", "lineitem", "embeddings").foreach { t =>
       val target = new java.io.File(out, s"$t.parquet")

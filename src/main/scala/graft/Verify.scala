@@ -24,13 +24,15 @@ object Verify {
     // Local-iteration filter (comma-separated name list); the driver never
     // sets it, so its runs always dump the full suite.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val dumpFailures = scala.collection.mutable.ArrayBuffer.empty[String]
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dumpFailures += name
       }
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
@@ -42,18 +44,60 @@ object Verify {
     // bounds.json so the round's correctness artifact can carry numbers
     // instead of a bare `no_oracle`. Computed from the dumped parquet
     // itself: the exported value is exactly what the dump witnesses.
+    // An absent/empty dump is exactly the case where the per-row in-query
+    // raise_error never evaluated, so it must surface as a FAILING entry
+    // (ok:false, value:null), never as silence; a non-finite aggregate
+    // would render invalid JSON and disable every bound downstream, so it
+    // fails the same way.
     val boundLines = selfCertifiedBounds.flatMap {
       case (name, (desc, aggCol, limit, op)) =>
         if (!only.forall(_.contains(name))) None
-        else scala.util.Try {
-          val v = spark.read.parquet(s"$outDir/$name")
-            .agg(aggCol.cast("double")).head.getDouble(0)
-          val ok = if (op == "<=") v <= limit else v >= limit
-          s""""$name": {"bound": "$desc", "value": $v, "limit": $limit, "op": "$op", "ok": $ok}"""
-        }.toOption
+        else {
+          val entry = scala.util.Try {
+            val df = spark.read.parquet(s"$outDir/$name")
+            if (df.isEmpty) """null, "note": "empty dump", "ok": false"""
+            else {
+              val row = df.agg(aggCol.cast("double")).head
+              if (row.isNullAt(0))
+                """null, "note": "null aggregate", "ok": false"""
+              else {
+                val v = row.getDouble(0)
+                if (!java.lang.Double.isFinite(v))
+                  s"""null, "note": "non-finite aggregate $v", "ok": false"""
+                else {
+                  val ok = if (op == "<=") v <= limit else v >= limit
+                  s"""$v, "ok": $ok"""
+                }
+              }
+            }
+          }.recover { case e =>
+            val msg = e.getMessage match {
+              case null => e.getClass.getSimpleName
+              case m => m.takeWhile(_ != '\n').take(120)
+                .replaceAll("[\"\\\\\\p{Cntrl}]", " ")
+            }
+            s"""null, "note": "$msg", "ok": false"""
+          }.get
+          Some(s""""$name": {"bound": "$desc", "value": $entry, "limit": $limit, "op": "$op"}""")
+        }
     }
     Files.writeString(Paths.get(s"$outDir/bounds.json"),
       boundLines.mkString("{", ",\n ", "}"))
+    // r9: machine-readable round summary (the VERDICT's narrative claims
+    // as diffable counts). check.py merges the oracle gate's ok/fail
+    // into the same file after comparing.
+    val declared = SparkEntry.queries.size
+    val rowsOnly = SparkEntry.queries.keys
+      .filterNot(SparkEntry.oracleSql.contains).toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failures = dumpFailures.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/summary.json"),
+      s"""{"declared_queries": $declared,""" +
+        s""" "oracle_checked": ${SparkEntry.oracleSql.size},""" +
+        s""" "selected": ${selected.size},""" +
+        s""" "rows_only": $rowsOnly, "dump_failures": $failures,""" +
+        s""" ${Evidence.json}}""")
     spark.stop()
   }
 

@@ -1333,14 +1333,17 @@ object CurationOps {
     * corpus size) — no second corpus scan, no join at all. */
   def q174ShardPlan(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // coalesce: a NULL text carries ZERO token mass and belongs in bin 0
-    // — the writer still has to PLACE the empty doc somewhere (r8,
-    // curation fuzz battery: an uncoalesced NULL formed its own histogram
-    // bin, which sorts FIRST in Spark's prefix window but LAST in
-    // DuckDB's, planning the phantom bin into shard 0 vs a spurious
-    // shard 8). Oracle mirrors the coalesce.
-    val pieces = coalesce(size(regexp_extract_all(normText(col("text")),
-      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))), lit(0)).cast("long")
+    // coalesce+greatest: a NULL text carries ZERO token mass and belongs
+    // in bin 0 — the writer still has to PLACE the empty doc somewhere
+    // (r8, curation fuzz battery: an uncoalesced NULL formed its own
+    // histogram bin, which sorts FIRST in Spark's prefix window but LAST
+    // in DuckDB's, planning the phantom bin into shard 0 vs a spurious
+    // shard 8). The greatest clamps non-ANSI's size(NULL) = -1 sentinel
+    // (legacy.sizeOfNull defaults to !ansi), making the zero-mass
+    // contract ANSI-independent like chunkDocs. Oracle mirrors the
+    // coalesce (DuckDB len(NULL) is NULL, never -1).
+    val pieces = greatest(coalesce(size(regexp_extract_all(normText(col("text")),
+      lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))), lit(0)), lit(0)).cast("long")
     val w = Window.orderBy(col("b"))
     val hist = Tables.documents(s, dir)
       .select((pieces / 16L).cast("long").as("b"), pieces.as("t"))
@@ -1471,15 +1474,17 @@ object CurationOps {
     * carrying the running total. The TOTAL W comes from the same
     * per-partition sums, so corpus-scan count stays at one. */
   def q110PpsSample(s: SparkSession, dir: String): DataFrame =
-    // coalesce: a NULL text carries ZERO tokens (r8, curation fuzz
-    // battery — size(NULL) is NULL under ANSI and crashed ppsSample's
-    // typed two-long encoder). Weight 0 can never cross a step multiple,
-    // so the doc is unselectable in both engines; the oracle needs no
+    // coalesce+greatest: a NULL text carries ZERO tokens (r8, curation
+    // fuzz battery — size(NULL) is NULL under ANSI and crashed
+    // ppsSample's typed two-long encoder; under non-ANSI it is the -1
+    // sentinel, which would SUBTRACT from the running total — greatest
+    // clamps both to 0). Weight 0 can never cross a step multiple, so
+    // the doc is unselectable in both engines; the oracle needs no
     // change (its window sum skips the NULL weight — same running total).
     ppsSample(Tables.documents(s, dir)
       .select(col("doc_id"),
-        coalesce(size(filter(tokens(col("text")), t => t =!= "")), lit(0))
-          .cast("long").as("n_tokens")), k = 50L)
+        greatest(coalesce(size(filter(tokens(col("text")), t => t =!= "")),
+          lit(0)), lit(0)).cast("long").as("n_tokens")), k = 50L)
 
   /** PPS core over a (doc_id, n_tokens) frame — see [[q110PpsSample]]. */
   def ppsSample(weights: DataFrame, k: Long): DataFrame = {

@@ -46,11 +46,106 @@ object DedupOps {
     docsNorm(s, dir).select(col("doc_id"),
       graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))
 
-  /** Distinct (doc_id, shingle) pairs over word 3-grams. */
-  private def docShingles(s: SparkSession, dir: String): DataFrame =
-    docToks(s, dir)
+  // ---------------------------------------------------------------------
+  // Exact-duplicate pre-collapse (r9) — the standard composition in front
+  // of near-dup candidate generation. A real crawl is 30–50% exact
+  // duplicates, and every signature/candidate stage below is a pure
+  // function of the NORMALIZED TEXT: ten copies of a document have
+  // identical shingle sets, MinHash signatures, and SimHashes, so running
+  // candidate generation per copy multiplies every band/prefix bucket's
+  // membership by the copy count and the emitted candidate volume by its
+  // SQUARE (measured: q37 ×11.6 wall-time at shared-vocab 10×, r8
+  // SCALING.md). The fix is q34's own hash family applied as a
+  // composition: collapse identical docs to one representative (min
+  // doc_id — md5 keys, the same 128-bit exact-dup fingerprint contract
+  // q34 declares), run the candidate+verify stages on representatives
+  // only, then re-expand pair output through the member map (or, where
+  // the query only COUNTS pairs — q214 — weight by multiplicity and
+  // never expand at all). Declared semantics and hashes are UNCHANGED:
+  // a cross-group member pair scores exactly its representatives' score,
+  // and a within-group pair is always emitted (J = n/n = 1.0 exactly,
+  // Hamming = 0, band keys identical) whenever the group participates
+  // (≥ 3 tokens for the shingle family; any non-NULL text for SimHash).
+  // ---------------------------------------------------------------------
+
+  /** The collapse product: `reps` (doc_id = representative id, norm) is
+    * the candidate-stage input; `map` (doc_id, rep_id) re-expands rep
+    * pairs to member pairs; `groups` (rep_id, mult, n_toks) carries the
+    * multiplicity weights and the within-group eligibility token count.
+    * NULL-norm docs are excluded outright — they generate no tokens, no
+    * shingles, and therefore no pairs in any consumer. */
+  private[graft] case class Collapsed(reps: DataFrame, map: DataFrame,
+      groups: DataFrame)
+
+  /** Collapse a `(doc_id, norm)` frame by exact normalized content. One
+    * fingerprint-keyed aggregate (map-side combine — a hot boilerplate
+    * group is a partial-agg cell, never a buffer) plus one fp-keyed join
+    * for the member map (hot groups are join skew, AQE-splittable). */
+  private[graft] def collapseExact(normed: DataFrame): Collapsed = {
+    val fped = normed.filter(col("norm").isNotNull)
+      .select(col("doc_id"), col("norm"), md5(col("norm")).as("fp"))
+    val groups = fped.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        // every value in the group is identical by construction, so
+        // `first` is deterministic here despite its general marking
+        first(col("norm")).as("norm"),
+        count(lit(1)).as("mult"))
+      .withColumn("n_toks", size(split(col("norm"), " ")).cast("long"))
+    Collapsed(
+      reps = groups.select(col("rep_id").as("doc_id"), col("norm")),
+      map = fped.select(col("doc_id"), col("fp"))
+        .join(groups.select(col("fp"), col("rep_id")), Seq("fp"))
+        .select(col("doc_id"), col("rep_id")),
+      groups = groups.select(col("rep_id"), col("mult"), col("n_toks")))
+  }
+
+  private def collapsedDocs(s: SparkSession, dir: String): Collapsed =
+    collapseExact(docsNorm(s, dir))
+
+  /** Capped tokens of the representatives — the same ingest-cap boundary
+    * as [[docToks]] (an oversize doc's representative carries its norm,
+    * so the [[graft.functions.TextFns.DocTokenCap]] contract still fails
+    * loudly per oversize CONTENT, once instead of per copy). */
+  private def repToks(reps: DataFrame): DataFrame =
+    reps.select(col("doc_id"),
+      graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))
+
+  /** Distinct (rep doc_id, shingle) pairs over word 3-grams. */
+  private def repShingles(c: Collapsed): DataFrame =
+    repToks(c.reps)
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
       .distinct()
+
+  /** Re-expand representative-level pairs to member pairs. Cross-group
+    * pairs come from two member-map joins (ReuseExchange runs the map
+    * shuffle once; a huge exact-dup group is JOIN volume, never a
+    * buffer); within-group pairs from a member-map self-join restricted
+    * to groups satisfying `withinEligible` (they score `withinCols` —
+    * J = 1.0 / Hamming = 0 — by construction). The quadratic-in-
+    * multiplicity pair volume that remains here is the declared OUTPUT,
+    * not candidate-stage work. */
+  private[graft] def expandRepPairs(repPairs: DataFrame, c: Collapsed,
+      withinCols: Seq[Column], withinEligible: Column): DataFrame = {
+    val extras = repPairs.columns.toSeq.filterNot(Set("doc_a", "doc_b"))
+    val cross = repPairs
+      .withColumnRenamed("doc_a", "rep_a")
+      .withColumnRenamed("doc_b", "rep_b")
+      .join(c.map.select(col("rep_id").as("rep_a"), col("doc_id").as("xa")),
+        Seq("rep_a"))
+      .join(c.map.select(col("rep_id").as("rep_b"), col("doc_id").as("xb")),
+        Seq("rep_b"))
+      // member ids are not ordered like their representatives' min ids
+      .select(Seq(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b")) ++ extras.map(col): _*)
+    val em = c.map.join(c.groups.filter(withinEligible).select(col("rep_id")),
+      Seq("rep_id"), "left_semi")
+    val within = em.as("x").join(em.as("y"),
+        col("x.rep_id") === col("y.rep_id")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(Seq(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b")) ++ withinCols: _*)
+    cross.union(within)
+  }
 
   /** Exact dedup: group by content fingerprint, keep the smallest id. */
   def q34DedupExact(s: SparkSession, dir: String): DataFrame =
@@ -88,7 +183,24 @@ object DedupOps {
     * earliest token, so the per-pair aggregate that replaced the old
     * DISTINCT computes the bound for free. */
   def q35NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    q35Verified(s, dir, positional = true)
+    jaccardCollapsed(collapsedDocs(s, dir))
+
+  /** The collapsed q35 pipeline: PPJoin+ candidates + exact verification
+    * over REPRESENTATIVES (df counted over reps — still a consistent
+    * global shingle order shared by both sides, which is all the prefix
+    * and positional bounds need; verification is exact either way), then
+    * member re-expansion. Within-group pairs need ≥ 3 tokens (≥ 1
+    * shingle — exactly when the uncollapsed pipeline pairs identical
+    * docs) and score J = n/n = 1.0 exactly in both engines. */
+  private def jaccardCollapsed(c: Collapsed): DataFrame =
+    expandRepPairs(
+      verifiedCore(docSetsCore(repToks(c.reps)), positional = true),
+      c, Seq(lit(1.0).as("jaccard")), col("n_toks") >= 3L)
+
+  /** Rep-level (uncollapsed-id) verified pairs — q214's weighted-count
+    * input. */
+  private[graft] def repPairsJaccard(c: Collapsed): DataFrame =
+    verifiedCore(docSetsCore(repToks(c.reps)), positional = true)
 
   /** The q35 pipeline over an arbitrary `(doc_id, text)` frame — the
     * seam the ingest chunking contract ([[CurationOps.chunkDocs]]) plugs
@@ -99,11 +211,8 @@ object DedupOps {
     * pointer to `chunkDocs`, so the bound is a real number instead of
     * "the largest document anyone uploads". */
   private[graft] def ngramJaccardCore(docs: DataFrame): DataFrame =
-    verifiedCore(docSetsCore(docs
-      .select(col("doc_id"), normText(col("text")).as("norm"))
-      .select(col("doc_id"),
-        graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))),
-      positional = true)
+    jaccardCollapsed(collapseExact(
+      docs.select(col("doc_id"), normText(col("text")).as("norm"))))
 
   /** Per-doc df-sorted shingle-hash set + prefix (shared by candidate
     * generation and verification). */
@@ -260,7 +369,18 @@ object DedupOps {
     * band 1 (each side carries its band-1 key, one map-side predicate) —
     * no DISTINCT shuffle. */
   def q36MinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(s, dir)
+    val c = collapsedDocs(s, dir)
+    // identical docs have identical signatures, hence identical band
+    // keys: every within-group pair of a shingle-bearing (≥ 3 tokens)
+    // group is in the uncollapsed output unconditionally, and every
+    // cross-group member pair is present iff its representatives pair
+    expandRepPairs(repPairsMinhash(c), c, Seq.empty, col("n_toks") >= 3L)
+  }
+
+  /** Rep-level MinHash-LSH banded pairs — the signature and band-join
+    * stages, now over exact-dup representatives only. */
+  private[graft] def repPairsMinhash(c: Collapsed): DataFrame = {
+    val sh = repShingles(c)
     val mins = (1 to 6).map(i => min(hash60Seeded(i, col("sh"))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val keyed = sig.select(col("doc_id"),
@@ -307,12 +427,24 @@ object DedupOps {
   /** 16-bit SimHash from per-token md5 nibble votes; near-dup pairs are
     * generated per 4-bit band block and kept when Hamming distance <= 3. */
   def q37Simhash(s: SparkSession, dir: String): DataFrame = {
+    val c = collapsedDocs(s, dir)
+    // a SimHash is a pure function of the token multiset, so identical
+    // docs pair at Hamming 0 from their first band unconditionally —
+    // every non-NULL-text group is within-eligible (even an empty norm
+    // tokenizes to [""] and gets a simhash)
+    expandRepPairs(repPairsSimhash(c), c,
+      Seq(lit(0L).as("hamming")), lit(true))
+  }
+
+  /** Rep-level SimHash banded pairs (votes, banding, and the bucket
+    * self-join over exact-dup representatives only). */
+  private[graft] def repPairsSimhash(c: Collapsed): DataFrame = {
     // one fused md5-sign-mask per token row (graft.functions.HashExprs):
     // bit b of the mask == "b-th md5 hex digit >= 8", so the 16 per-bit
     // vote aggregates become codegen'd bit tests instead of 16
     // conv(substring(hex)) string evaluations (Spark does not CSE across
     // aggregate expressions; measured ~2× on the whole query)
-    val toks = docsNorm(s, dir)
+    val toks = c.reps
       .select(col("doc_id"), explode(split(col("norm"), " ")).as("tok"))
       .select(col("doc_id"),
         graft.functions.HashExprs.md5_signmask16(col("tok")).as("m"))
@@ -1160,12 +1292,38 @@ object DedupOps {
     * from the same counts in one fixed tree. Empty pair sets yield NULL
     * ratios (ANSI-safe), not failures. */
   def q214LshEval(s: SparkSession, dir: String): DataFrame = {
-    val e = q35NgramJaccard(s, dir).select(col("doc_a"), col("doc_b"))
-    val a = q36MinhashLsh(s, dir).select(col("doc_a"), col("doc_b"))
-    val m = e.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(a.agg(count(lit(1)).as("n_approx")))
-      .crossJoin(e.join(a, Seq("doc_a", "doc_b"))
-        .agg(count(lit(1)).as("n_both")))
+    // The eval only COUNTS pairs, so the exact-dup collapse never needs
+    // to re-expand at all (r9): a rep pair (A, B) stands for
+    // mult_A · mult_B member pairs, and every within-eligible group of
+    // multiplicity m contributes C(m, 2) pairs to BOTH sides (identical
+    // docs are J = 1.0 exact pairs AND band-identical LSH pairs) — so
+    // the same within term adds to n_exact, n_approx, and n_both. Counts
+    // are therefore multiplicity-LINEAR work while remaining exactly
+    // count(*) of the declared (expanded) pair sets.
+    val c = collapsedDocs(s, dir)
+    val e = repPairsJaccard(c).select(col("doc_a"), col("doc_b"))
+    val a = repPairsMinhash(c).select(col("doc_a"), col("doc_b"))
+    // multiplicities to decimal BEFORE any product: two data-derived
+    // counts multiplied in int64 wrap silently at scale (q208 contract)
+    val w = c.groups.select(col("rep_id"),
+      col("mult").cast("decimal(38,0)").as("m"))
+    def wsum(pairs: DataFrame, name: String): DataFrame = pairs
+      .join(w.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
+      .join(w.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b"))
+      .agg(coalesce(sum(col("ma") * col("mb")),
+        lit(0).cast("decimal(38,0)")).as(name))
+    val within = c.groups.filter(col("n_toks") >= 3L)
+      .agg(coalesce(sum(col("mult").cast("decimal(38,0)")
+        * (col("mult") - 1L)), lit(0).cast("decimal(38,0)")).as("w2"))
+      // Σ m(m−1) is even, so the halving is exact in decimal
+      .select((col("w2") / 2).as("n_within"))
+    val m = wsum(e, "xe").crossJoin(wsum(a, "xa"))
+      .crossJoin(wsum(e.join(a, Seq("doc_a", "doc_b")), "xb"))
+      .crossJoin(within)
+      .select(
+        (col("xe") + col("n_within")).cast("long").as("n_exact"),
+        (col("xa") + col("n_within")).cast("long").as("n_approx"),
+        (col("xb") + col("n_within")).cast("long").as("n_both"))
     val prec = col("n_both").cast("double") / col("n_approx").cast("double")
     val rec = col("n_both").cast("double") / col("n_exact").cast("double")
     m.select(col("n_exact"), col("n_approx"), col("n_both"),

@@ -65,6 +65,62 @@ class OperatorSpec extends SparkTestBase {
     assert(nHash == nGram, s"$nHash hashes vs $nGram grams")
   }
 
+  test("exact-dup pre-collapse is output-invariant (q35/q36/q37/q214)") {
+    // r9: the collapse runs candidate generation on exact-dup
+    // REPRESENTATIVES and re-expands (or, for q214, weights). This
+    // asserts the whole construction against the uncollapsed pipelines:
+    // an IDENTITY collapse (every doc its own group) reproduces the
+    // pre-r9 computation exactly, so collapsed == identity-collapsed
+    // proves expansion/weighting added and dropped nothing — on the spec
+    // corpus, whose planted dup clusters exercise both pair kinds.
+    import org.apache.spark.sql.functions._
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFns.normText(col("text")).as("norm"))
+    // the spec corpus has NO exact duplicates (its planted dups are
+    // near-dups) — plant them: one full copy plus a second copy of a
+    // deterministic fifth, yielding multiplicities 2 and 3, with copy
+    // ids interleaved both above and below their originals so the
+    // least/greatest re-orientation in the expansion is exercised
+    val normed = base
+      .union(base.select(col("doc_id") + 1000000L, col("norm")))
+      .union(base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id") - 1000000L, col("norm")))
+    val nn = normed.filter(col("norm").isNotNull)
+    val identity = DedupOps.Collapsed(
+      reps = nn,
+      map = nn.select(col("doc_id"), col("doc_id").as("rep_id")),
+      groups = nn.select(col("doc_id").as("rep_id"), lit(1L).as("mult"),
+        size(split(col("norm"), " ")).cast("long").as("n_toks")))
+    val collapsed = DedupOps.collapseExact(normed)
+    assert(collapsed.groups.filter(col("mult") >= 3L).count() > 0)
+    def set(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    def expanded(c: DedupOps.Collapsed, pairs: org.apache.spark.sql.DataFrame,
+        within: Seq[org.apache.spark.sql.Column], elig: org.apache.spark.sql.Column) =
+      set(DedupOps.expandRepPairs(pairs, c, within, elig))
+    val q35u = expanded(identity, DedupOps.repPairsJaccard(identity),
+      Seq(lit(1.0).as("jaccard")), col("n_toks") >= 3L)
+    val q35c = expanded(collapsed, DedupOps.repPairsJaccard(collapsed),
+      Seq(lit(1.0).as("jaccard")), col("n_toks") >= 3L)
+    assert(q35c == q35u && q35u.nonEmpty,
+      s"q35: ${(q35c -- q35u).take(3)} / ${(q35u -- q35c).take(3)}")
+    val q36u = set(DedupOps.repPairsMinhash(identity))
+    val q36c = expanded(collapsed, DedupOps.repPairsMinhash(collapsed),
+      Seq.empty, col("n_toks") >= 3L)
+    assert(q36c == q36u && q36u.nonEmpty,
+      s"q36: ${(q36c -- q36u).take(3)} / ${(q36u -- q36c).take(3)}")
+    val q37u = set(DedupOps.repPairsSimhash(identity))
+    val q37c = expanded(collapsed, DedupOps.repPairsSimhash(collapsed),
+      Seq(lit(0L).as("hamming")), lit(true))
+    assert(q37c == q37u && q37u.nonEmpty,
+      s"q37: ${(q37c -- q37u).take(3)} / ${(q37u -- q37c).take(3)}")
+    // q214's weighted counts == count(*) of the declared expanded sets
+    // (on the raw corpus — multiplicity-1 weighting must equal counting)
+    val r = DedupOps.q214LshEval(spark, sfDir).head()
+    assert(r.getLong(0) == DedupOps.q35NgramJaccard(spark, sfDir).count())
+    assert(r.getLong(1) == DedupOps.q36MinhashLsh(spark, sfDir).count())
+  }
+
   test("minhash-LSH candidates cover the true near-dup pairs") {
     val truth = DedupOps.q35NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()

@@ -57,17 +57,31 @@ def main(sf_dir, out_dir):
     # Self-certified rows-only queries (no oracle SQL): Verify exports
     # their measured in-query bounds to bounds.json — surface them so
     # the gate's output carries the numbers, not a bare "no oracle".
+    # Only a MISSING file is tolerable (e.g. a SPARK_GRAFT_ONLY run that
+    # excluded both bound queries); a malformed bounds.json is a failure
+    # of the gate itself and must fail loudly, not silently disable the
+    # bound checks.
     try:
         bounds = json.load(open(f"{out_dir}/bounds.json"))
-    except Exception:
+    except FileNotFoundError:
         bounds = {}
     for name, b in sorted(bounds.items()):
         status = "ok  " if b.get("ok") else "FAIL"
         if not b.get("ok"):
             fail += 1
-        print(f"{status} {name} [bound]: {b['bound']} = {b['value']:.4g} "
-              f"{b['op']} {b['limit']}")
+        value = "null" if b.get("value") is None else f"{b['value']:.4g}"
+        note = f" ({b['note']})" if b.get("note") else ""
+        print(f"{status} {name} [bound]: {b['bound']} = {value} "
+              f"{b['op']} {b['limit']}{note}")
     print(f"\n{ok} ok, {fail} fail")
+    # merge the gate outcome into Verify's machine-readable summary so a
+    # single artifact carries surface + gate counts (diffable per round)
+    try:
+        summary = json.load(open(f"{out_dir}/summary.json"))
+        summary["gate"] = {"ok": ok, "fail": fail}
+        json.dump(summary, open(f"{out_dir}/summary.json", "w"))
+    except FileNotFoundError:
+        pass
     return 1 if fail else 0
 
 
