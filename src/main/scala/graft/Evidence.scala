@@ -15,7 +15,7 @@ object Evidence {
 
   /** Oracle-fuzz battery tests in OracleFuzzSpec (hostile generated
     * corpora hash-checked against DuckDB per seed). */
-  val fuzzBatteries: Int = 13
+  val fuzzBatteries: Int = 12
 
   /** Distinct corpus families those batteries draw from. */
   val fuzzFamilies: Int = 11

@@ -1125,11 +1125,19 @@ object Relational {
     val exact = li.groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    // r9 (sketch fuzz): a group whose key column is ALL NULL has exact
+    // count 0 — the relative error is 0 when the sketch agrees (both
+    // engines count zero values) and a certain bound FAILURE if the
+    // sketch somehow reports nonzero; the bare division was an ANSI
+    // DIVIDE_BY_ZERO crash, which is a gate error, not a bound verdict
+    def relErr(a: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(e === 0L,
+        when(a === 0L, lit(0.0)).otherwise(lit(Double.PositiveInfinity)))
+        .otherwise(abs(a - e).cast("double") / e * 100)
     val errPct = greatest(
-      abs(col("approx_parts") - col("exact_parts")).cast("double")
-        / col("exact_parts") * 100,
-      abs(col("approx_orders") - col("exact_orders")).cast("double")
-        / col("exact_orders") * 100)
+      relErr(col("approx_parts"), col("exact_parts")),
+      relErr(col("approx_orders"), col("exact_orders")))
     sketches.join(exact, Seq("l_returnflag"))
       .withColumn("est_within_pct", errPct)
       .withColumn("within_bound",
@@ -1137,7 +1145,10 @@ object Relational {
           .otherwise(raise_error(concat(
             lit("q42: HLL estimate drifted past the 5% bound: "),
             col("est_within_pct").cast("string"),
-            lit("% on returnflag "), col("l_returnflag")))))
+            // NULL flag group must still raise with a message, not a
+            // NULL-concat message (r9 sketch fuzz)
+            lit("% on returnflag "),
+            coalesce(col("l_returnflag"), lit("<NULL>"))))))
   }
 
   /** ARRAY_AGG-style aggregation: per-user sorted distinct event types.

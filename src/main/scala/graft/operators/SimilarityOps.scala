@@ -213,13 +213,52 @@ object SimilarityOps {
     import org.apache.spark.ml.functions.array_to_vector
     val e = quantized(s, dir)
       .withColumn("features", array_to_vector(col("q")))
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(10)
-      .setFeaturesCol("features").fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("q"), col("n2"), col("prediction").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray.map(_.toFloat))
-    }.toSeq
+    // r9 (sketch fuzz): a corpus whose every vector is zero-norm leaves
+    // NOTHING to index — KMeans.fit would die with an opaque MLlib
+    // internal error at plan-build time. No retrievable vectors means no
+    // probes and no neighbors: the declared result is EMPTY, exactly
+    // what the retrieval semantics return one row above this degenerate
+    // boundary (1 probe, 0 candidates). The fit is already an eager
+    // driver-side action here, so the emptiness probe adds no new
+    // laziness violation.
+    if (e.isEmpty) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("q_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType), StructField("rn", LongType),
+          StructField("recall_at_10", DoubleType),
+          StructField("mean_recall_at_10", DoubleType),
+          StructField("recall_ok", BooleanType))))
+    }
+    // k is capped at the DISTINCT vector count (r9, sketch fuzz — both
+    // arms caught live on the battery's first runs): with fewer distinct
+    // points than centroids, k-means|| init returns fewer centers than k
+    // and MLlib's KMeansAggregator dies with an
+    // ArrayIndexOutOfBoundsException; and k = 1 fails KMeans's own param
+    // validation (k > 1), so an all-identical corpus bypasses clustering
+    // outright — one cell, the single distinct vector as its centroid
+    // (it has norm > 0 by the zero-norm filter, so the probe cosine is
+    // well-defined). The distinct count is one map-side-combinable
+    // aggregate over 64-bit vector hashes (a collision only lowers k by
+    // one — harmless); its cost is a single narrow pass next to the
+    // O(corpus × iters) fit itself.
+    val nDistinct = e.agg(countDistinct(xxhash64(col("q")))).head.getLong(0)
+    val (assigned, centroids) =
+      if (nDistinct == 1L) {
+        val c0 = e.select(col("q")).head.getSeq[Float](0).toArray
+        (e.select(col("vec_id"), col("q"), col("n2"), lit(0).as("cell")),
+          Seq((0, c0)))
+      } else {
+        val model = new KMeans().setK(math.min(16L, nDistinct).toInt)
+          .setSeed(42).setMaxIter(10)
+          .setFeaturesCol("features").fit(e)
+        (model.transform(e)
+          .select(col("vec_id"), col("q"), col("n2"), col("prediction").as("cell")),
+          model.clusterCenters.zipWithIndex.map { case (c, i) =>
+            (i, c.toArray.map(_.toFloat))
+          }.toSeq)
+      }
     val cdf = s.createDataFrame(centroids).toDF("cell", "centroid")
     // nearest 2 cells per query by exact quantized cosine to the centroid
     val wc = Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cell").asc)
@@ -246,8 +285,16 @@ object SimilarityOps {
     // CORRECTNESS row then witnesses a machine-checked bound instead of
     // `rows > 0`. The exact side is one more broadcast-queries corpus
     // scan; the recall frame is ≤ #queries rows and broadcasts.
+    // DISTINCT pairs on both sides (r9, sketch fuzz): a re-ingested
+    // duplicate vec_id puts the same (q_id, neighbor_id) in both lists
+    // twice, and the raw join would count it 2x2 = 4 times — a certified
+    // "recall" above 1.0, a silently-garbage bound row. Distinct makes
+    // recall = |exact top-10 ids retrieved| / 10 under any input; on
+    // unique-id corpora both distincts are no-ops (rows already unique,
+    // <= 55 rows either side — declared hash unchanged).
     val exact = q39KnnBrute(s, dir).select(col("q_id"), col("neighbor_id"))
-    val recall = ivf.select(col("q_id"), col("neighbor_id"))
+      .distinct()
+    val recall = ivf.select(col("q_id"), col("neighbor_id")).distinct()
       .join(exact, Seq("q_id", "neighbor_id"))
       .groupBy(col("q_id"))
       .agg((count(lit(1)).cast("double") / 10.0).as("recall_at_10"))
@@ -259,8 +306,10 @@ object SimilarityOps {
     // `recall` and must still drag the certified mean down (r8 fix:
     // 4 queries at 0.35 + 1 at 0.0 is mean 0.28, a FAIL, not 0.35).
     val overall = if (fullProbeMean) {
+      // distinct: a duplicated probe id must weigh once in the certified
+      // mean (r9 sketch fuzz; no-op on unique-id corpora)
       val probeIds = assigned.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"))
+        .select(col("vec_id").as("q_id")).distinct()
       probeIds.join(recall, Seq("q_id"), "left")
         .agg(avg(coalesce(col("recall_at_10"), lit(0.0))).as("_overall"))
     } else recall.agg(avg(col("recall_at_10")).as("_overall"))

@@ -941,4 +941,139 @@ class OracleFuzzSpec extends SparkTestBase {
     runBattery("lk", linkageFuzzQueries,
       (seed, dir) => writePartsSeedDir(seed, dir, asciiNames = true))
   }
+
+  // -------------------------------------------------------------------
+  // Sketch-certification battery (r9): q42/q52 are the two rows-only
+  // queries no oracle battery feeds — no engine-parity oracle EXISTS for
+  // a sketch. The contract under hostile inputs is therefore
+  // pass-OR-loud-raise, asserted from the results themselves: either the
+  // dumped rows carry a bound that genuinely holds (re-checked here, row
+  // by row), or the query raises ITS OWN bound/contract error (message
+  // names the query) — never a silently-populated garbage row, and never
+  // an unrelated internal crash.
+  // -------------------------------------------------------------------
+
+  /** Hostile lineitem for q42: per-group cardinality degeneracies —
+    * cardinality-1, all-distinct, ALL-NULL keys (exact count 0 — the
+    * division degeneracy), a NULL returnflag group, a single-row group,
+    * keys at the int32/int64 boundaries, and a half-NULL group. */
+  private def fuzzSketchLineitem(seed: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed * 90001 + 23)
+    val rows = scala.collection.mutable
+      .ArrayBuffer[(java.lang.Long, java.lang.Long, String)]()
+    (1 to 400).foreach(i => rows += ((100000L + i, 7L, "A")))
+    (1 to (1000 + 200 * (seed % 5))).foreach(i =>
+      rows += ((200000L + i, 300000L + i, "B")))
+    (1 to 200).foreach(_ => rows += ((null, null, "C")))
+    (1 to 100).foreach(_ => rows += ((400000L + rnd.nextInt(50),
+      500000L + rnd.nextInt(50), null)))
+    rows += ((1L, 2L, "D"))
+    Seq(0L, -1L, 1L, Int.MaxValue.toLong, Int.MaxValue + 1L,
+      Int.MinValue.toLong, Long.MaxValue, Long.MinValue + 1)
+      .foreach(v => rows += ((v, v, "E")))
+    (1 to 300).foreach(i => rows += ((600000L + i,
+      if (i % 2 == 0) null else 700000L + i, "F")))
+    rows.toSeq.toDF("l_orderkey", "l_partkey", "l_returnflag")
+  }
+
+  /** Hostile embeddings for q52, one degeneracy class per seed (mod 4):
+    * 0 = every vector zero-norm (nothing retrievable at all);
+    * 1 = every vector IDENTICAL (KMeans sees one distinct point for 16
+    *     centroids); 2 = three distinct vectors under a zero-norm
+    *     majority (fewer distinct points than centroids AND a tiny
+    *     retrievable corpus); 3 = every id duplicated (re-ingest shape:
+    *     same id, same vector, twice). */
+  private def fuzzSketchEmbeddings(seed: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed * 31337 + 5)
+    val dim = 64
+    def normal(): Array[Float] = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val rows = scala.collection.mutable
+      .ArrayBuffer[(Long, Array[Float], java.lang.Integer)]()
+    (seed % 4) match {
+      case 0 =>
+        (0 until 30).foreach(i =>
+          rows += ((i.toLong, Array.fill(dim)(if (i % 2 == 0) 0.0f else 1e-8f),
+            i % 3)))
+      case 1 =>
+        val one = normal()
+        (0 until 100).foreach(i => rows += ((i.toLong, one.clone(), 1)))
+      case 2 =>
+        val distinct = Array(normal(), normal(), normal())
+        (0 until 40).foreach { i =>
+          if (i % 4 == 0) rows += ((i.toLong, distinct(i % 3).clone(), i % 3))
+          else rows += ((i.toLong, Array.fill(dim)(0.0f), null))
+        }
+      case _ =>
+        (0 until 60).foreach { i =>
+          val v = normal()
+          rows += ((i.toLong, v, i % 5))
+          rows += ((i.toLong, v.clone(), i % 5))
+        }
+    }
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+  }
+
+  test("battery inventory matches the exported Evidence counts") {
+    // the summary.json the driver diffs claims these numbers; a battery
+    // added or removed without bumping Evidence fails here
+    val batteries = testNames.count(n =>
+      n.contains("hash-match the DuckDB oracle") || n.contains("raise loudly"))
+    assert(batteries == Evidence.fuzzBatteries,
+      s"$batteries batteries vs Evidence.fuzzBatteries=${Evidence.fuzzBatteries}")
+  }
+
+  test("degenerate sketch inputs certify their bounds or raise loudly (q42/q52)") {
+    val failures = scala.collection.mutable.ArrayBuffer[String]()
+    def rootMessages(e: Throwable): String = {
+      val ms = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      ms
+    }
+    (0 until nSeeds).foreach { seed =>
+      val dir = s"/tmp/graft_fuzz/sketch$seed"
+      new java.io.File(dir).mkdirs()
+      writeTables(dir, Map(
+        "lineitem" -> fuzzSketchLineitem(seed),
+        "embeddings" -> fuzzSketchEmbeddings(seed)))
+      // q42 — rows must self-certify; a raise must be q42's own
+      try {
+        val rows = SparkEntry.queries("q42_approx_distinct")(spark, dir).collect()
+        if (rows.isEmpty)
+          failures += s"sketch$seed q42: EMPTY result on non-empty lineitem"
+        rows.foreach { r =>
+          val pct = r.getAs[Double]("est_within_pct")
+          if (!(pct <= 5.0) || !r.getAs[Boolean]("within_bound"))
+            failures += s"sketch$seed q42: dumped row violates its bound: $r"
+        }
+      } catch { case e: Throwable =>
+        if (!rootMessages(e).contains("q42:"))
+          failures += s"sketch$seed q42: non-contract crash: ${rootMessages(e).take(300)}"
+      }
+      // q52 — empty allowed ONLY for the nothing-retrievable class;
+      // rows must carry recall in [0, 1], one consistent certified mean
+      // >= 0.3 on every row; a raise must be q52's own bound error
+      try {
+        val rows = SparkEntry.queries("q52_knn_ivf")(spark, dir).collect()
+        if (rows.isEmpty) {
+          if (seed % 4 != 0)
+            failures += s"sketch$seed q52: EMPTY result with retrievable vectors present"
+        } else {
+          val means = rows.map(_.getAs[Double]("mean_recall_at_10")).distinct
+          if (means.length != 1 || !(means.head >= 0.3))
+            failures += s"sketch$seed q52: inconsistent/violated certified mean ${means.mkString(",")}"
+          rows.foreach { r =>
+            val rec = r.getAs[Double]("recall_at_10")
+            if (!(rec >= 0.0 && rec <= 1.0) || !r.getAs[Boolean]("recall_ok"))
+              failures += s"sketch$seed q52: garbage bound row: $r"
+          }
+        }
+      } catch { case e: Throwable =>
+        if (!rootMessages(e).contains("q52:"))
+          failures += s"sketch$seed q52: non-contract crash: ${rootMessages(e).take(300)}"
+      }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
 }

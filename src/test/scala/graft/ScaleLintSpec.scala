@@ -229,6 +229,16 @@ class ScaleLintSpec extends SparkTestBase {
       case x => x
     }.flatMap(_.collect { case x => x })
 
+  test("lint class inventory matches the exported Evidence count") {
+    // summary.json claims this number; adding an allowlist class without
+    // bumping Evidence fails here (and vice versa)
+    val classes = Seq(boundedGlobalWindow, boundedCollect, boundedCartesian,
+      boundedUdf, boundedForcedBroadcast, boundedLongProduct,
+      unpushableScanPredicate)
+    assert(classes.size == Evidence.lintClasses,
+      s"${classes.size} lint classes vs Evidence.lintClasses=${Evidence.lintClasses}")
+  }
+
   test("no query plans an unallowlisted scale-killer shape") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     QueryDef.all.foreach { q =>
