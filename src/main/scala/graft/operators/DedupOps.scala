@@ -80,7 +80,17 @@ object DedupOps {
   /** Collapse a `(doc_id, norm)` frame by exact normalized content. One
     * fingerprint-keyed aggregate (map-side combine — a hot boilerplate
     * group is a partial-agg cell, never a buffer) plus one fp-keyed join
-    * for the member map (hot groups are join skew, AQE-splittable). */
+    * for the member map (hot groups are join skew, AQE-splittable).
+    *
+    * Both products are `localCheckpoint(true)`-materialized (the
+    * connectedComponents idiom): the map feeds FOUR join sides of the
+    * expansion and the groups frame feeds the candidate pipeline (whose
+    * docsets stage alone has three consumers) — left lazy, every
+    * consumer re-ran the scan + md5 + aggregate upstream (measured: 14
+    * scans in q35's plan, 19 in q214's — a non-starter at 100 TB, where
+    * the checkpoint trades two corpus scans total for O(consumers) of
+    * them; the map is two longs per doc, the groups frame is the
+    * DEDUPED corpus, both spill-capable MEMORY_AND_DISK blocks). */
   private[graft] def collapseExact(normed: DataFrame): Collapsed = {
     val fped = normed.filter(col("norm").isNotNull)
       .select(col("doc_id"), col("norm"), md5(col("norm")).as("fp"))
@@ -91,11 +101,13 @@ object DedupOps {
         first(col("norm")).as("norm"),
         count(lit(1)).as("mult"))
       .withColumn("n_toks", size(split(col("norm"), " ")).cast("long"))
+      .localCheckpoint(true)
     Collapsed(
       reps = groups.select(col("rep_id").as("doc_id"), col("norm")),
       map = fped.select(col("doc_id"), col("fp"))
         .join(groups.select(col("fp"), col("rep_id")), Seq("fp"))
-        .select(col("doc_id"), col("rep_id")),
+        .select(col("doc_id"), col("rep_id"))
+        .localCheckpoint(true),
       groups = groups.select(col("rep_id"), col("mult"), col("n_toks")))
   }
 

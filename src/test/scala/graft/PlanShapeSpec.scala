@@ -92,11 +92,15 @@ class PlanShapeSpec extends SparkTestBase {
     // the same canonical key at runtime; asserted here on the static
     // planner where the rule is visible in the plan — probing the
     // AQE-enabled runtime plan instead is scale-dependent, because at
-    // test SF AQE legitimately re-plans the pair join as a broadcast.)
+    // test SF AQE legitimately re-plans the pair join as a broadcast.
+    // Since r9 the collapse checkpoint gives the planner ACCURATE small
+    // size stats, so even the STATIC plan broadcasts at test SF —
+    // auto-broadcast is disabled too, exposing the intrinsic
+    // shuffle-join shape the 100 TB plan would take.)
     val key = "spark.sql.adaptive.enabled"
     val prev = spark.conf.get(key)
     spark.conf.set(key, "false")
-    try {
+    try withoutAutoBroadcast {
       Seq(
         ("q36", operators.DedupOps.q36MinhashLsh(spark, sfDir), true),
         ("q37", operators.DedupOps.q37Simhash(spark, sfDir), true),
@@ -115,6 +119,27 @@ class PlanShapeSpec extends SparkTestBase {
         if (noCollect) assert(!plan.contains("collect_list"), s"$name:\n$plan")
       }
     } finally spark.conf.set(key, prev)
+  }
+
+  test("collapse products are materialized once: no parquet rescan in the dedup plans") {
+    // r9: the exact-dup collapse feeds four expansion join sides plus the
+    // candidate pipeline (whose docsets stage has three consumers of its
+    // own). Left lazy, every consumer re-ran scan+md5+aggregate — q35's
+    // plan held 14 parquet scans, q214's 19. The collapse products are
+    // localCheckpoint'ed, so the RETURNED plans must read ONLY the
+    // checkpoint blocks: zero parquet scans, and no md5-fingerprint
+    // aggregate re-planned downstream.
+    Seq(
+      ("q35", operators.DedupOps.q35NgramJaccard(spark, sfDir)),
+      ("q36", operators.DedupOps.q36MinhashLsh(spark, sfDir)),
+      ("q37", operators.DedupOps.q37Simhash(spark, sfDir)),
+      ("q214", operators.DedupOps.q214LshEval(spark, sfDir))
+    ).foreach { case (name, df) =>
+      val plan = initialPlan(df)
+      assert(count(plan, "Scan parquet") == 0, s"$name rescans parquet:\n$plan")
+      assert(count(plan, "first\\(norm") == 0, s"$name re-plans the collapse:\n$plan")
+      assert(count(plan, "Scan ExistingRDD") >= 2, s"$name:\n$plan")
+    }
   }
 
   test("q02: projection pruned to exactly the selected columns") {
