@@ -128,35 +128,74 @@ object DedupOps {
       .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("sh"))
       .distinct()
 
-  /** Re-expand representative-level pairs to member pairs. Cross-group
-    * pairs come from two member-map joins (ReuseExchange runs the map
-    * shuffle once; a huge exact-dup group is JOIN volume, never a
-    * buffer); within-group pairs from a member-map self-join restricted
-    * to groups satisfying `withinEligible` (they score `withinCols` —
-    * J = 1.0 / Hamming = 0 — by construction). The quadratic-in-
-    * multiplicity pair volume that remains here is the declared OUTPUT,
-    * not candidate-stage work. */
+  /** Re-expand representative-level pairs to member pairs.
+    *
+    * The expansion only does WORK proportional to duplication: every
+    * join side below is restricted to members of groups with mult ≥ 2
+    * (`dm`), so a pair of two singleton reps expands through two LEFT
+    * joins whose probe misses — NULLs coalesce back to the rep ids and
+    * the pair passes through untouched. On a low-duplication corpus the
+    * dup-member map is small (AQE broadcasts it) and the huge rep-pair
+    * stream never shuffles — the r9 tagged-mode run caught the earlier
+    * unconditional two-join form shuffling q37's 33M-pair stream twice
+    * for an IDENTITY expansion (×19 wall-time at 10× with zero
+    * duplicates). On a dup-heavy corpus the joins carry exactly the
+    * pairs that genuinely multiply. Within-group pairs come from a
+    * dup-member self-join restricted to groups satisfying
+    * `withinEligible` (they score `withinCols` — J = 1.0 / Hamming = 0
+    * — by construction). The quadratic-in-multiplicity pair volume that
+    * remains is the declared OUTPUT, not candidate-stage work. */
   private[graft] def expandRepPairs(repPairs: DataFrame, c: Collapsed,
       withinCols: Seq[Column], withinEligible: Column): DataFrame = {
-    val extras = repPairs.columns.toSeq.filterNot(Set("doc_a", "doc_b"))
-    val cross = repPairs
+    val mults = Set("mult_a", "mult_b")
+    val hasMults = mults.subsetOf(repPairs.columns.toSet)
+    val extras = repPairs.columns.toSeq
+      .filterNot(Set("doc_a", "doc_b") ++ mults)
+    val dupIds = c.groups.filter(col("mult") >= 2L).select(col("rep_id"))
+    val dm = c.map.join(dupIds, Seq("rep_id"), "left_semi")
+    // Only pairs TOUCHING a duplicated group join the dup-member map;
+    // when the pipeline carries per-side multiplicities (q37, whose pair
+    // stream is corpus-dense), the singleton-singleton majority splits
+    // off MAP-SIDE as a filter and is emitted verbatim — on a
+    // low-duplication corpus the expansion then shuffles (almost)
+    // nothing, instead of shuffling the whole pair stream against a
+    // near-empty build side (the r9 tagged-mode catch: two SMJs of a
+    // 33M-pair stream probing an EMPTY dup map). Pipelines without mult
+    // columns (q35/q36 — small verified/banded pair sets) take the join
+    // path for every pair; their streams are near-dup-sized, not
+    // corpus-dense.
+    val (direct, toJoin): (Option[DataFrame], DataFrame) =
+      if (hasMults)
+        (Some(repPairs.filter(col("mult_a") === 1L && col("mult_b") === 1L)
+          .select((Seq("doc_a", "doc_b") ++ extras).map(col): _*)),
+          repPairs.filter(col("mult_a") > 1L || col("mult_b") > 1L)
+            .select((Seq("doc_a", "doc_b") ++ extras).map(col): _*))
+      else (None, repPairs)
+    val cross = toJoin
       .withColumnRenamed("doc_a", "rep_a")
       .withColumnRenamed("doc_b", "rep_b")
-      .join(c.map.select(col("rep_id").as("rep_a"), col("doc_id").as("xa")),
-        Seq("rep_a"))
-      .join(c.map.select(col("rep_id").as("rep_b"), col("doc_id").as("xb")),
-        Seq("rep_b"))
+      // LEFT + coalesce: a pair with only ONE duplicated side expands
+      // through its dup side's members while the singleton side falls
+      // back to its own rep id
+      .join(dm.select(col("rep_id").as("rep_a"), col("doc_id").as("xa")),
+        Seq("rep_a"), "left")
+      .join(dm.select(col("rep_id").as("rep_b"), col("doc_id").as("xb")),
+        Seq("rep_b"), "left")
       // member ids are not ordered like their representatives' min ids
-      .select(Seq(least(col("xa"), col("xb")).as("doc_a"),
-        greatest(col("xa"), col("xb")).as("doc_b")) ++ extras.map(col): _*)
-    val em = c.map.join(c.groups.filter(withinEligible).select(col("rep_id")),
+      .select(Seq(
+        least(coalesce(col("xa"), col("rep_a")),
+          coalesce(col("xb"), col("rep_b"))).as("doc_a"),
+        greatest(coalesce(col("xa"), col("rep_a")),
+          coalesce(col("xb"), col("rep_b"))).as("doc_b")) ++ extras.map(col): _*)
+    val em = dm.join(c.groups.filter(withinEligible).select(col("rep_id")),
       Seq("rep_id"), "left_semi")
     val within = em.as("x").join(em.as("y"),
         col("x.rep_id") === col("y.rep_id")
           && col("x.doc_id") < col("y.doc_id"))
       .select(Seq(col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b")) ++ withinCols: _*)
-    cross.union(within)
+    val expanded = cross.union(within)
+    direct.map(_.union(expanded)).getOrElse(expanded)
   }
 
   /** Exact dedup: group by content fingerprint, keep the smallest id. */
@@ -468,11 +507,20 @@ object DedupOps {
       .select(col("doc_id"),
         (1 to 16).map(b => when(col(s"v$b") > 0, 1L).otherwise(0L) * (1L << (b - 1)))
           .reduce(_ + _).as("simhash"))
-    val banded = sim.select(col("doc_id"), col("simhash"),
+      // each side's exact-dup multiplicity rides the per-doc frame from
+      // here (one doc-level join of two pruned longs — the checkpointed
+      // groups frame — reusing sim's own doc_id partitioning), so the
+      // pair stream below can split on dup-ness MAP-SIDE: q37's pair
+      // stream is corpus-dense, and expansion must never shuffle the
+      // singleton-only majority (r9 tagged probe: two SMJs of a 33M-pair
+      // stream against an EMPTY dup map)
+      .join(c.groups.select(col("rep_id").as("doc_id"), col("mult")),
+        Seq("doc_id"))
+    val banded = sim.select(col("doc_id"), col("simhash"), col("mult"),
       explode(array((0 until 4).map(k =>
         struct(lit(k.toLong).as("band"),
           shiftright(col("simhash"), k * 4).bitwiseAND(15L).as("key"))): _*)).as("b"))
-      .select(col("doc_id"), col("simhash"),
+      .select(col("doc_id"), col("simhash"), col("mult"),
         col("b.band").as("band"), col("b.key").as("key"))
     // pairs form by a bucket SELF-JOIN on (band, key) — join-output
     // volume (AQE-skew-splittable, O(1) task memory) instead of the
@@ -489,13 +537,26 @@ object DedupOps {
         nibble(col("a.simhash"), j) =!= nibble(col("b.simhash"), j))
         .otherwise(lit(true))
     }.reduce(_ && _)
-    banded.as("a").join(banded.as("b"),
+    // hint("merge"): the (band, key) domain is FIXED at 4×16 = 64
+    // values, so a hash join degenerates into 64 chains each holding
+    // n/64 of the corpus — probing is one pointer-chased cache miss per
+    // chain entry, measured 8–11× slower than the sort-merge run
+    // product on identical data (48 s vs 4.4–6.1 s at 10×; the r9
+    // collapse checkpoint's accurate small stats is what flipped the
+    // planner to broadcast-hash here). SMJ is the right physical shape
+    // for a low-cardinality high-fanout self-join at EVERY scale — at
+    // 100 TB the sides exceed any broadcast threshold and SMJ is chosen
+    // anyway; the hint only pins the small-stats regime to the same
+    // plan. (A strategy hint, not a broadcast of unbounded data — the
+    // forced-broadcast lint class is about the opposite flip.)
+    banded.as("a").hint("merge").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key")
           && col("a.doc_id") < col("b.doc_id"))
       .filter(firstBandOnly)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-          .cast("long").as("hamming"))
+          .cast("long").as("hamming"),
+        col("a.mult").as("mult_a"), col("b.mult").as("mult_b"))
       .filter(col("hamming") <= 3)
   }
 

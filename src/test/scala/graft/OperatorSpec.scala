@@ -109,7 +109,8 @@ class OperatorSpec extends SparkTestBase {
       Seq.empty, col("n_toks") >= 3L)
     assert(q36c == q36u && q36u.nonEmpty,
       s"q36: ${(q36c -- q36u).take(3)} / ${(q36u -- q36c).take(3)}")
-    val q37u = set(DedupOps.repPairsSimhash(identity))
+    val q37u = set(DedupOps.repPairsSimhash(identity)
+      .select("doc_a", "doc_b", "hamming"))
     val q37c = expanded(collapsed, DedupOps.repPairsSimhash(collapsed),
       Seq(lit(0L).as("hamming")), lit(true))
     assert(q37c == q37u && q37u.nonEmpty,
