@@ -1113,9 +1113,34 @@ object Relational {
     * `within_bound` evaluates a hard in-query assertion — if any
     * estimate drifts past 5% (the 2% rsd with the spec's slack), the
     * QUERY fails with raise_error instead of silently dumping a bad
-    * sketch. The driver's rows-only CORRECTNESS row therefore carries a
-    * machine-checked bound, not just `rows > 0`. */
-  def q42ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    * sketch.
+    *
+    * Since r10 the DECLARED output carries only the DETERMINISTIC
+    * columns (exact counts + the certified boolean), so a DuckDB
+    * oracle exists and the driver's row is hash-checked like any
+    * other query: the oracle mirrors the exact counts and `TRUE` —
+    * which loses no certification strength, because the only way a
+    * Spark row reaches the dump with `within_bound` at all is through
+    * the raise_error guard over the sketch error. The raw estimates
+    * stay on [[q42Full]]'s rows, which Verify exports to bounds.json
+    * (the measured worst error %), and which the sketch fuzz battery
+    * re-checks row by row under hostile cardinalities. */
+  def q42ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    q42Full(s, dir).select("l_returnflag", "exact_parts", "exact_orders",
+      "n", "within_bound")
+
+  val q42Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(*) AS n,
+      |  TRUE AS within_bound
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  /** [[q42ApproxDistinct]] with the HLL estimates and the worst
+    * relative error kept on the rows — the internal form Verify's
+    * bounds.json export and the sketch battery read. */
+  private[graft] def q42Full(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val sketches = li.groupBy(col("l_returnflag"))
       .agg(
@@ -1138,7 +1163,14 @@ object Relational {
     val errPct = greatest(
       relErr(col("approx_parts"), col("exact_parts")),
       relErr(col("approx_orders"), col("exact_orders")))
-    sketches.join(exact, Seq("l_returnflag"))
+    // null-safe join (r10, ADVICE): an inner equi-join drops the
+    // NULL-returnflag group (NULL keys never match), so that group's
+    // sketch would escape certification — exactly the degeneracy the
+    // sketch fuzz battery plants. Explicit subquery aliases keep the
+    // two same-named key columns unambiguous.
+    sketches.as("sk").join(exact.as("ex"),
+        col("sk.l_returnflag") <=> col("ex.l_returnflag"))
+      .drop(col("ex.l_returnflag"))
       .withColumn("est_within_pct", errPct)
       .withColumn("within_bound",
         when(col("est_within_pct") <= 5.0, lit(true))
@@ -1470,7 +1502,7 @@ object Relational {
     QueryDef("q20_case_when", q20CaseWhen, Some(q20Sql)),
     QueryDef("q22_string_funcs", q22StringFuncs, Some(q22Sql)),
     QueryDef("q23_json_extract", q23Json, Some(q23Sql)),
-    QueryDef("q42_approx_distinct", q42ApproxDistinct, None),
+    QueryDef("q42_approx_distinct", q42ApproxDistinct, Some(q42Sql)),
     QueryDef("q43_array_agg", q43ArrayAgg, Some(q43Sql)),
     QueryDef("q44_date_arith", q44DateArith, Some(q44Sql)),
     QueryDef("q45_range_join", q45RangeJoin, Some(q45Sql)),

@@ -198,9 +198,33 @@ object SimilarityOps {
     * artifact witnesses a machine-checked bound, not just `rows > 0`;
     * the ScalaTest recall spec remains as the cross-check.
     * At 100 TB: centroids are tiny and broadcast; the corpus is
-    * partitioned by cell id, so a probe touches nprobe/k of the data. */
-  def q52KnnIvf(s: SparkSession, dir: String): DataFrame =
-    q52KnnIvfImpl(s, dir, fullProbeMean = true)
+    * partitioned by cell id, so a probe touches nprobe/k of the data.
+    *
+    * Since r10 the DECLARED output is the DETERMINISTIC side: the
+    * exact top-10 ranking ([[q39KnnBrute]]'s rows — what the IVF index
+    * approximates) plus the certified `recall_ok` boolean, so a DuckDB
+    * oracle exists (q39's SQL + `TRUE`) and the driver hash-checks the
+    * row set. No certification strength is lost: the full IVF pipeline
+    * still runs INSIDE this plan — `recall_ok` is aggregated across
+    * every IVF row, each of which evaluates the raise_error guard, so
+    * a sub-bound mean recall still fails the query loudly instead of
+    * dumping. The approximate rows + measured mean stay on
+    * [[q52KnnIvfImpl]], which Verify exports to bounds.json and the
+    * sketch battery re-checks under hostile corpora. */
+  def q52KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val full = q52KnnIvfImpl(s, dir, fullProbeMean = true)
+    // one row, true-or-raise; min() forces recall_ok on every IVF row.
+    // An empty IVF side (nothing retrievable / single-vector corpus) is
+    // vacuously certified — in exactly those corpora the exact side
+    // below is empty too, so the declared result is empty either way.
+    val cert = full.agg(
+      coalesce(min(col("recall_ok")), lit(true)).as("recall_ok"))
+    q39KnnBrute(s, dir).crossJoin(broadcast(cert))
+  }
+
+  val q52Sql: String =
+    s"""SELECT q_id, neighbor_id, cos, rn, TRUE AS recall_ok
+       |FROM ($q39Sql)""".stripMargin
 
   /** [[q52KnnIvf]] with the certified-mean denominator switchable:
     * `fullProbeMean = false` is the r7 form (mean over queries that HAVE
@@ -1420,5 +1444,5 @@ object SimilarityOps {
     QueryDef("q111_rrf_hybrid", q111RrfHybrid, Some(q111Sql)),
     QueryDef("q121_hard_negatives", q121HardNegatives, Some(q121Sql)),
     QueryDef("q112_semantic_decontam", q112SemanticDecontam, Some(q112Sql)),
-    QueryDef("q52_knn_ivf", q52KnnIvf, None))
+    QueryDef("q52_knn_ivf", q52KnnIvf, Some(q52Sql)))
 }

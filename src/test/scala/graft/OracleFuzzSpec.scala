@@ -1037,9 +1037,13 @@ class OracleFuzzSpec extends SparkTestBase {
       writeTables(dir, Map(
         "lineitem" -> fuzzSketchLineitem(seed),
         "embeddings" -> fuzzSketchEmbeddings(seed)))
-      // q42 — rows must self-certify; a raise must be q42's own
+      // q42 — rows must self-certify; a raise must be q42's own.
+      // Bounds live on the internal full frame since r10; the declared
+      // subset must run too, and must carry the NULL-returnflag group
+      // (r10, ADVICE: the pre-null-safe join dropped it, making the
+      // NULL-group raise contract dead code).
       try {
-        val rows = SparkEntry.queries("q42_approx_distinct")(spark, dir).collect()
+        val rows = operators.Relational.q42Full(spark, dir).collect()
         if (rows.isEmpty)
           failures += s"sketch$seed q42: EMPTY result on non-empty lineitem"
         rows.foreach { r =>
@@ -1047,15 +1051,24 @@ class OracleFuzzSpec extends SparkTestBase {
           if (!(pct <= 5.0) || !r.getAs[Boolean]("within_bound"))
             failures += s"sketch$seed q42: dumped row violates its bound: $r"
         }
+        val declared = SparkEntry.queries("q42_approx_distinct")(spark, dir).collect()
+        if (!declared.exists(_.isNullAt(0)))
+          failures += s"sketch$seed q42: NULL-returnflag group missing from declared output"
+        if (declared.length != rows.length ||
+            !declared.forall(_.getAs[Boolean]("within_bound")))
+          failures += s"sketch$seed q42: declared subset disagrees with the full frame"
       } catch { case e: Throwable =>
         if (!rootMessages(e).contains("q42:"))
           failures += s"sketch$seed q42: non-contract crash: ${rootMessages(e).take(300)}"
       }
       // q52 — empty allowed ONLY for the nothing-retrievable class;
-      // rows must carry recall in [0, 1], one consistent certified mean
-      // >= 0.3 on every row; a raise must be q52's own bound error
+      // IVF rows (the internal frame since r10) must carry recall in
+      // [0, 1], one consistent certified mean >= 0.3 on every row; a
+      // raise must be q52's own bound error. The declared output (exact
+      // side + boolean) must run under the same corpus and certify.
       try {
-        val rows = SparkEntry.queries("q52_knn_ivf")(spark, dir).collect()
+        val rows = operators.SimilarityOps
+          .q52KnnIvfImpl(spark, dir, fullProbeMean = true).collect()
         if (rows.isEmpty) {
           if (seed % 4 != 0)
             failures += s"sketch$seed q52: EMPTY result with retrievable vectors present"
@@ -1069,6 +1082,12 @@ class OracleFuzzSpec extends SparkTestBase {
               failures += s"sketch$seed q52: garbage bound row: $r"
           }
         }
+        val declared = SparkEntry.queries("q52_knn_ivf")(spark, dir).collect()
+        if (declared.isEmpty) {
+          if (seed % 4 != 0)
+            failures += s"sketch$seed q52: EMPTY declared result with retrievable vectors present"
+        } else if (!declared.forall(_.getAs[Boolean]("recall_ok")))
+          failures += s"sketch$seed q52: declared row without certification"
       } catch { case e: Throwable =>
         if (!rootMessages(e).contains("q52:"))
           failures += s"sketch$seed q52: non-contract crash: ${rootMessages(e).take(300)}"
