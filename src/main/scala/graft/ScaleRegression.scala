@@ -118,8 +118,13 @@ object ScaleRegression {
       else if (!scaledTables(t) && !isLink &&
           java.nio.file.Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
+        // close the walk stream (r10, ADVICE): it holds directory
+        // handles, and an unclosed stream per stale-dir delete leaks
+        // file descriptors across the sweep
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          st.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.delete)
+        }
       }
     }
     if (needDocs) {

@@ -194,8 +194,17 @@ object DedupOps {
           && col("x.doc_id") < col("y.doc_id"))
       .select(Seq(col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b")) ++ withinCols: _*)
-    val expanded = cross.union(within)
-    direct.map(_.union(expanded)).getOrElse(expanded)
+    // name-checked union (r10, ADVICE): the branches used to union
+    // POSITIONALLY, so a caller passing withinCols in a different order
+    // than the pipeline's extras would silently mislabel columns.
+    // unionByName would still accept a type-compatible permutation, so
+    // the order itself is asserted first.
+    require(within.columns.sameElements(cross.columns),
+      s"expandRepPairs: withinCols name [${within.columns.drop(2).mkString(", ")}] " +
+        s"but the pair stream carries extras [${extras.mkString(", ")}] — " +
+        "each withinCol must alias the same-named extra in the same order")
+    val expanded = cross.unionByName(within)
+    direct.map(_.unionByName(expanded)).getOrElse(expanded)
   }
 
   /** Exact dedup: group by content fingerprint, keep the smallest id. */
@@ -1380,14 +1389,30 @@ object DedupOps {
     // counts multiplied in int64 wrap silently at scale (q208 contract)
     val w = c.groups.select(col("rep_id"),
       col("mult").cast("decimal(38,0)").as("m"))
-    def wsum(pairs: DataFrame, name: String): DataFrame = pairs
-      .join(w.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
-      .join(w.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b"))
-      .agg(coalesce(sum(col("ma") * col("mb")),
-        lit(0).cast("decimal(38,0)")).as(name))
-    val within = c.groups.filter(col("n_toks") >= 3L)
-      .agg(coalesce(sum(col("mult").cast("decimal(38,0)")
-        * (col("mult") - 1L)), lit(0).cast("decimal(38,0)")).as("w2"))
+    // overflow-loud (r10, ADVICE): a decimal(38,0) overflow in a product
+    // or in sum() yields NULL under non-ANSI, and the old bare
+    // coalesce(sum, 0) silently read that as ZERO pairs. The operands
+    // are non-null by construction (multiplicities of joined groups), so
+    // a NULL product IS overflow, and a NULL sum over a non-empty input
+    // likewise; only the genuinely-empty input coalesces to 0.
+    def loudSum(df: DataFrame, prod: Column, what: String): DataFrame = df
+      .agg(sum(when(prod.isNotNull, prod).otherwise(raise_error(
+          lit(s"q214: decimal overflow in a $what product")))).as("s"),
+        count(lit(1)).as("c"))
+      .select(when(col("c") === 0L, lit(0).cast("decimal(38,0)"))
+        .when(col("s").isNull, raise_error(
+          lit(s"q214: decimal overflow summing $what products")))
+        .otherwise(col("s")).as("s"))
+    def wsum(pairs: DataFrame, name: String): DataFrame = loudSum(
+      pairs
+        .join(w.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
+        .join(w.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b")),
+      col("ma") * col("mb"), s"$name pair-weight")
+      .select(col("s").as(name))
+    val within = loudSum(c.groups.filter(col("n_toks") >= 3L),
+      col("mult").cast("decimal(38,0)") * (col("mult") - 1L),
+      "within-group m(m-1)")
+      .select(col("s").as("w2"))
       // Σ m(m−1) is even, so the halving is exact in decimal
       .select((col("w2") / 2).as("n_within"))
     val m = wsum(e, "xe").crossJoin(wsum(a, "xa"))

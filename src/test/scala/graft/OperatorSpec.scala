@@ -115,6 +115,13 @@ class OperatorSpec extends SparkTestBase {
       Seq(lit(0L).as("hamming")), lit(true))
     assert(q37c == q37u && q37u.nonEmpty,
       s"q37: ${(q37c -- q37u).take(3)} / ${(q37u -- q37c).take(3)}")
+    // r10 (ADVICE): a withinCols/extras name mismatch must fail loudly
+    // at build time, never silently mislabel a positional union
+    val mismatch = intercept[IllegalArgumentException] {
+      DedupOps.expandRepPairs(DedupOps.repPairsJaccard(collapsed), collapsed,
+        Seq(lit(1.0).as("jaccard_misnamed")), col("n_toks") >= 3L)
+    }
+    assert(mismatch.getMessage.contains("expandRepPairs"))
     // q214's weighted counts == count(*) of the declared expanded sets
     // (on the raw corpus — multiplicity-1 weighting must equal counting)
     val r = DedupOps.q214LshEval(spark, sfDir).head()
