@@ -10,8 +10,9 @@ package graft
 object Evidence {
   /** Allowlisted scale-killer shape classes machine-checked by
     * ScaleLintSpec (global window, collect buffer, cartesian, UDF,
-    * forced broadcast, long×long product, unpushed scan predicate). */
-  val lintClasses: Int = 7
+    * forced broadcast, long×long product, unpushed scan predicate,
+    * eager plan-build driver action). */
+  val lintClasses: Int = 8
 
   /** Oracle-fuzz battery tests in OracleFuzzSpec (hostile generated
     * corpora hash-checked against DuckDB per seed). */

@@ -11,8 +11,25 @@ import org.apache.spark.sql.functions._
   * narrow at 100 TB.
   */
 object Tables {
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-path schema cache (r10): Spark 4 runs a footer-inference Spark
+    * job on EVERY schemaless `spark.read.parquet` call, so a suite that
+    * builds thousands of frames pays thousands of driver-side job
+    * dispatches — and the eager-action lint could not tell a reader's
+    * one-time footer job from a builder's hidden collect. Inference
+    * runs once per path per JVM; a path's schema is assumed stable
+    * within a process (true for every caller: fixtures and the scale
+    * harness rewrite paths with identical schemas). At 100 TB the
+    * explicit-schema read is also simply the production idiom — the
+    * footer probe adds nothing once the catalog knows the layout. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

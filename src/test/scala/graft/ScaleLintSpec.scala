@@ -66,6 +66,45 @@ class ScaleLintSpec extends SparkTestBase {
     * 25/5 rows and carry no scaling marker, so they never trigger.) */
   private val boundedForcedBroadcast: Map[String, String] = Map.empty
 
+  /** Class #8 (r10): queries whose BUILDER runs Spark jobs at
+    * plan-build time — eager driver-side actions (collect/head/fit/
+    * isEmpty/localCheckpoint) inside a declared query fn. Laziness is
+    * the default contract (a builder that executes work per plan build
+    * re-runs it on every consumer and can hide a driver-side
+    * materialization); every eager site must be named here with the
+    * reason its work is bounded and necessary. */
+  private val boundedEagerAction: Map[String, String] = {
+    val collapse = "collapseExact materializes the two collapse products " +
+      "once (rep corpus + member map, O(corpus) each) for its many " +
+      "consumers — plan-locked to zero parquet rescans (PlanShapeSpec)"
+    val cc = "connected-components label propagation: fixed-round loop, " +
+      "per-round localCheckpoint + isEmpty convergence probe over the " +
+      "shrinking frontier"
+    Map(
+      "q35_ngram_jaccard" -> collapse, "q36_minhash_lsh" -> collapse,
+      "q37_simhash" -> collapse, "q214_lsh_eval" -> collapse,
+      "q64_dedup_clusters" -> cc, "q118_cluster_canonical" -> cc,
+      "q89_leakfree_split" -> cc, "q146_cluster_sizes" -> cc,
+      "q101_pagerank" -> "3 fixed PageRank rounds over a checkpointed edge frame + one scalar node count for the rank unit",
+      "q169_kcore" -> "fixed-round k-core peel over a localCheckpoint'd shrinking edge list",
+      "q83_triangles" -> "canonical edge list checkpointed once before the two-hop join",
+      "q161_power_iteration" -> "fixed power-iteration rounds over the collected 64x64 covariance (2^12 entries, dimension-bounded)",
+      "q166_mmr_rerank" -> "greedy MMR selection over a collected probe-bounded candidate set (<= probes x 20 rows)",
+      "q177_greedy_cover" -> "greedy set cover: k rounds, each collecting only the 1-row argmax, over a checkpointed source-gram frame",
+      "q52_knn_ivf" -> "KMeans fit (inherently eager) + retrievable-corpus isEmpty + countDistinct k-cap probe — each a bounded aggregate",
+      "q71_bloom_join" -> "bloom build side: one count + one bloom-aggregate head (the driver holds the filter bytes by design)",
+      "q91_quality_gate" -> "GlobalRank two-pass: per-partition histogram collect (#partitions rows)",
+      "q135_global_ntile" -> "GlobalRank two-pass + one column-pruned scalar count for the bucket width",
+      "q110_pps_sample" -> "two-pass PPS: per-partition weight totals collect (#partitions longs)",
+      "q106_skyline" -> "pareto prefix: per-partition max collect (#partitions entries) feeding the broadcast prefix map",
+      "q171_fd_audit" -> "contingency table checkpointed once (|source|x|lang| rows), released after the audit",
+      "q180_mutual_info" -> "contingency table checkpointed once (|source|x|lang| rows), released after the MI pass",
+      "q182_term_chi2" -> "per-term class marginals checkpointed once (vocab-cut-bounded)",
+      "q190_seq_mi" -> "#types^2-bounded transition frame checkpointed once",
+      "q192_audience_overlap" -> "#types^2-bounded overlap frame checkpointed once",
+      "q226_negative_samples" -> "observed interaction set checkpointed once (measured x1.83 peak for x10 data, SCALING.md r9)")
+  }
+
   /** Leaf columns that identify an SF-scaling base table: a forced
     * `broadcast()` whose subtree scans one of these without an
     * intervening aggregate/limit pins O(SF) rows on the driver and every
@@ -229,21 +268,51 @@ class ScaleLintSpec extends SparkTestBase {
       case x => x
     }.flatMap(_.collect { case x => x })
 
+  /** Spark jobs started while `body` runs — the class #8 probe. The
+    * listener bus is drained before and after so asynchronous job-start
+    * events from earlier work never leak into the window. */
+  private val jobCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private lazy val jobListener = {
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobCounter.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+  private def jobsDuring[A](body: => A): (A, Int) = {
+    jobListener
+    org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+    val before = jobCounter.get()
+    val a = body
+    org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+    (a, jobCounter.get() - before)
+  }
+
   test("lint class inventory matches the exported Evidence count") {
     // summary.json claims this number; adding an allowlist class without
     // bumping Evidence fails here (and vice versa)
     val classes = Seq(boundedGlobalWindow, boundedCollect, boundedCartesian,
       boundedUdf, boundedForcedBroadcast, boundedLongProduct,
-      unpushableScanPredicate)
+      unpushableScanPredicate, boundedEagerAction)
     assert(classes.size == Evidence.lintClasses,
       s"${classes.size} lint classes vs Evidence.lintClasses=${Evidence.lintClasses}")
   }
 
   test("no query plans an unallowlisted scale-killer shape") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    // warm the per-path schema cache first: the reader's ONE-TIME footer
+    // inference job is the data source's contract, not a builder action,
+    // and must not land in whichever query happens to touch a table first
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach(Tables.t(spark, sfDir, _))
+    Tables.events(spark, sfDir)
     QueryDef.all.foreach { q =>
       try {
-        val df = q.fn(spark, sfDir)
+        val (df, eager) = jobsDuring(q.fn(spark, sfDir))
+        if (eager > 0 && !boundedEagerAction.contains(q.name))
+          failures += s"${q.name}: $eager eager Spark job(s) at plan-build time"
         val nodes = leaves(df.queryExecution.executedPlan)
         val globalWindows = nodes.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
@@ -304,6 +373,22 @@ class ScaleLintSpec extends SparkTestBase {
     val arr = Tables.documents(spark, sfDir)
       .filter(size(split(col("text"), " ")) > 3).select("doc_id")
     assert(unpushedScanPredicates(arr.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("eager-action lint catches a planted collect in a query builder and spares lazy builds") {
+    import org.apache.spark.sql.functions.col
+    // the violation class #8 exists for: a driver-side action hidden
+    // inside a declared builder (runs per plan build, scales with data)
+    val (_, dirty) = jobsDuring {
+      val t = Tables.nation(spark, sfDir).select(col("n_nationkey"))
+      t.collect()
+      t
+    }
+    assert(dirty > 0, "planted collect() ran no job — probe is blind")
+    // a plain lazy build of the same frame runs nothing
+    val (_, clean) = jobsDuring(
+      Tables.nation(spark, sfDir).select(col("n_nationkey")))
+    assert(clean == 0, s"lazy build counted $clean jobs")
   }
 
   test("forced-broadcast lint catches a seeded violation and spares bounded shapes") {
