@@ -122,7 +122,42 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,"sf":"$sfDir"}"""
+    // MOVER AUTO-ADJUDICATION (r10): diff this run's medians against the
+    // last committed round's bench_full_r<N>.json and write per-mover
+    // verdicts INTO the artifact, so round-over-round movers are
+    // machine-adjudicated instead of prose-triaged. The rule is the
+    // canary-curve triage rule, automated: a >20% mover that is
+    // sub-second on BOTH sides is suite-position jitter at the canary's
+    // measured overhead scale ("jitter-by-canary"); anything bigger
+    // must be attributed by an ISOLATED graft.PerfAB run
+    // ("needs-perfab") — never by suite-to-suite bisection.
+    // SPARK_GRAFT_BENCH_PREV overrides the reference file.
+    val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+      Option(new java.io.File(".").listFiles()).flatMap(
+        _.filter(_.getName.matches("bench_full_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+          .lastOption.map(_.getPath))
+    }
+    val movers: String = prevPath.flatMap { p =>
+      scala.util.Try {
+        val prev = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p)).get("queries")
+        val entries = results.flatMap { case (name, med, _) =>
+          med.flatMap { c =>
+            Option(prev.get(name)).filter(_.isNumber).map(_.asDouble)
+              .collect {
+                case pv if pv > 0 && (c / pv > 1.2 || c / pv < 1.0 / 1.2) =>
+                  val verdict = if (math.max(pv, c) < 1.0) "jitter-by-canary"
+                    else "needs-perfab"
+                  f""""$name":{"prev":$pv%.3f,"cur":$c%.3f,""" +
+                    f""""ratio":${c / pv}%.2f,"verdict":"$verdict"}"""
+              }
+          }
+        }
+        s""""prev_bench":"$p","movers":{${entries.mkString(",")}}"""
+      }.toOption
+    }.getOrElse(""""movers":{}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,$movers,"sf":"$sfDir"}"""
     println(line)
     // the driver truncates its BENCH_r*.json artifact to the tail of this
     // line, losing most per-query medians; persist the full JSON in the
