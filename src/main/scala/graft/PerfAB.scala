@@ -23,7 +23,19 @@ object PerfAB {
     "q52_full_probe_mean" ->
       ((s, d) => operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = true)),
     "q52_r7_found_mean" ->
-      ((s, d) => operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = false)))
+      ((s, d) => operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = false)),
+    // r10: price the collapse's 1x overhead (q35/q37 regressed x1.58 /
+    // x1.39 in r9 on the nothing-to-collapse bench corpus) and the
+    // internal fingerprint choice (md5 string vs two-seed xxhash64)
+    "q35_collapse_md5" -> ((s, d) => operators.DedupOps.q35NgramJaccard(s, d)),
+    "q35_collapse_xxh" -> ((s, d) => operators.DedupOps.q35Xxh(s, d)),
+    "q35_identity_nocollapse" -> ((s, d) => operators.DedupOps.q35Identity(s, d)),
+    "q37_collapse_md5" -> ((s, d) => operators.DedupOps.q37Simhash(s, d)),
+    "q37_collapse_xxh" -> ((s, d) => operators.DedupOps.q37Xxh(s, d)),
+    "q37_identity_nocollapse" -> ((s, d) => operators.DedupOps.q37Identity(s, d)),
+    // r10: the q52 declared reshape (exact side + certified boolean)
+    // adds a q39 pass on top of the unchanged IVF pipeline
+    "q52_declared_r10" -> ((s, d) => operators.SimilarityOps.q52KnnIvf(s, d)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -32,6 +32,16 @@ import org.apache.spark.sql.functions._
   *    each base cluster — a heavy-duplication corpus, measured as
   *    such. Both modes are honest; they bracket reality from opposite
   *    sides (vocabulary too big vs duplication too heavy).
+  *  - `zipf` (r10): the MEGA-GROUP regime the two uniform modes never
+  *    reach — the base corpus plus `factor` exact copies of ONE
+  *    document (ids 10⁹+k, text untouched), i.e. one fingerprint group
+  *    of multiplicity `factor`+1 while everything else stays
+  *    singleton-ish. Real crawls have these (boilerplate pages, empty
+  *    templates). This is the skew probe for the within-group
+  *    expansion: C(m,2) pairs hang off ONE rep_id join key, and the
+  *    per-task max-time column shows whether that output is
+  *    distributed or single-task. `factor` here is the COPY COUNT
+  *    (run 10⁴+), and only `documents` is scaled.
   *
   * Ids shift by `k·10¹⁰` (far below the 2⁴⁶ chunk-key domain);
   * documents/orders/lineitem/embeddings are scaled per the selected
@@ -92,7 +102,8 @@ object ScaleRegression {
     }.reduce(_ union _)
 
   def generate(spark: SparkSession, baseDir: String, factor: Int,
-      outDir: String, tagged: Boolean, selected: Seq[String]): Unit = {
+      outDir: String, mode: String, selected: Seq[String]): Unit = {
+    val tagged = mode == "tagged"
     val needDocs = selected.exists(docQueries)
     val needGraph = selected.exists(graphQueries)
     val needEmb = selected.exists(embQueries)
@@ -129,8 +140,25 @@ object ScaleRegression {
     }
     if (needDocs) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-      replicate(docs, factor, Seq("doc_id"), tagText = tagged)
-        .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val scaled =
+        if (mode == "zipf") {
+          // one mega fingerprint group: `factor` exact copies of the
+          // smallest within-eligible doc (>= 3 tokens, so the group is
+          // jaccard/minhash-within-eligible), everything else untouched.
+          // Copy ids sit at 10^9+k — above the base id range, far below
+          // the 2^46 chunk-key domain, and NOT stride-spaced (each copy
+          // is one row; ranges need no disjointness).
+          val mega = docs
+            .filter(size(split(col("text"), " ")) >= 3)
+            .orderBy(col("doc_id")).limit(1)
+          val copies = spark.range(1, factor.toLong + 1)
+            .crossJoin(broadcast(mega))
+            .withColumn("doc_id", lit(1000000000L) + col("id"))
+            .drop("id")
+            .select(docs.columns.map(col).toIndexedSeq: _*)
+          docs.unionByName(copies)
+        } else replicate(docs, factor, Seq("doc_id"), tagText = tagged)
+      scaled.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
     }
     if (needGraph) {
       val orders = spark.read.parquet(s"$baseDir/orders.parquet")
@@ -169,6 +197,10 @@ object ScaleRegression {
   private class PeakListener extends org.apache.spark.scheduler.SparkListener {
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
     val spill = new java.util.concurrent.atomic.AtomicLong(0L)
+    // longest single task (ms) — the skew witness: a query whose wall
+    // time ≈ its max task time is single-task-bound no matter how many
+    // cores sit idle (the zipf mega-group probe reads this column)
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
@@ -176,8 +208,10 @@ object ScaleRegression {
         peak.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
         spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
       }
+      if (t.taskInfo != null)
+        maxTask.getAndUpdate(p => math.max(p, t.taskInfo.duration))
     }
-    def reset(): Unit = { peak.set(0L); spill.set(0L) }
+    def reset(): Unit = { peak.set(0L); spill.set(0L); maxTask.set(0L) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -185,10 +219,16 @@ object ScaleRegression {
     val factor = if (args.length > 1) args(1).toInt else 10
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val mode = if (args.length > 3) args(3) else "tagged"
-    require(mode == "tagged" || mode == "shared-vocab",
-      s"mode must be tagged|shared-vocab, got $mode")
+    require(mode == "tagged" || mode == "shared-vocab" || mode == "zipf",
+      s"mode must be tagged|shared-vocab|zipf, got $mode")
     val selected =
-      if (args.length > 4) args(4).split(",").toSeq else chain
+      if (args.length > 4) args(4).split(",").toSeq
+      else if (mode == "zipf")
+        Seq("q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash",
+          "q214_lsh_eval")
+      else chain
+    require(mode != "zipf" || selected.forall(docQueries),
+      s"zipf mode scales only documents; selection must be doc queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -205,12 +245,13 @@ object ScaleRegression {
 
     val scaledDir = s"$workDir/x$factor-$mode"
     println(s"[scale] generating ${factor}x $mode fixtures at $scaledDir ...")
-    generate(spark, baseDir, factor, scaledDir, mode == "tagged", selected)
+    generate(spark, baseDir, factor, scaledDir, mode, selected)
 
     def force(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    case class M(sec: Double, peakMb: Double, spillMb: Double)
+    case class M(sec: Double, peakMb: Double, spillMb: Double,
+      maxTaskSec: Double)
     // q101 as an at-scale caller would run it: auto-sized rank unit.
     // (The DECLARED q101 pins 10^12 for oracle-lattice stability, and at
     // 10x — 159,990 graph nodes — the r7 pinned-unit guard correctly
@@ -227,7 +268,8 @@ object ScaleRegression {
       // listener events are posted asynchronously; drain before reading
       org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
       M((System.nanoTime() - t0) / 1e9,
-        listener.peak.get() / 1048576.0, listener.spill.get() / 1048576.0)
+        listener.peak.get() / 1048576.0, listener.spill.get() / 1048576.0,
+        listener.maxTask.get() / 1e3)
     }
 
     // warm pass at 1x (codegen/JIT), then THREE measured passes of each
@@ -250,7 +292,8 @@ object ScaleRegression {
     }
     def agg(n: String, which: String): M = {
       val ms = samples.map(_((n, which)))
-      M(median(ms.map(_.sec)), ms.map(_.peakMb).max, ms.map(_.spillMb).max)
+      M(median(ms.map(_.sec)), ms.map(_.peakMb).max, ms.map(_.spillMb).max,
+        ms.map(_.maxTaskSec).max)
     }
     val rows = selected.map { n =>
       val base = agg(n, "base")
@@ -258,16 +301,18 @@ object ScaleRegression {
       println(f"[scale] $n%-24s 1x ${base.sec}%7.2fs peak ${base.peakMb}%7.1fMB " +
         f"spill ${base.spillMb}%8.1fMB | ${factor}x ${scaled.sec}%8.2fs " +
         f"peak ${scaled.peakMb}%7.1fMB spill ${scaled.spillMb}%8.1fMB " +
+        f"maxtask ${scaled.maxTaskSec}%7.2fs " +
         f"| time x${scaled.sec / base.sec}%5.1f peak x${
           scaled.peakMb / math.max(base.peakMb, 0.1)}%5.2f")
       (n, base, scaled)
     }
     println(s"\n[scale] mode=$mode factor=$factor")
-    println(s"\n| query | 1x sec | 1x peak-task MB | ${factor}x sec | ${factor}x peak-task MB | ${factor}x spill MB | time ratio | peak ratio |")
-    println("|---|---|---|---|---|---|---|---|")
+    println(s"\n| query | 1x sec | 1x peak-task MB | ${factor}x sec | ${factor}x peak-task MB | ${factor}x spill MB | ${factor}x max-task sec | time ratio | peak ratio |")
+    println("|---|---|---|---|---|---|---|---|---|")
     rows.foreach { case (n, b, s) =>
       println(f"| $n | ${b.sec}%.2f | ${b.peakMb}%.0f | ${s.sec}%.2f | " +
-        f"${s.peakMb}%.0f | ${s.spillMb}%.0f | ${s.sec / b.sec}%.1f | " +
+        f"${s.peakMb}%.0f | ${s.spillMb}%.0f | ${s.maxTaskSec}%.2f | " +
+        f"${s.sec / b.sec}%.1f | " +
         f"${s.peakMb / math.max(b.peakMb, 0.1)}%.2f |")
     }
 

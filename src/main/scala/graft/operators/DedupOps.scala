@@ -91,9 +91,18 @@ object DedupOps {
     * the checkpoint trades two corpus scans total for O(consumers) of
     * them; the map is two longs per doc, the groups frame is the
     * DEDUPED corpus, both spill-capable MEMORY_AND_DISK blocks). */
-  private[graft] def collapseExact(normed: DataFrame): Collapsed = {
+  private[graft] def collapseExact(normed: DataFrame): Collapsed =
+    collapseExactFp(normed, md5(col("norm")))
+
+  /** [[collapseExact]] with the fingerprint expression swappable — the
+    * INTERNAL collapse key never leaves any plan (q34 separately
+    * declares md5 as its contract), so a cheaper key is fair game;
+    * [[graft.PerfAB]] registers an xxhash64-pair variant against the
+    * md5 form to price the difference (r10, VERDICT task 4). */
+  private[graft] def collapseExactFp(normed: DataFrame,
+      fp: Column): Collapsed = {
     val fped = normed.filter(col("norm").isNotNull)
-      .select(col("doc_id"), col("norm"), md5(col("norm")).as("fp"))
+      .select(col("doc_id"), col("norm"), fp.as("fp"))
     val groups = fped.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"),
         // every value in the group is identical by construction, so
@@ -145,6 +154,13 @@ object DedupOps {
     * `withinEligible` (they score `withinCols` — J = 1.0 / Hamming = 0
     * — by construction). The quadratic-in-multiplicity pair volume that
     * remains is the declared OUTPUT, not candidate-stage work. */
+  /** Group size above which the within-group self-join is salted into
+    * bucket-pair keys (see the MEGA-GROUP SALT comment below). At the
+    * threshold the unsalted single key emits at most C(1024,2) ≈ 5·10⁵
+    * pairs — comfortably one task; above it the quadratic needs
+    * spreading. */
+  private[graft] val WithinSaltThreshold = 1024L
+
   private[graft] def expandRepPairs(repPairs: DataFrame, c: Collapsed,
       withinCols: Seq[Column], withinEligible: Column): DataFrame = {
     val mults = Set("mult_a", "mult_b")
@@ -171,16 +187,42 @@ object DedupOps {
           repPairs.filter(col("mult_a") > 1L || col("mult_b") > 1L)
             .select((Seq("doc_a", "doc_b") ++ extras).map(col): _*))
       else (None, repPairs)
-    val cross = toJoin
-      .withColumnRenamed("doc_a", "rep_a")
-      .withColumnRenamed("doc_b", "rep_b")
-      // LEFT + coalesce: a pair with only ONE duplicated side expands
-      // through its dup side's members while the singleton side falls
-      // back to its own rep id
-      .join(dm.select(col("rep_id").as("rep_a"), col("doc_id").as("xa")),
-        Seq("rep_a"), "left")
-      .join(dm.select(col("rep_id").as("rep_b"), col("doc_id").as("xb")),
-        Seq("rep_b"), "left")
+    // Groups above the salt threshold get their expansion joins spread
+    // over hash buckets (see the MEGA-GROUP SALT comment below); bigIds
+    // is empty on any non-pathological corpus, so the anti/semi splits
+    // below are broadcasts against an empty frame.
+    val bigIds = c.groups.filter(col("mult") > WithinSaltThreshold)
+      .select(col("rep_id"))
+    val B = 64L
+    val dmSmallG = dm.join(bigIds, Seq("rep_id"), "left_anti")
+    val dmBig = dm.join(bigIds, Seq("rep_id"), "left_semi")
+      .withColumn("mbkt", pmod(xxhash64(col("doc_id")), lit(B)))
+    // One expansion join per pair side. LEFT + coalesce on the normal
+    // path: a pair whose side is a singleton misses the dup-member map
+    // and falls back to its own rep id. A side in a MEGA group (r10)
+    // would replicate every member under ONE join key (#pairs(rep) ×
+    // mult rows in one task — measured 134 s at zipf 3·10⁴, q37); such
+    // pairs instead explode to the B member buckets and join on
+    // (rep, bucket), spreading the fan-out B ways. The inner join is
+    // exact: each member lives in exactly one bucket, so the union over
+    // the pair's B exploded rows hits every member once (an empty
+    // bucket just contributes no rows).
+    def expandSide(stream: DataFrame, rep: String, out: String): DataFrame = {
+      val keys = bigIds.select(col("rep_id").as(rep))
+      val normal = stream.join(keys, Seq(rep), "left_anti")
+        .join(dmSmallG.select(col("rep_id").as(rep), col("doc_id").as(out)),
+          Seq(rep), "left")
+      val big = stream.join(keys, Seq(rep), "left_semi")
+        .withColumn("_sb", explode(sequence(lit(0L), lit(B - 1))))
+        .join(dmBig.select(col("rep_id").as(rep), col("mbkt").as("_sb"),
+          col("doc_id").as(out)), Seq(rep, "_sb"))
+        .drop("_sb")
+      normal.unionByName(big)
+    }
+    val cross = expandSide(expandSide(
+        toJoin.withColumnRenamed("doc_a", "rep_a")
+          .withColumnRenamed("doc_b", "rep_b"),
+        "rep_a", "xa"), "rep_b", "xb")
       // member ids are not ordered like their representatives' min ids
       .select(Seq(
         least(coalesce(col("xa"), col("rep_a")),
@@ -189,11 +231,43 @@ object DedupOps {
           coalesce(col("xb"), col("rep_b"))).as("doc_b")) ++ extras.map(col): _*)
     val em = dm.join(c.groups.filter(withinEligible).select(col("rep_id")),
       Seq("rep_id"), "left_semi")
-    val within = em.as("x").join(em.as("y"),
+    // MEGA-GROUP SALT (r10): a group of 10⁵ exact copies (boilerplate
+    // pages — real crawls have them) emits C(m,2) ≈ 5·10⁹ within pairs
+    // under ONE rep_id join key, and AQE's skew split never fires — the
+    // join's INPUT partition is tiny (m rows of two longs, far below the
+    // 256 MB threshold); the quadratic lives in the OUTPUT, which AQE
+    // can't see (measured: zipf mode at 10⁴ copies runs the whole
+    // expansion in one 2.5–4 s task while 15 cores idle, SCALING.md
+    // r10). Groups above the threshold take a bucket-pair self-join:
+    // members hash into B buckets, the left side explodes to every
+    // target bucket ≥ its own, and the join keys on (rep_id, bucket) —
+    // B keys per mega group, the largest carrying 2/(B+1) of the pairs.
+    // Each unordered pair {a,b} is emitted EXACTLY once: for bkt_a <
+    // bkt_b only a's explode reaches b's bucket; within a bucket the
+    // doc_id order keeps one side (the disjunction below). Groups at or
+    // below the threshold — every group in a non-pathological corpus —
+    // keep the old single-key plan (the anti/semi split is against a
+    // near-always-empty broadcast frame).
+    val emSmall = em.join(bigIds, Seq("rep_id"), "left_anti")
+    val emBig = em.join(bigIds, Seq("rep_id"), "left_semi")
+    val withinSmall = emSmall.as("x").join(emSmall.as("y"),
         col("x.rep_id") === col("y.rep_id")
           && col("x.doc_id") < col("y.doc_id"))
       .select(Seq(col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b")) ++ withinCols: _*)
+    val embk = emBig.withColumn("bkt",
+      pmod(xxhash64(col("doc_id")), lit(B)))
+    val withinBig = embk
+      .withColumn("tb", explode(sequence(col("bkt"), lit(B - 1))))
+      .as("x").join(embk.as("y"),
+        col("x.rep_id") === col("y.rep_id")
+          && col("x.tb") === col("y.bkt")
+          && (col("x.bkt") < col("y.bkt")
+            || col("x.doc_id") < col("y.doc_id")))
+      .select(Seq(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+        ++ withinCols: _*)
+    val within = withinSmall.union(withinBig)
     // name-checked union (r10, ADVICE): the branches used to union
     // POSITIONALLY, so a caller passing withinCols in a different order
     // than the pipeline's extras would silently mislabel columns.
@@ -261,6 +335,45 @@ object DedupOps {
     * input. */
   private[graft] def repPairsJaccard(c: Collapsed): DataFrame =
     verifiedCore(docSetsCore(repToks(c.reps)), positional = true)
+
+  // ------------------------------------------------------------------
+  // PerfAB-only variants (r10, VERDICT task 4) — price the collapse's
+  // 1× overhead and its internal fingerprint choice. Never declared.
+  // ------------------------------------------------------------------
+
+  /** An identity "collapse": every doc its own representative, one
+    * checkpoint of the normalized corpus (so the A/B prices the
+    * fingerprint aggregate + member-map join, not the materialization
+    * both forms share). The pre-r9 computation shape. */
+  private def identityCollapsed(s: SparkSession, dir: String): Collapsed = {
+    val nn = docsNorm(s, dir).filter(col("norm").isNotNull)
+      .localCheckpoint(true)
+    Collapsed(
+      reps = nn,
+      map = nn.select(col("doc_id"), col("doc_id").as("rep_id")),
+      groups = nn.select(col("doc_id").as("rep_id"), lit(1L).as("mult"),
+        size(split(col("norm"), " ")).cast("long").as("n_toks")))
+  }
+
+  /** A 128-bit two-seed xxhash64 fingerprint — the cheaper internal
+    * collapse-key candidate (integers, no hex string; md5 remains q34's
+    * DECLARED contract regardless). */
+  private def xxhPairCollapsed(s: SparkSession, dir: String): Collapsed =
+    collapseExactFp(docsNorm(s, dir),
+      struct(xxhash64(col("norm")), xxhash64(col("norm"), lit(1))))
+
+  private[graft] def q35Identity(s: SparkSession, dir: String): DataFrame =
+    jaccardCollapsed(identityCollapsed(s, dir))
+  private[graft] def q35Xxh(s: SparkSession, dir: String): DataFrame =
+    jaccardCollapsed(xxhPairCollapsed(s, dir))
+  private[graft] def q37Identity(s: SparkSession, dir: String): DataFrame = {
+    val c = identityCollapsed(s, dir)
+    expandRepPairs(repPairsSimhash(c), c, Seq(lit(0L).as("hamming")), lit(true))
+  }
+  private[graft] def q37Xxh(s: SparkSession, dir: String): DataFrame = {
+    val c = xxhPairCollapsed(s, dir)
+    expandRepPairs(repPairsSimhash(c), c, Seq(lit(0L).as("hamming")), lit(true))
+  }
 
   /** The q35 pipeline over an arbitrary `(doc_id, text)` frame — the
     * seam the ingest chunking contract ([[CurationOps.chunkDocs]]) plugs

@@ -129,6 +129,44 @@ class OperatorSpec extends SparkTestBase {
     assert(r.getLong(1) == DedupOps.q36MinhashLsh(spark, sfDir).count())
   }
 
+  test("mega-group within expansion is salted yet exact above the threshold") {
+    // r10: groups larger than WithinSaltThreshold take the bucket-pair
+    // self-join (the zipf mega-group fix); the salt must change the
+    // DISTRIBUTION only — pair set exactly C(m,2), each pair once,
+    // oriented doc_a < doc_b — while a small group on the same corpus
+    // rides the unsalted path
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val m = (operators.DedupOps.WithinSaltThreshold + 76).toInt
+    val mega = spark.range(0, m).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta").as("norm"))
+    val small = Seq(
+      (5000000L, "epsilon zeta eta theta"),
+      (5000001L, "epsilon zeta eta theta"),
+      (6000000L, "iota kappa lambda mu")).toDF("doc_id", "norm")
+    val c = operators.DedupOps.collapseExact(mega.unionByName(small))
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = operators.DedupOps.expandRepPairs(
+      noPairs, c, Seq.empty, col("n_toks") >= 3L)
+    val megaPairs = m.toLong * (m - 1) / 2
+    val n = out.count()
+    assert(n == megaPairs + 1, s"got $n, want ${megaPairs + 1}")
+    assert(out.distinct().count() == n, "duplicate pairs from the salt")
+    assert(out.filter(col("doc_a") >= col("doc_b")).count() == 0)
+    assert(out.filter(col("doc_b") < 5000000L).count() == megaPairs)
+    // the CROSS expansion of a rep pair touching the mega group is also
+    // salted (bucketed member join) and must stay exact: every (mega
+    // member, small member) combination exactly once
+    val repPair = Seq((0L, 5000000L)).toDF("doc_a", "doc_b")
+    val out2 = operators.DedupOps.expandRepPairs(
+      repPair, c, Seq.empty, col("n_toks") >= 3L)
+    val want2 = m.toLong * 2 + megaPairs + 1
+    assert(out2.count() == want2, s"got ${out2.count()}, want $want2")
+    assert(out2.distinct().count() == want2)
+    assert(out2.filter(col("doc_a") < 5000000L && col("doc_b") >= 5000000L)
+      .count() == m.toLong * 2)
+  }
+
   test("minhash-LSH candidates cover the true near-dup pairs") {
     val truth = DedupOps.q35NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()

@@ -106,6 +106,20 @@ class OracleFuzzSpec extends SparkTestBase {
       docs += ((base, "en", "web"))
       docs += ((base + " " + vocab(rnd.nextInt(vocab.size)), "en", "web"))
     }
+    // r10 (orientation seams): two exact-dup groups that are near-dups
+    // OF EACH OTHER — one rep pair expands through BOTH member maps —
+    // with copy ids STRADDLING the other group's block, so the
+    // expansion's least/greatest re-orientation, the both-sides-dup
+    // cross join path, and the within/cross union all land under the
+    // DuckDB diff (the unit parity spec covers this at mult 2-3;
+    // this is the 10-seed oracle-side coverage)
+    val gA = sent(25)
+    val gB = gA + " " + vocab(rnd.nextInt(vocab.size))
+    docs += ((gA, "en", "web"))
+    docs += ((gB, "en", "web"))
+    (1 to 3).foreach(_ => docs += ((gA, "en", "web")))
+    (1 to 2).foreach(_ => docs += ((gB, "en", "web")))
+    docs += ((gA, "en", "web"))
     // normal filler docs across langs/sources (nulls included)
     val langs = Vector("en", "fr", "zh", null)
     val sources = Vector("web", "books", "code", null)
