@@ -26,12 +26,13 @@ object PerfAB {
       ((s, d) => operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = false)),
     // r10: price the collapse's 1x overhead (q35/q37 regressed x1.58 /
     // x1.39 in r9 on the nothing-to-collapse bench corpus) and the
-    // internal fingerprint choice (md5 string vs two-seed xxhash64)
-    "q35_collapse_md5" -> ((s, d) => operators.DedupOps.q35NgramJaccard(s, d)),
-    "q35_collapse_xxh" -> ((s, d) => operators.DedupOps.q35Xxh(s, d)),
+    // internal fingerprint choice — the declared form rides the
+    // two-seed xxhash64 pair since r10; md5 is the A/B baseline
+    "q35_collapse_md5" -> ((s, d) => operators.DedupOps.q35Md5(s, d)),
+    "q35_collapse_xxh" -> ((s, d) => operators.DedupOps.q35NgramJaccard(s, d)),
     "q35_identity_nocollapse" -> ((s, d) => operators.DedupOps.q35Identity(s, d)),
-    "q37_collapse_md5" -> ((s, d) => operators.DedupOps.q37Simhash(s, d)),
-    "q37_collapse_xxh" -> ((s, d) => operators.DedupOps.q37Xxh(s, d)),
+    "q37_collapse_md5" -> ((s, d) => operators.DedupOps.q37Md5(s, d)),
+    "q37_collapse_xxh" -> ((s, d) => operators.DedupOps.q37Simhash(s, d)),
     "q37_identity_nocollapse" -> ((s, d) => operators.DedupOps.q37Identity(s, d)),
     // r10: the q52 declared reshape (exact side + certified boolean)
     // adds a q39 pass on top of the unchanged IVF pipeline

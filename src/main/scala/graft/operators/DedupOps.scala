@@ -92,13 +92,27 @@ object DedupOps {
     * them; the map is two longs per doc, the groups frame is the
     * DEDUPED corpus, both spill-capable MEMORY_AND_DISK blocks). */
   private[graft] def collapseExact(normed: DataFrame): Collapsed =
-    collapseExactFp(normed, md5(col("norm")))
+    collapseExactFp(normed, xxhashPairFp)
 
-  /** [[collapseExact]] with the fingerprint expression swappable — the
-    * INTERNAL collapse key never leaves any plan (q34 separately
-    * declares md5 as its contract), so a cheaper key is fair game;
-    * [[graft.PerfAB]] registers an xxhash64-pair variant against the
-    * md5 form to price the difference (r10, VERDICT task 4). */
+  /** The internal 128-bit collapse fingerprint: two INDEPENDENT-seed
+    * xxhash64 passes over the norm. The leading literal matters — it is
+    * hashed FIRST, so the second component hashes the norm under a
+    * different seed; chained the other way (`xxhash64(norm, lit(1))`)
+    * the literal mixes into the norm's own hash and the second
+    * component becomes a pure function of the first, silently dropping
+    * the pair to 64 effective bits (≈27k expected group collisions at
+    * 10¹² docs — vs ~n²/2¹²⁹ ≈ 0 for the true pair, the same class as
+    * md5's 128 bits). Switched from md5 in r10: integer hashing beats
+    * the hex-string digest by 5–18% at 1× ([[graft.PerfAB]]
+    * `q35/q37_collapse_md5` vs `_collapse_xxh`, SCALING.md r10). The
+    * key never leaves any plan — q34 separately DECLARES md5 as its
+    * own fingerprint contract and computes it itself. */
+  private[graft] val xxhashPairFp: Column =
+    struct(xxhash64(col("norm")), xxhash64(lit(1), col("norm")))
+
+  /** [[collapseExact]] with the fingerprint expression swappable —
+    * [[graft.PerfAB]] registers the md5 form against the declared
+    * xxhash64-pair to keep the r10 switch re-measurable. */
   private[graft] def collapseExactFp(normed: DataFrame,
       fp: Column): Collapsed = {
     val fped = normed.filter(col("norm").isNotNull)
@@ -355,23 +369,21 @@ object DedupOps {
         size(split(col("norm"), " ")).cast("long").as("n_toks")))
   }
 
-  /** A 128-bit two-seed xxhash64 fingerprint — the cheaper internal
-    * collapse-key candidate (integers, no hex string; md5 remains q34's
-    * DECLARED contract regardless). */
-  private def xxhPairCollapsed(s: SparkSession, dir: String): Collapsed =
-    collapseExactFp(docsNorm(s, dir),
-      struct(xxhash64(col("norm")), xxhash64(col("norm"), lit(1))))
+  /** The pre-r10 md5 internal collapse key — kept as the A/B baseline
+    * for the fingerprint switch. */
+  private def md5Collapsed(s: SparkSession, dir: String): Collapsed =
+    collapseExactFp(docsNorm(s, dir), md5(col("norm")))
 
   private[graft] def q35Identity(s: SparkSession, dir: String): DataFrame =
     jaccardCollapsed(identityCollapsed(s, dir))
-  private[graft] def q35Xxh(s: SparkSession, dir: String): DataFrame =
-    jaccardCollapsed(xxhPairCollapsed(s, dir))
+  private[graft] def q35Md5(s: SparkSession, dir: String): DataFrame =
+    jaccardCollapsed(md5Collapsed(s, dir))
   private[graft] def q37Identity(s: SparkSession, dir: String): DataFrame = {
     val c = identityCollapsed(s, dir)
     expandRepPairs(repPairsSimhash(c), c, Seq(lit(0L).as("hamming")), lit(true))
   }
-  private[graft] def q37Xxh(s: SparkSession, dir: String): DataFrame = {
-    val c = xxhPairCollapsed(s, dir)
+  private[graft] def q37Md5(s: SparkSession, dir: String): DataFrame = {
+    val c = md5Collapsed(s, dir)
     expandRepPairs(repPairsSimhash(c), c, Seq(lit(0L).as("hamming")), lit(true))
   }
 
