@@ -165,6 +165,12 @@ class OperatorSpec extends SparkTestBase {
     assert(out2.distinct().count() == want2)
     assert(out2.filter(col("doc_a") < 5000000L && col("doc_b") >= 5000000L)
       .count() == m.toLong * 2)
+    // plan witness: the big-group paths actually run the bucketed form
+    // (an explode of the bucket sequence feeding the join keys) — the
+    // distribution claim, visible in the plan, not just the counts
+    val plan = out2.queryExecution.optimizedPlan.toString
+    assert(plan.contains("sequence(") && plan.contains("explode"),
+      "salted expansion shape missing from the plan")
   }
 
   test("minhash-LSH candidates cover the true near-dup pairs") {
