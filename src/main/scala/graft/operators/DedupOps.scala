@@ -201,16 +201,21 @@ object DedupOps {
           repPairs.filter(col("mult_a") > 1L || col("mult_b") > 1L)
             .select((Seq("doc_a", "doc_b") ++ extras).map(col): _*))
       else (None, repPairs)
-    // Groups above the salt threshold get their expansion joins spread
-    // over hash buckets (see the MEGA-GROUP SALT comment below); bigIds
-    // is empty on any non-pathological corpus, so the anti/semi splits
-    // below are broadcasts against an empty frame.
+    // ADAPTIVE SALT BRANCH (r10): whether ANY group exceeds the salt
+    // threshold is decided at build time with one limit(1) probe of the
+    // already-materialized groups frame (class-#8-allowlisted alongside
+    // the collapse checkpoints it reads). On a normal corpus the probe
+    // is false and the plan below is EXACTLY the unsalted r9 shape —
+    // planning the salted form unconditionally cost +8–49% across the
+    // expansion-consuming dedup family at 1× (six dead joins against
+    // empty broadcasts, re-planned in every CC round; bench_full_r10
+    // first run). A 100 TB job pays one in-memory scan of the deduped
+    // group table to buy the skew-proof plan only when it's needed.
+    val anyBig = !c.groups.filter(col("mult") > WithinSaltThreshold)
+      .limit(1).isEmpty
     val bigIds = c.groups.filter(col("mult") > WithinSaltThreshold)
       .select(col("rep_id"))
     val B = 64L
-    val dmSmallG = dm.join(bigIds, Seq("rep_id"), "left_anti")
-    val dmBig = dm.join(bigIds, Seq("rep_id"), "left_semi")
-      .withColumn("mbkt", pmod(xxhash64(col("doc_id")), lit(B)))
     // One expansion join per pair side. LEFT + coalesce on the normal
     // path: a pair whose side is a singleton misses the dup-member map
     // and falls back to its own rep id. A side in a MEGA group (r10)
@@ -221,18 +226,25 @@ object DedupOps {
     // exact: each member lives in exactly one bucket, so the union over
     // the pair's B exploded rows hits every member once (an empty
     // bucket just contributes no rows).
-    def expandSide(stream: DataFrame, rep: String, out: String): DataFrame = {
-      val keys = bigIds.select(col("rep_id").as(rep))
-      val normal = stream.join(keys, Seq(rep), "left_anti")
-        .join(dmSmallG.select(col("rep_id").as(rep), col("doc_id").as(out)),
+    def expandSide(stream: DataFrame, rep: String, out: String): DataFrame =
+      if (!anyBig)
+        stream.join(dm.select(col("rep_id").as(rep), col("doc_id").as(out)),
           Seq(rep), "left")
-      val big = stream.join(keys, Seq(rep), "left_semi")
-        .withColumn("_sb", explode(sequence(lit(0L), lit(B - 1))))
-        .join(dmBig.select(col("rep_id").as(rep), col("mbkt").as("_sb"),
-          col("doc_id").as(out)), Seq(rep, "_sb"))
-        .drop("_sb")
-      normal.unionByName(big)
-    }
+      else {
+        val dmSmallG = dm.join(bigIds, Seq("rep_id"), "left_anti")
+        val dmBig = dm.join(bigIds, Seq("rep_id"), "left_semi")
+          .withColumn("mbkt", pmod(xxhash64(col("doc_id")), lit(B)))
+        val keys = bigIds.select(col("rep_id").as(rep))
+        val normal = stream.join(keys, Seq(rep), "left_anti")
+          .join(dmSmallG.select(col("rep_id").as(rep), col("doc_id").as(out)),
+            Seq(rep), "left")
+        val big = stream.join(keys, Seq(rep), "left_semi")
+          .withColumn("_sb", explode(sequence(lit(0L), lit(B - 1))))
+          .join(dmBig.select(col("rep_id").as(rep), col("mbkt").as("_sb"),
+            col("doc_id").as(out)), Seq(rep, "_sb"))
+          .drop("_sb")
+        normal.unionByName(big)
+      }
     val cross = expandSide(expandSide(
         toJoin.withColumnRenamed("doc_a", "rep_a")
           .withColumnRenamed("doc_b", "rep_b"),
@@ -260,28 +272,36 @@ object DedupOps {
     // bkt_b only a's explode reaches b's bucket; within a bucket the
     // doc_id order keeps one side (the disjunction below). Groups at or
     // below the threshold — every group in a non-pathological corpus —
-    // keep the old single-key plan (the anti/semi split is against a
-    // near-always-empty broadcast frame).
-    val emSmall = em.join(bigIds, Seq("rep_id"), "left_anti")
-    val emBig = em.join(bigIds, Seq("rep_id"), "left_semi")
-    val withinSmall = emSmall.as("x").join(emSmall.as("y"),
-        col("x.rep_id") === col("y.rep_id")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(Seq(col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b")) ++ withinCols: _*)
-    val embk = emBig.withColumn("bkt",
-      pmod(xxhash64(col("doc_id")), lit(B)))
-    val withinBig = embk
-      .withColumn("tb", explode(sequence(col("bkt"), lit(B - 1))))
-      .as("x").join(embk.as("y"),
-        col("x.rep_id") === col("y.rep_id")
-          && col("x.tb") === col("y.bkt")
-          && (col("x.bkt") < col("y.bkt")
-            || col("x.doc_id") < col("y.doc_id")))
-      .select(Seq(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
-        ++ withinCols: _*)
-    val within = withinSmall.union(withinBig)
+    // keep the old single-key plan (chosen at build time by the anyBig
+    // probe above).
+    val within = if (!anyBig)
+      em.as("x").join(em.as("y"),
+          col("x.rep_id") === col("y.rep_id")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(Seq(col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b")) ++ withinCols: _*)
+    else {
+      val emSmall = em.join(bigIds, Seq("rep_id"), "left_anti")
+      val emBig = em.join(bigIds, Seq("rep_id"), "left_semi")
+      val withinSmall = emSmall.as("x").join(emSmall.as("y"),
+          col("x.rep_id") === col("y.rep_id")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(Seq(col("x.doc_id").as("doc_a"),
+          col("y.doc_id").as("doc_b")) ++ withinCols: _*)
+      val embk = emBig.withColumn("bkt",
+        pmod(xxhash64(col("doc_id")), lit(B)))
+      val withinBig = embk
+        .withColumn("tb", explode(sequence(col("bkt"), lit(B - 1))))
+        .as("x").join(embk.as("y"),
+          col("x.rep_id") === col("y.rep_id")
+            && col("x.tb") === col("y.bkt")
+            && (col("x.bkt") < col("y.bkt")
+              || col("x.doc_id") < col("y.doc_id")))
+        .select(Seq(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+          greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          ++ withinCols: _*)
+      withinSmall.union(withinBig)
+    }
     // name-checked union (r10, ADVICE): the branches used to union
     // POSITIONALLY, so a caller passing withinCols in a different order
     // than the pipeline's extras would silently mislabel columns.
