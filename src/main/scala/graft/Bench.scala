@@ -132,9 +132,15 @@ object Bench {
     // must be attributed by an ISOLATED graft.PerfAB run
     // ("needs-perfab") — never by suite-to-suite bisection.
     // SPARK_GRAFT_BENCH_PREV overrides the reference file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    val outName = new java.io.File(outPath).getName
     val prevPath = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+      // exclude this run's own output file: a re-run inside the same
+      // round must still diff against the last COMMITTED round, not
+      // against its own first attempt
       Option(new java.io.File(".").listFiles()).flatMap(
-        _.filter(_.getName.matches("bench_full_r\\d+\\.json"))
+        _.filter(f => f.getName.matches("bench_full_r\\d+\\.json") &&
+            f.getName != outName)
           .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
           .lastOption.map(_.getPath))
     }
@@ -163,7 +169,6 @@ object Bench {
     // line, losing most per-query medians; persist the full JSON in the
     // repo so round-over-round comparison keeps the whole suite
     // (overridable for ad-hoc runs via SPARK_GRAFT_BENCH_OUT)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
