@@ -175,6 +175,19 @@ object DedupOps {
     * spreading. */
   private[graft] val WithinSaltThreshold = 1024L
 
+  /** Dup-member count above which the corpus-dense (hasMults) pair
+    * stream gets its expansion-join parallelism pinned. The pin is one
+    * full shuffle of the pair stream, so it must only fire when the
+    * expansion will actually multiply rows: ≥10k docs sitting in
+    * exact-dup groups means real duplication (the shared-vocab regime
+    * measured 50k members → ×100 fan-out), while a near-dup-only corpus
+    * (16 members at sf0.1) keeps the shuffle-free plan. NOTE the
+    * coalesced-width blindness exists in BOTH join regimes: when the
+    * member map broadcasts, the BHJ fans out map-side over the
+    * UPSTREAM's AQE-coalesced partitions — the pin fixes the width
+    * regardless of strategy. */
+  private[graft] val FanoutPinThreshold = 10000L
+
   private[graft] def expandRepPairs(repPairs: DataFrame, c: Collapsed,
       withinCols: Seq[Column], withinEligible: Column): DataFrame = {
     val mults = Set("mult_a", "mult_b")
@@ -194,13 +207,37 @@ object DedupOps {
     // columns (q35/q36 — small verified/banded pair sets) take the join
     // path for every pair; their streams are near-dup-sized, not
     // corpus-dense.
-    val (direct, toJoin): (Option[DataFrame], DataFrame) =
+    val (direct, toJoin0): (Option[DataFrame], DataFrame) =
       if (hasMults)
         (Some(repPairs.filter(col("mult_a") === 1L && col("mult_b") === 1L)
           .select((Seq("doc_a", "doc_b") ++ extras).map(col): _*)),
           repPairs.filter(col("mult_a") > 1L || col("mult_b") > 1L)
             .select((Seq("doc_a", "doc_b") ++ extras).map(col): _*))
       else (None, repPairs)
+    // FAN-OUT PARALLELISM PIN (r10): AQE sizes shuffle partitions by
+    // INPUT bytes, but each expansion row emits mult_a·mult_b outputs —
+    // at shared-vocab 10× the 33M-pair stream fit TWO advisory-sized
+    // partitions while generating the full 335M-row output (measured:
+    // the whole expansion ran in 2 tasks on 32 cores, max-task ≈ wall;
+    // q37 shared-vocab ×14–16 wall in r8–r9 was mostly THIS, not
+    // intrinsic output volume — ×2.2 with the pin). An explicit
+    // repartition on the first join's key is exempt from AQE coalescing
+    // (REPARTITION_BY_NUM) and the SMJ reuses its partitioning, so
+    // output generation spreads across the cluster. Conditioned on a
+    // dup-member-count probe of the materialized groups frame: on a
+    // corpus with no real exact duplication the expansion multiplies
+    // nothing, and the pin's forced shuffle of the pair stream is pure
+    // cost (measured q37 +80% at 1× on the near-dup-only bench corpus,
+    // 16 dup members) — see [[FanoutPinThreshold]].
+    val dupMembers: Long =
+      if (!hasMults) 0L
+      else Option(c.groups.filter(col("mult") >= 2L)
+        .agg(sum(col("mult"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val toJoin = if (hasMults && dupMembers > FanoutPinThreshold)
+      toJoin0.repartition(
+        repPairs.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
+    else toJoin0
     // ADAPTIVE SALT BRANCH (r10): whether ANY group exceeds the salt
     // threshold is decided at build time with one limit(1) probe of the
     // already-materialized groups frame (class-#8-allowlisted alongside
@@ -292,6 +329,12 @@ object DedupOps {
         pmod(xxhash64(col("doc_id")), lit(B)))
       val withinBig = embk
         .withColumn("tb", explode(sequence(col("bkt"), lit(B - 1))))
+        // same AQE output-blindness as the cross fan-out: the exploded
+        // member stream is tiny in bytes but each (rep, bucket) key
+        // emits ~C(m,2)·2(j+1)/(B(B+1)) pairs — pin the join's
+        // parallelism so the mega group's output streams at full width
+        .repartition(emBig.sparkSession.sparkContext.defaultParallelism,
+          col("rep_id"), col("tb"))
         .as("x").join(embk.as("y"),
           col("x.rep_id") === col("y.rep_id")
             && col("x.tb") === col("y.bkt")
