@@ -36,7 +36,43 @@ object PerfAB {
     "q37_identity_nocollapse" -> ((s, d) => operators.DedupOps.q37Identity(s, d)),
     // r10: the q52 declared reshape (exact side + certified boolean)
     // adds a q39 pass on top of the unchanged IVF pipeline
-    "q52_declared_r10" -> ((s, d) => operators.SimilarityOps.q52KnnIvf(s, d)))
+    "q52_declared_r10" -> ((s, d) => operators.SimilarityOps.q52KnnIvf(s, d)),
+    // r10: triangle orientation — the adaptive declared form (probes
+    // max single-key wedge output, picks id- or degree-ordering), the
+    // forced degree branch, and the r1-r10 unconditional id form, on
+    // the real q36 graph and on synthetic hubs (star + ring with the
+    // hub id in the middle: id-ordering parks (n/2)² wedges on the
+    // hub's single join key). sfDir is ignored by the hub pairs.
+    "q83_adaptive" -> ((s, d) => operators.DedupOps.q83Triangles(s, d)),
+    "q83_deg_forced" -> ((s, d) => operators.DedupOps.trianglesAdaptive(
+      operators.DedupOps.q36MinhashLsh(s, d), 1L)),
+    "q83_id_oriented" -> ((s, d) =>
+      operators.DedupOps.trianglesIdOriented(operators.DedupOps.q36MinhashLsh(s, d))),
+    "tri_hub_deg" -> ((s, _) => operators.DedupOps.triangles(hubGraph(s))),
+    "tri_hub_id" -> ((s, _) => operators.DedupOps.trianglesIdOriented(hubGraph(s))),
+    // the regime the adaptive dispatch exists for: a 40001-node hub
+    // parks 4x10^8 wedges on ONE id-ordered join key
+    "tri_hub40k_deg" -> ((s, _) => operators.DedupOps.triangles(hubGraph(s, 40001L))),
+    "tri_hub40k_id" -> ((s, _) =>
+      operators.DedupOps.trianglesIdOriented(hubGraph(s, 40001L))))
+
+  /** Star hub with ids on BOTH sides (node N/2 joined to every other
+    * node) plus a ring for graph body — the id-ordered wedge stage's
+    * worst case: the hub key receives (N/2)² wedge rows from KBs of
+    * input, below every AQE skew threshold. */
+  private def hubGraph(s: SparkSession, n: Long = 8001L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hub = n / 2
+    val ids = s.range(0, n).select(col("id"))
+    val star = ids.filter(col("id") =!= hub).select(
+      least(col("id"), lit(hub)).as("doc_a"),
+      greatest(col("id"), lit(hub)).as("doc_b"))
+    val ring = ids.filter(col("id") < n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      // ring edges touching the hub already exist in the star
+      .filter(col("doc_a") =!= hub && col("doc_b") =!= hub)
+    star.union(ring)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

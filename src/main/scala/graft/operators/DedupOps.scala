@@ -1070,21 +1070,106 @@ object DedupOps {
        |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin
 
   /** Triangle counts over an ORIENTED edge list (`doc_a < doc_b`), rooted
-    * at each triangle's minimum vertex — the standard distributed
-    * node-iterator enumeration: e1(a,b)⋈e2(b,c)⋈e3(a,c) emits every
-    * triangle exactly once, with no per-vertex neighbor materialization.
-    * Two shuffles on vertex ids; high-degree hubs are ordinary join skew
-    * (AQE splits). The edge list is checkpointed once — three join sides
-    * would otherwise re-run the edge pipeline three times.
+    * at each triangle's minimum-ID vertex. Two enumeration branches,
+    * dispatched by a skew probe: the naive id-ordered
+    * e1(a,b)⋈e2(b,c)⋈e3(a,c) node-iterator, and DEGREE-ORDERED
+    * enumeration (Suri & Vassilvitskii, "Counting Triangles and the
+    * Curse of the Last Reducer", WWW 2011): re-orient every edge from
+    * its lower-(degree, id) endpoint to the higher, enumerate wedges as
+    * out-neighbor pairs of the LOW-degree endpoint, then close each
+    * wedge against the canonical edge list. The triangle set (and the
+    * min-id rooting of the output) is identical in both — what changes
+    * is WHERE the wedge volume lands.
     *
-    * Run it on a SPARSE verified graph: the wedge stage is
-    * Σ_v deg(v)², so clique-shaped inputs (e.g. the raw simhash band
-    * graph, whose 16-bit keys collapse this corpus into huge
-    * near-cliques: 3.3M edges / 218 s at sf0.1) are quadratic by
-    * construction — the Jaccard-VERIFIED q36 graph is the right input,
-    * as for q64. */
-  def triangles(edges: DataFrame): DataFrame = {
+    * Why not id-ordering always (the r1–r10 form, kept as
+    * [[trianglesIdOriented]]): a degree-d hub with ids on both sides
+    * emits in(hub)·out(hub) ≈ d²/4 wedge rows under ONE join key, and
+    * AQE cannot split it — skew handling sizes partitions by INPUT
+    * bytes (a hub's d edge rows are KBs) and is blind to join fan-out,
+    * the exact q37-expansion blindness SCALING.md r10 measured. One
+    * task then generates the whole wedge stream while the rest of the
+    * cluster idles. Degree-ordering bounds every node's out-degree by
+    * O(√E) on bounded-arboricity graphs (a star hub emits ZERO wedges:
+    * all its edges point IN), so total wedge work is the theoretical
+    * O(E^1.5) and no single key carries a quadratic share.
+    *
+    * Why not degree-ordering always: it prices a degree aggregate plus
+    * two degree joins onto EVERY call, measured +17% on the hub-free
+    * q36 graph at sf0.1 (PerfAB q83 pair) — the q37 fan-out-pin lesson
+    * again: an unconditional skew defense is pure cost on the corpora
+    * that don't need it. So the dispatch is ADAPTIVE, the repo's
+    * standing idiom: one probe aggregate over the already-checkpointed
+    * edge list computes the id-ordered plan's worst single-key wedge
+    * output max_b in(b)·out(b); below [[IdWedgeThreshold]] the probe
+    * says no task can stall and the cheap id-ordered form runs, above
+    * it the degree-ordered form spreads the hub. Both enumerate the
+    * SAME rooted counts (spec-asserted on star and K4 graphs, corpus-
+    * asserted in OperatorSpec), so the dispatch is invisible to the
+    * oracle.
+    *
+    * Run it on a SPARSE verified graph: clique-shaped inputs (e.g. the
+    * raw simhash band graph, whose 16-bit keys collapse this corpus
+    * into huge near-cliques: 3.3M edges / 218 s at sf0.1) are quadratic
+    * in the TRIANGLE OUTPUT itself — the Jaccard-VERIFIED q36 graph is
+    * the right input, as for q64. */
+  def triangles(edges: DataFrame): DataFrame =
+    trianglesAdaptive(edges, IdWedgeThreshold)
+
+  /** Largest single-key wedge output the id-ordered plan is allowed
+    * before [[triangles]] switches to degree-ordering. 2²⁴ ≈ 16.7M:
+    * the hub-8001 PerfAB pair (16M wedges on the hub key) measured NO
+    * wall separation at local[32] — one task emitting 16M narrow rows
+    * is ~1 s of work — while the hub-40001 pair (4×10⁸ on one key) is
+    * the minutes-vs-seconds regime the switch exists for. */
+  private[graft] val IdWedgeThreshold = 1L << 24
+
+  private[graft] def trianglesAdaptive(edges: DataFrame,
+      threshold: Long): DataFrame = {
     val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // probe: the id-ordered wedge stage joins in-edges (doc_b = b) to
+    // out-edges (doc_a = b), so its largest single-key output is
+    // max_b in(b)·out(b). Two node-count-sized aggregates over the
+    // checkpointed edges; double math so a pathological hub can't wrap
+    // the comparison negative.
+    val mw = e.groupBy(col("doc_b").as("v")).agg(count(lit(1)).as("i"))
+      .join(e.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("o")), Seq("v"))
+      .agg(max(col("i").cast("double") * col("o")).as("mw")).head()
+    val maxWedge = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
+    val out =
+      (if (maxWedge <= threshold.toDouble) idOrientedCounts(e)
+       else degreeOrientedCounts(e))
+        .localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
+    out
+  }
+
+  /** Degree-ordered enumeration over an already-checkpointed canonical
+    * edge list — the hub-safe branch of [[triangles]]. */
+  private[graft] def degreeOrientedCounts(e: DataFrame): DataFrame = {
+    // Checkpointed: the self-join below consumes the oriented frame
+    // twice, and the two degree joins should run once, not per side.
+    val oriented = degreeOriented(e).localCheckpoint(true)
+    // wedges = ordered out-neighbor pairs of u; (deg, id) is a strict
+    // total order (ids are unique), so each unordered pair appears once
+    val wedges = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+      .join(oriented.select(col("u"), col("w").as("y"), col("dw").as("dy")),
+        Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val out = wedges.join(e,
+        least(col("x"), col("y")) === col("doc_a") &&
+          greatest(col("x"), col("y")) === col("doc_b"))
+      .groupBy(least(col("u"), col("x"), col("y")).as("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(oriented)
+    out
+  }
+
+  /** Id-ordered enumeration over an already-checkpointed canonical edge
+    * list — the cheap branch of [[triangles]]: no degree pass, wedges
+    * rooted directly at each triangle's min id. */
+  private def idOrientedCounts(e: DataFrame): DataFrame = {
     val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val e2 = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
     val e3 = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
@@ -1093,6 +1178,35 @@ object DedupOps {
       .groupBy(col("a").as("doc_id"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Re-orient an id-ordered edge list `(doc_a, doc_b)` from the
+    * lower-(degree, id) endpoint `u` to the higher `w`, carrying `w`'s
+    * degree as `dw` (the wedge stage's ordering key). (deg, id) is a
+    * strict total order because ids are unique. Lazy — [[triangles]]
+    * checkpoints the result; the hub-skew spec reads out-degree
+    * distributions off it directly. */
+  private[graft] def degreeOriented(e: DataFrame): DataFrame = {
+    // undirected degree per node (each pair row touches two nodes)
+    val deg = e.select(col("doc_a").as("v"))
+      .union(e.select(col("doc_b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("dv"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    e.join(deg.select(col("v").as("doc_a"), col("dv").as("da")), Seq("doc_a"))
+      .join(deg.select(col("v").as("doc_b"), col("dv").as("db")), Seq("doc_b"))
+      .select(
+        when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("u"),
+        when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("w"),
+        when(aFirst, col("db")).otherwise(col("da")).as("dw"))
+  }
+
+  /** The r1–r10 unconditional id-ordered form — kept ONLY as the
+    * PerfAB baseline and the hub-skew witness for [[triangles]]'
+    * scaladoc (a min-id-rooted wedge stage parks a hub's d²/4 pairs on
+    * one join key, no probe, no escape). Never declared. */
+  private[graft] def trianglesIdOriented(edges: DataFrame): DataFrame =
+    idOrientedCounts(
+      edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true))
 
   def q83Triangles(s: SparkSession, dir: String): DataFrame =
     triangles(q36MinhashLsh(s, dir))

@@ -139,6 +139,56 @@ class EdgeCaseSpec extends SparkTestBase {
     val got = operators.DedupOps.triangles(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 1L), got)
+    // the degree-ordered branch roots at the same min-id vertices
+    val deg = operators.DedupOps.trianglesAdaptive(edges, 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg == Map(1L -> 3L, 2L -> 1L), deg)
+  }
+
+  test("degree-ordered triangles: hub emits no single-key wedge pile; parity with id-ordering") {
+    import org.apache.spark.sql.functions._
+    // star over 401 nodes with the hub's id in the MIDDLE (ids on both
+    // sides) plus a ring: the id-ordered wedge join parks in(hub)x
+    // out(hub) = 200x200 = 40,000 wedge rows on the hub's single join
+    // key — from ~400 edge rows of input, far below any AQE skew
+    // threshold (the q37 fan-out blindness, SCALING.md r10). Degree
+    // orientation points every star edge INTO the hub, so the hub's
+    // out-degree is 0 and the largest per-key wedge count is C(3,2)=3.
+    val n = 401L
+    val hub = n / 2
+    val ids = spark.range(0, n).select(col("id"))
+    val star = ids.filter(col("id") =!= hub).select(
+      least(col("id"), lit(hub)).as("doc_a"),
+      greatest(col("id"), lit(hub)).as("doc_b"))
+    val ring = ids.filter(col("id") < n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+      .filter(col("doc_a") =!= hub && col("doc_b") =!= hub)
+    val e = star.union(ring)
+    // id-ordered wedge volume per join key b: in(b) x out(b)
+    val idWedges = e.groupBy(col("doc_b").as("v")).agg(count(lit(1)).as("i"))
+      .join(e.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("o")), Seq("v"))
+      .select(col("v"), (col("i") * col("o")).as("wedges"))
+      .orderBy(desc("wedges")).head()
+    assert(idWedges.getLong(0) == hub && idWedges.getLong(1) == (hub * (n - 1 - hub)),
+      s"id-ordering should park ${hub * (n - 1 - hub)} wedges on the hub key, got $idWedges")
+    // degree-ordered wedge volume per join key u: C(outdeg(u), 2)
+    val degWedges = operators.DedupOps.degreeOriented(e)
+      .groupBy(col("u")).agg(count(lit(1)).as("d"))
+      .select(max(col("d") * (col("d") - 1) / 2).as("w")).head().getLong(0)
+    assert(degWedges <= 3L,
+      s"degree-ordering must spread the hub's wedges (max per-key = $degWedges)")
+    // and the enumerated triangles are IDENTICAL through every path:
+    // the dispatcher (40,000 probe wedges <= 2^24 -> id branch), the
+    // degree branch forced via threshold 1, and the r1-r10 baseline.
+    // The ring closes star wedges into triangles (hub, i, i+1).
+    val a = operators.DedupOps.triangles(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = operators.DedupOps.trianglesAdaptive(e, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c = operators.DedupOps.trianglesIdOriented(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && b == c && a.nonEmpty,
+      s"parity: ${a.size} / ${b.size} / ${c.size} rooted counts")
   }
 
   test("chunkTokens boundary sizes: exact window, window+1, single token, empty text") {

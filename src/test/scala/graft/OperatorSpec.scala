@@ -173,6 +173,22 @@ class OperatorSpec extends SparkTestBase {
       "salted expansion shape missing from the plan")
   }
 
+  test("triangle orientation branches agree on the real near-dup graph") {
+    // r10: q83's adaptive dispatch (id-ordered below the wedge
+    // threshold, degree-ordered above) must be invisible on the corpus
+    // the declared query actually runs on — same rooted counts from
+    // the dispatcher, the forced degree branch, and the r1-r10 form
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = DedupOps.q36MinhashLsh(spark, sfDir)
+    val dispatched = m(DedupOps.triangles(g))
+    val degForced = m(DedupOps.trianglesAdaptive(g, 1L))
+    val idBaseline = m(DedupOps.trianglesIdOriented(g))
+    assert(dispatched == idBaseline && degForced == idBaseline
+        && idBaseline.nonEmpty,
+      s"sizes: ${dispatched.size} / ${degForced.size} / ${idBaseline.size}")
+  }
+
   test("minhash-LSH candidates cover the true near-dup pairs") {
     val truth = DedupOps.q35NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()

@@ -87,7 +87,7 @@ class ScaleLintSpec extends SparkTestBase {
       "q89_leakfree_split" -> cc, "q146_cluster_sizes" -> cc,
       "q101_pagerank" -> "3 fixed PageRank rounds over a checkpointed edge frame + one scalar node count for the rank unit",
       "q169_kcore" -> "fixed-round k-core peel over a localCheckpoint'd shrinking edge list",
-      "q83_triangles" -> "canonical edge list checkpointed once before the two-hop join",
+      "q83_triangles" -> "adaptive orientation dispatch: edge list checkpointed once + one wedge-skew probe aggregate; counts materialized, pins released before return",
       "q161_power_iteration" -> "fixed power-iteration rounds over the collected 64x64 covariance (2^12 entries, dimension-bounded)",
       "q166_mmr_rerank" -> "greedy MMR selection over a collected probe-bounded candidate set (<= probes x 20 rows)",
       "q177_greedy_cover" -> "greedy set cover: k rounds, each collecting only the 1-row argmax, over a checkpointed source-gram frame",
