@@ -48,6 +48,27 @@ object PerfAB {
       operators.DedupOps.q36MinhashLsh(s, d), 1L)),
     "q83_id_oriented" -> ((s, d) =>
       operators.DedupOps.trianglesIdOriented(operators.DedupOps.q36MinhashLsh(s, d))),
+    // r10: q70 contamination joined the collapsed family — raw gram
+    // join (the r1-r10 form) vs collapse + role-aware expansion
+    "q70_raw" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val isBench = pmod(graft.functions.TextFns.hash60(concat(lit("bench:"),
+        col("doc_id").cast("string"))), lit(100)) < 5
+      operators.CurationOps.contaminationPairs(
+        Tables.documents(s, d), Tables.documents(s, d).filter(isBench))
+    }),
+    "q70_collapsed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val isBench = pmod(graft.functions.TextFns.hash60(concat(lit("bench:"),
+        col("doc_id").cast("string"))), lit(100)) < 5
+      operators.CurationOps.contaminationCollapsed(
+        Tables.widen(Tables.documents(s, d), col("doc_id"))
+          .select(col("doc_id"),
+            graft.functions.TextFns.normText(col("text")).as("norm")),
+        isBench)
+    }),
+    // the declared form: one HLL dup-mass probe picks raw or collapsed
+    "q70_auto" -> ((s, d) => operators.CurationOps.q70Contamination(s, d)),
     "tri_hub_deg" -> ((s, _) => operators.DedupOps.triangles(hubGraph(s))),
     "tri_hub_id" -> ((s, _) => operators.DedupOps.trianglesIdOriented(hubGraph(s))),
     // the regime the adaptive dispatch exists for: a 40001-node hub

@@ -220,11 +220,18 @@ object CurationOps {
     * O(corpus) → executor OOM. Now there are NO lists anywhere: the probe
     * shingle stream shuffle-JOINS the bench shingle stream on the gram
     * hash (the oracle's own formulation). Task memory stays O(1) — a hot
-    * gram is join-output volume, not buffer growth — and a skewed gram
-    * key is exactly what AQE's skew-join split handles (it splits JOIN
-    * partitions; it cannot split aggregation buffers). The bench filter
+    * gram is join-output volume, not buffer growth. The bench filter
     * sits BELOW the tokenizer, so only the ~5% bench subset is tokenized
-    * a second time — the join costs 1.05 corpus passes, not 2. */
+    * a second time — the join costs 1.05 corpus passes, not 2.
+    *
+    * Skew note (r10): AQE's skew-join split keys off INPUT partition
+    * bytes, so it covers hot grams whose cost is proportional to their
+    * input rows — NOT the copy×copy fan-out a duplicated document
+    * injects (10⁴ copies of one page put every one of its grams in 10⁴
+    * corpus rows × ~500 bench rows, all generated by whichever single
+    * task owns the gram's partition). The DECLARED q70 therefore runs
+    * [[contaminationCollapsed]]; this raw form remains the generic
+    * two-frame entry point and the collapsed form's parity baseline. */
   /** Generic form: contamination pairs between a corpus and a benchmark
     * frame (both `(doc_id, text)`; bench doc ids are reported as
     * `bench_id`). */
@@ -249,9 +256,184 @@ object CurationOps {
   def q70Contamination(s: SparkSession, dir: String): DataFrame = {
     val isBench = pmod(hash60(concat(lit("bench:"),
       col("doc_id").cast("string"))), lit(100)) < 5
-    contaminationPairs(
-      Tables.documents(s, dir),
-      Tables.documents(s, dir).filter(isBench))
+    contaminationAuto(
+      Tables.widen(Tables.documents(s, dir), col("doc_id"))
+        .select(col("doc_id"), normText(col("text")).as("norm")),
+      isBench)
+  }
+
+  /** Adaptive dispatch between the raw gram join and
+    * [[contaminationCollapsed]] — the q37-pin/q83-orientation idiom:
+    * the collapse prices two corpus checkpoints plus expansion probes
+    * onto every call (measured ×2.4 at sf0.1 on the near-dup-only
+    * bench corpus, PerfAB q70 pair), which is pure cost unless real
+    * exact duplication exists for it to neutralize. One HLL pass
+    * compares the content-fingerprint cardinality to the row count;
+    * below [[DedupOps.FanoutPinThreshold]] dup members (the expansion
+    * pin's own "real duplication" bar) the raw join runs — its hot-gram
+    * exposure is then bounded by content diversity, not copy count —
+    * and above it the collapsed form runs (measured ×2.8 at zipf 3·10⁴
+    * and growing quadratically for raw vs linearly for collapsed,
+    * SCALING.md r10). The HLL's error can only overestimate dup mass
+    * by ~5% of distinct contents, so a dup-free corpus stays raw at
+    * any tested scale, and a massive corpus errs toward the
+    * skew-proof plan — the safe direction. Both paths emit identical
+    * rows (spec parity on all expansion branches; raw is the
+    * oracle-gated form, so parity transitively oracle-checks the
+    * collapsed one).
+    *
+    * Probe precision: rsd 0.05, NOT tighter — HLL register count
+    * drives the per-row update cost, measured 0.30 s vs 1.08 s at
+    * rsd 0.01 for the same one-pass scan at sf0.1. ±5% of distinct
+    * contents stays under the 10⁴ bar on every tested corpus, and on a
+    * corpus large enough for 5% to cross it the phantom mass only
+    * picks the collapsed plan — correct either way, and the realistic
+    * default at that size. */
+  private[graft] def contaminationAuto(normed: DataFrame,
+      isBench: Column, minShared: Long = 3L): DataFrame = {
+    val r = normed.filter(col("norm").isNotNull)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("norm")), 0.05).as("d")).head()
+    val dupMass = r.getLong(0) - r.getLong(1)
+    if (dupMass <= DedupOps.FanoutPinThreshold)
+      // normText is idempotent, so the raw tokenizer re-normalizing
+      // `norm` reproduces the exact gram stream of the original text
+      contaminationPairs(normed.withColumnRenamed("norm", "text"),
+        normed.withColumnRenamed("norm", "text").filter(isBench), minShared)
+    else contaminationCollapsed(normed, isBench, minShared)
+  }
+
+  /** [[contaminationPairs]] over an exact-dup-collapsed corpus — the
+    * declared q70 since r10 and the at-scale consumer pattern (the
+    * q35/q36/q37 idiom applied to decontamination): a boilerplate page
+    * duplicated 10⁵ times tokenizes ONCE, its grams enter the join once
+    * per distinct content instead of once per copy, and the copy×copy
+    * pair volume moves from the gram join (where a hot gram's pairs are
+    * generated by whichever single task owns the gram key — AQE's skew
+    * split sizes by INPUT bytes and never fires on KBs of edge input,
+    * the SCALING.md r10 blindness) into role-aware expansion joins that
+    * bucket mega-groups B ways. Output is IDENTICAL to the raw form:
+    * n_shared is a pure function of the two CONTENTS, so every member
+    * pair scores its representatives' count, and within-group pairs
+    * (identical contents) share all n_g distinct grams by construction.
+    * Hot grams across genuinely-DISTINCT contents remain declared join
+    * volume, as before.
+    *
+    * `normed` carries (doc_id, norm = normText(text)) — the same
+    * normalization [[graft.functions.TextFns.tokens]] applies inside
+    * the raw join, so collapsing by `norm` groups exactly the docs
+    * whose gram sets are identical. `isBench` must be a deterministic
+    * predicate over `doc_id` (benchmark membership is per-copy, not
+    * per-content — two copies of one content can disagree on it). */
+  private[graft] def contaminationCollapsed(normed: DataFrame,
+      isBench: Column, minShared: Long = 3L): DataFrame = {
+    val c = DedupOps.collapseExact(normed)
+    // distinct gram hashes of a rep subset — the raw join's own
+    // expression (tokens → cappedToks guard → fused 64-bit 3-gram
+    // hashes), so counts are hash-identical. The ingest-cap contract
+    // now covers q70's tokenize boundary like the rest of the family.
+    def repSh(reps: DataFrame, as: String) = reps
+      .select(col("doc_id"),
+        graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id").as(as), explode(array_distinct(
+        graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
+    val benchM = c.map.filter(isBench)
+      .select(col("rep_id"), col("doc_id").as("bench_id"))
+    val benchReps = benchM.select(col("rep_id")).distinct()
+    // bench filter BELOW the tokenizer (the raw form's own shape): the
+    // bench side re-tokenizes only the ~5% bench-containing reps
+    val repPairs = repSh(c.reps, "rep_a")
+      .join(repSh(c.reps.join(
+          benchReps.withColumnRenamed("rep_id", "doc_id"),
+          Seq("doc_id"), "left_semi"), "rep_b"), Seq("g"))
+      .filter(col("rep_a") =!= col("rep_b"))
+      .groupBy(col("rep_a"), col("rep_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    // ----- role-aware expansion: rep_a → every member, rep_b → every
+    // bench member. Pairs touching no fanning side pass through DIRECT
+    // (the expandRepPairs singleton split): rep_a fans iff its group
+    // has mult ≥ 2; rep_b fans iff its bench members are not exactly
+    // {rep_b} (a mult ≥ 2 group's single bench member can be a NON-rep
+    // copy, so identity is decided on the bench roster, not on mult).
+    val dupA = c.groups.filter(col("mult") >= 2L).select(col("rep_id"))
+    val fanB = benchM.groupBy(col("rep_id"))
+      .agg(count(lit(1)).as("bm"), min(col("bench_id")).as("b0"))
+      .filter(col("bm") >= 2L || col("b0") =!= col("rep_id"))
+      .select(col("rep_id"))
+    val flagged = repPairs
+      .join(dupA.select(col("rep_id").as("rep_a"), lit(true).as("fa")),
+        Seq("rep_a"), "left")
+      .join(fanB.select(col("rep_id").as("rep_b"), lit(true).as("fb")),
+        Seq("rep_b"), "left")
+    val direct = flagged.filter(col("fa").isNull && col("fb").isNull)
+      .select(col("rep_a").as("doc_id"), col("rep_b").as("bench_id"),
+        col("n_shared"))
+    val toExpand0 = flagged.filter(col("fa").isNotNull || col("fb").isNotNull)
+      .select(col("rep_a"), col("rep_b"), col("n_shared"))
+    // fan-out parallelism pin + mega-group salt: the expandRepPairs
+    // probes, off the already-materialized groups frame
+    val dupMembers: Long = Option(c.groups.filter(col("mult") >= 2L)
+      .agg(sum(col("mult"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val toExpand =
+      if (dupMembers > DedupOps.FanoutPinThreshold)
+        toExpand0.repartition(
+          normed.sparkSession.sparkContext.defaultParallelism, col("rep_a"))
+      else toExpand0
+    val bigIds = c.groups
+      .filter(col("mult") > DedupOps.WithinSaltThreshold)
+      .select(col("rep_id"))
+    val anyBig = !bigIds.limit(1).isEmpty
+    val members = c.map.select(col("rep_id"), col("doc_id"))
+    val expanded = fanJoin(fanJoin(toExpand,
+        "rep_a", members, "doc_id", bigIds, anyBig),
+        "rep_b", benchM.withColumnRenamed("bench_id", "doc_id"),
+        "bench_id", bigIds, anyBig)
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+    // ----- within-group pairs: identical contents share every gram, so
+    // n_shared = the group's distinct-gram count, eligible at ≥ minShared;
+    // volume is mult × bench-members per group, generated by the same
+    // bucketed join when the group is mega-sized
+    val ngDup = repSh(c.reps
+        .join(dupA.withColumnRenamed("rep_id", "doc_id"),
+          Seq("doc_id"), "left_semi"), "rep_id")
+      .groupBy(col("rep_id")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val within = fanJoin(members.join(ngDup, Seq("rep_id")),
+        "rep_id", benchM.withColumnRenamed("bench_id", "doc_id"),
+        "bench_id", bigIds, anyBig)
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"), col("n_shared"))
+    direct.unionByName(expanded).unionByName(within)
+  }
+
+  /** Inner-join `stream` to a total member roster `(rep_id or `key`,
+    * doc_id)` on `key`, emitting the member as `out` — groups in
+    * `bigIds` bucket their members 64 ways and the stream row explodes
+    * to every bucket, so a mega-group's fan-out spreads across 64 join
+    * keys instead of one ([[DedupOps.expandRepPairs]]' mega-group salt
+    * with INNER semantics: rosters here are total, so no left-coalesce
+    * fallback is needed; each member lives in exactly one bucket, so
+    * the union over a row's 64 exploded copies hits every member
+    * exactly once). */
+  private def fanJoin(stream: DataFrame, key: String, members: DataFrame,
+      out: String, bigIds: DataFrame, anyBig: Boolean): DataFrame = {
+    val m = members.select(col("rep_id").as(key), col("doc_id").as(out))
+    if (!anyBig) stream.join(m, Seq(key))
+    else {
+      val B = 64L
+      val keys = bigIds.select(col("rep_id").as(key))
+      val mSmall = m.join(keys, Seq(key), "left_anti")
+      val mBig = m.join(keys, Seq(key), "left_semi")
+        .withColumn("_fb", pmod(xxhash64(col(out)), lit(B)))
+      val small = stream.join(keys, Seq(key), "left_anti").join(mSmall, Seq(key))
+      val big = stream.join(keys, Seq(key), "left_semi")
+        .withColumn("_fb", explode(sequence(lit(0L), lit(B - 1))))
+        .join(mBig, Seq(key, "_fb")).drop("_fb")
+      small.unionByName(big)
+    }
   }
 
   val q70Sql: String =

@@ -19,6 +19,113 @@ class CurationSpec extends SparkTestBase {
     assert(r.filter(col("redacted").contains("<EMAIL>")).count() == r.count())
   }
 
+  test("q70 collapsed form == raw form, through every expansion path") {
+    import spark.implicits._
+    // a corpus exercising all three output branches: a dup group with
+    // mixed bench membership (within + fanning cross sides), singleton
+    // docs sharing grams (direct path), a dup group whose single bench
+    // member is NOT its rep (the fanB identity trap), and a <3-token doc
+    val texts = Seq(
+      // group A: 4 copies, ids 0,5,10,11 — 0,5,10 bench under id%5==0
+      0L -> "alpha beta gamma delta epsilon",
+      5L -> "alpha beta gamma delta epsilon",
+      10L -> "alpha beta gamma delta epsilon",
+      11L -> "alpha beta gamma delta epsilon",
+      // group B: 2 copies, ids 21,25 — only 25 bench, and 25 != rep 21
+      21L -> "alpha beta gamma zeta eta theta",
+      25L -> "alpha beta gamma zeta eta theta",
+      // singleton (non-bench) sharing 3 grams with group B's content —
+      // a cross pair whose bench side must expand to 25, NOT to rep 21
+      13L -> "alpha beta gamma zeta eta pi",
+      // two singletons sharing 3 grams with each other; 30 is bench —
+      // the direct (no-fan) path
+      7L -> "one two three four five six",
+      30L -> "one two three four five seven",
+      // too short for any gram
+      40L -> "mu nu")
+    val docs = texts.toDF("doc_id", "text")
+    val isBench = col("doc_id") % 5 === 0
+    def set(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val raw = set(CurationOps.contaminationPairs(
+      docs, docs.filter(isBench), minShared = 3L))
+    val collapsed = set(CurationOps.contaminationCollapsed(
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.normText(col("text")).as("norm")),
+      isBench, minShared = 3L))
+    assert(collapsed == raw && raw.nonEmpty,
+      s"missing=${(raw -- collapsed).take(5)} extra=${(collapsed -- raw).take(5)}")
+    // the within branch really fired (same-content pairs, n_shared = 3
+    // grams of the 5-token content): e.g. (11, 0) and bench-bench both
+    // orders (0 -> 5 means doc 5 as bench AND doc 0 as bench)
+    assert(raw.contains((11L, 0L, 3L)) && raw.contains((0L, 5L, 3L))
+      && raw.contains((5L, 0L, 3L)))
+    // within-group pair whose bench member is not the rep
+    assert(raw.contains((21L, 25L, 4L)))
+    // the fanB identity trap on a CROSS pair: group B's only bench
+    // member is 25, so 13's contamination must surface as (13, 25) and
+    // never (13, 21)
+    assert(raw.contains((13L, 25L, 3L)))
+    assert(!raw.exists(p => p._1 == 13L && p._2 == 21L))
+    // the direct path (both sides singleton)
+    assert(raw.contains((7L, 30L, 3L)))
+  }
+
+  test("q70 collapsed: a mega-group takes the bucketed (salted) expansion and stays exact") {
+    import spark.implicits._
+    val m = (operators.DedupOps.WithinSaltThreshold + 40).toInt
+    // one mega content (every 5th id is bench) + one singleton sharing
+    // 3 grams with it, bench by id
+    val mega = spark.range(0, m).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon").as("text"))
+    // the singleton shares exactly the mega content's 3 grams (its own
+    // 4th gram "delta epsilon zeta" is unshared)
+    val docs = mega.unionByName(Seq(
+      (9000005L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"))
+    val isBench = col("doc_id") % 5 === 0
+    val out = CurationOps.contaminationCollapsed(
+      docs.select(col("doc_id"),
+        graft.functions.TextFns.normText(col("text")).as("norm")),
+      isBench, minShared = 3L)
+    val nBench = (m + 4) / 5 // mega bench members: ids 0,5,10,...
+    val expect =
+      m.toLong * nBench - nBench + // within: members x bench members, minus self-pairs
+        nBench + // cross: singleton 9000005 (corpus role) x each mega bench member
+        m.toLong // cross: each mega member (corpus role) x bench singleton 9000005
+    val n = out.count()
+    assert(n == expect, s"got $n want $expect")
+    assert(out.distinct().count() == n, "duplicate pairs from the salt")
+    // plan witness: the bucketed form is actually planned — the 64-way
+    // bucket explode (the literal sequence constant-folds to an array,
+    // so the witness is the explode plus its _fb bucket key)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("explode") && plan.contains("_fb"),
+      "salted fanJoin shape missing from the plan")
+    // spot-check n_shared values: within-group = 3 grams; cross = 3
+    val r = out.filter(col("doc_id") === 1L && col("bench_id") === 0L)
+      .head().getLong(2)
+    assert(r == 3L)
+  }
+
+  test("q70 dispatch: raw join below the dup-mass bar, collapsed above") {
+    import spark.implicits._
+    val isBench = col("doc_id") % 5 === 0
+    // collapse checkpoints surface as LogicalRDD scans in the analyzed
+    // plan; the raw path reads the input frame directly
+    def hasCheckpoint(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.toString.contains("LogicalRDD")
+    val small = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma zeta")).toDF("doc_id", "norm")
+    assert(!hasCheckpoint(CurationOps.contaminationAuto(small, isBench)),
+      "2 dup members must dispatch the raw join")
+    val mass = operators.DedupOps.FanoutPinThreshold + 60
+    val big = spark.range(0, mass).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta").as("norm"))
+    assert(hasCheckpoint(CurationOps.contaminationAuto(big, isBench)),
+      s"$mass dup members must dispatch the collapsed form")
+  }
+
   test("q70: a corpus-wide hot shingle is join volume, not an aggregation buffer") {
     import spark.implicits._
     // every doc shares the SAME 3-gram run (df = #docs — the stop-gram

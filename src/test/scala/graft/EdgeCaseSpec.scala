@@ -172,9 +172,10 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(idWedges.getLong(0) == hub && idWedges.getLong(1) == (hub * (n - 1 - hub)),
       s"id-ordering should park ${hub * (n - 1 - hub)} wedges on the hub key, got $idWedges")
     // degree-ordered wedge volume per join key u: C(outdeg(u), 2)
+    // (Spark's `/` is a DOUBLE divide — halve the exact long instead)
     val degWedges = operators.DedupOps.degreeOriented(e)
       .groupBy(col("u")).agg(count(lit(1)).as("d"))
-      .select(max(col("d") * (col("d") - 1) / 2).as("w")).head().getLong(0)
+      .select(max(col("d") * (col("d") - 1)).as("w")).head().getLong(0) / 2
     assert(degWedges <= 3L,
       s"degree-ordering must spread the hub's wedges (max per-key = $degWedges)")
     // and the enumerated triangles are IDENTICAL through every path:

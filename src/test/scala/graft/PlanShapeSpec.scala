@@ -622,12 +622,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(count(plan, "fmd5") > 0, plan)
   }
 
-  test("AQE really splits a skewed shuffle join — the degradation path q70/q102/q105/q112 lean on") {
+  test("AQE really splits a skewed shuffle join — the degradation path q102/q105/q112 lean on") {
     // Several operators route hot keys through shuffle JOINS precisely
     // because AQE's OptimizeSkewedJoin can split them (and window/
     // aggregation buffers, which it cannot split, are avoided). This
     // executes that claim: a 97%-one-key fact joined to a dim under
     // thresholds scaled to spec data must plan isSkew=true sub-partitions.
+    // CAVEAT (r10): the split keys off INPUT partition bytes — it covers
+    // input-proportional skew (fan-out ~1 joins like these), NOT
+    // fan-out skew, where KBs of hot-key input generate quadratic
+    // output (q37 expansion, q83 wedges, q70 copy×copy pairs — each of
+    // those now carries its own salt/pin/collapse defense instead).
     val confs = Seq(
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "20KB",

@@ -85,6 +85,7 @@ class ScaleLintSpec extends SparkTestBase {
       "q37_simhash" -> collapse, "q214_lsh_eval" -> collapse,
       "q64_dedup_clusters" -> cc, "q118_cluster_canonical" -> cc,
       "q89_leakfree_split" -> cc, "q146_cluster_sizes" -> cc,
+      "q70_contamination" -> ("one HLL dup-mass probe dispatches raw-vs-collapsed; above the bar, " + collapse + " plus the expansion's dup-member and mega-group probes"),
       "q101_pagerank" -> "3 fixed PageRank rounds over a checkpointed edge frame + one scalar node count for the rank unit",
       "q169_kcore" -> "fixed-round k-core peel over a localCheckpoint'd shrinking edge list",
       "q83_triangles" -> "adaptive orientation dispatch: edge list checkpointed once + one wedge-skew probe aggregate; counts materialized, pins released before return",
