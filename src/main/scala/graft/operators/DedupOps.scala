@@ -1135,10 +1135,12 @@ object DedupOps {
       .join(e.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("o")), Seq("v"))
       .agg(max(col("i").cast("double") * col("o")).as("mw")).head()
     val maxWedge = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
+    // the degree branch materializes its own counts (it must, to release
+    // the oriented frame); checkpointing it AGAIN here would double-
+    // materialize and leak the inner pin
     val out =
-      (if (maxWedge <= threshold.toDouble) idOrientedCounts(e)
-       else degreeOrientedCounts(e))
-        .localCheckpoint(true)
+      if (maxWedge <= threshold.toDouble) idOrientedCounts(e).localCheckpoint(true)
+      else degreeOrientedCounts(e)
     org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
     out
   }
