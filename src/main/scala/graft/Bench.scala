@@ -165,6 +165,19 @@ object Bench {
     }.getOrElse(""""movers":{}""")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,$movers,"sf":"$sfDir"}"""
     println(line)
+    // COMPACT FINAL LINE (r11): the driver keeps only the last 2000
+    // chars of stdout and tries to parse a JSON line out of them — the
+    // full artifact line above has never fit (BENCH_r01..r10 all read
+    // "parsed": null). The LAST stdout line is therefore a summary
+    // guaranteed to fit the tail: suite total, failure list, canary
+    // mean (the cross-run comparability key — box speed drifts ×1.5
+    // between boots, BASELINE.md), and a pointer to the full on-disk
+    // artifact. Per-query medians live in the artifact, not here.
+    val canaryMean = {
+      val cs = canaries.flatMap(_._2)
+      if (cs.isEmpty) "null" else f"${cs.sum / cs.size}%.4f"
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"canary_mean":$canaryMean,"passes":$passes,"sf":"$sfDir","full_artifact":"$outPath"}""")
     // the driver truncates its BENCH_r*.json artifact to the tail of this
     // line, losing most per-query medians; persist the full JSON in the
     // repo so round-over-round comparison keeps the whole suite

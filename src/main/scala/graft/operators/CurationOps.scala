@@ -241,7 +241,8 @@ object CurationOps {
     // longs shuffle ~3× cheaper; counts are hash-agnostic under 64-bit
     // injectivity — the oracle's string-gram counts match)
     def shingles(df: DataFrame) = df
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        graft.functions.TextFns.cappedToks(tokens(col("text"))).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.HashExprs.gram3_hash64(col("toks")))).as("g"))
@@ -274,21 +275,38 @@ object CurationOps {
     * exposure is then bounded by content diversity, not copy count —
     * and above it the collapsed form runs (measured ×2.8 at zipf 3·10⁴
     * and growing quadratically for raw vs linearly for collapsed,
-    * SCALING.md r10). The HLL's error can only overestimate dup mass
-    * by ~5% of distinct contents, so a dup-free corpus stays raw at
-    * any tested scale, and a massive corpus errs toward the
-    * skew-proof plan — the safe direction. Both paths emit identical
-    * rows (spec parity on all expansion branches; raw is the
-    * oracle-gated form, so parity transitively oracle-checks the
-    * collapsed one).
+    * SCALING.md r10). Probe error analysis — the HLL's ±rsd error is
+    * TWO-SIDED, so the dupMass estimate errs both ways by ~5% of
+    * distinct contents: phantom mass on a dup-free corpus can only
+    * pick the collapsed plan (correct, mildly slower — it was built
+    * for exactly the corpus size where 5% of distinct crosses 10⁴),
+    * while an overestimated distinct count UNDERSTATES dupMass and can
+    * keep a corpus just above the bar on the raw plan. That second
+    * direction is perf-exposure, not a cliff: the margin is bounded by
+    * 0.05·distinct, and the raw plan's pain is quadratic in COPY count
+    * per content, which near the 10⁴-member bar is ~10⁸ gram-pair rows
+    * spread over the gram keys — measured indistinguishable from the
+    * collapsed plan until well past the bar (SCALING.md r10 zipf
+    * table; the empirical pain onset is ~10⁸ rows on ONE key). Both
+    * paths emit identical rows (spec parity on all expansion branches;
+    * raw is the oracle-gated form, so parity transitively
+    * oracle-checks the collapsed one).
+    *
+    * Metric note (r11): this outer probe measures dupMass =
+    * rows − distinct (dup members MINUS ONE per dup group), while the
+    * inner expansion pin compares sum(mult) over mult≥2 groups (all
+    * dup members) to the same constant. dupMass is a LOWER BOUND on
+    * dup members — it undercounts by one per group, at most half
+    * (mult=2 groups) — so near the bar the outer probe can stay raw
+    * where the inner metric would pin. Same safe-direction analysis as
+    * the HLL error above: a ≤2× metric gap against a threshold with
+    * ~10⁴× empirical headroom. Kept deliberately: rows − distinct
+    * falls out of the ONE aggregate already paid for, where sum(mult)
+    * would price a second groupBy pass onto every dup-light corpus.
     *
     * Probe precision: rsd 0.05, NOT tighter — HLL register count
     * drives the per-row update cost, measured 0.30 s vs 1.08 s at
-    * rsd 0.01 for the same one-pass scan at sf0.1. ±5% of distinct
-    * contents stays under the 10⁴ bar on every tested corpus, and on a
-    * corpus large enough for 5% to cross it the phantom mass only
-    * picks the collapsed plan — correct either way, and the realistic
-    * default at that size. */
+    * rsd 0.01 for the same one-pass scan at sf0.1. */
   private[graft] def contaminationAuto(normed: DataFrame,
       isBench: Column, minShared: Long = 3L): DataFrame = {
     val r = normed.filter(col("norm").isNotNull)
@@ -330,8 +348,10 @@ object CurationOps {
     val c = DedupOps.collapseExact(normed)
     // distinct gram hashes of a rep subset — the raw join's own
     // expression (tokens → cappedToks guard → fused 64-bit 3-gram
-    // hashes), so counts are hash-identical. The ingest-cap contract
-    // now covers q70's tokenize boundary like the rest of the family.
+    // hashes), so counts are hash-identical. Both q70 branches enforce
+    // the ingest cap at their tokenize boundary: this one here, the raw
+    // dispatch branch inside contaminationPairs itself (r11 — before
+    // that an oversize doc failed loudly only on dup-heavy corpora).
     def repSh(reps: DataFrame, as: String) = reps
       .select(col("doc_id"),
         graft.functions.TextFns.cappedToks(split(col("norm"), " ")).as("toks"))

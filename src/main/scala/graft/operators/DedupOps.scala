@@ -1206,9 +1206,15 @@ object DedupOps {
     * PerfAB baseline and the hub-skew witness for [[triangles]]'
     * scaladoc (a min-id-rooted wedge stage parks a hub's d²/4 pairs on
     * one join key, no probe, no escape). Never declared. */
-  private[graft] def trianglesIdOriented(edges: DataFrame): DataFrame =
-    idOrientedCounts(
-      edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true))
+  private[graft] def trianglesIdOriented(edges: DataFrame): DataFrame = {
+    // materialize-then-release, mirroring trianglesAdaptive: repeated
+    // PerfAB baseline invocations must not accumulate edge-sized
+    // storage blocks across a bench run (r11, ADVICE)
+    val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val out = idOrientedCounts(e).localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
+    out
+  }
 
   def q83Triangles(s: SparkSession, dir: String): DataFrame =
     triangles(q36MinhashLsh(s, dir))
