@@ -11,8 +11,8 @@ object Evidence {
   /** Allowlisted scale-killer shape classes machine-checked by
     * ScaleLintSpec (global window, collect buffer, cartesian, UDF,
     * forced broadcast, long×long product, unpushed scan predicate,
-    * eager plan-build driver action). */
-  val lintClasses: Int = 8
+    * eager plan-build driver action, fan-out blindness). */
+  val lintClasses: Int = 9
 
   /** Oracle-fuzz battery tests in OracleFuzzSpec (hostile generated
     * corpora hash-checked against DuckDB per seed). */

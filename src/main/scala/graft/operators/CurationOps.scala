@@ -443,7 +443,7 @@ object CurationOps {
     val m = members.select(col("rep_id").as(key), col("doc_id").as(out))
     if (!anyBig) stream.join(m, Seq(key))
     else {
-      val B = 64L
+      val B = DedupOps.SaltBuckets
       val keys = bigIds.select(col("rep_id").as(key))
       val mSmall = m.join(keys, Seq(key), "left_anti")
       val mBig = m.join(keys, Seq(key), "left_semi")

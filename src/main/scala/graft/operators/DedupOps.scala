@@ -252,7 +252,7 @@ object DedupOps {
       .limit(1).isEmpty
     val bigIds = c.groups.filter(col("mult") > WithinSaltThreshold)
       .select(col("rep_id"))
-    val B = 64L
+    val B = SaltBuckets
     // One expansion join per pair side. LEFT + coalesce on the normal
     // path: a pair whose side is a singleton misses the dup-member map
     // and falls back to its own rep id. A side in a MEGA group (r10)
@@ -1375,12 +1375,33 @@ object DedupOps {
     * Scale shape: per document exactly TWO fused span hashes (the first
     * and last k-token windows, each hashed directly via GramKHash64 on a
     * k-token slice — no window stream, no explode), then ONE self-join
-    * keyed on the 64-bit hash: keys are hash-uniform and the per-doc
-    * index is 2 longs — the cheapest member of the dedup family. A
-    * viral boundary (a boilerplate opening shared by many docs) is join
-    * skew on a single key, AQE-splittable, never an aggregation
-    * buffer. */
-  def headTailPairs(docs: DataFrame, k: Int): DataFrame = {
+    * keyed on the 64-bit hash, over a CHECKPOINTED 3-long-per-doc
+    * boundary index (one tokenize pass instead of the r1–r10 two).
+    *
+    * Skew note (r11 — found by the FanoutAudit class-#9 sweep, which
+    * flagged this join as M:N on the boundary hash): a VIRAL boundary
+    * (boilerplate opening/closing shared by m docs, or m exact copies
+    * of a short doc whose head window equals its tail window) emits
+    * m_tail(h)·m_head(h) pairs under ONE join key from KBs of input —
+    * the r1–r10 scaladoc claimed "AQE-splittable join skew", the exact
+    * wrong-claim pattern of the q37/q83/q70 class: AQE's skew split
+    * keys off INPUT partition bytes and never fires here. The fix is
+    * the standing adaptive idiom: one probe aggregate over the
+    * already-checkpointed index computes the worst single-key pair
+    * output max_h m_tail(h)·m_head(h); at or below
+    * [[BoundaryFanThreshold]] the plain join runs (identical to r10's
+    * shape, minus the double tokenize), above it the HOT KEYS ONLY take
+    * a bucket salt — tails hash into [[SaltBuckets]] buckets, heads
+    * explode to every bucket, the join keys on (h, bucket) with an
+    * explicit width pin (REPARTITION_BY_NUM — AQE would re-coalesce the
+    * small exploded input right back into one task, the r10
+    * within-salt lesson). Cold keys keep the plain join; the union is
+    * exactly the unsalted pair set (each hot pair meets in precisely
+    * the tail's bucket). Parity + branch-witness spec'd across the
+    * threshold (GraphTextSpec); measured on zipf head==tail copies in
+    * SCALING.md r11. */
+  def headTailPairs(docs: DataFrame, k: Int,
+      fanThreshold: Long = BoundaryFanThreshold): DataFrame = {
     import graft.functions.HashExprs.gramk_hash64
     val base = docs
       .select(col("doc_id"), filter(tokens(col("text")), t => t =!= "").as("toks"))
@@ -1388,11 +1409,56 @@ object DedupOps {
       .select(col("doc_id"),
         element_at(gramk_hash64(slice(col("toks"), 1, k), k), 1).as("head_h"),
         element_at(gramk_hash64(slice(col("toks"), -k, k), k), 1).as("tail_h"))
-    base.as("a").join(base.as("b"),
-        col("a.tail_h") === col("b.head_h") &&
-          col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .localCheckpoint(true)
+    val tails = base.select(col("doc_id").as("doc_a"), col("tail_h").as("h"))
+    val heads = base.select(col("doc_id").as("doc_b"), col("head_h").as("h"))
+    // worst single-key pair output under the plain join; double math so
+    // a pathological boundary can't wrap the comparison negative
+    val keyCounts = base.groupBy(col("tail_h").as("h"))
+      .agg(count(lit(1)).as("mt"))
+      .join(base.groupBy(col("head_h").as("h"))
+        .agg(count(lit(1)).as("mh")), Seq("h"))
+    val mw = keyCounts
+      .agg(max(col("mt").cast("double") * col("mh")).as("mw")).head()
+    val maxFan = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
+    val pairs =
+      if (maxFan <= fanThreshold.toDouble)
+        tails.join(heads, Seq("h"))
+      else {
+        val hot = keyCounts
+          .filter(col("mt").cast("double") * col("mh") > fanThreshold.toDouble)
+          .select(col("h"))
+        val plain = tails.join(hot, Seq("h"), "left_anti")
+          .join(heads.join(hot, Seq("h"), "left_anti"), Seq("h"))
+        val B = SaltBuckets
+        val salted = heads.join(hot, Seq("h"), "left_semi")
+          .withColumn("bkt", explode(sequence(lit(0L), lit(B - 1))))
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+            col("h"), col("bkt"))
+          .join(tails.join(hot, Seq("h"), "left_semi")
+            .withColumn("bkt", pmod(xxhash64(col("doc_a")), lit(B))),
+            Seq("h", "bkt"))
+        plain.unionByName(salted.select(plain.columns.map(col).toIndexedSeq: _*))
+      }
+    pairs.filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
   }
+
+  /** Largest single-boundary-key pair output [[headTailPairs]]' plain
+    * join may emit before hot keys take the bucket salt. Same unit and
+    * value as [[IdWedgeThreshold]] — max OUTPUT ROWS one task may
+    * generate, 2²⁴ ≈ 1 task-second of narrow-row generation — because
+    * it bounds the same width-independent quantity (see the threshold
+    * portability note at [[IdWedgeThreshold]]). */
+  private[graft] val BoundaryFanThreshold = 1L << 24
+
+  /** Bucket count every mega-key salt in this file spreads a hot key
+    * over (within-group self-join, expansion fan joins, boundary-hash
+    * salt). 64 × the ~1-task-second per-key output bound keeps the
+    * worst post-salt bucket under ~2% of a 32-core minute while the
+    * exploded side's input inflation (×64 on hot keys only) stays
+    * trivial. */
+  private[graft] val SaltBuckets = 64L
 
   def q142HeadTailOverlap(s: SparkSession, dir: String): DataFrame =
     headTailPairs(Tables.documents(s, dir), 3)

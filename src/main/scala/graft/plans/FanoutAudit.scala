@@ -110,19 +110,20 @@ object FanoutAudit {
     case Distinct(child) => child.outputSet.subsetOf(keys)
     case j: Join => j.joinType match {
       case LeftSemi | LeftAnti => uniqueOn(j.left, keys)
-      case Inner | LeftOuter | RightOuter | FullOuter | _: ExistenceJoin =>
+      case Inner | Cross | LeftOuter | RightOuter | FullOuter | _: ExistenceJoin =>
         // a join preserves a side's uniqueness certificate iff the other
-        // side matches ≤1 row per join key (unique on ITS equi keys) —
-        // the FK→dim chain. Keys must come entirely from one side.
+        // side matches ≤1 row per row of ours: either ≤1 row TOTAL (the
+        // crossJoin(broadcast(scalarTotals)) idiom) or unique on ITS
+        // equi keys (the FK→dim chain). Keys must come entirely from
+        // one side.
         val (lk, rk) = equiKeys(j)
-        if (keys.subsetOf(j.left.outputSet))
-          lk.nonEmpty && uniqueOn(j.left, keys) &&
-            attrsOf(rk).exists(_.nonEmpty) &&
-            uniqueOn(j.right, AttributeSet(attrsOf(rk).get))
-        else if (keys.subsetOf(j.right.outputSet))
-          rk.nonEmpty && uniqueOn(j.right, keys) &&
-            attrsOf(lk).exists(_.nonEmpty) &&
-            uniqueOn(j.left, AttributeSet(attrsOf(lk).get))
+        def chains(ours: LogicalPlan, theirs: LogicalPlan,
+            theirKeys: Seq[Expression]): Boolean =
+          uniqueOn(ours, keys) && (maxOneRow(theirs) ||
+            (theirKeys.nonEmpty && attrsOf(theirKeys).exists(a =>
+              a.nonEmpty && uniqueOn(theirs, AttributeSet(a)))))
+        if (keys.subsetOf(j.left.outputSet)) chains(j.left, j.right, rk)
+        else if (keys.subsetOf(j.right.outputSet)) chains(j.right, j.left, lk)
         else false
       case _ => false
     }

@@ -368,4 +368,35 @@ class GraphTextSpec extends SparkTestBase {
       assert(fracA == shared.toDouble / nA && fracB == shared.toDouble / nB)
     }
   }
+
+  test("headTailPairs: adaptive boundary salt is pair-identical across the threshold and fires the intended branch") {
+    import spark.implicits._
+    // a viral boundary: 60 short docs whose head window EQUALS their
+    // tail window (the zipf shape — exact copies of a 3-token doc), so
+    // one boundary hash carries 60 tails x 60 heads; plus one genuine
+    // split-document chain that must survive both branches
+    val viral = (1 to 60).map(i => (i.toLong, "alpha beta gamma"))
+    val chain = Seq(
+      (101L, "one two three four five six"),
+      (102L, "four five six seven eight nine"))
+    val docs = (viral ++ chain).toDF("doc_id", "text")
+    def run(thr: Long) =
+      operators.DedupOps.headTailPairs(docs, 3, fanThreshold = thr)
+    val plain = run(3600L)  // probed maxFan = 60*60 sits AT the bar: plain
+    val salted = run(3599L) // one below: the hot-key salt fires
+    // branch witness: only the salted plan explodes the bucket sequence
+    // (the bucket sequence literal constant-folds, and the tokenize
+    // Generates sit behind the checkpoint, so Generate-explode presence
+    // IS the branch)
+    assert(salted.queryExecution.optimizedPlan.toString.contains("Generate explode"),
+      "salted branch did not plan the bucket explode")
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("Generate explode"),
+      "plain branch unexpectedly planned the bucket explode")
+    val a = plain.orderBy("doc_a", "doc_b").collect().toSeq
+    val b = salted.orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a == b, "salted pair set differs from plain")
+    // 60*59 ordered viral pairs (doc_a != doc_b) + the one chain pair
+    assert(a.size == 60 * 59 + 1, s"expected ${60 * 59 + 1}, got ${a.size}")
+    assert(a.contains(org.apache.spark.sql.Row(101L, 102L)))
+  }
 }

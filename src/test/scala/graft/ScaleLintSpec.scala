@@ -89,6 +89,7 @@ class ScaleLintSpec extends SparkTestBase {
       "q101_pagerank" -> "3 fixed PageRank rounds over a checkpointed edge frame + one scalar node count for the rank unit",
       "q169_kcore" -> "fixed-round k-core peel over a localCheckpoint'd shrinking edge list",
       "q83_triangles" -> "adaptive orientation dispatch: edge list checkpointed once + one wedge-skew probe aggregate; counts materialized, pins released before return",
+      "q142_head_tail_overlap" -> "boundary index checkpointed once (3 longs/doc, also halves the r10 double tokenize) + one worst-key fan probe aggregate — the r11 adaptive boundary salt dispatch",
       "q161_power_iteration" -> "fixed power-iteration rounds over the collected 64x64 covariance (2^12 entries, dimension-bounded)",
       "q166_mmr_rerank" -> "greedy MMR selection over a collected probe-bounded candidate set (<= probes x 20 rows)",
       "q177_greedy_cover" -> "greedy set cover: k rounds, each collecting only the 1-row argmax, over a checkpointed source-gram frame",
@@ -104,6 +105,137 @@ class ScaleLintSpec extends SparkTestBase {
       "q190_seq_mi" -> "#types^2-bounded transition frame checkpointed once",
       "q192_audience_overlap" -> "#types^2-bounded overlap frame checkpointed once",
       "q226_negative_samples" -> "observed interaction set checkpointed once (measured x1.83 peak for x10 data, SCALING.md r9)")
+  }
+
+  /** Class #9 (r11): FAN-OUT BLINDNESS — queries whose plans carry a
+    * join/explode shape whose OUTPUT can grow superlinearly in one key's
+    * input ([[FanoutAudit]]: M:N equi-joins with neither side provably
+    * key-unique, non-equi/cross joins, explode-over-join). AQE sizes
+    * partitions and its skew split by INPUT bytes, so none of these
+    * shapes is saved by AQE when the output multiplies (SCALING.md r10,
+    * the q37/q83/q70 class — each found by hand behind a scaladoc that
+    * wrongly said "AQE handles it"; this class machine-finds the shape).
+    * Every entry names the bound that caps the per-key output, or the
+    * adaptive skew dispatch that spreads it. Empirical seeding:
+    * SCALING.md r11 zipf/hub tables (per-task max-time ≪ wall). */
+  private val boundedFanout: Map[String, String] = {
+    val probeKnn = "probe-set-bounded: candidate fan-out = corpus × the " +
+      "5-probe broadcast set (fixed multiplier), k-cut downstream"
+    val collapsedDedup = "adaptive skew dispatch (r10): candidate joins " +
+      "run on exact-dup-COLLAPSED reps (copies can't pile a bucket); " +
+      "member expansion bucket-salts groups > WithinSaltThreshold and " +
+      "pins width above FanoutPinThreshold dup members — zipf 3e4 = " +
+      "4.5e8 pairs, max-task 18.7 s ≪ wall (SCALING.md r10)"
+    Map(
+      "q35_ngram_jaccard" -> collapsedDedup,
+      "q36_minhash_lsh" -> collapsedDedup,
+      "q37_simhash" -> collapsedDedup,
+      "q214_lsh_eval" -> ("multiplicity-WEIGHTED eval: member pairs are " +
+        "never expanded; candidate joins inherit q35/q36's collapsed-rep " +
+        "defenses; zipf ×1.0 measured (SCALING.md r10)"),
+      "q70_contamination" -> ("adaptive HLL dup-mass dispatch: the raw " +
+        "gram join plans only below FanoutPinThreshold dup members " +
+        "(hot-gram fan then bounded by content diversity); above it the " +
+        "collapsed role-aware expansion runs (salted + pinned, r10)"),
+      "q142_head_tail_overlap" -> ("adaptive boundary-hash salt (r11, " +
+        "found by THIS sweep): a viral boundary (m docs sharing a " +
+        "head/tail window) emits m_tail×m_head pairs under one hash " +
+        "key; above the probe bar the hot keys bucket-salt B ways — " +
+        "parity spec'd, zipf copies of a head==tail doc measured " +
+        "(SCALING.md r11)"),
+      "q38_embedding_neardup" -> ("declared within-label all-pairs " +
+        "BASELINE (the LSH-free form; q49/q112 are the banded scale " +
+        "path): per-label pair volume IS the declared result set"),
+      "q49_embedding_lsh_dedup" -> ("banded candidate generation; " +
+        "band-key capacity (bands × bitsPerBand, here test-scale 2×4) " +
+        "is the operator's scale dial — production raises it; " +
+        "candidates verified by exact cosine before emission"),
+      "q112_semantic_decontam" -> ("BIPARTITE corpus ⋈ eval band join: " +
+        "candidate volume = corpus × eval-bucket density, never " +
+        "corpus²; the eval side is a bounded benchmark registry by " +
+        "contract"),
+      "q39_knn_brute" -> probeKnn, "q93_knn_int8" -> probeKnn,
+      "q173_ndcg" -> probeKnn, "q121_hard_negatives" -> probeKnn,
+      "q136_ann_recall" -> (probeKnn + "; the LSH side joins the same 5 " +
+        "probes to their buckets"),
+      "q178_rank_tau" -> ("per-probe top-k lists (k = 10) pair within " +
+        "q_id: ≤ k² rows per probe; probe set is the 5-vector slice"),
+      "q40_knn_lsh" -> ("probe side is the tiny multi-probe query set " +
+        "(≤ 5 × probe keys); per-bucket fan = probes × bucket density, " +
+        "top-k cut downstream"),
+      "q52_knn_ivf" -> (probeKnn + "; IVF side probes 2 of k cells per " +
+        "query; exact side is the same 5-probe cross (declared recall " +
+        "certificate)"),
+      "q111_rrf_hybrid" -> ("both retrieval branches are bounded top-k " +
+        "BEFORE the fuse: the full-outer join merges two ≤k-row lists " +
+        "per probe; O(k) fusion"),
+      "q226_negative_samples" -> ("candidate cross = customers × the " +
+        "top-100 popularity cut (TakeOrdered, broadcast): fixed ×100 " +
+        "multiplier, never customers × parts"),
+      "q221_part_affinity" -> ("order-size-bounded: baskets are ORDERS " +
+        "(a handful of lines by construction), pair fan-out per basket " +
+        "is C(n,2); a hot PART is join-input volume, not key fan-out"),
+      "q141_assoc_rules" -> ("per-user pair fan ≤ #event-types² — " +
+        "event_type is a VOCABULARY, not an id space (q127 contract); " +
+        "the rule table itself is ≤ T² rows"),
+      "q172_trend_mk" -> ("pair join runs on the (type × day) DAILY " +
+        "aggregate: per-type fan = days², calendar-bounded regardless " +
+        "of event volume"),
+      "q152_decay_attribution" -> ("per-user purchases × touches inside " +
+        "the 24 h join-condition window — the funnel-family per-entity " +
+        "activity bound; a bot user concentrates input rows on its key " +
+        "(AQE-visible input skew), and the window caps pair depth to " +
+        "one day of touches per purchase"),
+      "q160_fuzzy_linkage" -> ("dictionary-blocked linkage: pairs form " +
+        "on the distinct-NAME dictionary (vocab-bounded), never " +
+        "records; per-block fan ≤ block vocabulary²"),
+      "q203_jaro_linkage" -> ("dictionary-blocked linkage on (first " +
+        "char, ±2 length band) over the distinct-token dictionary — " +
+        "Heaps-law-bounded, never records"),
+      "q128_source_overlap" -> ("source-panel contract: per-gram fan ≤ " +
+        "#sources² (curated registry, tens–hundreds; the q206 panel)"),
+      "q206_source_wjaccard" -> ("source-panel contract: per-term fan ≤ " +
+        "#sources²; Σmax via totals identity keeps the join INNER on " +
+        "shared terms"),
+      "q209_cramers_v" -> ("contingency grid cross: label cardinality × " +
+        "source panel, both domain-bounded"),
+      "q95_quality_tiers" -> ("tier map side ≤ 2 buckets per lang " +
+        "(TopKPerKey DenseTies) broadcast back; ≤1 tier per " +
+        "(lang,bucket) corpus row"),
+      "q132_embed_covariance" -> ("FIXED 64-dim embedding: the i/j pair " +
+        "joins run on the 64-row dimension marginals (≤ 2¹² pairs)"),
+      "q155_source_affinity" -> ("fixed 64-dim: per-dim fan ≤ #sources " +
+        "× 64; the posexplode arity is the dimension, not data"),
+      "q56_levenshtein" -> ("fixed 5-word literal lexicon broadcast: " +
+        "corpus × 5"),
+      "q138_phrase_search" -> ("broadcast literal phrase list (5 rows): " +
+        "per-(len,hash) fan ≤ #phrases"),
+      "q79_interval_join" -> ("intervals are the DECLARED top-20 " +
+        "windows (TakeOrdered cut): per-bucket fan ≤ 20 × bucket " +
+        "events; bucketing bounds the probe span"),
+      "q94_salted_join" -> ("the declared salt operator: _salt spreads " +
+        "every hot key 8 ways by construction (salt-count invariance " +
+        "spec'd) — the defense IS the query"),
+      "q106_skyline" -> ("prefix-max frame is ≤1 row per distinct " +
+        "price (per-partition max collect + broadcast prefix, opaque " +
+        "to the walker); the price join back matches one prefix row"),
+      "q158_quantile_norm" -> ("GlobalRank position table is unique on " +
+        "pos by construction (range-exchange row numbering, opaque to " +
+        "the walker): the lookup matches exactly one rank row"),
+      "q139_hist_quantile" -> ("straddling-bin non-equi join over the " +
+        "FIXED-bin histogram: ≤1 straddle bin per quantile target"),
+      "q156_synth_sample" -> ("straddling-bin non-equi join over the " +
+        "1000-bin histogram: ≤1 bin per synthetic draw"),
+      "q163_exact_median" -> ("bin join over value-domain bins " +
+        "(≤ domain/65536 rows); the lo×hi final join is two 1-row " +
+        "frames (class #3 entry)"),
+      "q162_fk_audit" -> ("stack(3) over a single joined audit row: " +
+        "literal arity"),
+      "q102_constraints" -> ("stack(6) over a single joined profile " +
+        "row: literal arity"),
+      "qm3_frame_dedup" -> ("frame document-frequency capped at 20 " +
+        "(declared contract, mirrored in the oracle): per-frame fan ≤ " +
+        "20²"))
   }
 
   /** Leaf columns that identify an SF-scaling base table: a forced
@@ -296,13 +428,14 @@ class ScaleLintSpec extends SparkTestBase {
     // bumping Evidence fails here (and vice versa)
     val classes = Seq(boundedGlobalWindow, boundedCollect, boundedCartesian,
       boundedUdf, boundedForcedBroadcast, boundedLongProduct,
-      unpushableScanPredicate, boundedEagerAction)
+      unpushableScanPredicate, boundedEagerAction, boundedFanout)
     assert(classes.size == Evidence.lintClasses,
       s"${classes.size} lint classes vs Evidence.lintClasses=${Evidence.lintClasses}")
   }
 
   test("no query plans an unallowlisted scale-killer shape") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
+    val fanoutFlagged = scala.collection.mutable.Set[String]()
     // warm the per-path schema cache first: the reader's ONE-TIME footer
     // inference job is the data source's contract, not a builder action,
     // and must not land in whichever query happens to touch a table first
@@ -349,10 +482,25 @@ class ScaleLintSpec extends SparkTestBase {
           }))
         if (udfs.nonEmpty && !boundedUdf.contains(q.name))
           failures += s"${q.name}: interpreted ScalaUDF(s) ${udfs.distinct.mkString(", ")}"
+        // class #9: fan-out blindness (M:N joins / non-equi joins /
+        // explode-over-join) — every hit needs a named bound or dispatch
+        val fanout = FanoutAudit.audit(df.queryExecution.optimizedPlan)
+        if (fanout.nonEmpty) {
+          fanoutFlagged += q.name
+          if (!boundedFanout.contains(q.name))
+            failures += s"${q.name}: fan-out-capable shape(s): ${fanout.mkString("; ")}"
+        }
       } catch {
         case e: Throwable => failures += s"${q.name}: plan build failed: ${e.getMessage}"
       }
     }
+    // class #9 is bidirectional: a boundedFanout entry whose query no
+    // longer plans a fan-out shape is STALE — the allowlist must track
+    // the swept reality, not accumulate (an entry left behind after a
+    // query reshape would silently cover a future regression)
+    val stale = boundedFanout.keySet -- fanoutFlagged
+    assert(stale.isEmpty,
+      s"stale boundedFanout entries (no fan-out shape planned): ${stale.toSeq.sorted.mkString(", ")}")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
@@ -390,6 +538,47 @@ class ScaleLintSpec extends SparkTestBase {
     val (_, clean) = jobsDuring(
       Tables.nation(spark, sfDir).select(col("n_nationkey")))
     assert(clean == 0, s"lazy build counted $clean jobs")
+  }
+
+  test("fan-out lint catches planted M:N shapes and spares certified-unique sides") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, explode, lit, split}
+    val docs = Tables.documents(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    // the violation class: a self-join on a non-unique key — neither
+    // side is key-unique, output per key is m², AQE-blind
+    val bad = docs.select(col("doc_id"), col("source"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("source")), Seq("source"))
+    assert(FanoutAudit.audit(bad.queryExecution.optimizedPlan)
+      .exists(_.startsWith("M:N")), "planted M:N self-join not flagged")
+    // FK → PK: the orders side is unique on its primary key — clean
+    val fk = li.join(Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+      col("l_orderkey") === col("o_orderkey"))
+    assert(FanoutAudit.audit(fk.queryExecution.optimizedPlan).isEmpty,
+      "FK->PK join wrongly flagged")
+    // aggregated side: grouping covers the join key — clean (≤1 row/key)
+    val agg = li.join(
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n")), Seq("l_partkey"))
+    assert(FanoutAudit.audit(agg.queryExecution.optimizedPlan).isEmpty,
+      "join against per-key aggregate wrongly flagged")
+    // the crossJoin(broadcast(scalarTotals)) idiom preserves the
+    // certificate through the chain — clean
+    val tot = li.agg(count(lit(1)).as("n_tot"))
+    val chained = li.join(
+      li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot)), Seq("l_partkey"))
+    assert(FanoutAudit.audit(chained.queryExecution.optimizedPlan).isEmpty,
+      "aggregate x scalar-totals chain wrongly flagged")
+    // semi-joins emit ≤1 row per left row — clean even on repeated keys
+    val semi = li.join(docs.select(col("doc_id").as("l_partkey")),
+      Seq("l_partkey"), "left_semi")
+    assert(FanoutAudit.audit(semi.queryExecution.optimizedPlan).isEmpty,
+      "semi join wrongly flagged")
+    // explode over a join is flagged; explode below the join is not
+    val eoj = fk.withColumn("t", explode(split(lit("a b c"), " ")))
+    assert(FanoutAudit.audit(eoj.queryExecution.optimizedPlan)
+      .exists(_.startsWith("explode over join")),
+      "planted explode-over-join not flagged")
   }
 
   test("forced-broadcast lint catches a seeded violation and spares bounded shapes") {
