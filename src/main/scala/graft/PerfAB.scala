@@ -75,13 +75,67 @@ object PerfAB {
     // parks 4x10^8 wedges on ONE id-ordered join key
     "tri_hub40k_deg" -> ((s, _) => operators.DedupOps.triangles(hubGraph(s, 40001L))),
     "tri_hub40k_id" -> ((s, _) =>
-      operators.DedupOps.trianglesIdOriented(hubGraph(s, 40001L))))
+      operators.DedupOps.trianglesIdOriented(hubGraph(s, 40001L))),
+    // r11 THRESHOLD-SENSITIVITY rows (VERDICT task 3): the hub-8001
+    // graph sits just under IdWedgeThreshold (16M of 16.7M wedges);
+    // halving the threshold flips it to the degree branch, doubling
+    // keeps the id branch — the pair measures the crossover's flatness
+    // (≈ parity expected; the constant's placement is uncritical ±2×)
+    "tri_hub_thr_half" -> ((s, _) => operators.DedupOps.trianglesAdaptive(
+      hubGraph(s), operators.DedupOps.IdWedgeThreshold / 2)),
+    "tri_hub_thr_double" -> ((s, _) => operators.DedupOps.trianglesAdaptive(
+      hubGraph(s), operators.DedupOps.IdWedgeThreshold * 2)),
+    // same for BoundaryFanThreshold: a synthetic viral boundary of
+    // m=5000 head==tail docs probes maxFan = 2.5e7, 1.5x the 2^24 bar —
+    // half the threshold salts it, double runs it plain; the 1.5M-doc
+    // filler keeps the join naturally in the SMJ regime (the bar's own
+    // regime — a broadcastable index with a spread stream has no fat
+    // task, see the BoundaryFanThreshold calibration record)
+    "ht_viral_thr_half" -> ((s, _) => operators.DedupOps.headTailPairs(
+      viralDocs(s), 3, operators.DedupOps.BoundaryFanThreshold / 2)),
+    "ht_viral_thr_double" -> ((s, _) => operators.DedupOps.headTailPairs(
+      viralDocs(s), 3, operators.DedupOps.BoundaryFanThreshold * 2)),
+    // the before/after pair for the r11 boundary salt itself: default
+    // threshold salts the m=5000 viral key (2.5e7 pairs spread 64
+    // ways); MaxValue forces the r10 single-key plan
+    "ht_viral_salted" -> ((s, _) =>
+      operators.DedupOps.headTailPairs(viralDocs(s), 3)),
+    "ht_viral_plain" -> ((s, _) => operators.DedupOps.headTailPairs(
+      viralDocs(s), 3, Long.MaxValue)),
+    // r11 q152 window-join salt: run against the bot-user zipf fixture
+    // dir (ScaleRegression zipf events, e.g. /tmp/graft_scale/x20000-zipf)
+    // — auto dispatches the salt there, plain forces the r10 single-key
+    // plan
+    "q152_auto" -> ((s, d) =>
+      operators.EventOps.q152DecayAttribution(s, d)),
+    "q152_plain_forced" -> ((s, d) => operators.EventOps.decayAttribution(
+      Tables.events(s, d), Long.MaxValue)))
+
+  /** 5000 copies of one 3-token doc (head window == tail window, ONE
+    * boundary hash carrying 2.5·10⁷ pair outputs, 1.5× the 2²⁴ bar)
+    * over a 1.5M-doc filler corpus. The filler size matters: it keeps
+    * the boundary index past the broadcast bar so the pair join runs
+    * as the SMJ the threshold is calibrated for — with a broadcastable
+    * index this fixture's stream side is SPREAD (range-generated), the
+    * BHJ parallelizes the fan map-side, and the salt can only lose
+    * (the r11 calibration detour, see BoundaryFanThreshold). */
+  private def viralDocs(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val viral = s.range(0, 5000L)
+      .select(col("id").as("doc_id"), lit("alpha beta gamma").as("text"))
+    val filler = s.range(100000L, 1600000L)
+      .select(col("id").as("doc_id"),
+        concat(lit("w"), col("id").cast("string"), lit(" x"),
+          col("id").cast("string"), lit(" y"), col("id").cast("string"),
+          lit(" z"), col("id").cast("string")).as("text"))
+    viral.unionByName(filler)
+  }
 
   /** Star hub with ids on BOTH sides (node N/2 joined to every other
     * node) plus a ring for graph body — the id-ordered wedge stage's
     * worst case: the hub key receives (N/2)² wedge rows from KBs of
     * input, below every AQE skew threshold. */
-  private def hubGraph(s: SparkSession, n: Long = 8001L): DataFrame = {
+  private[graft] def hubGraph(s: SparkSession, n: Long = 8001L): DataFrame = {
     import org.apache.spark.sql.functions._
     val hub = n / 2
     val ids = s.range(0, n).select(col("id"))

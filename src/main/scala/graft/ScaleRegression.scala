@@ -76,10 +76,19 @@ object ScaleRegression {
     "q37_simhash", "q64_dedup_clusters", "q83_triangles",
     "q89_leakfree_split", "q118_cluster_canonical", "q146_cluster_sizes",
     "q214_lsh_eval", "q51_winnow_fingerprint", "q70_contamination",
-    "q72_tfidf", "q111_rrf_hybrid", "q145_containment")
+    "q72_tfidf", "q111_rrf_hybrid", "q145_containment",
+    "q142_head_tail_overlap")
   private val graphQueries = Set("q101_pagerank", "q221_part_affinity",
     "q226_negative_samples")
-  private val embQueries = Set("q52_knn_ivf", "q111_rrf_hybrid")
+  private val embQueries = Set("q52_knn_ivf", "q111_rrf_hybrid",
+    "q38_embedding_neardup", "q49_embedding_lsh_dedup",
+    "q112_semantic_decontam")
+  // the hot-ENTITY fixtures for the per-user/per-type fan-out bounds
+  // (class #9 entries): zipf mode plants a bot user, the other modes
+  // replicate the stream (tagged = disjoint users, shared-vocab = the
+  // same users at factor x activity)
+  private val eventQueries = Set("q141_assoc_rules",
+    "q152_decay_attribution", "q172_trend_mk")
   // q226 anti-joins the scaled interaction set against customer — the
   // custkey shift must land on both sides or every replica's candidates
   // silently vanish from the measurement
@@ -108,6 +117,7 @@ object ScaleRegression {
     val needGraph = selected.exists(graphQueries)
     val needEmb = selected.exists(embQueries)
     val needCust = selected.exists(custQueries)
+    val needEvents = selected.exists(eventQueries)
     // A prior run of the same workDir/factor/mode with a DIFFERENT query
     // selection leaves mixed state: symlinks where this run needs scaled
     // writes (the overwrite would land on a link into the read-only base
@@ -119,7 +129,8 @@ object ScaleRegression {
       (if (needDocs) Set("documents") else Set.empty[String]) ++
       (if (needGraph) Set("orders", "lineitem") else Set.empty[String]) ++
       (if (needEmb) Set("embeddings") else Set.empty[String]) ++
-      (if (needCust) Set("customer") else Set.empty[String])
+      (if (needCust) Set("customer") else Set.empty[String]) ++
+      (if (needEvents) Set("events") else Set.empty[String])
     new java.io.File(outDir).mkdirs()
     Seq("region", "nation", "customer", "supplier", "part", "events",
       "documents", "orders", "lineitem", "embeddings").foreach { t =>
@@ -172,8 +183,57 @@ object ScaleRegression {
     }
     if (needEmb) {
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-      replicate(emb, factor, Seq("vec_id"), tagText = false)
-        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      val scaled =
+        if (mode == "zipf") {
+          // one mega duplicate-vector group: `factor` exact copies of the
+          // first non-zero-norm vector (ids 10^9+k, embedding/label
+          // untouched) — the hot-bucket probe for the banded emb family
+          // (q49/q112 band keys, q38 label blocks)
+          val mega = emb
+            .filter(aggregate(col("embedding"), lit(0.0d),
+              (acc, x) => acc + x * x) > 0.0d)
+            .orderBy(col("vec_id")).limit(1)
+          val copies = spark.range(1, factor.toLong + 1)
+            .crossJoin(broadcast(mega))
+            .withColumn("vec_id", lit(1000000000L) + col("id"))
+            .drop("id")
+            .select(emb.columns.map(col).toIndexedSeq: _*)
+          emb.unionByName(copies)
+        } else replicate(emb, factor, Seq("vec_id"), tagText = false)
+      scaled.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    }
+    if (needEvents) {
+      // read through Tables.events (ts normalization) so the scaled
+      // write carries plain µs timestamps at any base encoding
+      val ev = Tables.events(spark, baseDir)
+      val scaled =
+        if (mode == "zipf") {
+          // BOT-USER fixture: `factor` synthetic events on ONE user id —
+          // alternating purchase/click, timestamps spread over one day so
+          // the q152 window join sees ~f²/8 in-window pairs on a single
+          // user key (the per-user fan-out probe); q141/q172 must show
+          // ×~1 (their declared bounds collapse the bot to ≤2 type rows /
+          // ≤2·days daily cells — the zipf table is the witness)
+          val base = ev.orderBy(col("event_id")).limit(1)
+            .select(col("user_id").as("b_uid"), col("ts").as("b_ts"),
+              col("value").as("b_value"), col("props").as("b_props"))
+          val copies = spark.range(1, factor.toLong + 1)
+            .crossJoin(broadcast(base))
+            .select(
+              (lit(1000000000L) + col("id")).as("event_id"),
+              timestamp_micros(unix_micros(col("b_ts")) +
+                pmod(col("id"), lit(86400L)) * 1000000L).as("ts"),
+              col("b_uid").as("user_id"),
+              when(pmod(col("id"), lit(2L)) === 0L, lit("purchase"))
+                .otherwise(lit("click")).as("event_type"),
+              col("b_value").as("value"), col("b_props").as("props"))
+          ev.unionByName(copies)
+        } else if (mode == "shared-vocab")
+          // same users, factor x activity — the heavy-user regime
+          replicate(ev, factor, Seq("event_id"), tagText = false)
+        else replicate(ev, factor, Seq("event_id", "user_id"),
+          tagText = false)
+      scaled.write.mode("overwrite").parquet(s"$outDir/events.parquet")
     }
     if (needCust) {
       val cust = spark.read.parquet(s"$baseDir/customer.parquet")
@@ -219,16 +279,23 @@ object ScaleRegression {
     val factor = if (args.length > 1) args(1).toInt else 10
     val workDir = if (args.length > 2) args(2) else "/tmp/graft_scale"
     val mode = if (args.length > 3) args(3) else "tagged"
-    require(mode == "tagged" || mode == "shared-vocab" || mode == "zipf",
-      s"mode must be tagged|shared-vocab|zipf, got $mode")
+    require(mode == "tagged" || mode == "shared-vocab" || mode == "zipf"
+        || mode == "hub",
+      s"mode must be tagged|shared-vocab|zipf|hub, got $mode")
     val selected =
       if (args.length > 4) args(4).split(",").toSeq
       else if (mode == "zipf")
+        // the standing mega-group regression chain (r11: +q70's
+        // contamination dispatch, +q142's boundary salt — the two
+        // adaptive branches previously measured only by ad-hoc PerfAB)
         Seq("q35_ngram_jaccard", "q36_minhash_lsh", "q37_simhash",
-          "q214_lsh_eval")
+          "q214_lsh_eval", "q70_contamination", "q142_head_tail_overlap")
+      else if (mode == "hub") Seq("q83_hub_adaptive", "q83_hub_id")
       else chain
-    require(mode != "zipf" || selected.forall(docQueries),
-      s"zipf mode scales only documents; selection must be doc queries")
+    require(mode != "zipf" ||
+      selected.forall(q => docQueries(q) || embQueries(q) || eventQueries(q)),
+      "zipf mode scales documents/embeddings/events; selection must be " +
+        "doc, embedding, or event queries")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -242,6 +309,56 @@ object ScaleRegression {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new PeakListener
     spark.sparkContext.addSparkListener(listener)
+
+    if (mode == "hub") {
+      // the r10 PerfAB hub pairs, folded into the standing harness
+      // (r11, VERDICT task 5): triangles over a synthetic star hub —
+      // base n=8001 (16M wedges on the hub key, measured at parity)
+      // vs n=`factor` (40001 → 4·10⁸ wedges, the minutes-vs-seconds
+      // regime). q83_hub_id is the unconditional id-ordered BASELINE;
+      // q83_hub_adaptive must keep max-task ≪ wall via the
+      // degree-ordered dispatch. 3-pass medians, max-task column.
+      require(factor > 2, s"hub mode: factor is the hub NODE COUNT")
+      val fns: Map[String, Long => DataFrame] = Map(
+        "q83_hub_adaptive" ->
+          (n => operators.DedupOps.triangles(PerfAB.hubGraph(spark, n))),
+        "q83_hub_id" ->
+          (n => operators.DedupOps.trianglesIdOriented(PerfAB.hubGraph(spark, n))))
+      val names = selected.filter(fns.contains)
+      def runHub(name: String, n: Long): (Double, Double, Double, Double) = {
+        listener.reset()
+        val t0 = System.nanoTime()
+        fns(name)(n).write.format("noop").mode("overwrite").save()
+        org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
+        ((System.nanoTime() - t0) / 1e9, listener.peak.get() / 1048576.0,
+          listener.spill.get() / 1048576.0, listener.maxTask.get() / 1e3)
+      }
+      names.foreach(runHub(_, 8001L)) // warm
+      val hubSamples = (1 to 3).map { _ =>
+        names.flatMap { nm =>
+          Seq((nm, "base") -> runHub(nm, 8001L),
+            (nm, "scaled") -> runHub(nm, factor.toLong))
+        }.toMap
+      }
+      def med(xs: Seq[Double]): Double = {
+        val s0 = xs.sorted
+        if (s0.size % 2 == 1) s0(s0.size / 2)
+        else (s0(s0.size / 2 - 1) + s0(s0.size / 2)) / 2
+      }
+      println(s"\n[scale] mode=hub base-n=8001 scaled-n=$factor")
+      println("\n| variant | 8001 sec | 8001 max-task sec | " +
+        s"$factor sec | $factor max-task sec | $factor spill MB |")
+      println("|---|---|---|---|---|---|")
+      names.foreach { nm =>
+        val b = hubSamples.map(_((nm, "base")))
+        val sc = hubSamples.map(_((nm, "scaled")))
+        println(f"| $nm | ${med(b.map(_._1))}%.2f | ${b.map(_._4).max}%.2f | " +
+          f"${med(sc.map(_._1))}%.2f | ${sc.map(_._4).max}%.2f | " +
+          f"${sc.map(_._3).max}%.0f |")
+      }
+      spark.stop()
+      return
+    }
 
     val scaledDir = s"$workDir/x$factor-$mode"
     println(s"[scale] generating ${factor}x $mode fixtures at $scaledDir ...")

@@ -308,12 +308,15 @@ object CurationOps {
     * drives the per-row update cost, measured 0.30 s vs 1.08 s at
     * rsd 0.01 for the same one-pass scan at sf0.1. */
   private[graft] def contaminationAuto(normed: DataFrame,
-      isBench: Column, minShared: Long = 3L): DataFrame = {
+      isBench: Column, minShared: Long = 3L,
+      // parameterized for the straddle fuzz only (see
+      // DedupOps.expandRepPairs); declared callers take the default
+      pinThreshold: Long = DedupOps.FanoutPinThreshold): DataFrame = {
     val r = normed.filter(col("norm").isNotNull)
       .agg(count(lit(1)).as("n"),
         approx_count_distinct(xxhash64(col("norm")), 0.05).as("d")).head()
     val dupMass = r.getLong(0) - r.getLong(1)
-    if (dupMass <= DedupOps.FanoutPinThreshold)
+    if (dupMass <= pinThreshold)
       // normText is idempotent, so the raw tokenizer re-normalizing
       // `norm` reproduces the exact gram stream of the original text
       contaminationPairs(normed.withColumnRenamed("norm", "text"),
@@ -451,7 +454,10 @@ object CurationOps {
       val small = stream.join(keys, Seq(key), "left_anti").join(mSmall, Seq(key))
       val big = stream.join(keys, Seq(key), "left_semi")
         .withColumn("_fb", explode(sequence(lit(0L), lit(B - 1))))
-        .join(mBig, Seq(key, "_fb")).drop("_fb")
+        // shuffle_hash on the bucketed side: a broadcast of either side
+        // would void the bucket spread, an SMJ would row-copy the M:N
+        // inner loop (DedupOps.expandSide's r11 note)
+        .join(mBig.hint("shuffle_hash"), Seq(key, "_fb")).drop("_fb")
       small.unionByName(big)
     }
   }

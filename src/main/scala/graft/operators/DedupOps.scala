@@ -172,7 +172,21 @@ object DedupOps {
     * bucket-pair keys (see the MEGA-GROUP SALT comment below). At the
     * threshold the unsalted single key emits at most C(1024,2) ≈ 5·10⁵
     * pairs — comfortably one task; above it the quadratic needs
-    * spreading. */
+    * spreading.
+    *
+    * SCALE PORTABILITY (r11, the contract all four skew constants in
+    * this file share): the constant bounds SINGLE-TASK OUTPUT ROWS —
+    * C(T,2) ≈ 5·10⁵ pairs is ~30 ms of one core generating narrow rows
+    * (the measured ~1.6·10⁷ rows/core-second of this family's pair
+    * shapes, SCALING.md r10) — and one task runs on ONE core no matter
+    * whether the cluster has 32 or 32,000 of them. A 1000-executor job
+    * keeps exactly this constant: the quantity it caps is
+    * width-independent, unlike anything denominated in cluster
+    * fractions. It would need re-deriving only if per-core row
+    * throughput moved by orders of magnitude; the crossover is FLAT —
+    * the zipf straddle runs (factor 512 vs 2048, SCALING.md r11) show
+    * either branch within noise of the other near the bar, so the
+    * constant's placement is uncritical within ~4×. */
   private[graft] val WithinSaltThreshold = 1024L
 
   /** Dup-member count above which the corpus-dense (hasMults) pair
@@ -185,11 +199,34 @@ object DedupOps {
     * coalesced-width blindness exists in BOTH join regimes: when the
     * member map broadcasts, the BHJ fans out map-side over the
     * UPSTREAM's AQE-coalesced partitions — the pin fixes the width
-    * regardless of strategy. */
+    * regardless of strategy.
+    *
+    * SCALE PORTABILITY (r11): this is the one constant in the family
+    * that is a DUPLICATION DETECTOR rather than a single-task output
+    * bound — so its argument has two halves, both width-independent.
+    * (1) The FIX side scales with the cluster by construction: the pin
+    * repartitions to `defaultParallelism`, never to a constant. (2) The
+    * TRIGGER side compares a corpus property (dup members) whose two
+    * error regimes cost width-independent amounts: firing with nothing
+    * to spread prices one pair-stream shuffle — a bounded FRACTION of a
+    * plan that already shuffles that stream (measured +80% worst-case
+    * at 1×, the reason the pin is conditional at all); NOT firing just
+    * below the bar leaves per-key fan-out ≤ [[WithinSaltThreshold]]
+    * (the expansion side-joins bucket bigger groups regardless of the
+    * pin) on AQE-input-split tasks — single-task seconds again, not
+    * cluster fractions. The crossover is flat: zipf straddle runs at
+    * 5·10³ vs 2·10⁴ members (SCALING.md r11) measure both branches
+    * within noise of each other near the bar. */
   private[graft] val FanoutPinThreshold = 10000L
 
   private[graft] def expandRepPairs(repPairs: DataFrame, c: Collapsed,
-      withinCols: Seq[Column], withinEligible: Column): DataFrame = {
+      withinCols: Seq[Column], withinEligible: Column,
+      // threshold parameters exist for the straddle fuzz ONLY (a battery
+      // swings each one around a fixed corpus's probed value and asserts
+      // hash-identical output + the intended branch); every production
+      // caller takes the defaults
+      saltThreshold: Long = WithinSaltThreshold,
+      pinThreshold: Long = FanoutPinThreshold): DataFrame = {
     val mults = Set("mult_a", "mult_b")
     val hasMults = mults.subsetOf(repPairs.columns.toSet)
     val extras = repPairs.columns.toSeq
@@ -234,7 +271,7 @@ object DedupOps {
       else Option(c.groups.filter(col("mult") >= 2L)
         .agg(sum(col("mult"))).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-    val toJoin = if (hasMults && dupMembers > FanoutPinThreshold)
+    val toJoin = if (hasMults && dupMembers > pinThreshold)
       toJoin0.repartition(
         repPairs.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
     else toJoin0
@@ -248,9 +285,9 @@ object DedupOps {
     // empty broadcasts, re-planned in every CC round; bench_full_r10
     // first run). A 100 TB job pays one in-memory scan of the deduped
     // group table to buy the skew-proof plan only when it's needed.
-    val anyBig = !c.groups.filter(col("mult") > WithinSaltThreshold)
+    val anyBig = !c.groups.filter(col("mult") > saltThreshold)
       .limit(1).isEmpty
-    val bigIds = c.groups.filter(col("mult") > WithinSaltThreshold)
+    val bigIds = c.groups.filter(col("mult") > saltThreshold)
       .select(col("rep_id"))
     val B = SaltBuckets
     // One expansion join per pair side. LEFT + coalesce on the normal
@@ -277,8 +314,20 @@ object DedupOps {
             Seq(rep), "left")
         val big = stream.join(keys, Seq(rep), "left_semi")
           .withColumn("_sb", explode(sequence(lit(0L), lit(B - 1))))
+          // SHUFFLE_HASH hint on the bucketed side (r11): without it
+          // AQE may BROADCAST one side of the bucket join — the width
+          // defense then collapses, because the exploded side's
+          // partitioning ends up under a BroadcastExchange and the
+          // whole fan-out streams on the other side's unpinned few
+          // partitions (caught by the q142 Dbg2/Dbg4 decomposition;
+          // the trap was latent in every salted join) — and a
+          // sort-merge join's M:N inner loop copies buffered rows per
+          // candidate (measured ~15% slower than the hash build on the
+          // q152 stage). The build side is safe by construction: the
+          // salt caps every (key, bucket) build group at ~1/B of the
+          // hot key's members
           .join(dmBig.select(col("rep_id").as(rep), col("mbkt").as("_sb"),
-            col("doc_id").as(out)), Seq(rep, "_sb"))
+            col("doc_id").as(out)).hint("shuffle_hash"), Seq(rep, "_sb"))
           .drop("_sb")
         normal.unionByName(big)
       }
@@ -335,7 +384,10 @@ object DedupOps {
         // parallelism so the mega group's output streams at full width
         .repartition(emBig.sparkSession.sparkContext.defaultParallelism,
           col("rep_id"), col("tb"))
-        .as("x").join(embk.as("y"),
+        // shuffle_hash on the bucketed side: see expandSide — a
+        // broadcast here would void the pin, a sort-merge join would
+        // row-copy the M:N inner loop
+        .as("x").join(embk.hint("shuffle_hash").as("y"),
           col("x.rep_id") === col("y.rep_id")
             && col("x.tb") === col("y.bkt")
             && (col("x.bkt") < col("y.bkt")
@@ -790,6 +842,12 @@ object DedupOps {
       // zero-norm contract (SimilarityOps.quantized): no direction, no
       // cosine — excluded on both engines
       .filter(col("n2") > 0)
+    q38Auto(e)
+  }
+
+  /** The within-label all-pairs core (the declared q38 semantics),
+    * runnable on the raw frame or on collapsed representatives. */
+  private def q38Core(e: DataFrame): DataFrame = {
     val a = e.select(col("label"), col("vec_id").as("vec_a"),
       col("q").as("qa"), col("n2").as("na2"))
     val b = e.select(col("label"), col("vec_id").as("vec_b"),
@@ -803,6 +861,28 @@ object DedupOps {
       .filter(col("cos") >= 0.4)
       .select("label", "vec_a", "vec_b", "cos")
   }
+
+  /** Adaptive q38 (r11): below [[FanoutPinThreshold]] dup vectors the
+    * raw within-label join runs; above it, pairs form on (label, q)
+    * collapsed representatives and expand to members — a duplicated
+    * vector's copies otherwise enumerate C(m,2) pairs inside one label
+    * block (zipf 3000 copies measured ×14.8, 94% single-task). The
+    * label rides the member map as expansion payload so within-group
+    * pairs re-emit it; their cosine is EXACTLY 1.0 (see
+    * [[embeddingLshAuto]]). Output identical, straddle-spec'd. */
+  private[graft] def q38Auto(e: DataFrame,
+      pinThreshold: Long = FanoutPinThreshold): DataFrame =
+    if (vectorDupMass(e, Seq("label")) <= pinThreshold) q38Core(e)
+    else {
+      val c = collapseVectors(e, Seq("label"), Seq("label"))
+      val repPairs = q38Core(c.reps)
+        .withColumnRenamed("vec_a", "doc_a")
+        .withColumnRenamed("vec_b", "doc_b")
+      expandRepPairs(repPairs, c,
+        Seq(col("x.label").as("label"), lit(1.0).as("cos")), lit(true))
+        .select(col("label"), col("doc_a").as("vec_a"),
+          col("doc_b").as("vec_b"), col("cos"))
+    }
 
   val q38Sql: String =
     """WITH q AS (
@@ -890,8 +970,77 @@ object DedupOps {
       .select(col("vec_id"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
       .filter(col("n2") > 0) // zero-norm contract (SimilarityOps.quantized)
-    embeddingLshPairs(e, bandsN = 2, bitsPerBand = 4, minCos = 0.4)
+    embeddingLshAuto(e)
   }
+
+  /** Collapse a quantized-vector frame by exact content — the q35/q70
+    * idiom carried to the embedding family (r11, after the zipf
+    * duplicate-vector fixture measured q38 ×14.8 / q49 ×10.9 / q112
+    * ×19.2 at 3000 copies, each ~95% single-task: duplicate vectors
+    * pile one LSH bucket / label block exactly like duplicate documents
+    * pile a gram key, and AQE cannot see the pair OUTPUT). `keyCols`
+    * join the fingerprint (q38 collapses per (label, q) — equal vectors
+    * under different labels must NOT merge); `payload` columns ride the
+    * member map for the within-branch of [[expandRepPairs]] to re-emit
+    * (the label of a within pair is its group's label). */
+  private[graft] def collapseVectors(e: DataFrame, keyCols: Seq[String],
+      payload: Seq[String]): Collapsed = {
+    val fp = struct(keyCols.map(col) ++ Seq(
+      xxhash64(col("q")), xxhash64(lit(1), col("q"))): _*)
+    val fped = e.withColumn("fp", fp)
+    val carried = (keyCols ++ Seq("q", "n2")).distinct
+    val groups = fped.groupBy(col("fp"))
+      .agg(min(col("vec_id")).as("rep_id"),
+        // identical within a group by construction (fp covers them)
+        carried.map(c => first(col(c)).as(c)) :+ count(lit(1)).as("mult"): _*)
+      .localCheckpoint(true)
+    Collapsed(
+      reps = groups.select(col("rep_id").as("vec_id") +: carried.map(col): _*),
+      map = fped.select(Seq(col("vec_id").as("doc_id"), col("fp")) ++
+          payload.map(col): _*)
+        .join(groups.select(col("fp"), col("rep_id")), Seq("fp"))
+        .select(Seq(col("doc_id"), col("rep_id")) ++ payload.map(col): _*)
+        .localCheckpoint(true),
+      groups = groups.select(col("rep_id"), col("mult")))
+  }
+
+  /** Duplicate-mass probe over a vector fingerprint — the q70 dispatch
+    * applied to embeddings: one rsd-0.05 HLL pass decides whether the
+    * banded/blocked pair joins run on the raw frame (dup-light: the
+    * collapse checkpoints are pure cost) or on exact-dup-collapsed
+    * representatives with member expansion (dup-heavy: a duplicated
+    * vector's copies otherwise enumerate C(m,2) pairs under one bucket
+    * key). Two-sided HLL error, same analysis as
+    * [[graft.operators.CurationOps.contaminationAuto]]. */
+  private[graft] def vectorDupMass(e: DataFrame, keyCols: Seq[String]): Long = {
+    val fpCols = keyCols.map(col) :+ col("q")
+    val r = e.agg(count(lit(1)).as("n"),
+      approx_count_distinct(xxhash64(fpCols: _*), 0.05).as("d")).head()
+    r.getLong(0) - r.getLong(1)
+  }
+
+  /** Adaptive q49: raw banded join below [[FanoutPinThreshold]] dup
+    * vectors, collapse + expansion above. Identical output: identical
+    * vectors share every band key and score cos = 1.0 EXACTLY (dot(q,q)
+    * = n2 and sqrt(fl(n2²)) = n2 for every int-valued double below
+    * 2⁵³), so within-group pairs are emitted with the literal the raw
+    * join would compute; cross pairs score their representatives'
+    * vectors, which equal every member's. Parity + branch witness
+    * straddle-spec'd (DispatchStraddleSpec). */
+  private[graft] def embeddingLshAuto(e: DataFrame,
+      pinThreshold: Long = FanoutPinThreshold): DataFrame =
+    if (vectorDupMass(e, Seq.empty) <= pinThreshold)
+      embeddingLshPairs(e, bandsN = 2, bitsPerBand = 4, minCos = 0.4)
+    else {
+      val c = collapseVectors(e, Seq.empty, Seq.empty)
+      val repPairs = embeddingLshPairs(c.reps, bandsN = 2, bitsPerBand = 4,
+          minCos = 0.4)
+        .withColumnRenamed("vec_a", "doc_a")
+        .withColumnRenamed("vec_b", "doc_b")
+      expandRepPairs(repPairs, c, Seq(lit(1.0).as("cos")), lit(true))
+        .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
+          col("cos"))
+    }
 
   val q49Sql: String = {
     val planes = SimilarityOps.planes
@@ -1120,7 +1269,18 @@ object DedupOps {
     * the hub-8001 PerfAB pair (16M wedges on the hub key) measured NO
     * wall separation at local[32] — one task emitting 16M narrow rows
     * is ~1 s of work — while the hub-40001 pair (4×10⁸ on one key) is
-    * the minutes-vs-seconds regime the switch exists for. */
+    * the minutes-vs-seconds regime the switch exists for.
+    *
+    * SCALE PORTABILITY (r11): denominated in single-task OUTPUT ROWS ≈
+    * one core-second of row generation — a per-CORE quantity, so the
+    * constant carries unchanged to any cluster width (the
+    * [[WithinSaltThreshold]] contract; per-core throughput, not
+    * cluster share, is the only thing that could move it). The
+    * crossover is flat by measurement: at the bar the hub-8001 pair
+    * runs the two orientations at parity (±2× threshold flips the
+    * branch with no wall change — the PerfAB `tri_hub_thr_half` /
+    * `tri_hub_thr_double` sensitivity rows), and the win only appears
+    * an order of magnitude past it. */
   private[graft] val IdWedgeThreshold = 1L << 24
 
   private[graft] def trianglesAdaptive(edges: DataFrame,
@@ -1425,9 +1585,14 @@ object DedupOps {
       if (maxFan <= fanThreshold.toDouble)
         tails.join(heads, Seq("h"))
       else {
+        // materialized once: the hot-key roster feeds FOUR anti/semi
+        // broadcasts below, and a lazy `hot` re-runs the keyCounts
+        // aggregation inside every broadcast build (measured: the
+        // re-aggregations, not the salted join itself, were most of the
+        // salted plan's overhead — Dbg2 stage decomposition, r11)
         val hot = keyCounts
           .filter(col("mt").cast("double") * col("mh") > fanThreshold.toDouble)
-          .select(col("h"))
+          .select(col("h")).localCheckpoint(true)
         val plain = tails.join(hot, Seq("h"), "left_anti")
           .join(heads.join(hot, Seq("h"), "left_anti"), Seq("h"))
         val B = SaltBuckets
@@ -1435,8 +1600,16 @@ object DedupOps {
           .withColumn("bkt", explode(sequence(lit(0L), lit(B - 1))))
           .repartition(docs.sparkSession.sparkContext.defaultParallelism,
             col("h"), col("bkt"))
+          // shuffle_hash on the bucketed side: AQE otherwise
+          // BROADCASTS the exploded side (byte-tiny), swallowing the
+          // REPARTITION_BY_NUM pin inside a BroadcastExchange and
+          // streaming the entire fan-out on the other side's few
+          // partitions — measured 4x the single-task plain plan at
+          // 10^9 pairs before the hint (Dbg3/Dbg4, r11); the hash
+          // build also beats the SMJ's M:N row-copy inner loop
           .join(tails.join(hot, Seq("h"), "left_semi")
-            .withColumn("bkt", pmod(xxhash64(col("doc_a")), lit(B))),
+            .withColumn("bkt", pmod(xxhash64(col("doc_a")), lit(B)))
+            .hint("shuffle_hash"),
             Seq("h", "bkt"))
         plain.unionByName(salted.select(plain.columns.map(col).toIndexedSeq: _*))
       }
@@ -1445,11 +1618,27 @@ object DedupOps {
   }
 
   /** Largest single-boundary-key pair output [[headTailPairs]]' plain
-    * join may emit before hot keys take the bucket salt. Same unit and
-    * value as [[IdWedgeThreshold]] — max OUTPUT ROWS one task may
-    * generate, 2²⁴ ≈ 1 task-second of narrow-row generation — because
-    * it bounds the same width-independent quantity (see the threshold
-    * portability note at [[IdWedgeThreshold]]). */
+    * SORT-MERGE join may emit before hot keys take the bucket salt —
+    * same unit and value as [[IdWedgeThreshold]] (max OUTPUT ROWS one
+    * task may generate; 2²⁴ ≈ 1.2 s at SMJ's measured ~1.4·10⁷
+    * single-key-emit rows/s, Dbg3 r11).
+    *
+    * The bar was MEASURED in the adverse regime and deliberately keyed
+    * on the probe alone. The r11 calibration detour, kept on record:
+    * when the sides fit a broadcast AND the hot key's stream rows are
+    * spread across partitions, the plain BHJ fans out map-side in
+    * parallel (10⁹ pairs in 3.3 s over 64 tasks) and the salt loses
+    * ×2.5 — a first cut moved this bar to 2²⁶ from exactly that
+    * measurement, and a second cut guarded on broadcastability. Both
+    * were wrong: the q152 bot fixture showed a BROADCASTABLE side
+    * still fat-tasking (max-task ≈ wall), because a clustered hot key
+    * (a bot's time-adjacent rows, one parquet split) concentrates the
+    * stream side regardless of join strategy, and clustering is not
+    * observable at plan time. So the dispatch pays the salt whenever
+    * the OUTPUT bound crosses the bar: the spread-BHJ corpora where
+    * that wastes ~×2.5 of a small absolute are bounded overhead; the
+    * clustered/SMJ fat task it prevents is unbounded (×3.1 at 2.6·10⁸
+    * pairs, ×6.6 at 10⁹, Dbg3 / SCALING.md r11). */
   private[graft] val BoundaryFanThreshold = 1L << 24
 
   /** Bucket count every mega-key salt in this file spreads a hot key

@@ -568,30 +568,135 @@ object EventOps {
     *
     * Scale shape: purchases ⋈ touches keyed on user_id (unbounded key —
     * per-user work is |purchases_u|·|touches_u|, the same bound the
-    * funnel/retention family carries; a bot user is join skew, AQE-
-    * splittable), pre-filtered to the 24 h window on the JOIN condition
-    * so the pair stream never widens; then a #channels-bounded
-    * aggregate and a 1-row broadcast for the share. */
-  def q152DecayAttribution(s: SparkSession, dir: String): DataFrame = {
+    * funnel/retention family carries), pre-filtered to the 24 h window
+    * on the JOIN condition so the pair stream never widens; then a
+    * #channels-bounded aggregate and a 1-row broadcast for the share.
+    *
+    * Skew note (r11 — the class-#9 sweep flagged this join M:N on
+    * user_id, and the bot-user zipf fixture CONFIRMED it: 2·10⁴ events
+    * on one user ran the f²/8 ≈ 5·10⁷-pair window join essentially in
+    * a single task, max-task 2.68 s of a 2.98 s wall, quadratic from
+    * there — a 2·10⁵-event bot would single-task for minutes. The
+    * r1–r10 scaladoc claimed "a bot user is join skew, AQE-splittable"
+    * — the class's standing wrong claim: the pair volume is join
+    * OUTPUT, invisible to AQE's input-byte skew split). Fix is the
+    * standing adaptive idiom: one single-pass probe aggregate computes
+    * max_u |P_u|·|T_u|; at or below [[WindowFanThreshold]] the
+    * r10-shaped plain join runs, above it HOT USERS ONLY take the
+    * bucket salt (purchases hashed into [[DedupOps.SaltBuckets]]
+    * buckets, touches exploded to every bucket, join on (user_id,
+    * bucket) with the defaultParallelism width pin); cold users keep
+    * the plain join. The per-channel aggregate consumes the identical
+    * pair multiset — parity + branch witnesses spec'd across the
+    * threshold (DispatchStraddleSpec); measured post-fix in the
+    * standing zipf-events row (SCALING.md r11). */
+  def q152DecayAttribution(s: SparkSession, dir: String): DataFrame =
+    decayAttribution(Tables.events(s, dir), WindowFanThreshold)
+
+  /** Worst single-user pair ENUMERATION (|P_u|·|T_u| candidates, before
+    * the window filter) q152's plain SMJ may run in one task before hot
+    * users take the bucket salt — [[DedupOps.BoundaryFanThreshold]]'s
+    * unit, but a per-operator value: q152's salted branch additionally
+    * prices TWO stream checkpoints (the narrow purchase/touch
+    * projections, materialized so the hot split doesn't re-scan the
+    * event table four times), so its measured crossover sits at
+    * ~2–4·10⁸ on the sf0.1 stream (PerfAB `q152_auto` vs
+    * `q152_plain_forced` on the 4·10⁴-bot fixture, post the r11
+    * duplicate-subtree fix: 7.8 vs 6.8 s at 4·10⁸ = 1.5× this bar —
+    * flat, the crossover contract; the plain form's single task is
+    * ~5 s there and grows quadratically while the salted max-task
+    * stays bucket-bounded). 2²⁸ ≈ 2.7·10⁸. NOTE the bot fixture
+    * fat-tasked (max-task ≈ wall) with a BROADCASTABLE purchase side —
+    * the clustered-stream evidence behind keying the dispatch on the
+    * output bound alone (see [[DedupOps.BoundaryFanThreshold]]'s
+    * calibration record). */
+  private[graft] val WindowFanThreshold: Long = 1L << 28
+
+  private[graft] def decayAttribution(ev: DataFrame,
+      fanThreshold: Long): DataFrame = {
     val d38 = "decimal(38,0)"
-    val ev = Tables.events(s, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
     val touches = ev
       .filter(col("event_type").isin("click", "view", "signup"))
       .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
         col("event_type").as("channel"))
-    val weighted = purchases.join(touches, Seq("user_id"))
-      .filter(col("t_us") < col("p_us") &&
-        col("p_us") - col("t_us") < lit(86400000000L))
-      .withColumn("w",
-        lit(24L) - expr("(p_us - t_us) div 3600000000"))
+    // single-pass probe: per-user purchase/touch counts in ONE
+    // map-side-combined aggregate over the filtered stream (NULL-id
+    // rows can't pair — the join key drops them on both plans)
+    val pt = ev.filter(col("user_id").isNotNull && col("event_type")
+        .isin("purchase", "click", "view", "signup"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("nt"))
+    val mw = pt.agg(max(col("np").cast("double") * col("nt")).as("mw")).head()
+    val maxFan = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
+    val windowCond = col("t_us") < col("p_us") &&
+      col("p_us") - col("t_us") < lit(86400000000L)
+    val paired =
+      if (maxFan <= fanThreshold.toDouble)
+        purchases.join(touches, Seq("user_id")).filter(windowCond)
+      else {
+        // salted branch materializes its three shared frames ONCE: the
+        // lazy forms would re-scan the event table inside every
+        // anti/semi consumer (4 extra corpus scans) and rebuild the
+        // per-user aggregate inside every hot broadcast — measured as
+        // most of the salted plan's cost, not the join itself (the q142
+        // Dbg2 decomposition, r11). P/T are narrow projections
+        // (user_id + µs + channel), spill-capable like the collapse
+        // products; `hot` is the tiny above-bar roster, derived from
+        // the checkpoints so it costs no further event scan.
+        val p = purchases.localCheckpoint(true)
+        val t = touches.localCheckpoint(true)
+        val hot = p.groupBy(col("user_id")).agg(count(lit(1)).as("np"))
+          .join(t.groupBy(col("user_id")).agg(count(lit(1)).as("nt")),
+            Seq("user_id"))
+          .filter(col("np").cast("double") * col("nt") > fanThreshold.toDouble)
+          .select(col("user_id")).localCheckpoint(true)
+        val plain = p.join(hot, Seq("user_id"), "left_anti")
+          .join(t.join(hot, Seq("user_id"), "left_anti"),
+            Seq("user_id"))
+          .filter(windowCond)
+        val B = DedupOps.SaltBuckets
+        val salted = t.join(hot, Seq("user_id"), "left_semi")
+          .withColumn("bkt", explode(sequence(lit(0L), lit(B - 1))))
+          .repartition(ev.sparkSession.sparkContext.defaultParallelism,
+            col("user_id"), col("bkt"))
+          // shuffle_hash hint (r11): two birds — AQE may neither
+          // BROADCAST a side (which would swallow the width pin inside
+          // a BroadcastExchange and stream the whole fan-out on the
+          // other side's few partitions) nor pick a SORT-MERGE join
+          // (whose M:N inner loop copies buffered rows per candidate —
+          // measured 1.8e6 pairs/core-s vs the hash join's ~8e7 on
+          // this exact stage). The build side is the BUCKETED one: the
+          // salt guarantees its per-(key,bucket) partition stays tiny
+          .join(p.join(hot, Seq("user_id"), "left_semi")
+            .withColumn("bkt",
+              pmod(xxhash64(col("user_id"), col("p_us")), lit(B)))
+            .hint("shuffle_hash"),
+            Seq("user_id", "bkt"))
+          .filter(windowCond)
+          .drop("bkt")
+        plain.unionByName(salted.select(plain.columns.map(col).toIndexedSeq: _*))
+      }
+    val weighted = paired.withColumn("w",
+      lit(24L) - expr("(p_us - t_us) div 3600000000"))
     val perChannel = weighted.groupBy(col("channel"))
       .agg(count(lit(1)).as("n_touches"),
         sum(col("w").cast(d38)).cast("long").as("w_mass"))
-    val total = perChannel
-      .agg(sum(col("w_mass").cast(d38)).cast("long").as("w_total"))
-    perChannel.crossJoin(broadcast(total))
+    // share denominator via a GLOBAL window over the ≤#channels frame
+    // (bounded: 3 touch types) — the r1–r10 crossJoin(broadcast(total))
+    // form planned the ENTIRE pair pipeline twice, once under
+    // perChannel and once under the scalar total (Spark shares no
+    // common subtrees across a DataFrame reuse); on the r11 bot
+    // fixture the duplicate subtree was most of the wall (Dbg5 stage
+    // decomposition: two concurrent 8-second copies of the same join)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    perChannel
+      .withColumn("w_total",
+        sum(col("w_mass").cast(d38)).over(wAll).cast("long"))
       .select(col("channel"), col("n_touches"), col("w_mass"),
         (col("w_mass").cast("double") / col("w_total").cast("double"))
           .as("w_share"))

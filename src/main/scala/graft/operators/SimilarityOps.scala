@@ -591,8 +591,34 @@ object SimilarityOps {
     * quantized cosine; a candidate pair found by several bands is
     * deduplicated BEFORE the per-vector aggregate, so multiplicity
     * can't inflate the match count. max() over identical doubles is
-    * order-safe (no accumulation). */
+    * order-safe (no accumulation).
+    *
+    * Skew note (r11): a DUPLICATED vector (boilerplate embedding, m
+    * copies) puts m corpus copies × m_e eval copies of the same
+    * content through one band-bucket key — the zipf dup-vector fixture
+    * measured ×19.2 wall at 3000 copies, 99% single-task, peak task
+    * memory ×5.2 (the distinct() buffers the copy×copy candidates).
+    * The declared form therefore dispatches on a dup-mass probe: above
+    * [[graft.operators.DedupOps.FanoutPinThreshold]] dup vectors, the
+    * WEIGHTED role-aware form runs — candidates form between distinct
+    * CONTENTS (collapsed reps, corpus-role × eval-role), each matched
+    * content contributes its eval-member COUNT (never expands eval
+    * copies), and the per-corpus-member result is one LINEAR join from
+    * rep aggregates to members. The q214 lesson applied to
+    * decontamination: a per-entity aggregate consumer never needs the
+    * pair expansion at all. Parity + branch witness straddle-spec'd. */
   def q112SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
+    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+    val isEval =
+      pmod(graft.functions.TextFns.hash60(
+        concat(lit("eval:"), col("vec_id").cast("string"))), lit(100)) < 5
+    q112Auto(e, isEval)
+  }
+
+  /** Bipartite banded candidate pairs `corpus ⋈ eval` (both
+    * `(vec_id, q, n2)`): distinct `(vec_id, eval_id)` pairs agreeing in
+    * ≥1 band, exact-cosine-verified at ≥ 0.4. */
+  private def evalBandPairs(corpus: DataFrame, eval: DataFrame): DataFrame = {
     import graft.functions.VectorExprs.quantized_dot
     val bandsN = 4; val bitsPerBand = 2
     val pl = planesFor(bandsN * bitsPerBand)
@@ -609,14 +635,10 @@ object SimilarityOps {
         explode(array(bands: _*)).as("b"))
         .select(col("vec_id"), col("q"), col("n2"),
           col("b.band").as("band"), col("b.key").as("key"))
-    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
-    val isEval =
-      pmod(graft.functions.TextFns.hash60(
-        concat(lit("eval:"), col("vec_id").cast("string"))), lit(100)) < 5
-    val ev = banded(e.filter(isEval))
+    val ev = banded(eval)
       .select(col("band"), col("key"), col("vec_id").as("eval_id"),
         col("q").as("qe"), col("n2").as("ne2"))
-    banded(e.filter(!isEval))
+    banded(corpus)
       .join(ev, Seq("band", "key"))
       .select(col("vec_id"), col("eval_id"), col("q"), col("qe"),
         col("n2"), col("ne2"))
@@ -624,9 +646,45 @@ object SimilarityOps {
       .withColumn("cos", quantized_dot(col("q"), col("qe")).cast("double")
         / sqrt(col("n2").cast("double") * col("ne2").cast("double")))
       .filter(col("cos") >= 0.4)
-      .groupBy(col("vec_id"))
-      .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("eval_id"), col("cos"))
   }
+
+  /** Adaptive q112: raw bipartite band join below the dup-mass bar,
+    * collapsed WEIGHTED role-aware form above (see the declared
+    * query's scaladoc). `isEval` must be a deterministic predicate over
+    * `vec_id` — membership is per-COPY, so one content's copies can
+    * sit on both sides, and a both-role content matches ITSELF at
+    * cos = 1.0 exactly (each corpus copy × each eval copy), which the
+    * rep-level self-pair reproduces. */
+  private[graft] def q112Auto(e: DataFrame, isEval: Column,
+      pinThreshold: Long = DedupOps.FanoutPinThreshold): DataFrame =
+    if (DedupOps.vectorDupMass(e, Seq.empty) <= pinThreshold)
+      evalBandPairs(e.filter(!isEval), e.filter(isEval))
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+    else {
+      val c = DedupOps.collapseVectors(e, Seq.empty, Seq.empty)
+      val m = c.map.withColumnRenamed("doc_id", "vec_id")
+      val evalCnt = m.filter(isEval).groupBy(col("rep_id"))
+        .agg(count(lit(1)).as("n_eval"))
+      val corpusM = m.filter(!isEval)
+      val cReps = c.reps.join(corpusM.select(col("rep_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val eReps = c.reps.join(evalCnt.select(col("rep_id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      val perRep = evalBandPairs(cReps, eReps)
+        .join(evalCnt.withColumnRenamed("rep_id", "eval_id"), Seq("eval_id"))
+        .groupBy(col("vec_id"))
+        // Σ n_eval ≤ the eval slice's row count — no overflow exposure
+        .agg(sum(col("n_eval")).as("n_eval_matches"),
+          max(col("cos")).as("max_cos"))
+      // LINEAR member fan: one output row per corpus member of a
+      // matched content — a mega group contributes mult rows, not
+      // mult² (the whole point of the weighted form)
+      corpusM.join(perRep.withColumnRenamed("vec_id", "rep_id"),
+          Seq("rep_id"))
+        .select(col("vec_id"), col("n_eval_matches"), col("max_cos"))
+    }
 
   val q112Sql: String = {
     val pl = planesFor(8)

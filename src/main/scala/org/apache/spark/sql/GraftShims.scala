@@ -88,4 +88,5 @@ object GraftShims {
     * sits inside org.apache.spark, hence the shim. */
   def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
+
 }

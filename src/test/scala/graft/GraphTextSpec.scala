@@ -380,8 +380,15 @@ class GraphTextSpec extends SparkTestBase {
       (101L, "one two three four five six"),
       (102L, "four five six seven eight nine"))
     val docs = (viral ++ chain).toDF("doc_id", "text")
+    // pin the SMJ regime: a tiny corpus would otherwise plan broadcast
+    // joins on the plain branch — the dispatch fires on the threshold
+    // either way, but the bars are calibrated for the non-broadcast
+    // regime (BoundaryFanThreshold's calibration record)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     def run(thr: Long) =
       operators.DedupOps.headTailPairs(docs, 3, fanThreshold = thr)
+    try {
     val plain = run(3600L)  // probed maxFan = 60*60 sits AT the bar: plain
     val salted = run(3599L) // one below: the hot-key salt fires
     // branch witness: only the salted plan explodes the bucket sequence
@@ -392,11 +399,21 @@ class GraphTextSpec extends SparkTestBase {
       "salted branch did not plan the bucket explode")
     assert(!plain.queryExecution.optimizedPlan.toString.contains("Generate explode"),
       "plain branch unexpectedly planned the bucket explode")
+    // the pin's width target derives from the cluster, never a constant
+    // (the FanoutPinThreshold portability contract: the FIX side scales
+    // with the cluster by construction)
+    val pins = salted.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => r
+    }
+    assert(pins.exists(_.optNumPartitions
+        .contains(spark.sparkContext.defaultParallelism)),
+      "salted branch's width pin is not defaultParallelism-sized")
     val a = plain.orderBy("doc_a", "doc_b").collect().toSeq
     val b = salted.orderBy("doc_a", "doc_b").collect().toSeq
     assert(a == b, "salted pair set differs from plain")
     // 60*59 ordered viral pairs (doc_a != doc_b) + the one chain pair
     assert(a.size == 60 * 59 + 1, s"expected ${60 * 59 + 1}, got ${a.size}")
     assert(a.contains(org.apache.spark.sql.Row(101L, 102L)))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
 }

@@ -34,6 +34,7 @@ class ScaleLintSpec extends SparkTestBase {
     "q230_label_auc" -> "prefix ranks over the distinct-score histogram (q208's frame)",
     "q232_gains_curve" -> "cumulative capture over the distinct-score histogram",
     "q211_open_orders" -> "backlog prefix sum over the calendar-day deltas",
+    "q152_decay_attribution" -> "share denominator over the #channels frame (3 touch types; replaced the r10 crossJoin(total) form that planned the pair pipeline twice)",
     "qm7_magic_bytes" -> "per-mille share over the magic-byte cardinality")
 
   /** Queries whose collect_list/collect_set buffers are bounded — each
@@ -90,6 +91,10 @@ class ScaleLintSpec extends SparkTestBase {
       "q169_kcore" -> "fixed-round k-core peel over a localCheckpoint'd shrinking edge list",
       "q83_triangles" -> "adaptive orientation dispatch: edge list checkpointed once + one wedge-skew probe aggregate; counts materialized, pins released before return",
       "q142_head_tail_overlap" -> "boundary index checkpointed once (3 longs/doc, also halves the r10 double tokenize) + one worst-key fan probe aggregate — the r11 adaptive boundary salt dispatch",
+      "q152_decay_attribution" -> "one single-pass per-user pair-product probe aggregate dispatches plain-vs-salted window join — the r11 bot-user fix",
+      "q38_embedding_neardup" -> "one HLL dup-vector probe dispatches raw-vs-collapsed within-label pairs; above the bar the (label,q) collapse checkpoints once — the r11 duplicate-vector fix",
+      "q49_embedding_lsh_dedup" -> "one HLL dup-vector probe dispatches raw-vs-collapsed banded pairs; above the bar the vector collapse checkpoints once — the r11 duplicate-vector fix",
+      "q112_semantic_decontam" -> "one HLL dup-vector probe dispatches raw-vs-WEIGHTED role-aware decontam; above the bar the vector collapse checkpoints once — the r11 duplicate-vector fix",
       "q161_power_iteration" -> "fixed power-iteration rounds over the collected 64x64 covariance (2^12 entries, dimension-bounded)",
       "q166_mmr_rerank" -> "greedy MMR selection over a collected probe-bounded candidate set (<= probes x 20 rows)",
       "q177_greedy_cover" -> "greedy set cover: k rounds, each collecting only the 1-row argmax, over a checkpointed source-gram frame",
@@ -145,15 +150,22 @@ class ScaleLintSpec extends SparkTestBase {
         "(SCALING.md r11)"),
       "q38_embedding_neardup" -> ("declared within-label all-pairs " +
         "BASELINE (the LSH-free form; q49/q112 are the banded scale " +
-        "path): per-label pair volume IS the declared result set"),
+        "path): per-label pair volume IS the declared result set; " +
+        "duplicate vectors collapse adaptively above the dup-mass bar " +
+        "(r11 — zipf dup-vector fixture measured x14.8, 94% " +
+        "single-task, on the raw form)"),
       "q49_embedding_lsh_dedup" -> ("banded candidate generation; " +
         "band-key capacity (bands × bitsPerBand, here test-scale 2×4) " +
         "is the operator's scale dial — production raises it; " +
-        "candidates verified by exact cosine before emission"),
+        "candidates verified by exact cosine before emission; " +
+        "duplicate vectors collapse adaptively above the dup-mass bar " +
+        "(r11 — zipf dup-vector fixture measured x10.9 on the raw form)"),
       "q112_semantic_decontam" -> ("BIPARTITE corpus ⋈ eval band join: " +
         "candidate volume = corpus × eval-bucket density, never " +
         "corpus²; the eval side is a bounded benchmark registry by " +
-        "contract"),
+        "contract; duplicate vectors dispatch to the WEIGHTED " +
+        "role-aware form above the dup-mass bar (r11 — zipf fixture " +
+        "measured x19.2, 99% single-task, peak x5.2 on the raw form)"),
       "q39_knn_brute" -> probeKnn, "q93_knn_int8" -> probeKnn,
       "q173_ndcg" -> probeKnn, "q121_hard_negatives" -> probeKnn,
       "q136_ann_recall" -> (probeKnn + "; the LSH side joins the same 5 " +
@@ -181,11 +193,12 @@ class ScaleLintSpec extends SparkTestBase {
       "q172_trend_mk" -> ("pair join runs on the (type × day) DAILY " +
         "aggregate: per-type fan = days², calendar-bounded regardless " +
         "of event volume"),
-      "q152_decay_attribution" -> ("per-user purchases × touches inside " +
-        "the 24 h join-condition window — the funnel-family per-entity " +
-        "activity bound; a bot user concentrates input rows on its key " +
-        "(AQE-visible input skew), and the window caps pair depth to " +
-        "one day of touches per purchase"),
+      "q152_decay_attribution" -> ("adaptive window-join salt (r11, " +
+        "found by this sweep + the bot-user zipf fixture: 2e4 bot " +
+        "events ran 5e7 window pairs in one task): a single-pass probe " +
+        "of max_u |P_u|x|T_u| dispatches plain vs hot-user bucket salt " +
+        "above WindowFanThreshold — parity + witness spec'd, measured " +
+        "in SCALING.md r11"),
       "q160_fuzzy_linkage" -> ("dictionary-blocked linkage: pairs form " +
         "on the distinct-NAME dictionary (vocab-bounded), never " +
         "records; per-block fan ≤ block vocabulary²"),
@@ -538,6 +551,44 @@ class ScaleLintSpec extends SparkTestBase {
     val (_, clean) = jobsDuring(
       Tables.nation(spark, sfDir).select(col("n_nationkey")))
     assert(clean == 0, s"lazy build counted $clean jobs")
+  }
+
+  test("skew-threshold constants hold their documented single-task-output bounds") {
+    import operators.DedupOps._
+    // the portability contract (r11): every constant that gates an
+    // adaptive skew dispatch is denominated in SINGLE-TASK OUTPUT ROWS
+    // (width-independent — one task is one core at any cluster size),
+    // and one core generates ~1.6e7 narrow pair rows per second
+    // (SCALING.md r10). A constant change that breaks these documented
+    // relationships must revisit the scaladoc arguments.
+    val coreRowsPerSec = 16000000L
+    // an unsalted at-the-bar within group emits C(T,2) pairs — well
+    // under one core-second
+    val t = WithinSaltThreshold
+    assert(t * (t - 1) / 2 <= coreRowsPerSec / 8,
+      "C(WithinSaltThreshold,2) exceeds ~1/8 core-second of output")
+    // the output-row thresholds share the UNIT (worst single-task SMJ
+    // emit) and apply only in the SMJ regime — the r11 dispatch guard
+    // routes broadcastable sides to the plain plan first, because a
+    // BHJ's fan-out spreads map-side and has no fat task to fix
+    assert(IdWedgeThreshold <= 2 * coreRowsPerSec,
+      "IdWedgeThreshold exceeds ~2 core-seconds of single-key output")
+    assert(BoundaryFanThreshold == IdWedgeThreshold,
+      "boundary bar drifted from the shared SMJ single-task unit")
+    // q152's bar is per-operator: its salted branch prices two stream
+    // checkpoints, so the measured crossover sits ~16x higher
+    assert(operators.EventOps.WindowFanThreshold >= BoundaryFanThreshold &&
+      operators.EventOps.WindowFanThreshold <= (1L << 30),
+      "WindowFanThreshold outside its measured crossover band")
+    // post-salt, the largest of the B buckets of a group carries
+    // ~2/(B+1) of its C(M,2) pairs: a 32x-bar group (32k copies, the
+    // largest zipf fixture regime) stays ~1 core-second per bucket;
+    // beyond that the per-bucket cost grows as M²/B — that is the
+    // declared output's own quadratic volume spread B ways (the salt
+    // bounds CONCENTRATION, it cannot shrink total output)
+    val mega = t * 32
+    assert(mega * (mega - 1) / 2 * 2 / (SaltBuckets + 1) <= 2 * coreRowsPerSec,
+      "worst post-salt bucket of a 32x-bar group exceeds ~2 core-seconds")
   }
 
   test("fan-out lint catches planted M:N shapes and spares certified-unique sides") {
