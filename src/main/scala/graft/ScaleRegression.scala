@@ -409,8 +409,15 @@ object ScaleRegression {
     }
     def agg(n: String, which: String): M = {
       val ms = samples.map(_((n, which)))
+      // max-task reports the MEDIAN across passes of each pass's longest
+      // task (r11): the old max-over-passes conflated co-tenant freezes
+      // with skew — one frozen window printed "max-task 82 s" on an
+      // 8.8 s-wall query, an impossible reading that cost triage time.
+      // A real fat task repeats every pass and survives the median;
+      // a one-pass freeze does not. Peak memory/spill keep max (the
+      // OOM-relevant bound, and noise-stable anyway).
       M(median(ms.map(_.sec)), ms.map(_.peakMb).max, ms.map(_.spillMb).max,
-        ms.map(_.maxTaskSec).max)
+        median(ms.map(_.maxTaskSec)))
     }
     val rows = selected.map { n =>
       val base = agg(n, "base")

@@ -319,7 +319,7 @@ object DedupOps {
           // defense then collapses, because the exploded side's
           // partitioning ends up under a BroadcastExchange and the
           // whole fan-out streams on the other side's unpinned few
-          // partitions (caught by the q142 Dbg2/Dbg4 decomposition;
+          // partitions (caught by the q142 StageProfile/plan decomposition;
           // the trap was latent in every salted join) — and a
           // sort-merge join's M:N inner loop copies buffered rows per
           // candidate (measured ~15% slower than the hash build on the
@@ -1589,7 +1589,7 @@ object DedupOps {
         // broadcasts below, and a lazy `hot` re-runs the keyCounts
         // aggregation inside every broadcast build (measured: the
         // re-aggregations, not the salted join itself, were most of the
-        // salted plan's overhead — Dbg2 stage decomposition, r11)
+        // salted plan's overhead — StageProfile stage decomposition, r11)
         val hot = keyCounts
           .filter(col("mt").cast("double") * col("mh") > fanThreshold.toDouble)
           .select(col("h")).localCheckpoint(true)
@@ -1605,7 +1605,7 @@ object DedupOps {
           // REPARTITION_BY_NUM pin inside a BroadcastExchange and
           // streaming the entire fan-out on the other side's few
           // partitions — measured 4x the single-task plain plan at
-          // 10^9 pairs before the hint (Dbg3/Dbg4, r11); the hash
+          // 10^9 pairs before the hint (StageProfile + forced-SMJ bracket, r11); the hash
           // build also beats the SMJ's M:N row-copy inner loop
           .join(tails.join(hot, Seq("h"), "left_semi")
             .withColumn("bkt", pmod(xxhash64(col("doc_a")), lit(B)))
@@ -1621,7 +1621,7 @@ object DedupOps {
     * SORT-MERGE join may emit before hot keys take the bucket salt —
     * same unit and value as [[IdWedgeThreshold]] (max OUTPUT ROWS one
     * task may generate; 2²⁴ ≈ 1.2 s at SMJ's measured ~1.4·10⁷
-    * single-key-emit rows/s, Dbg3 r11).
+    * single-key-emit rows/s, the r11 forced-SMJ bracket).
     *
     * The bar was MEASURED in the adverse regime and deliberately keyed
     * on the probe alone. The r11 calibration detour, kept on record:
@@ -1638,7 +1638,7 @@ object DedupOps {
     * the OUTPUT bound crosses the bar: the spread-BHJ corpora where
     * that wastes ~×2.5 of a small absolute are bounded overhead; the
     * clustered/SMJ fat task it prevents is unbounded (×3.1 at 2.6·10⁸
-    * pairs, ×6.6 at 10⁹, Dbg3 / SCALING.md r11). */
+    * pairs, ×6.6 at 10⁹, SCALING.md r11). */
   private[graft] val BoundaryFanThreshold = 1L << 24
 
   /** Bucket count every mega-key salt in this file spreads a hot key

@@ -643,7 +643,7 @@ object EventOps {
         // anti/semi consumer (4 extra corpus scans) and rebuild the
         // per-user aggregate inside every hot broadcast — measured as
         // most of the salted plan's cost, not the join itself (the q142
-        // Dbg2 decomposition, r11). P/T are narrow projections
+        // StageProfile decomposition, r11). P/T are narrow projections
         // (user_id + µs + channel), spill-capable like the collapse
         // products; `hot` is the tiny above-bar roster, derived from
         // the checkpoints so it costs no further event scan.
@@ -690,7 +690,7 @@ object EventOps {
     // form planned the ENTIRE pair pipeline twice, once under
     // perChannel and once under the scalar total (Spark shares no
     // common subtrees across a DataFrame reuse); on the r11 bot
-    // fixture the duplicate subtree was most of the wall (Dbg5 stage
+    // fixture the duplicate subtree was most of the wall (StageProfile stage
     // decomposition: two concurrent 8-second copies of the same join)
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)

@@ -552,9 +552,14 @@ class PlanShapeSpec extends SparkTestBase {
       initialPlan(operators.EventOps.q152DecayAttribution(spark, sfDir))
     }
     assert(!p152.contains("CartesianProduct"), p152)
-    // the only unbounded join keys on user_id; the share total is a
-    // 1-row broadcast even with auto-broadcast off
-    assert(p152.contains("BroadcastNestedLoopJoin"), p152)
+    // r11: the share denominator is a global window over the
+    // #channels aggregate — NOT the old crossJoin(broadcast(total)),
+    // which re-planned the entire pair pipeline under the total's
+    // subtree. The witness for single-planning: the event table is
+    // scanned exactly twice (purchases + touches), not four times
+    assert(!p152.contains("BroadcastNestedLoopJoin"), p152)
+    assert(count(p152, "Scan parquet") == 2, p152)
+    assert(p152.contains("SinglePartition"), p152) // ≤3-channel window
   }
 
   test("q154/q155: per-row matrix product; centroid pairs never touch raw vectors") {
