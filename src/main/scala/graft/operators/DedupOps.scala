@@ -874,7 +874,13 @@ object DedupOps {
       pinThreshold: Long = FanoutPinThreshold): DataFrame =
     if (vectorDupMass(e, Seq("label")) <= pinThreshold) q38Core(e)
     else {
-      val c = collapseVectors(e, Seq("label"), Seq("label"))
+      // NULL-label rows can never pair in the raw form (the equi-join
+      // drops them: null ≠ null) — but a collapsed null-label GROUP
+      // would emit its within pairs, a silent null-semantics parity
+      // break. Excluded before the collapse; straddle-fuzz seeds a
+      // null-label dup group to keep it that way.
+      val c = collapseVectors(e.filter(col("label").isNotNull),
+        Seq("label"), Seq("label"))
       val repPairs = q38Core(c.reps)
         .withColumnRenamed("vec_a", "doc_a")
         .withColumnRenamed("vec_b", "doc_b")

@@ -176,10 +176,18 @@ class DispatchStraddleSpec extends SparkTestBase {
     import spark.implicits._
     val rnd = new scala.util.Random(seed)
     def vec(): Seq[Float] = Seq.fill(8)(rnd.nextInt(2000) / 1000f - 1f)
-    val dup = vec() match { case v => (0 until m).map(i => (i.toLong, 1, v)) }
+    val dup = vec() match { case v =>
+      (0 until m).map(i => (i.toLong, Option(1), v)) }
     val bg = (0 until 25).map(i =>
-      (1000L + i, rnd.nextInt(3), vec()))
-    (dup ++ bg).toDF("vec_id", "label", "q")
+      (1000L + i, Option(rnd.nextInt(3)), vec()))
+    // a NULL-label dup group: the raw within-label join drops these
+    // (null != null), and the collapsed branch must too — the q38
+    // null-semantics seam (found r11, fixed before any corpus hit it).
+    // Option-typed labels keep the frame a LocalRelation so the
+    // checkpoint-leaf branch witness stays meaningful.
+    val nullDup = vec() match { case v =>
+      (0 until 6).map(i => (2000L + i, None: Option[Int], v)) }
+    (dup ++ bg ++ nullDup).toDF("vec_id", "label", "q")
       .withColumn("n2", graft.functions.VectorExprs.quantized_norm2(col("q")))
       .filter(col("n2") > 0)
   }
