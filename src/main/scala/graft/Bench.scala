@@ -146,21 +146,44 @@ object Bench {
     }
     val movers: String = prevPath.flatMap { p =>
       scala.util.Try {
-        val prev = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(new java.io.File(p)).get("queries")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(p))
+        val prev = root.get("queries")
+        // canary-RATIO drift tier (r11): the box drifts ×1.5–2.5
+        // between windows on identical code (BASELINE.md), so a mover
+        // whose ratio tracks the canary-mean ratio within ±25% is the
+        // WHOLE SUITE moving — machine-adjudicated as drift instead of
+        // flooding needs-perfab (r11's run had 50 such entries, all
+        // clustered at the ×1.43 canary ratio)
+        val curCanary = {
+          val cs = canaries.flatMap(_._2)
+          if (cs.isEmpty) 0.0 else cs.sum / cs.size
+        }
+        val prevCanary = Option(root.get("canary")).map { c =>
+          val it = c.elements()
+          var s = 0.0; var n = 0
+          while (it.hasNext) { val v = it.next(); if (v.isNumber) { s += v.asDouble; n += 1 } }
+          if (n == 0) 0.0 else s / n
+        }.getOrElse(0.0)
+        val canaryRatio =
+          if (curCanary > 0 && prevCanary > 0) curCanary / prevCanary else 1.0
         val entries = results.flatMap { case (name, med, _) =>
           med.flatMap { c =>
             Option(prev.get(name)).filter(_.isNumber).map(_.asDouble)
               .collect {
                 case pv if pv > 0 && (c / pv > 1.2 || c / pv < 1.0 / 1.2) =>
-                  val verdict = if (math.max(pv, c) < 1.0) "jitter-by-canary"
+                  val r = c / pv
+                  val verdict =
+                    if (math.max(pv, c) < 1.0) "jitter-by-canary"
+                    else if (r / canaryRatio < 1.25 && canaryRatio / r < 1.25)
+                      "drift-by-canary"
                     else "needs-perfab"
                   f""""$name":{"prev":$pv%.3f,"cur":$c%.3f,""" +
-                    f""""ratio":${c / pv}%.2f,"verdict":"$verdict"}"""
+                    f""""ratio":$r%.2f,"verdict":"$verdict"}"""
               }
           }
         }
-        s""""prev_bench":"$p","movers":{${entries.mkString(",")}}"""
+        f""""prev_bench":"$p","canary_ratio":$canaryRatio%.2f,"movers":{${entries.mkString(",")}}"""
       }.toOption
     }.getOrElse(""""movers":{}""")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,$movers,"sf":"$sfDir"}"""

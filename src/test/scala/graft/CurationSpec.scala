@@ -534,6 +534,17 @@ class CurationSpec extends SparkTestBase {
     val e2 = intercept[Exception](
       graft.operators.TextOps.blockScrubCore(docs).collect())
     assert(chain(e2).contains("ingest cap"), chain(e2).take(300))
+    // r11: contaminationPairs enforces the same cap via the BOOLEAN
+    // capGuard conjunct (an array-wrapping cappedToks cost ×1.25 on the
+    // gram join — the guard must stay loud without the wrap)
+    val e3 = intercept[Exception](
+      CurationOps.contaminationPairs(docs, docs).collect())
+    assert(chain(e3).contains("ingest cap"), chain(e3).take(300))
+    // and a null-text doc still contributes nothing instead of tripping
+    // a null-message raise (the cappedToks fuzz lesson, same guard)
+    val withNull = Seq((1L, "alpha beta gamma delta"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(CurationOps.contaminationPairs(withNull, withNull).count() == 0L)
     // and the sanctioned fix — pre-chunking — sails through the same path
     val chunked = CurationOps.chunkDocs(docs, maxTokens = 1000)
       .select(col("chunk_key").as("doc_id"), col("chunk_text").as("text"))
