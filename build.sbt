@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver captures sbt's stdout tail and parses the LAST line as
+// bare JSON. sbt's default forked-run output strategy routes the child's
+// stdout through the sbt logger ("[info] " prefix) and then appends its own
+// "[success] Total time..." line — so the driver's parse failed every round
+// (BENCH_r01..r11 all read "parsed": null) even after Bench printed a
+// compact final summary. Pass the child's streams through untouched and
+// suppress the success banner so Bench's final println IS the process's
+// last stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

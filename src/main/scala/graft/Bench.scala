@@ -82,6 +82,11 @@ object Bench {
     ordered.foreach { case (_, fn) =>
       try force(fn(spark, sfDir)) catch { case _: Throwable => () }
     }
+    // PROBE-COST BUDGET (r12): the adaptive dispatchers each pay an
+    // eager plan-time probe (ProbeCost-instrumented at every site);
+    // reset after the warm pass so `probe_cost_est` below is the
+    // premium the TIMED passes actually paid, reported per pass.
+    ProbeCost.reset()
 
     // a failed query records null, never its time-to-failure — a broken
     // query must not masquerade as a fast one. Timing includes DataFrame
@@ -186,7 +191,15 @@ object Bench {
         f""""prev_bench":"$p","canary_ratio":$canaryRatio%.2f,"movers":{${entries.mkString(",")}}"""
       }.toOption
     }.getOrElse(""""movers":{}""")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,$movers,"sf":"$sfDir"}"""
+    // per-pass probe premium: total driver wall inside dispatch probes
+    // across the suite, divided by passes (each pass re-probes), plus
+    // the per-probe breakdown (n = invocations per pass)
+    val probeSnap = ProbeCost.snapshot()
+    val probeCostEst = probeSnap.values.map(_._2).sum / passes
+    val probeBreakdown = probeSnap.toSeq.sortBy(_._1).map { case (k, (n, s)) =>
+      f""""$k":{"n_per_pass":${n.toDouble / passes}%.1f,"sec_per_pass":${s / passes}%.4f}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,$movers,"probe_cost_est":${f"$probeCostEst%.4f"},"probe_cost":$probeBreakdown,"sf":"$sfDir"}"""
     println(line)
     // COMPACT FINAL LINE (r11): the driver keeps only the last 2000
     // chars of stdout and tries to parse a JSON line out of them — the
@@ -200,7 +213,7 @@ object Bench {
       val cs = canaries.flatMap(_._2)
       if (cs.isEmpty) "null" else f"${cs.sum / cs.size}%.4f"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"canary_mean":$canaryMean,"passes":$passes,"sf":"$sfDir","full_artifact":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"canary_mean":$canaryMean,"probe_cost_est":${f"$probeCostEst%.4f"},"passes":$passes,"sf":"$sfDir","full_artifact":"$outPath"}""")
     // the driver truncates its BENCH_r*.json artifact to the tail of this
     // line, losing most per-query medians; persist the full JSON in the
     // repo so round-over-round comparison keeps the whole suite

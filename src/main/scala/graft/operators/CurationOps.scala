@@ -316,9 +316,11 @@ object CurationOps {
       // parameterized for the straddle fuzz only (see
       // DedupOps.expandRepPairs); declared callers take the default
       pinThreshold: Long = DedupOps.FanoutPinThreshold): DataFrame = {
-    val r = normed.filter(col("norm").isNotNull)
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(xxhash64(col("norm")), 0.05).as("d")).head()
+    val r = graft.ProbeCost.timed("contamination_dup_mass") {
+      normed.filter(col("norm").isNotNull)
+        .agg(count(lit(1)).as("n"),
+          approx_count_distinct(xxhash64(col("norm")), 0.05).as("d")).head()
+    }
     val dupMass = r.getLong(0) - r.getLong(1)
     if (dupMass <= pinThreshold)
       // normText is idempotent, so the raw tokenizer re-normalizing

@@ -268,9 +268,11 @@ object DedupOps {
     // 16 dup members) — see [[FanoutPinThreshold]].
     val dupMembers: Long =
       if (!hasMults) 0L
-      else Option(c.groups.filter(col("mult") >= 2L)
-        .agg(sum(col("mult"))).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      else graft.ProbeCost.timed("expansion_dup_members") {
+        Option(c.groups.filter(col("mult") >= 2L)
+          .agg(sum(col("mult"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+      }
     val toJoin = if (hasMults && dupMembers > pinThreshold)
       toJoin0.repartition(
         repPairs.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
@@ -285,8 +287,9 @@ object DedupOps {
     // empty broadcasts, re-planned in every CC round; bench_full_r10
     // first run). A 100 TB job pays one in-memory scan of the deduped
     // group table to buy the skew-proof plan only when it's needed.
-    val anyBig = !c.groups.filter(col("mult") > saltThreshold)
-      .limit(1).isEmpty
+    val anyBig = graft.ProbeCost.timed("expansion_any_big") {
+      !c.groups.filter(col("mult") > saltThreshold).limit(1).isEmpty
+    }
     val bigIds = c.groups.filter(col("mult") > saltThreshold)
       .select(col("rep_id"))
     val B = SaltBuckets
@@ -868,27 +871,54 @@ object DedupOps {
     * vector's copies otherwise enumerate C(m,2) pairs inside one label
     * block (zipf 3000 copies measured ×14.8, 94% single-task). The
     * label rides the member map as expansion payload so within-group
-    * pairs re-emit it; their cosine is EXACTLY 1.0 (see
-    * [[embeddingLshAuto]]). Output identical, straddle-spec'd. */
+    * pairs re-emit it; their cosine is the group's n2 pushed through
+    * the raw branch's own FP sequence (see [[withinCos]]). Output
+    * identical, straddle-spec'd. */
   private[graft] def q38Auto(e: DataFrame,
-      pinThreshold: Long = FanoutPinThreshold): DataFrame =
-    if (vectorDupMass(e, Seq("label")) <= pinThreshold) q38Core(e)
+      pinThreshold: Long = FanoutPinThreshold): DataFrame = {
+    // NULL-label rows can never pair in the raw form (the equi-join
+    // drops them: null ≠ null) — but a collapsed null-label GROUP
+    // would emit its within pairs, a silent null-semantics parity
+    // break. Excluded before the collapse; straddle-fuzz seeds a
+    // null-label dup group to keep it that way. The dispatch PROBE
+    // runs on the same filtered frame (r12, ADVICE): a corpus whose
+    // duplication sits in null-label rows has nothing the collapse
+    // can merge, so counting those rows toward dup mass would buy the
+    // collapse checkpoints for zero benefit.
+    val nn = e.filter(col("label").isNotNull)
+    if (vectorDupMass(nn, Seq("label")) <= pinThreshold) q38Core(e)
     else {
-      // NULL-label rows can never pair in the raw form (the equi-join
-      // drops them: null ≠ null) — but a collapsed null-label GROUP
-      // would emit its within pairs, a silent null-semantics parity
-      // break. Excluded before the collapse; straddle-fuzz seeds a
-      // null-label dup group to keep it that way.
-      val c = collapseVectors(e.filter(col("label").isNotNull),
-        Seq("label"), Seq("label"))
+      val c = collapseVectors(nn, Seq("label"), Seq("label", "n2"))
       val repPairs = q38Core(c.reps)
         .withColumnRenamed("vec_a", "doc_a")
         .withColumnRenamed("vec_b", "doc_b")
       expandRepPairs(repPairs, c,
-        Seq(col("x.label").as("label"), lit(1.0).as("cos")), lit(true))
+        Seq(col("x.label").as("label"), withinCos), lit(true))
         .select(col("label"), col("doc_a").as("vec_a"),
           col("doc_b").as("vec_b"), col("cos"))
     }
+  }
+
+  /** Within-group cosine for the collapsed branches: the group's copies
+    * are IDENTICAL vectors, so the raw join would compute
+    * `dot(q,q).cast(double) / sqrt(n2.cast(double) * n2.cast(double))`
+    * — and `dot(q,q)` bit-equals `n2` (both are the same exact-int64
+    * accumulation, [[graft.functions.VectorExprs]]). Re-emitting that
+    * EXACT floating-point sequence from the carried group n2 makes the
+    * collapsed output bit-identical to the raw branch at ANY norm: a
+    * `lit(1.0)` (the r11 form) is exact only while n2² < 2⁵³
+    * (n2 ≤ 94 906 265 — NOT n2 < 2⁵³ as the r11 scaladoc claimed;
+    * a 64-dim |x|≈1.2 corpus quantized at 1e-3 already crosses it),
+    * above which `sqrt(fl(n2²))` can land an ulp off n2 and the raw
+    * branch's cos ≠ 1.0. The reconstruction closes that seam instead
+    * of guarding it: identical casts, identical multiply, identical
+    * sqrt, identical divide — no magnitude precondition at all. The
+    * value is within an ulp of 1.0 either way, so the ≥ 0.4 acceptance
+    * filter never disagrees. */
+  private def withinCos: Column = {
+    val n2d = col("x.n2").cast("double")
+    (n2d / sqrt(n2d * n2d)).as("cos")
+  }
 
   val q38Sql: String =
     """WITH q AS (
@@ -1020,30 +1050,32 @@ object DedupOps {
     * [[graft.operators.CurationOps.contaminationAuto]]. */
   private[graft] def vectorDupMass(e: DataFrame, keyCols: Seq[String]): Long = {
     val fpCols = keyCols.map(col) :+ col("q")
-    val r = e.agg(count(lit(1)).as("n"),
-      approx_count_distinct(xxhash64(fpCols: _*), 0.05).as("d")).head()
+    val r = graft.ProbeCost.timed("vector_dup_mass") {
+      e.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(fpCols: _*), 0.05).as("d")).head()
+    }
     r.getLong(0) - r.getLong(1)
   }
 
   /** Adaptive q49: raw banded join below [[FanoutPinThreshold]] dup
     * vectors, collapse + expansion above. Identical output: identical
-    * vectors share every band key and score cos = 1.0 EXACTLY (dot(q,q)
-    * = n2 and sqrt(fl(n2²)) = n2 for every int-valued double below
-    * 2⁵³), so within-group pairs are emitted with the literal the raw
-    * join would compute; cross pairs score their representatives'
-    * vectors, which equal every member's. Parity + branch witness
-    * straddle-spec'd (DispatchStraddleSpec). */
+    * vectors share every band key, so within-group pairs are emitted
+    * with the raw join's own cosine FP sequence reconstructed from the
+    * group n2 ([[withinCos]] — exact at any norm, where the r11
+    * `lit(1.0)` was exact only below n2² < 2⁵³); cross pairs score
+    * their representatives' vectors, which equal every member's.
+    * Parity + branch witness straddle-spec'd (DispatchStraddleSpec). */
   private[graft] def embeddingLshAuto(e: DataFrame,
       pinThreshold: Long = FanoutPinThreshold): DataFrame =
     if (vectorDupMass(e, Seq.empty) <= pinThreshold)
       embeddingLshPairs(e, bandsN = 2, bitsPerBand = 4, minCos = 0.4)
     else {
-      val c = collapseVectors(e, Seq.empty, Seq.empty)
+      val c = collapseVectors(e, Seq.empty, Seq("n2"))
       val repPairs = embeddingLshPairs(c.reps, bandsN = 2, bitsPerBand = 4,
           minCos = 0.4)
         .withColumnRenamed("vec_a", "doc_a")
         .withColumnRenamed("vec_b", "doc_b")
-      expandRepPairs(repPairs, c, Seq(lit(1.0).as("cos")), lit(true))
+      expandRepPairs(repPairs, c, Seq(withinCos), lit(true))
         .select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"),
           col("cos"))
     }
@@ -1297,9 +1329,11 @@ object DedupOps {
     // max_b in(b)·out(b). Two node-count-sized aggregates over the
     // checkpointed edges; double math so a pathological hub can't wrap
     // the comparison negative.
-    val mw = e.groupBy(col("doc_b").as("v")).agg(count(lit(1)).as("i"))
-      .join(e.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("o")), Seq("v"))
-      .agg(max(col("i").cast("double") * col("o")).as("mw")).head()
+    val mw = graft.ProbeCost.timed("wedge_product") {
+      e.groupBy(col("doc_b").as("v")).agg(count(lit(1)).as("i"))
+        .join(e.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("o")), Seq("v"))
+        .agg(max(col("i").cast("double") * col("o")).as("mw")).head()
+    }
     val maxWedge = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
     // the degree branch materializes its own counts (it must, to release
     // the oriented frame); checkpointing it AGAIN here would double-
@@ -1584,8 +1618,10 @@ object DedupOps {
       .agg(count(lit(1)).as("mt"))
       .join(base.groupBy(col("head_h").as("h"))
         .agg(count(lit(1)).as("mh")), Seq("h"))
-    val mw = keyCounts
-      .agg(max(col("mt").cast("double") * col("mh")).as("mw")).head()
+    val mw = graft.ProbeCost.timed("boundary_fan") {
+      keyCounts
+        .agg(max(col("mt").cast("double") * col("mh")).as("mw")).head()
+    }
     val maxFan = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
     val pairs =
       if (maxFan <= fanThreshold.toDouble)

@@ -630,7 +630,9 @@ object EventOps {
       .agg(
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
         sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L)).as("nt"))
-    val mw = pt.agg(max(col("np").cast("double") * col("nt")).as("mw")).head()
+    val mw = graft.ProbeCost.timed("decay_pair_product") {
+      pt.agg(max(col("np").cast("double") * col("nt")).as("mw")).head()
+    }
     val maxFan = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
     val windowCond = col("t_us") < col("p_us") &&
       col("p_us") - col("t_us") < lit(86400000000L)

@@ -212,7 +212,14 @@ class DispatchStraddleSpec extends SparkTestBase {
     for (seed <- seeds) {
       val m = 8 + new scala.util.Random(seed + 600).nextInt(24)
       val e = vecCorpus(seed + 600, m)
-      val dupMass = DedupOps.vectorDupMass(e, Seq("label"))
+      // the dispatch probes the null-label-FILTERED frame (r12, ADVICE:
+      // null-label dup mass is invisible to the collapse — the raw join
+      // drops those rows and the collapsed branch excludes them — so it
+      // must not count toward the metric); the straddle must swing
+      // around the same quantity or the ±1 bracketing is off by the
+      // seeded null-dup group's mass
+      val dupMass = DedupOps.vectorDupMass(
+        e.filter(col("label").isNotNull), Seq("label"))
       def run(thr: Long) = DedupOps.q38Auto(e, pinThreshold = thr)
       val collapsed = run(dupMass - 1)
       val raw = run(dupMass)

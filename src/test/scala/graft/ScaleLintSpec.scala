@@ -568,9 +568,12 @@ class ScaleLintSpec extends SparkTestBase {
     assert(t * (t - 1) / 2 <= coreRowsPerSec / 8,
       "C(WithinSaltThreshold,2) exceeds ~1/8 core-second of output")
     // the output-row thresholds share the UNIT (worst single-task SMJ
-    // emit) and apply only in the SMJ regime — the r11 dispatch guard
-    // routes broadcastable sides to the plain plan first, because a
-    // BHJ's fan-out spreads map-side and has no fat task to fix
+    // emit). The dispatch keys on the output bound ALONE — a
+    // broadcastability guard was tried in r11 and deliberately removed
+    // (a clustered hot key fat-tasks even with a broadcastable side;
+    // clustering is not observable at plan time), so the spread-BHJ
+    // regime pays a bounded ~2.5x salt overhead by design
+    // (BoundaryFanThreshold's calibration record)
     assert(IdWedgeThreshold <= 2 * coreRowsPerSec,
       "IdWedgeThreshold exceeds ~2 core-seconds of single-key output")
     assert(BoundaryFanThreshold == IdWedgeThreshold,
