@@ -68,13 +68,35 @@ object Bench {
       (s, _) => s.range(0, 4000000L, 1, 8)
         .agg(org.apache.spark.sql.functions.sum(
           org.apache.spark.sql.functions.col("id") % 7).as("s"))
+    // JOB-LATENCY CANARY (r12): the compute canary measures CORE speed
+    // (one fat job) and is BLIND to per-job round-trip latency, which
+    // drifts independently on this box (driver-thread co-tenancy): the
+    // r11 final-window "unattributed movers" (q52/q83/q86/q192/q202/
+    // q222) were precisely the HIGH-JOB-COUNT queries (45/32/13/…
+    // driver-side jobs from KMeans iterations, CC rounds, probe
+    // aggregates, multi-scan unions), in a window where an isolated
+    // 41-trivial-job probe measured ~67 ms/job vs the ~10 ms the r10
+    // totals imply — their ratios tracked the LATENCY thermometer, not
+    // the compute one (PerfAB job_latency_x20 decomposition, SCALING.md
+    // r12). Five eager 32-tiny-task aggregates at construction time
+    // ≈ 10 job round-trips with negligible compute.
+    val jobCanaryFn: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => {
+        import org.apache.spark.sql.functions._
+        (1 to 5).foreach { _ =>
+          s.range(0, 32L, 1, 32).agg(count(lit(1))).head()
+        }
+        s.range(0, 1L).toDF()
+      }
     val canaryEvery = 25
     val ordered: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       declared.zipWithIndex.flatMap { case (q, i) =>
         if (i % canaryEvery == 0)
-          Seq(f"_canary_$i%03d" -> canaryFn, q)
+          Seq(f"_canary_$i%03d" -> canaryFn,
+            f"_jobcanary_$i%03d" -> jobCanaryFn, q)
         else Seq(q)
-      } ++ Seq(f"_canary_${declared.size}%03d" -> canaryFn)
+      } ++ Seq(f"_canary_${declared.size}%03d" -> canaryFn,
+        f"_jobcanary_${declared.size}%03d" -> jobCanaryFn)
 
     // untimed warm pass: JIT/codegen/file-index costs land here, so the
     // timed passes below measure steady-state throughput (the regime a
@@ -92,9 +114,23 @@ object Bench {
     // query must not masquerade as a fast one. Timing includes DataFrame
     // CONSTRUCTION: eager iterative operators (connected components) do
     // their work before any action.
+    // per-query Spark-job counts (r12): captured on pass 1 only — job
+    // counts are code-determined and pass-stable; the count marks which
+    // queries sit in the LATENCY class (many driver round-trips) vs the
+    // compute class, the split the two canaries adjudicate between
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+    val queryJobs = scala.collection.mutable.Map.empty[String, Long]
     val samples: Seq[Seq[(String, Option[Double])]] =
-      (1 to passes).map { _ =>
+      (1 to passes).map { pass =>
         ordered.map { case (name, fn) =>
+          val j0 = jobCount.get()
           val t0 = System.nanoTime()
           val elapsed =
             try { force(fn(spark, sfDir)); Some((System.nanoTime() - t0) / 1e9) }
@@ -102,6 +138,9 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               None
             }
+          // listener is async: counts can lag a beat; magnitude is what
+          // the adjudication uses (1 vs dozens), not exactness
+          if (pass == 1) queryJobs(name) = jobCount.get() - j0
           name -> elapsed
         }
       }
@@ -116,7 +155,9 @@ object Bench {
         if (runs.exists(_.isEmpty)) (name, None, None)
         else (name, Some(median(runs.flatten)), Some(runs.flatten.min))
       }
-    val (canaries, results) = allResults.partition(_._1.startsWith("_canary_"))
+    val (jobCanaries, nonJob) =
+      allResults.partition(_._1.startsWith("_jobcanary_"))
+    val (canaries, results) = nonJob.partition(_._1.startsWith("_canary_"))
     def jsonMap(rs: Seq[(String, Option[Double], Option[Double])])(
         f: ((String, Option[Double], Option[Double])) => Option[Double]) =
       rs.map(r => "\"" + r._1 + "\":" + f(r).fold("null")(_.toString))
@@ -124,6 +165,7 @@ object Bench {
     val qs = jsonMap(results)(_._2)
     val qsMin = jsonMap(results)(_._3)
     val canary = jsonMap(canaries)(_._2)
+    val jobCanary = jsonMap(jobCanaries)(_._2)
     val total = results.flatMap(_._2).sum
     val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
@@ -160,35 +202,53 @@ object Bench {
         // WHOLE SUITE moving — machine-adjudicated as drift instead of
         // flooding needs-perfab (r11's run had 50 such entries, all
         // clustered at the ×1.43 canary ratio)
-        val curCanary = {
-          val cs = canaries.flatMap(_._2)
+        def meanOf(rs: Seq[(String, Option[Double], Option[Double])]): Double = {
+          val cs = rs.flatMap(_._2)
           if (cs.isEmpty) 0.0 else cs.sum / cs.size
         }
-        val prevCanary = Option(root.get("canary")).map { c =>
+        def prevMean(field: String): Double = Option(root.get(field)).map { c =>
           val it = c.elements()
           var s = 0.0; var n = 0
           while (it.hasNext) { val v = it.next(); if (v.isNumber) { s += v.asDouble; n += 1 } }
           if (n == 0) 0.0 else s / n
         }.getOrElse(0.0)
+        val curCanary = meanOf(canaries)
+        val prevCanary = prevMean("canary")
         val canaryRatio =
           if (curCanary > 0 && prevCanary > 0) curCanary / prevCanary else 1.0
+        // second thermometer (r12): per-job round-trip latency drift.
+        // Falls back to the compute ratio while the previous artifact
+        // predates the job canary (first r12 run) — the blend tier then
+        // degenerates to the r11 single-canary rule.
+        val curJobCanary = meanOf(jobCanaries)
+        val prevJobCanary = prevMean("job_canary")
+        val jobCanaryRatio =
+          if (curJobCanary > 0 && prevJobCanary > 0) curJobCanary / prevJobCanary
+          else canaryRatio
         val entries = results.flatMap { case (name, med, _) =>
           med.flatMap { c =>
             Option(prev.get(name)).filter(_.isNumber).map(_.asDouble)
               .collect {
                 case pv if pv > 0 && (c / pv > 1.2 || c / pv < 1.0 / 1.2) =>
                   val r = c / pv
+                  // a query's window ratio is a mix of compute drift and
+                  // job-latency drift (weights = its compute/job-count
+                  // profile), so anything inside the two thermometers'
+                  // band (±25%) is box, not code
                   val verdict =
                     if (math.max(pv, c) < 1.0) "jitter-by-canary"
                     else if (r / canaryRatio < 1.25 && canaryRatio / r < 1.25)
                       "drift-by-canary"
+                    else if (r <= math.max(canaryRatio, jobCanaryRatio) * 1.25 &&
+                        r >= math.min(canaryRatio, jobCanaryRatio) / 1.25)
+                      "drift-by-canary-blend"
                     else "needs-perfab"
                   f""""$name":{"prev":$pv%.3f,"cur":$c%.3f,""" +
                     f""""ratio":$r%.2f,"verdict":"$verdict"}"""
               }
           }
         }
-        f""""prev_bench":"$p","canary_ratio":$canaryRatio%.2f,"movers":{${entries.mkString(",")}}"""
+        f""""prev_bench":"$p","canary_ratio":$canaryRatio%.2f,"job_canary_ratio":$jobCanaryRatio%.2f,"movers":{${entries.mkString(",")}}"""
       }.toOption
     }.getOrElse(""""movers":{}""")
     // per-pass probe premium: total driver wall inside dispatch probes
@@ -199,7 +259,10 @@ object Bench {
     val probeBreakdown = probeSnap.toSeq.sortBy(_._1).map { case (k, (n, s)) =>
       f""""$k":{"n_per_pass":${n.toDouble / passes}%.1f,"sec_per_pass":${s / passes}%.4f}"""
     }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"passes":$passes,"failed":$failed,$movers,"probe_cost_est":${f"$probeCostEst%.4f"},"probe_cost":$probeBreakdown,"sf":"$sfDir"}"""
+    val queriesJobs = results.map(r =>
+        "\"" + r._1 + "\":" + queryJobs.getOrElse(r._1, -1L))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"canary":$canary,"job_canary":$jobCanary,"queries_jobs":$queriesJobs,"passes":$passes,"failed":$failed,$movers,"probe_cost_est":${f"$probeCostEst%.4f"},"probe_cost":$probeBreakdown,"sf":"$sfDir"}"""
     println(line)
     // COMPACT FINAL LINE (r11): the driver keeps only the last 2000
     // chars of stdout and tries to parse a JSON line out of them — the
@@ -209,11 +272,13 @@ object Bench {
     // mean (the cross-run comparability key — box speed drifts ×1.5
     // between boots, BASELINE.md), and a pointer to the full on-disk
     // artifact. Per-query medians live in the artifact, not here.
-    val canaryMean = {
-      val cs = canaries.flatMap(_._2)
+    def meanStr(rs: Seq[(String, Option[Double], Option[Double])]): String = {
+      val cs = rs.flatMap(_._2)
       if (cs.isEmpty) "null" else f"${cs.sum / cs.size}%.4f"
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"canary_mean":$canaryMean,"probe_cost_est":${f"$probeCostEst%.4f"},"passes":$passes,"sf":"$sfDir","full_artifact":"$outPath"}""")
+    val canaryMean = meanStr(canaries)
+    val jobCanaryMean = meanStr(jobCanaries)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"canary_mean":$canaryMean,"job_canary_mean":$jobCanaryMean,"probe_cost_est":${f"$probeCostEst%.4f"},"passes":$passes,"sf":"$sfDir","full_artifact":"$outPath"}""")
     // the driver truncates its BENCH_r*.json artifact to the tail of this
     // line, losing most per-query medians; persist the full JSON in the
     // repo so round-over-round comparison keeps the whole suite

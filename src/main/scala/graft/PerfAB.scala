@@ -109,7 +109,38 @@ object PerfAB {
     "q152_auto" -> ((s, d) =>
       operators.EventOps.q152DecayAttribution(s, d)),
     "q152_plain_forced" -> ((s, d) => operators.EventOps.decayAttribution(
-      Tables.events(s, d), Long.MaxValue)))
+      Tables.events(s, d), Long.MaxValue)),
+    // r12 mover-attribution rows (VERDICT task 1): the r11 final-window
+    // movers q86/q192/q222/q202 run code UNTOUCHED in r11 (static diff:
+    // StatsOps unchanged; the EventOps/SimilarityOps hunks are q152/q112
+    // regions only) and q83's path is plan-identical on the bench corpus
+    // (the r11 shuffle_hash hint lands only in the anyBig salt branch,
+    // which the sf0.1 probe leaves cold) — so the A/B here is the
+    // DECLARED form against the in-window CANARY, adjudicating "suite
+    // noise vs environment" rather than "old code vs new code".
+    "canary_range_sum" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      s.range(0, 4000000L, 1, 8).agg(sum(col("id") % 7).as("s"))
+    }),
+    "q86_declared" -> ((s, d) => operators.StatsOps.q86Profile(s, d)),
+    "q192_declared" -> ((s, d) => operators.EventOps.q192AudienceOverlap(s, d)),
+    "q222_declared" -> ((s, d) => operators.SimilarityOps.q222BucketPurity(s, d)),
+    "q202_declared" -> ((s, d) => operators.Relational.q202RfmSegments(s, d)),
+    // JOB-LATENCY canary (r12): 20 eager one-aggregate jobs of 32 tiny
+    // tasks run at CONSTRUCTION time — times 20 driver/scheduler job
+    // round-trips with negligible compute, the component a KMeans-style
+    // iterative query (q52: ~dozens of tiny jobs) or a many-stage small
+    // union (q86) is exposed to and a one-fat-stage query is not. The
+    // compute canary (canary_range_sum) and this pair decompose a
+    // window's slowness into "cores are slow" vs "job round-trips are
+    // slow" — the r11 final-window movers were all in the second class.
+    "job_latency_x20" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      (1 to 20).foreach { _ =>
+        s.range(0, 32L, 1, 32).agg(count(lit(1))).head()
+      }
+      s.range(0, 1L).select(col("id"))
+    }))
 
   /** 5000 copies of one 3-token doc (head window == tail window, ONE
     * boundary hash carrying 2.5·10⁷ pair outputs, 1.5× the 2²⁴ bar)
@@ -154,6 +185,12 @@ object PerfAB {
     val passes = if (args.length > 1) args(1).toInt else 5
     val names =
       if (args.length > 2) args(2).split(",").toSeq else variants.keys.toSeq.sorted
+    // any DECLARED query is measurable by its SparkEntry name without
+    // hand-registering a variant (r12: mover attribution needs CONTROL
+    // queries from untouched files in the same window as the suspects)
+    def variantFor(n: String): (SparkSession, String) => DataFrame =
+      variants.getOrElse(n, SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown variant/query: $n")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -165,10 +202,28 @@ object PerfAB {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-variant Spark-job counter (r12): a variant's wall divides into
+    // compute and #jobs × round-trip latency; the count makes the
+    // job-latency-sensitivity of a query (KMeans iterations, multi-scan
+    // unions) a printed fact instead of a guess
+    val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(); ()
+        }
+      })
+    val jobsPerVariant = scala.collection.mutable.Map.empty[String, Long]
     def run(name: String): Double = {
+      val j0 = jobCount.get()
       val t0 = System.nanoTime()
-      variants(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      variantFor(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // listener events are async; tolerate slight undercount — the
+      // magnitude (1 vs dozens) is what matters for attribution
+      jobsPerVariant(name) = jobCount.get() - j0
+      dt
     }
     names.foreach(run) // warm
     val samples: Map[String, Seq[Double]] = (1 to passes)
@@ -182,6 +237,7 @@ object PerfAB {
     names.foreach { n =>
       val xs = samples(n)
       println(f"[perfab] $n%-24s median ${median(xs)}%6.3fs  min ${xs.min}%6.3fs  " +
+        f"jobs ${jobsPerVariant.getOrElse(n, -1L)}%3d  " +
         xs.map(x => f"$x%.3f").mkString("[", ", ", "]"))
     }
     spark.stop()
