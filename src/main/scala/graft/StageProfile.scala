@@ -77,9 +77,15 @@ object StageProfile {
       val sec = force()
       org.apache.spark.sql.GraftShims.drainListenerBus(spark.sparkContext)
       println(f"[profile] $name pass $p total $sec%.2f s")
+      val byStage = tasks.asScala.toSeq.groupBy(_._1)
       stages.asScala.toSeq.sortBy(-_._2).take(8).foreach {
         case (id, ms, nt, mt) =>
-          println(f"[profile]   stage $id%5d wall $ms%7d ms  tasks $nt%4d  max-task $mt%7d ms")
+          // the stage's own longest task with its input records — a
+          // 1-task stage is only identifiable by what it READ (r12)
+          val top = byStage.getOrElse(id, Seq.empty).sortBy(-_._3).headOption
+          val detail = top.map { case (_, idx, tms, recs) =>
+            f"  top idx=$idx%d recsIn=$recs%d" }.getOrElse("")
+          println(f"[profile]   stage $id%5d wall $ms%7d ms  tasks $nt%4d  max-task $mt%7d ms$detail")
       }
       tasks.asScala.toSeq.sortBy(-_._3).take(6).foreach {
         case (sid, idx, ms, recs) =>

@@ -224,9 +224,12 @@ object DedupOps {
       // threshold parameters exist for the straddle fuzz ONLY (a battery
       // swings each one around a fixed corpus's probed value and asserts
       // hash-identical output + the intended branch); every production
-      // caller takes the defaults
+      // caller takes the defaults. forceBuckets = 0 derives B from the
+      // probed max group size (adaptiveBuckets); the fuzz pins it to
+      // prove output parity across bucket counts.
       saltThreshold: Long = WithinSaltThreshold,
-      pinThreshold: Long = FanoutPinThreshold): DataFrame = {
+      pinThreshold: Long = FanoutPinThreshold,
+      forceBuckets: Long = 0L): DataFrame = {
     val mults = Set("mult_a", "mult_b")
     val hasMults = mults.subsetOf(repPairs.columns.toSet)
     val extras = repPairs.columns.toSeq
@@ -287,12 +290,22 @@ object DedupOps {
     // empty broadcasts, re-planned in every CC round; bench_full_r10
     // first run). A 100 TB job pays one in-memory scan of the deduped
     // group table to buy the skew-proof plan only when it's needed.
-    val anyBig = graft.ProbeCost.timed("expansion_any_big") {
-      !c.groups.filter(col("mult") > saltThreshold).limit(1).isEmpty
+    // r12: the probe is max(mult) rather than the r10 limit(1)
+    // existence check — same one-scan cost class over the checkpointed
+    // groups frame (map-side-combined max), and the VALUE sizes the
+    // salt: B grows with the worst group so the largest bucket-pair
+    // key stays a bounded single-task emit at ANY multiplicity
+    // (adaptiveBuckets; B = 64 for every corpus at or below the 32×
+    // bar, so the r11 plan is unchanged there).
+    val maxMult: Long = graft.ProbeCost.timed("expansion_max_mult") {
+      Option(c.groups.agg(max(col("mult"))).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
     }
+    val anyBig = maxMult > saltThreshold
     val bigIds = c.groups.filter(col("mult") > saltThreshold)
       .select(col("rep_id"))
-    val B = SaltBuckets
+    val B = if (forceBuckets > 0) forceBuckets
+      else adaptiveBuckets(maxMult.toDouble * maxMult.toDouble)
     // One expansion join per pair side. LEFT + coalesce on the normal
     // path: a pair whose side is a singleton misses the dup-member map
     // and falls back to its own rep id. A side in a MEGA group (r10)
@@ -316,6 +329,11 @@ object DedupOps {
           .join(dmSmallG.select(col("rep_id").as(rep), col("doc_id").as(out)),
             Seq(rep), "left")
         val big = stream.join(keys, Seq(rep), "left_semi")
+          // pre-explode width spread (r12): the hot-pair slice is an
+          // AQE-coalesced join output (tiny bytes), so the ×B explode
+          // would multiply rows map-side on few cores — see the within
+          // branch's measured note
+          .repartition(stream.sparkSession.sparkContext.defaultParallelism)
           .withColumn("_sb", explode(sequence(lit(0L), lit(B - 1))))
           // SHUFFLE_HASH hint on the bucketed side (r11): without it
           // AQE may BROADCAST one side of the bucket join — the width
@@ -380,6 +398,17 @@ object DedupOps {
       val embk = emBig.withColumn("bkt",
         pmod(xxhash64(col("doc_id")), lit(B)))
       val withinBig = embk
+        // spread the member slice to FULL WIDTH before the ×(B−bkt)
+        // explode (r12): the slice arrives on the collapse map's
+        // partitioning — ONE partition when the mega fp's member join
+        // ran on a single key — and the explode's row multiplication
+        // plus its shuffle WRITE run map-side on that layout. Measured
+        // at zipf 10⁵: 8.2 s on one core (StageProfile: 105k recsIn →
+        // 3·10⁷ exploded rows from one task) while the pair join
+        // itself was already spread. A round-robin shuffle of the
+        // NARROW pre-explode rows is three orders of magnitude cheaper
+        // than the single-core multiplication it unblocks.
+        .repartition(emBig.sparkSession.sparkContext.defaultParallelism)
         .withColumn("tb", explode(sequence(col("bkt"), lit(B - 1))))
         // same AQE output-blindness as the cross fan-out: the exploded
         // member stream is tiny in bytes but each (rep, bucket) key
@@ -1158,8 +1187,57 @@ object DedupOps {
   /** Near-dup clusters: components of the MinHash-LSH pair graph, cluster
     * id = smallest member. Only docs appearing in at least one pair are
     * emitted (singletons are trivially their own cluster). */
+  /** Connected components over the q36 near-dup pair graph — but fed a
+    * CONNECTIVITY-EQUIVALENT edge set instead of the expanded member
+    * pairs (r12): rep-level LSH pairs ∪ one member→rep STAR edge per
+    * member of a within-eligible (≥ 3 tokens, mult ≥ 2) dup group.
+    * Equivalence is exact, both ways:
+    *
+    *  - components: an expanded within pair (a, b) of group g is
+    *    connected via a–rep(g)–b; an expanded cross pair (a, b) with
+    *    reps (ra, rb) is connected via a–ra–rb–b (the rep pair exists
+    *    iff the cross pairs do, and a cross-participating group always
+    *    has ≥ 3 tokens — no signature, no pair — so its star exists);
+    *    conversely every star/rep edge connects nodes the expanded
+    *    graph also connects.
+    *  - node domain: expanded-graph nodes are exactly members of
+    *    eligible dup groups (within pairs) plus reps in rep pairs
+    *    (cross pairs, singletons included via the left-coalesce
+    *    fallback) — the star contributes precisely the former, the rep
+    *    pairs precisely the latter.
+    *  - labels: cluster_id = min doc_id of the component, and rep_id
+    *    IS its group's min doc_id, so the min over a component is the
+    *    same either way. Output bit-identical (spec'd on a mega corpus
+    *    against the expanded form, OperatorSpec).
+    *
+    * Why it matters at scale: CC is ITERATIVE — every round joins the
+    * label frame to the edge list, so edge count is the multiplier the
+    * whole loop pays. A 3·10⁴-member boilerplate group expands to
+    * C(M,2) ≈ 4.5·10⁸ member pairs that carry ZERO connectivity
+    * information beyond their group's M-edge star: the substitution
+    * cuts the mega group's CC edges by a factor of (M−1)/2 (measured:
+    * the member-pair form ran the q64 zipf 3·10⁴ fixture into the
+    * tens-of-minutes regime; the star form holds the q36-family's
+    * seconds — SCALING.md r12). Consumers of the DECLARED pair set
+    * (q83 triangles — triangle counts are NOT connectivity-invariant)
+    * keep the expanded graph. */
   def q64DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(q36MinhashLsh(s, dir))
+    connectedComponents(ccEdgesMinhash(collapsedDocs(s, dir)))
+
+  /** The connectivity-equivalent edge set of [[q64DedupClusters]]'
+    * scaladoc: rep-level LSH pairs ∪ member→rep stars of
+    * within-eligible dup groups. Factored out so the equivalence is a
+    * SPEC (OperatorSpec compares components against the expanded
+    * member-pair graph on a mega corpus), not just an argument. */
+  private[graft] def ccEdgesMinhash(c: Collapsed): DataFrame = {
+    val star = c.map.join(
+        c.groups.filter(col("n_toks") >= 3L && col("mult") >= 2L)
+          .select(col("rep_id")),
+        Seq("rep_id"), "left_semi")
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id").as("doc_a"), col("rep_id").as("doc_b"))
+    repPairsMinhash(c).unionByName(star)
+  }
 
   val q64Sql: String =
     s"""WITH RECURSIVE edges AS (
@@ -1601,7 +1679,11 @@ object DedupOps {
     * threshold (GraphTextSpec); measured on zipf head==tail copies in
     * SCALING.md r11. */
   def headTailPairs(docs: DataFrame, k: Int,
-      fanThreshold: Long = BoundaryFanThreshold): DataFrame = {
+      fanThreshold: Long = BoundaryFanThreshold,
+      // fuzz-only (see expandRepPairs): 0 derives B from the probed
+      // worst key — per (h, bucket) output is m_tail·m_head/B, so B =
+      // adaptiveBuckets(maxFan) bounds it at any virality
+      forceBuckets: Long = 0L): DataFrame = {
     import graft.functions.HashExprs.gramk_hash64
     val base = docs
       .select(col("doc_id"), filter(tokens(col("text")), t => t =!= "").as("toks"))
@@ -1637,8 +1719,14 @@ object DedupOps {
           .select(col("h")).localCheckpoint(true)
         val plain = tails.join(hot, Seq("h"), "left_anti")
           .join(heads.join(hot, Seq("h"), "left_anti"), Seq("h"))
-        val B = SaltBuckets
+        val B = if (forceBuckets > 0) forceBuckets
+          else adaptiveBuckets(maxFan)
         val salted = heads.join(hot, Seq("h"), "left_semi")
+          // pre-explode width spread (r12): the hot-head slice is an
+          // AQE-coalesced semi-join output, so the ×B explode would
+          // multiply map-side on few cores (the expandRepPairs within
+          // branch's measured single-core fan, same shape)
+          .repartition(docs.sparkSession.sparkContext.defaultParallelism)
           .withColumn("bkt", explode(sequence(lit(0L), lit(B - 1))))
           .repartition(docs.sparkSession.sparkContext.defaultParallelism,
             col("h"), col("bkt"))
@@ -1683,13 +1771,36 @@ object DedupOps {
     * pairs, ×6.6 at 10⁹, SCALING.md r11). */
   private[graft] val BoundaryFanThreshold = 1L << 24
 
-  /** Bucket count every mega-key salt in this file spreads a hot key
-    * over (within-group self-join, expansion fan joins, boundary-hash
-    * salt). 64 × the ~1-task-second per-key output bound keeps the
-    * worst post-salt bucket under ~2% of a 32-core minute while the
-    * exploded side's input inflation (×64 on hot keys only) stays
-    * trivial. */
+  /** FLOOR bucket count for every mega-key salt in this file
+    * (within-group self-join, expansion fan joins, boundary-hash salt)
+    * and in the q152 window salt. 64 × the ~1-task-second per-key
+    * output bound keeps the worst post-salt bucket under ~2% of a
+    * 32-core minute while the exploded side's input inflation (×64 on
+    * hot keys only) stays trivial. Since r12 the ACTUAL count is
+    * derived per query by [[adaptiveBuckets]] — this constant is the
+    * floor that keeps every corpus at or below the 32×-bar regime on
+    * the exact r11 plan. */
   private[graft] val SaltBuckets = 64L
+
+  /** Derive the salt bucket count from the PROBED worst single-key
+    * output (r12, VERDICT task 3). A fixed B caps nothing: the within
+    * salt's largest target-bucket key carries ~2/(B+1) of a mega
+    * group's C(M,2) pairs ≈ M²/B rows — linear in output at fixed B,
+    * so a 10⁵-member group (5·10⁹ pairs) would put ~1.5·10⁸ rows
+    * (≈11 s) in ONE task at B = 64. Solving worst/B ≤
+    * [[IdWedgeThreshold]] (the family's ~1-task-second output unit)
+    * gives B = ⌈worst / 2²⁴⌉, floored at [[SaltBuckets]] (every corpus
+    * measured through r11 derives the floor — plans unchanged below
+    * Mmax ≈ 3.3·10⁴) and capped at 4096 (cap reached only past
+    * worst ≈ 7·10¹⁰ single-key rows ≈ a 4·10⁵-member group; beyond it
+    * the explode-side inflation — B copies of each hot row — would
+    * rival the pair output itself, and a corpus that hot needs the
+    * collapse/weighted consumers, not a bigger salt). Width-portable
+    * like every constant in the family: the derivation bounds
+    * SINGLE-TASK OUTPUT ROWS, a per-core quantity. */
+  private[graft] def adaptiveBuckets(worstKeyRows: Double): Long =
+    math.min(4096L, math.max(SaltBuckets,
+      math.ceil(worstKeyRows / IdWedgeThreshold.toDouble).toLong))
 
   def q142HeadTailOverlap(s: SparkSession, dir: String): DataFrame =
     headTailPairs(Tables.documents(s, dir), 3)

@@ -613,7 +613,12 @@ object EventOps {
   private[graft] val WindowFanThreshold: Long = 1L << 28
 
   private[graft] def decayAttribution(ev: DataFrame,
-      fanThreshold: Long): DataFrame = {
+      fanThreshold: Long,
+      // fuzz-only (see DedupOps.expandRepPairs): 0 derives B from the
+      // probed worst per-user pair product — per (user, bucket) output
+      // is np·nt/B, so B = adaptiveBuckets(maxFan) bounds it for any
+      // bot size
+      forceBuckets: Long = 0L): DataFrame = {
     val d38 = "decimal(38,0)"
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
@@ -660,8 +665,14 @@ object EventOps {
           .join(t.join(hot, Seq("user_id"), "left_anti"),
             Seq("user_id"))
           .filter(windowCond)
-        val B = DedupOps.SaltBuckets
+        val B = if (forceBuckets > 0) forceBuckets
+          else DedupOps.adaptiveBuckets(maxFan)
         val salted = t.join(hot, Seq("user_id"), "left_semi")
+          // pre-explode width spread (r12): the hot-touch slice is an
+          // AQE-coalesced semi-join output, so the ×B explode would
+          // multiply map-side on few cores (DedupOps.expandRepPairs'
+          // measured single-core fan, same shape)
+          .repartition(ev.sparkSession.sparkContext.defaultParallelism)
           .withColumn("bkt", explode(sequence(lit(0L), lit(B - 1))))
           .repartition(ev.sparkSession.sparkContext.defaultParallelism,
             col("user_id"), col("bkt"))

@@ -82,6 +82,58 @@ class DispatchStraddleSpec extends SparkTestBase {
     }
   }
 
+  test("adaptive salt bucket count: identical output across forced B values (within/cross, boundary, window salts)") {
+    import spark.implicits._
+    // B is a pure SPREADING parameter: each member/row lands in exactly
+    // one bucket and each unordered pair meets in exactly one (bucket,
+    // target) key, for ANY B ≥ 1 — so the derived count
+    // (DedupOps.adaptiveBuckets, r12) may never change output. Small
+    // odd B values stress the bucket-pair enumeration (explode ranges,
+    // same-bucket ordering disjunction) harder than the 64 floor.
+    for (seed <- seeds.take(2)) {
+      val m = 16 + new scala.util.Random(seed + 900).nextInt(48)
+      val (corpus, _) = dupCorpus(seed + 900, m)
+      val c = DedupOps.collapseExact(corpus)
+      val pairs = Seq((0L, 1000000L)).toDF("doc_a", "doc_b")
+      def run(b: Long) = DedupOps.expandRepPairs(
+        pairs, c, Seq.empty, col("n_toks") >= 3L,
+        saltThreshold = m - 1L, forceBuckets = b)
+      val derived = rows(run(0L))
+      assert(derived == rows(run(3L)) && derived == rows(run(7L)),
+        s"seed $seed: within/cross expansion output differs across B")
+    }
+    // boundary salt: 30 head==tail copies, bar forced to 1 → salt fires
+    val viral = spark.range(0, 30L)
+      .select(col("id").as("doc_id"), lit("alpha beta gamma").as("text"))
+      .unionByName(spark.range(100L, 140L).select(col("id").as("doc_id"),
+        concat(lit("u"), col("id"), lit(" v"), col("id"), lit(" w"),
+          col("id")).as("text")))
+    def ht(b: Long) = DedupOps.headTailPairs(viral, 3,
+      fanThreshold = 1L, forceBuckets = b)
+    val htPlain = rows(DedupOps.headTailPairs(viral, 3,
+      fanThreshold = Long.MaxValue))
+    assert(htPlain == rows(ht(0L)) && htPlain == rows(ht(3L)) &&
+      htPlain == rows(ht(7L)),
+      "boundary salt output differs across B (or from the plain join)")
+    // window salt: one bot user (50 purchases x 60 touches), bar below
+    // its pair product → salt fires
+    val ev = (
+      (0 until 50).map(i => (Option(7L), 1000000L + i * 1000L, "purchase")) ++
+      (0 until 60).map(i => (Option(7L), 999000L - i * 7L, "click")) ++
+      (0 until 40).map(i => (Option(100L + i), 5000L + i, "view")) ++
+      Seq((None: Option[Long], 1L, "purchase"))
+    ).toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"))
+    def decay(b: Long) = operators.EventOps.decayAttribution(ev,
+      fanThreshold = 2999L, forceBuckets = b)
+    val decayPlain = rows(operators.EventOps.decayAttribution(ev,
+      fanThreshold = Long.MaxValue))
+    assert(decayPlain == rows(decay(0L)) && decayPlain == rows(decay(3L)) &&
+      decayPlain == rows(decay(7L)),
+      "window salt output differs across B (or from the plain join)")
+  }
+
   test("fan-out pin dispatch: identical pairs across the bar, width pin witnessed (10 seeds)") {
     import spark.implicits._
     for (seed <- seeds) {

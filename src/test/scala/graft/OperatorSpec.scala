@@ -173,6 +173,45 @@ class OperatorSpec extends SparkTestBase {
       "salted expansion shape missing from the plan")
   }
 
+  test("q64 star-form CC equals CC over the expanded member pairs (mega + near-dup corpus)") {
+    // r12: q64 feeds CC the connectivity-equivalent edge set (rep-level
+    // LSH pairs + member->rep stars) instead of the expanded member
+    // pairs — a 3·10⁴-member group's C(M,2) ≈ 4.5·10⁸ CC edges carry no
+    // connectivity beyond their M-edge star (the member-pair form
+    // GC-thrashed a 32g heap at that multiplicity, SCALING.md r12).
+    // This spec is the equivalence proof on a corpus with all four node
+    // classes: a mega dup group, a second dup group whose text NEAR-dups
+    // the mega text (cross rep pair), singleton near-dups, and an
+    // INELIGIBLE (<3 tokens) dup group that must appear in neither graph.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val mega = spark.range(0, 80).select(col("id").as("doc_id"),
+      lit(s"$base mu").as("norm"))
+    val dup2 = spark.range(200, 212).select(col("id").as("doc_id"),
+      lit(s"$base nu").as("norm"))
+    val singles = Seq((500L, s"$base xi"), (501L, s"$base omicron"),
+      (600L, "pi rho sigma tau upsilon"), (700L, "chi psi")).toDF("doc_id", "norm")
+    val shorties = spark.range(800, 806).select(col("id").as("doc_id"),
+      lit("xy zz").as("norm"))
+    val c = DedupOps.collapseExact(
+      mega.unionByName(dup2).unionByName(singles).unionByName(shorties))
+    val repPairs = DedupOps.repPairsMinhash(c)
+    // the fixture must exercise CROSS pairs or the star test is vacuous
+    assert(repPairs.count() > 0, "fixture produced no rep-level pairs — tune texts")
+    def set(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val expandedCC = set(DedupOps.connectedComponents(
+      DedupOps.expandRepPairs(repPairs, c, Seq.empty, col("n_toks") >= 3L)))
+    val starCC = set(DedupOps.connectedComponents(DedupOps.ccEdgesMinhash(c)))
+    assert(starCC == expandedCC && starCC.nonEmpty,
+      s"star/expanded CC diverge: ${(starCC -- expandedCC).take(3)} / " +
+        s"${(expandedCC -- starCC).take(3)}")
+    // the ineligible shorties group is in NEITHER node domain
+    assert(!expandedCC.exists(_.startsWith("80")) &&
+      !starCC.exists(_.startsWith("80")), "ineligible group leaked into CC")
+  }
+
   test("triangle orientation branches agree on the real near-dup graph") {
     // r10: q83's adaptive dispatch (id-ordered below the wedge
     // threshold, degree-ordered above) must be invisible on the corpus

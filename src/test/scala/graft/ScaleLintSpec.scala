@@ -592,6 +592,22 @@ class ScaleLintSpec extends SparkTestBase {
     val mega = t * 32
     assert(mega * (mega - 1) / 2 * 2 / (SaltBuckets + 1) <= 2 * coreRowsPerSec,
       "worst post-salt bucket of a 32x-bar group exceeds ~2 core-seconds")
+    // r12: past the 32x-bar regime B is DERIVED (adaptiveBuckets) —
+    // the within salt's largest target-bucket key carries ≤ M²/B rows,
+    // and the derivation holds that at ≤ IdWedgeThreshold (one ~1.2 s
+    // task) for any group size up to the 4096-bucket cap (M ≈ 2.6e5,
+    // where the declared C(M,2) output itself is ~3.4e10 rows — a
+    // corpus that hot belongs on the collapse/weighted consumers)
+    for (mm <- Seq(50000L, 100000L, 250000L)) {
+      val b = adaptiveBuckets(mm.toDouble * mm.toDouble)
+      assert(b < 4096,
+        s"M=$mm already at the bucket cap — the bound below is void")
+      assert(mm * mm / b <= IdWedgeThreshold + mm,
+        s"M=$mm: worst post-salt key ${mm * mm / b} exceeds the unit")
+    }
+    assert(adaptiveBuckets(1.0) == SaltBuckets &&
+      adaptiveBuckets(32000.0 * 32000) == SaltBuckets,
+      "floor regime drifted: corpora at or below the 32x bar must keep B = 64")
   }
 
   test("fan-out lint catches planted M:N shapes and spares certified-unique sides") {
