@@ -12,7 +12,7 @@ object Evidence {
     * ScaleLintSpec (global window, collect buffer, cartesian, UDF,
     * forced broadcast, long×long product, unpushed scan predicate,
     * eager plan-build driver action, fan-out blindness). */
-  val lintClasses: Int = 9
+  val lintClasses: Int = 10
 
   /** Oracle-fuzz battery tests in OracleFuzzSpec (hostile generated
     * corpora hash-checked against DuckDB per seed). */

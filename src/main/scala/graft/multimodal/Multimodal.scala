@@ -185,10 +185,15 @@ object Multimodal {
       .filter(col("n") >= 2 && col("n") <= dfCap)
       .select(col("fmd5"))
     val fd = fr.join(rare, Seq("fmd5"))
-    fd.select(col("fmd5"), col("doc_id").as("doc_a"))
-      .join(fd.select(col("fmd5"), col("doc_id").as("doc_b")), Seq("fmd5"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // SYMMETRIC self-join sides (r12, lint class #10): the r11 form
+    // projected doc_a on one side and doc_b on the other, so the two
+    // shuffle exchanges canonicalized DIFFERENTLY and the whole
+    // frame-sample + distinct + df-cap lineage executed twice (exchange
+    // reuse only deduplicates identical exchanges). Identical sides
+    // renamed AFTER the join plan one lineage, reused.
+    fd.as("a").join(fd.as("b"),
+        col("a.fmd5") === col("b.fmd5") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_frames"))
       .filter(col("n_shared_frames") >= minShared)
   }

@@ -347,8 +347,15 @@ object EventOps {
     * past ~3e9 users, the q208 overflow contract; identical double
     * trees keep the cross-engine hash). */
   def q141AssocRules(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed (r12, lint class #10): the distinct user-type frame
+    // feeds FOUR lineages (totals, singles x2 broadcast roles, the
+    // self-join) — left lazy, each consumer re-planned the events scan
+    // AND the distinct shuffle (SubtreeAudit caught the duplicate
+    // scan+aggregate; at 100 TB that is four corpus scans for one).
+    // The frame is two narrow columns, users x types bounded.
     val ut = Tables.events(s, dir)
       .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true)
     // countDistinct, NOT distinct().count(): a NULL user_id is not a
     // user. count(DISTINCT) excludes NULLs in both engines, whereas the
     // distinct-then-count-rows form counts the NULL group too and

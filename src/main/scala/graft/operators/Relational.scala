@@ -339,8 +339,13 @@ object Relational {
     * products pass 2⁶³ (silent wrap on non-ANSI Spark, a runtime error
     * on DuckDB), so the products must form in double space. */
   def q221PartAffinity(s: SparkSession, dir: String): DataFrame = {
+    // checkpointed (r12, lint class #10): the distinct order-part frame
+    // feeds four lineages (n_orders, the two n_p join roles, the
+    // self-join) — left lazy, each re-planned the lineitem scan and the
+    // distinct shuffle. Two long columns, |distinct(order, part)| rows.
     val b = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      .localCheckpoint(true)
     val n = b.agg(countDistinct(col("o")).as("n_orders"))
     val sGl = b.groupBy(col("p")).agg(count(lit(1)).as("n_p"))
     val pr = b.join(b.select(col("o"), col("p").as("p2")), Seq("o"))
@@ -728,14 +733,21 @@ object Relational {
       .agg(count(lit(1)).as("n"), count_if(col("churned")).as("n_churned"))
     val w = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // totals via a global window over the SAME bounded histogram frame
+    // (r12, lint class #10 — the q152 idiom): the r11
+    // crossJoin(broadcast(h.agg(...))) re-planned h's whole lineage —
+    // the churn-label join and its orders/customer scans — a second
+    // time. h is #distinct-order-counts rows, so the empty-frame global
+    // window is bounded by construction.
+    val wAll = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val cum = h
       .withColumn("cum_n", sum(col("n")).over(w).cast("long"))
       .withColumn("cum_churned", sum(col("n_churned")).over(w).cast("long"))
-    val tot = h.agg(sum(col("n")).cast("long").as("nt"),
-      sum(col("n_churned")).cast("long").as("ct"))
+      .withColumn("nt", sum(col("n")).over(wAll).cast("long"))
+      .withColumn("ct", sum(col("n_churned")).over(wAll).cast("long"))
     // ct = 0 (a feed with no churners) must yield NULL capture/lift, not
     // an ANSI divide-by-zero task failure; nt > 0 whenever rows exist
-    cum.crossJoin(broadcast(tot))
+    cum
       .select(col("v"), col("cum_n"), col("cum_churned"),
         (col("cum_n").cast("double") / col("nt").cast("double"))
           .as("frac_targeted"),
@@ -792,16 +804,24 @@ object Relational {
       .groupBy(floor(graft.functions.Exact.cents(col("spend")) / lit(100000L))
         .cast("long").as("band"))
       .agg(count(lit(1)).as("n"), count_if(col("churned")).as("c"))
-    val glob = bands.agg(sum(col("n")).cast("long").as("nt"),
-      sum(col("c")).cast("long").as("ct"),
-      count(lit(1)).as("n_bands"))
+    // globals via a global window over the SAME bounded band frame
+    // (r12, lint class #10 — the q152 idiom): the r11 form crossJoined
+    // broadcast(bands.agg(...)) TWICE, re-planning the churn-label
+    // join and its orders/customer scans three times in total. bands
+    // is spend-band-bounded, so the empty-frame window is safe.
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val withGlob = bands
+      .withColumn("nt", sum(col("n")).over(wAll).cast("long"))
+      .withColumn("ct", sum(col("c")).over(wAll).cast("long"))
+      .withColumn("n_bands", count(lit(1)).over(wAll))
     val rate = col("ct").cast("double") / col("nt").cast("double")
     val d = col("c").cast("double") / col("n").cast("double") - rate
     val termQ = floor(col("n").cast("double") / col("nt").cast("double") *
       (d * d) * lit(1e12) + lit(0.5)).cast("long")
-    val res = bands.crossJoin(broadcast(glob))
-      .agg(sum(termQ).cast("long").as("rq"))
-    res.crossJoin(broadcast(glob))
+    withGlob
+      .agg(sum(termQ).cast("long").as("rq"), first(col("nt")).as("nt"),
+        first(col("ct")).as("ct"), first(col("n_bands")).as("n_bands"))
       .select(col("nt").as("n"), col("n_bands"),
         (rate * (lit(1.0) - rate)).as("uncertainty"),
         (col("rq").cast("double") / lit(1e12)).as("resolution"))
@@ -1401,6 +1421,13 @@ object Relational {
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
         cents(col("o_totalprice")).as("p"))
     val maxD = ords.agg(max(col("d")).as("dmax"))
+    // checkpointed (r12, lint class #10): the per-customer RFM frame
+    // feeds FOUR lineages (three quintile-bounds subplans + the scored
+    // groupBy) — left lazy, each re-planned the orders scan and the
+    // customer aggregate (SubtreeAudit caught the duplicate
+    // scan+aggregate: four corpus scans for one at 100 TB). Narrow,
+    // #customers rows; tot (its row count) comes off the materialized
+    // RDD for the bounds literals.
     val per = ords.crossJoin(broadcast(maxD))
       .groupBy(col("o_custkey"))
       .agg(max(col("d")).as("dlast"), first(col("dmax")).as("dmax"),
@@ -1408,14 +1435,24 @@ object Relational {
       .select(col("o_custkey"),
         datediff(col("dmax"), col("dlast")).cast("long").as("r"),
         col("f"), col("m"))
+      .localCheckpoint(true)
+    val tot = per.count()
     def bounds(metric: String, prefix: String) = {
+      // GlobalRank replaces the r11 unpartitioned windows (r12): the
+      // distinct-value frame is calendar/count-bounded for r and f but
+      // UNBOUNDED for m (distinct money totals ~ #customers), and
+      // `sum over (ORDER BY v)` with no partition funnels it through
+      // one task. The range-exchange running sum is the same inclusive
+      // cum, distributed; tot rides as a literal from the checkpointed
+      // frame, so the values — and hence the oracle hash — are
+      // unchanged.
       val e = per.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
-        .withColumn("tot", sum(col("c")).over(Window.partitionBy()))
+      val ranked = graft.plans.GlobalRank.withPosition(
+        e, Seq("v" -> false), sumCol = Some("c"))
       val picks = (1 to 4).map(j =>
-        min(when(col("cum") * 5 >= lit(j.toLong) * col("tot"), col("v")))
+        min(when(col("cum") * 5 >= lit(j.toLong) * lit(tot), col("v")))
           .as(s"$prefix$j"))
-      e.agg(picks.head, picks.tail: _*)
+      ranked.agg(picks.head, picks.tail: _*)
     }
     def score(c: org.apache.spark.sql.Column, prefix: String) =
       (1 to 4).map(j => when(c > col(s"$prefix$j"), 1L).otherwise(0L))

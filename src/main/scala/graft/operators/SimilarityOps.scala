@@ -919,12 +919,18 @@ object SimilarityOps {
     val d38 = "decimal(38,0)"
     val codes = transform(col("embedding"),
       x => round(x.cast("double") * 1000).cast("long"))
+    // checkpointed (r12, lint class #10): the |sources × 64| dims frame
+    // feeds FOUR lineages (self-join a/b sides via their differing
+    // pruned projections, two broadcast norm roles) — left lazy, each
+    // re-planned the embeddings⋈documents scan and the posexplode
+    // aggregate: four corpus scans for a 64-rows-per-source result.
     val dims = Tables.embeddings(s, dir)
       .join(Tables.documents(s, dir).select(col("doc_id").as("vec_id"),
         col("source")), Seq("vec_id"))
       .select(col("source"), posexplode(codes).as(Seq("dim", "v")))
       .groupBy(col("source"), col("dim"))
       .agg(sum(col("v").cast(d38)).cast("long").as("sv"))
+      .localCheckpoint(true)
     val norms = dims.groupBy(col("source"))
       .agg(sum(col("sv").cast(d38) * col("sv")).cast("long").as("n2"))
     dims.as("a")

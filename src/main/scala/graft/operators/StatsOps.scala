@@ -1428,9 +1428,14 @@ object StatsOps {
   def kruskalCore(vals: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d38 = "decimal(38,0)"
+    // checkpointed (r12, lint class #10): cells feeds the rank-sum join
+    // path AND the broadcast ties/n totals — the broadcast leg
+    // re-planned the corpus scan+aggregate (no stage reuse across
+    // exchange types). |distinct v × lang| narrow frame.
     val cells = vals
       .groupBy(col("v"), col("lang"))
       .agg(count(lit(1)).as("cg"))
+      .localCheckpoint(true)
     val totals = cells.groupBy(col("v")).agg(sum(col("cg")).as("c"))
       .withColumn("before", coalesce(sum(col("c")).over(
         Window.orderBy(col("v"))

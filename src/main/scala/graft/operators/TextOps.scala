@@ -387,8 +387,14 @@ object TextOps {
   def q103PmiBigrams(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), filter(tokens(col("text")), t => t =!= "").as("toks"))
+    // checkpointed (r12, lint class #10): uni feeds the two bigram-leg
+    // joins (shuffle) AND the broadcast total — the broadcast consumer
+    // plans a DIFFERENT exchange type, so runtime stage reuse cannot
+    // dedupe it and the scan+tokenize lineage ran once more (the q152
+    // broadcast-vs-shuffle evidence). Vocab-bounded narrow frame.
     val uni = docs.select(explode(col("toks")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val total = uni.agg(sum(col("c")).cast("long").as("n_uni"))
     val bigrams = docs.filter(size(col("toks")) >= 2)
       .select(explode(transform(
@@ -1242,7 +1248,12 @@ object TextOps {
     * AQE-skew-splittable. The pair aggregate emits ≤ #sources² rows;
     * totals join back as a broadcast. No posting lists, no cartesian. */
   def q128SourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val grams = sourceGrams(s, dir)
+    // checkpointed (r12, lint class #10): the deduped gram stream feeds
+    // the self-join (shuffle, exchange-reusable) AND the broadcast
+    // per-source totals — the broadcast leg re-planned the whole
+    // tokenize+dedup lineage (different exchange type, no stage reuse).
+    // |source × distinct grams| rows of two narrow columns.
+    val grams = sourceGrams(s, dir).localCheckpoint(true)
     val tot = grams.groupBy(col("source")).agg(count(lit(1)).as("n"))
     grams.select(col("g"), col("source").as("source_a"))
       .join(grams.select(col("g"), col("source").as("source_b")), Seq("g"))
@@ -2161,10 +2172,15 @@ object TextOps {
 
   /** See [[q206SourceWJaccard]]. */
   def wJaccardCore(docs: DataFrame): DataFrame = {
+    // checkpointed (r12, lint class #10): tf feeds the term self-join
+    // (shuffle) and the broadcast per-source totals — the broadcast leg
+    // re-planned the tokenize lineage (no stage reuse across exchange
+    // types). Vocab × sources narrow frame.
     val tf = docs
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("source"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val tot = tf.groupBy(col("source")).agg(sum(col("tf")).as("t"))
     val a = tf.select(col("source").as("src_a"), col("term"),
       col("tf").as("tf_a"))
@@ -2226,12 +2242,17 @@ object TextOps {
   /** See [[q216SourceJsd]]. */
   def jsdCore(docs: DataFrame, sa: String, sb: String): DataFrame = {
     val d38 = "decimal(38,0)"
+    // checkpointed (r12, lint class #10): tf feeds the main divergence
+    // pass and the broadcast totals — the broadcast leg re-planned the
+    // tokenize lineage (no stage reuse across exchange types).
+    // Vocab-bounded narrow frame.
     val tf = docs.filter(col("source").isin(sa, sb))
       .select(col("source"), explode(tokens(col("text"))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term"))
       .agg(sum(when(col("source") === sa, 1L).otherwise(0L)).cast("long").as("a"),
         sum(when(col("source") === sb, 1L).otherwise(0L)).cast("long").as("b"))
+      .localCheckpoint(true)
     val tot = tf.agg(sum(col("a")).cast("long").as("ta"),
       sum(col("b")).cast("long").as("tb"),
       count(lit(1)).as("n_terms"))

@@ -33,6 +33,7 @@ class ScaleLintSpec extends SparkTestBase {
     "q227_kruskal_wallis" -> "prefix ranks over the distinct-length histogram (q208's frame)",
     "q230_label_auc" -> "prefix ranks over the distinct-score histogram (q208's frame)",
     "q232_gains_curve" -> "cumulative capture over the distinct-score histogram",
+    "q233_band_resolution" -> "global sums over the spend-band-bounded frame (the q152 idiom — replaced the r11 double crossJoin(broadcast(glob)) that re-planned the churn lineage, class-#10 fix)",
     "q211_open_orders" -> "backlog prefix sum over the calendar-day deltas",
     "q152_decay_attribution" -> "share denominator over the #channels frame (3 touch types; replaced the r10 crossJoin(total) form that planned the pair pipeline twice)",
     "qm7_magic_bytes" -> "per-mille share over the magic-byte cardinality")
@@ -109,7 +110,19 @@ class ScaleLintSpec extends SparkTestBase {
       "q182_term_chi2" -> "per-term class marginals checkpointed once (vocab-cut-bounded)",
       "q190_seq_mi" -> "#types^2-bounded transition frame checkpointed once",
       "q192_audience_overlap" -> "#types^2-bounded overlap frame checkpointed once",
-      "q226_negative_samples" -> "observed interaction set checkpointed once (measured x1.83 peak for x10 data, SCALING.md r9)")
+      "q226_negative_samples" -> "observed interaction set checkpointed once (measured x1.83 peak for x10 data, SCALING.md r9)",
+      // r12, lint class #10 fixes: shared multi-consumer frames
+      // checkpointed once so broadcast-vs-shuffle consumers stop
+      // re-planning the corpus scan (SubtreeAudit findings, SCALING r12)
+      "q141_assoc_rules" -> "user-type distinct frame checkpointed once for its four consumers (class-#10 fix)",
+      "q221_part_affinity" -> "order-part distinct frame checkpointed once for its four consumers (class-#10 fix)",
+      "q202_rfm_segments" -> "per-customer RFM frame checkpointed once for its four consumers + one O(1) count off the materialized RDD for the quintile denominators + GlobalRank two-pass per bounds metric (class-#10 fix)",
+      "q103_pmi_bigrams" -> "unigram-count frame checkpointed once (vocab-bounded) for its three consumers (class-#10 fix)",
+      "q128_source_overlap" -> "source-gram frame checkpointed once for self-join + broadcast totals (class-#10 fix)",
+      "q206_source_wjaccard" -> "tf frame checkpointed once (vocab x sources) for self-join + broadcast totals (class-#10 fix)",
+      "q216_source_jsd" -> "two-source tf frame checkpointed once (vocab-bounded) for divergence + totals (class-#10 fix)",
+      "q227_kruskal_wallis" -> "value-lang cells frame checkpointed once (|distinct v x lang|) for rank-sum + ties consumers (class-#10 fix)",
+      "q155_source_affinity" -> "|sources| x 64 dims frame checkpointed once for self-join + two norm roles (class-#10 fix)")
   }
 
   /** Class #9 (r11): FAN-OUT BLINDNESS — queries whose plans carry a
@@ -123,6 +136,62 @@ class ScaleLintSpec extends SparkTestBase {
     * Every entry names the bound that caps the per-key output, or the
     * adaptive skew dispatch that spreads it. Empirical seeding:
     * SCALING.md r11 zipf/hub tables (per-task max-time ≪ wall). */
+  /** Class #10 (r12): DUPLICATE EXPENSIVE SUBTREE — queries whose
+    * optimized plans carry a maximal duplicated scan→join/agg lineage
+    * under divergent parents ([[SubtreeAudit]]). Runtime exchange/stage
+    * reuse dedupes identical exchanges only: a broadcast consumer next
+    * to a shuffle consumer re-executes the lineage (the r10 q152
+    * two-concurrent-8-second-stages evidence). Every entry names why
+    * the remaining duplicate is cheap or intended; the FIXED instances
+    * this class found in r12 — q202/q141/q221/q232/q233/q103/q216/
+    * q227/q155/qm3/q128/q206 — checkpoint the shared frame, use the
+    * bounded-global-window idiom, or make self-join sides symmetric. */
+  private val boundedDupSubtree: Map[String, String] = {
+    val rddPass = "one extra scan-free pass over a CHECKPOINTED " +
+      "(materialized-RDD) frame — the r12 checkpoint removed the " +
+      "corpus rescans this class exists for; remaining dup output is "
+    val regram = "candidate-stage consumers re-derive grams/signatures " +
+      "from the CHECKPOINTED rep corpus — deliberate " +
+      "recompute-over-materialize: the gram stream is corpus-sized, " +
+      "the checkpoint is the deduped corpus (collapse contract, zero " +
+      "parquet rescans — PlanShapeSpec)"
+    Map(
+      "q141_assoc_rules" -> (rddPass + "#event-types-bounded (two broadcast singles roles)"),
+      "q221_part_affinity" -> (rddPass + "#parts-bounded (two n_p join roles)"),
+      "q206_source_wjaccard" -> (rddPass + "#sources-bounded (two broadcast totals roles)"),
+      "q128_source_overlap" -> (rddPass + "#sources-bounded (two broadcast totals roles)"),
+      "q155_source_affinity" -> (rddPass + "#sources-bounded (two broadcast norm roles over the |sources|x64 dims RDD)"),
+      "q35_ngram_jaccard" -> regram,
+      "q36_minhash_lsh" -> regram,
+      "q37_simhash" -> regram,
+      "q214_lsh_eval" -> ("the declared eval harness runs the q35 and q36 " +
+        "retrieval pipelines side by side over the SHARED checkpointed " +
+        "collapse products — scan-free reads of materialized RDDs; the " +
+        "two pipelines ARE the query's semantics"),
+      "q224_boxplot" -> ("intrinsic two-pass quantile-then-outlier-count: " +
+        "the duplicate is the 2-column pruned orders⋈customer read, " +
+        "parquet-pushed on both passes — the quantile pass must COMPLETE " +
+        "before the outlier pass can filter, and re-reading two pruned " +
+        "columns beats materializing the fact join"),
+      "q178_rank_tau" -> ("the declared comparison runs TWO ranking " +
+        "pipelines (float cosine vs int8) over the same pruned embedding " +
+        "scan — the duplicate is the comparison's two arms; per-probe " +
+        "frames are #probes×k-bounded"),
+      "q132_embed_covariance" -> ("pair-moment and centering-sum branches " +
+        "read the SAME aggregate subtree BY DESIGN — identical shuffle " +
+        "exchanges, runtime-reused (operator scaladoc); the logical dup " +
+        "IS the reuse idiom"),
+      "q136_ann_recall" -> ("recall harness compares LSH retrieval against " +
+        "exact brute force over the same pruned embedding scan by " +
+        "declaration — the duplicate is the harness's two arms"),
+      "q52_knn_ivf" -> ("declared = IVF retrieval + exact-recall " +
+        "certificate: the exact arm re-reads the pruned embedding scan " +
+        "by design (a certificate must not share the approximate path)"),
+      "q163_exact_median" -> ("exact median: a count pass then a " +
+        "positional-select pass over the same 1-column pruned lineitem " +
+        "read — intrinsic two-pass selection, pushed down on both"))
+  }
+
   private val boundedFanout: Map[String, String] = {
     val probeKnn = "probe-set-bounded: candidate fan-out = corpus × the " +
       "5-probe broadcast set (fixed multiplier), k-cut downstream"
@@ -138,6 +207,11 @@ class ScaleLintSpec extends SparkTestBase {
       "q214_lsh_eval" -> ("multiplicity-WEIGHTED eval: member pairs are " +
         "never expanded; candidate joins inherit q35/q36's collapsed-rep " +
         "defenses; zipf ×1.0 measured (SCALING.md r10)"),
+      "q103_pmi_bigrams" -> ("the w1/w2 unigram joins ARE unique per key " +
+        "by construction — uni is groupBy(term), ≤1 row per join key — " +
+        "but the r12 class-#10 checkpoint hides that certificate behind " +
+        "a LogicalRDD leaf (FanoutAudit's documented checkpoint-leaf " +
+        "conservatism); fan-out per bigram key is exactly 1"),
       "q70_contamination" -> ("adaptive HLL dup-mass dispatch: the raw " +
         "gram join plans only below FanoutPinThreshold dup members " +
         "(hot-gram fan then bounded by content diversity); above it the " +
@@ -441,7 +515,8 @@ class ScaleLintSpec extends SparkTestBase {
     // bumping Evidence fails here (and vice versa)
     val classes = Seq(boundedGlobalWindow, boundedCollect, boundedCartesian,
       boundedUdf, boundedForcedBroadcast, boundedLongProduct,
-      unpushableScanPredicate, boundedEagerAction, boundedFanout)
+      unpushableScanPredicate, boundedEagerAction, boundedFanout,
+      boundedDupSubtree)
     assert(classes.size == Evidence.lintClasses,
       s"${classes.size} lint classes vs Evidence.lintClasses=${Evidence.lintClasses}")
   }
@@ -449,6 +524,7 @@ class ScaleLintSpec extends SparkTestBase {
   test("no query plans an unallowlisted scale-killer shape") {
     val failures = scala.collection.mutable.ArrayBuffer[String]()
     val fanoutFlagged = scala.collection.mutable.Set[String]()
+    val dupsubFlagged = scala.collection.mutable.Set[String]()
     // warm the per-path schema cache first: the reader's ONE-TIME footer
     // inference job is the data source's contract, not a builder action,
     // and must not land in whichever query happens to touch a table first
@@ -503,6 +579,14 @@ class ScaleLintSpec extends SparkTestBase {
           if (!boundedFanout.contains(q.name))
             failures += s"${q.name}: fan-out-capable shape(s): ${fanout.mkString("; ")}"
         }
+        // class #10: duplicate expensive subtree under divergent
+        // parents — every hit needs a named cheapness/intent bound
+        val dupsub = SubtreeAudit.audit(df.queryExecution.optimizedPlan)
+        if (dupsub.nonEmpty) {
+          dupsubFlagged += q.name
+          if (!boundedDupSubtree.contains(q.name))
+            failures += s"${q.name}: duplicate expensive subtree(s): ${dupsub.mkString("; ")}"
+        }
       } catch {
         case e: Throwable => failures += s"${q.name}: plan build failed: ${e.getMessage}"
       }
@@ -514,6 +598,11 @@ class ScaleLintSpec extends SparkTestBase {
     val stale = boundedFanout.keySet -- fanoutFlagged
     assert(stale.isEmpty,
       s"stale boundedFanout entries (no fan-out shape planned): ${stale.toSeq.sorted.mkString(", ")}")
+    // class #10 is bidirectional too: an entry whose query no longer
+    // plans a duplicate subtree is stale and must be removed
+    val staleDup = boundedDupSubtree.keySet -- dupsubFlagged
+    assert(staleDup.isEmpty,
+      s"stale boundedDupSubtree entries (no duplicate subtree planned): ${staleDup.toSeq.sorted.mkString(", ")}")
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
@@ -608,6 +697,39 @@ class ScaleLintSpec extends SparkTestBase {
     assert(adaptiveBuckets(1.0) == SaltBuckets &&
       adaptiveBuckets(32000.0 * 32000) == SaltBuckets,
       "floor regime drifted: corpora at or below the 32x bar must keep B = 64")
+  }
+
+  test("dup-subtree lint catches a planted totals-broadcast recompute and spares reuse shapes") {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, sum}
+    // the violation class: an expensive lineage (scan -> agg) consumed
+    // by a keyed groupBy AND by a crossJoin(broadcast(totals)) — the
+    // broadcast leg's exchange type differs, so runtime stage reuse
+    // cannot dedupe it and the lineage executes twice (the r10 q152
+    // StageProfile evidence)
+    // the totals leg must CONSUME every per column, or Catalyst's
+    // column pruning diverges the two aggregates' canonical forms and
+    // only the (cheap) shared scan remains duplicated — the audit's
+    // documented under-flagging limit (SubtreeAudit scaladoc)
+    val per = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val bad = per.crossJoin(broadcast(
+      per.agg(sum(col("n")).as("tot"), sum(col("l_partkey")).as("ks"))))
+    assert(SubtreeAudit.audit(bad.queryExecution.optimizedPlan).nonEmpty,
+      "planted totals-broadcast recompute not flagged")
+    // symmetric self-join sides are a runtime reuse unit — clean
+    val selfJoin = per.as("a").join(per.as("b"),
+      col("a.l_partkey") === col("b.l_partkey"))
+    assert(SubtreeAudit.audit(selfJoin.queryExecution.optimizedPlan).isEmpty,
+      "symmetric self-join wrongly flagged")
+    // a checkpointed shared frame is ONE materialization — clean of
+    // corpus-lineage dups (the remaining agg-over-RDD dup is the
+    // allowlisted cheap class; this fixture has none because the two
+    // consumers demand the same exchange)
+    val ckpt = per.localCheckpoint(true)
+    val fixed = ckpt.crossJoin(broadcast(ckpt.agg(sum(col("n")).as("tot"))))
+    val hits = SubtreeAudit.audit(fixed.queryExecution.optimizedPlan)
+    assert(hits.forall(_.contains("LogicalRDD")),
+      s"checkpointed totals still re-plans a relation lineage: $hits")
   }
 
   test("fan-out lint catches planted M:N shapes and spares certified-unique sides") {
