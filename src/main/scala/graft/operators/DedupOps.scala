@@ -1494,8 +1494,244 @@ object DedupOps {
     out
   }
 
+  /** q83: triangle counts over the q36 near-dup graph, with a BLOW-UP
+    * dispatch in front of the enumeration (r12). The q36 graph is a
+    * blow-up of the rep graph: each exact-dup group is a clique (when
+    * `n_toks >= 3`) and each rep pair expands to the complete bipartite
+    * graph on its member sets — so a mega-dup group of M copies turns
+    * into a K_M whose triangle ENUMERATION is Θ(M³) wedges no matter
+    * how the edges are oriented (degree-ordering only relocates the
+    * volume: a clique's out-degrees are uniform), while the DECLARED
+    * output is M rows. Measured: zipf 2000× ran the enumerated form to
+    * 345 s wall / 280 s max-task / 29 GB spill, ×64.8 for ×2 input over
+    * the 1000× point — a wall that grows with the CUBE of multiplicity
+    * is not a salt candidate, it needs a combinatorial escape
+    * (SCALING.md r12 "q83 blow-up triangles").
+    *
+    * The escape ([[trianglesBlowup]]): count rooted triangles in the
+    * blow-up CLOSED-FORM from group ranks and per-edge cross-ranks,
+    * enumerating wedges only on the REP graph (whose triangles are
+    * member-count-free). Cost is linear in Σ members over incident rep
+    * edges plus the rep graph's own O(E^1.5) — vs Θ(M³) enumerated.
+    *
+    * Dispatch: one probe computes the blow-up triangle mass the
+    * enumerated plan would have to generate beyond the rep graph's own
+    * — Σ_g C(m_g,3) (clique interiors) + Σ_(g,h) [C(m_g,2)·m_h +
+    * C(m_h,2)·m_g] (two-in-one-group triangles) — from the collapsed
+    * groups frame and the rep pair list, never expanding anything.
+    * Below [[BlowupTriThreshold]] the enumerated path runs unchanged
+    * (same `trianglesAdaptive` orientation dispatch as r10/r11); above
+    * it the closed form takes over. Both count the SAME rooted
+    * triangles (spec'd: worked K5 blow-up example, corpus parity, and
+    * a straddle battery one unit around the probed mass). */
   def q83Triangles(s: SparkSession, dir: String): DataFrame =
-    triangles(q36MinhashLsh(s, dir))
+    q83Core(collapsedDocs(s, dir), BlowupTriThreshold)
+
+  /** Threshold on the probed blow-up triangle mass (enumerated-only
+    * wedge rows) above which [[q83Triangles]] switches to the closed
+    * form. 2²⁴ ≈ 1.7·10⁷, the family's ~1-core-second row-generation
+    * unit ([[IdWedgeThreshold]] contract — single-task OUTPUT ROWS, a
+    * per-core quantity that carries to any cluster width; a clique's
+    * wedge volume lands on O(B²) salt keys at best, so the mass IS
+    * task-concentrated in the enumerated plan). Measured brackets, zipf
+    * documents fixture (SCALING.md r12): 500 copies ≈ C(500,3) = 2.1·10⁷
+    * sits just above the bar — enumerated measured 7.6 s there (fine,
+    * the flat-crossover regime) — while 1000 copies (1.7·10⁸) measured
+    * 39 s and 2000 copies (1.3·10⁹) 345 s with 29 GB of spill: the
+    * switch exists for the cubic regime, and ±2× around the bar both
+    * branches run in single-digit seconds. */
+  private[graft] val BlowupTriThreshold = 1L << 24
+
+  /** [[q83Triangles]] with the dispatch threshold injectable — the
+    * straddle fuzz swings it one unit around the probed mass and
+    * asserts hash-identical output plus the intended branch. */
+  private[graft] def q83Core(c: Collapsed, blowupThreshold: Long): DataFrame = {
+    // the rep pair list feeds the probe and BOTH branches (the
+    // enumerated branch's expansion consumes it on two join sides) —
+    // one checkpoint, released after the winning branch materializes
+    val rp = repPairsMinhash(c).localCheckpoint(true)
+    val mass = graft.ProbeCost.timed("blowup_tri_mass") {
+      val gw = c.groups.filter(col("n_toks") >= 3L)
+        .select(col("rep_id"), col("mult").cast("double").as("m"))
+      // double math end-to-end: C(10⁷,3) overflows a long and the probe
+      // only needs magnitude, not exactness
+      val clique = Option(gw
+        .agg(sum(col("m") * (col("m") - 1) * (col("m") - 2) / 6)).head.get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val cross = Option(rp
+        .join(gw.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
+        .join(gw.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b"))
+        .agg(sum(col("ma") * (col("ma") - 1) / 2 * col("mb") +
+          col("mb") * (col("mb") - 1) / 2 * col("ma"))).head.get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      clique + cross
+    }
+    val out =
+      if (mass <= blowupThreshold.toDouble)
+        trianglesAdaptive(
+          expandRepPairs(rp, c, Seq.empty, col("n_toks") >= 3L),
+          IdWedgeThreshold)
+      else trianglesBlowup(c, rp)
+    // both branches return a localCheckpoint'd frame, so rp is dead
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(rp)
+    out
+  }
+
+  /** Closed-form rooted triangle counts of the q36 BLOW-UP graph,
+    * computed from the collapsed structure without expanding it. With
+    * S_g the member set of group g (clique iff `n_toks >= 3`, which
+    * every rep-pair participant satisfies — no shingles otherwise),
+    * k_d = |{y ∈ S_g(d) : y > d}| (within-group higher-id count) and
+    * c_h(d) = |{z ∈ S_h : z > d}| (cross-rank toward an adjacent
+    * group), the triangles rooted at d partition by where the other
+    * two vertices live:
+    *
+    *   T(d) = C(k_d, 2)                             (both in d's group)
+    *        + k_d · Σ_{h ∈ A(g)} c_h(d)             (one in g, one in h)
+    *        + Σ_{h ∈ A(g)} C(c_h(d), 2)             (both in one h)
+    *        + Σ_{(h,k) rep-triangle through g} c_h(d)·c_k(d)
+    *
+    * (every cross edge of the blow-up exists group-wise, so membership
+    * counts are exact, and a rep-edge participant's interior clique
+    * always exists when two of its members are counted — `n_toks >= 3`
+    * holds and c ≥ 2 implies mult ≥ 2). Verified: the worked K5 example
+    * (groups {1,4},{2,5},{3} on a rep triangle → rooted 6/3/1/0/0) and
+    * corpus parity against the enumerated form, EdgeCaseSpec/OperatorSpec.
+    *
+    * Scale shape: within-ranks are one window over the group key;
+    * cross-ranks are one window per REP EDGE over the merged member
+    * ids of its two endpoint groups (two running side-counts, ordered
+    * desc — each member row reads the opposite side's prefix), sized
+    * m_g + m_h per partition; the rep-triangle term joins the triangle
+    * corner list to the cross-rank table on (group, adjacent-group).
+    * Everything is LINEAR in Σ_edges (m_g + m_h) — the single-key
+    * frontier is deg_R(g)·m_g rows (a mega group's members replicated
+    * once per incident rep edge), the linear shadow of the quadratic
+    * C(m,2)·deg this branch exists to avoid; rep-graph wedges ride the
+    * same orientation dispatch as the enumerated branch
+    * ([[triangleTriples]]). */
+  private[graft] def trianglesBlowup(c: Collapsed, repEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gw = c.groups.filter(col("n_toks") >= 3L)
+      .select(col("rep_id"), col("mult"))
+    // node domain of the blow-up: members of shingle-eligible groups
+    // (three consumers: within ranks + two cross-rank sides)
+    val mem = c.map
+      .join(gw.select(col("rep_id")), Seq("rep_id"), "left_semi")
+      .localCheckpoint(true)
+    // k_d = mult − rank: within-group higher-id count (clique groups only)
+    val winG = Window.partitionBy(col("rep_id")).orderBy(col("doc_id"))
+    val kd = mem.withColumn("rn", row_number().over(winG).cast("long"))
+      .join(gw.filter(col("mult") >= 2L), Seq("rep_id"))
+      .select(col("doc_id"), (col("mult") - col("rn")).as("k"))
+    // cross-ranks: one row per (member, incident rep edge). Merge both
+    // endpoint member sets per edge, order by id desc, and read the
+    // OPPOSITE side's strict prefix count — both running counts are
+    // computed so each row picks its opposite.
+    val sideA = repEdges
+      .join(mem.select(col("rep_id").as("doc_a"), col("doc_id")), Seq("doc_a"))
+      .select(col("doc_a").as("ea"), col("doc_b").as("eb"),
+        col("doc_id"), lit(0).as("side"))
+    val sideB = repEdges
+      .join(mem.select(col("rep_id").as("doc_b"), col("doc_id")), Seq("doc_b"))
+      .select(col("doc_a").as("ea"), col("doc_b").as("eb"),
+        col("doc_id"), lit(1).as("side"))
+    val winE = Window.partitionBy(col("ea"), col("eb"))
+      .orderBy(col("doc_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val crossCnt = sideA.unionByName(sideB)
+      .withColumn("pa",
+        coalesce(sum(when(col("side") === 0, 1L).otherwise(0L)).over(winE), lit(0L)))
+      .withColumn("pb",
+        coalesce(sum(when(col("side") === 1, 1L).otherwise(0L)).over(winE), lit(0L)))
+      .select(col("doc_id"),
+        when(col("side") === 0, col("ea")).otherwise(col("eb")).as("g"),
+        when(col("side") === 0, col("eb")).otherwise(col("ea")).as("h"),
+        when(col("side") === 0, col("pb")).otherwise(col("pa")).as("c"))
+      .localCheckpoint(true) // three consumers: per-doc sums + two corner joins
+    val perDoc = crossCnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("cs"),
+        // SQL `/` is double division — shiftright keeps C(c,2) integral
+        // (c·(c−1) is even, so the shift is exact)
+        sum(shiftright(col("c") * (col("c") - 1), 1)).as("t3"))
+    // rep-graph triangles → per-corner member products c_h·c_k
+    val tri = triangleTriples(repEdges)
+    val corners = tri
+      .select(col("ta").as("g"), col("tb").as("h1"), col("tc").as("h2"))
+      .unionByName(tri.select(col("tb").as("g"), col("ta").as("h1"), col("tc").as("h2")))
+      .unionByName(tri.select(col("tc").as("g"), col("ta").as("h1"), col("tb").as("h2")))
+    val t4 = corners
+      .join(crossCnt.select(col("g"), col("h").as("h1"),
+        col("doc_id"), col("c").as("c1")), Seq("g", "h1"))
+      // doc_id determines the member's group, so (doc_id, h2) is the
+      // unique cross-rank row toward the triangle's other corner
+      .join(crossCnt.select(col("doc_id"), col("h").as("h2"),
+        col("c").as("c2")), Seq("doc_id", "h2"))
+      .groupBy(col("doc_id")).agg(sum(col("c1") * col("c2")).as("t4"))
+    val contrib = kd
+      .select(col("doc_id"),
+        shiftright(col("k") * (col("k") - 1), 1).as("tri"))
+      .unionByName(kd.join(perDoc, Seq("doc_id"))
+        .select(col("doc_id"), (col("k") * col("cs")).as("tri")))
+      .unionByName(perDoc.select(col("doc_id"), col("t3").as("tri")))
+      .unionByName(t4.select(col("doc_id"), col("t4").as("tri")))
+    val out = contrib.groupBy(col("doc_id"))
+      .agg(sum(col("tri")).as("n_triangles"))
+      .filter(col("n_triangles") > 0L)
+      .localCheckpoint(true)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(mem)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(crossCnt)
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(tri)
+    out
+  }
+
+  /** Rooted triangle TRIPLES `(ta < tb < tc)` over an id-ordered edge
+    * list — the list-valued sibling of [[trianglesAdaptive]], for the
+    * rep graph inside [[trianglesBlowup]] (the rep-triangle term needs
+    * the actual corners, not a count). Same wedge-skew probe and
+    * orientation dispatch, same exactly-once guarantees; returns a
+    * localCheckpoint'd frame the caller releases. */
+  private[graft] def triangleTriples(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // distinct ProbeCost name: this probe only fires on the blow-up
+    // branch's REP graph, so the registry itself witnesses the branch
+    // (DispatchStraddleSpec keys on it)
+    val mw = graft.ProbeCost.timed("rep_wedge_product") {
+      e.groupBy(col("doc_b").as("v")).agg(count(lit(1)).as("i"))
+        .join(e.groupBy(col("doc_a").as("v")).agg(count(lit(1)).as("o")), Seq("v"))
+        .agg(max(col("i").cast("double") * col("o")).as("mw")).head()
+    }
+    val maxWedge = if (mw.isNullAt(0)) 0.0 else mw.getDouble(0)
+    val out =
+      if (maxWedge <= IdWedgeThreshold.toDouble) {
+        val e1 = e.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val e2 = e.select(col("doc_a").as("b2"), col("doc_b").as("c"))
+        val e3 = e.select(col("doc_a").as("a3"), col("doc_b").as("c3"))
+        // id-ordered: a < b (e1), b < c (e2), so the triple is sorted
+        e1.join(e2, col("b") === col("b2"))
+          .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+          .select(col("a").as("ta"), col("b").as("tb"), col("c").as("tc"))
+          .localCheckpoint(true)
+      } else {
+        val oriented = degreeOriented(e).localCheckpoint(true)
+        val wedges = oriented.select(col("u"), col("w").as("x"), col("dw").as("dx"))
+          .join(oriented.select(col("u"), col("w").as("y"), col("dw").as("dy")),
+            Seq("u"))
+          .filter(col("dx") < col("dy") ||
+            (col("dx") === col("dy") && col("x") < col("y")))
+        val sorted = array_sort(array(col("u"), col("x"), col("y")))
+        val out0 = wedges.join(e,
+            least(col("x"), col("y")) === col("doc_a") &&
+              greatest(col("x"), col("y")) === col("doc_b"))
+          .select(sorted.getItem(0).as("ta"), sorted.getItem(1).as("tb"),
+            sorted.getItem(2).as("tc"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftShims.unpersistCheckpoint(oriented)
+        out0
+      }
+    org.apache.spark.sql.GraftShims.unpersistCheckpoint(e)
+    out
+  }
 
   val q83Sql: String =
     s"""WITH eg AS (

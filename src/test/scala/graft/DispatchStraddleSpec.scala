@@ -303,6 +303,53 @@ class DispatchStraddleSpec extends SparkTestBase {
     }
   }
 
+  test("q83 blow-up dispatch: identical counts across the bar, branch witnessed by the probe registry (10 seeds)") {
+    import spark.implicits._
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed + 900)
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+      val m = 3 + rnd.nextInt(12)
+      // a dup group of m copies (clique) plus a near-dup singleton of the
+      // same text (cross rep pair) and an unrelated group
+      val mega = spark.range(0, m).select(col("id").as("doc_id"),
+        lit(s"$base word$seed").as("norm"))
+      val near = Seq(
+        (500L, s"$base word$seed tail"),
+        (600L, s"$base other$seed wholly different ending here")).toDF("doc_id", "norm")
+      val c = DedupOps.collapseExact(mega.unionByName(near))
+      // the dispatcher's probe metric, recomputed verbatim
+      val rp = DedupOps.repPairsMinhash(c)
+      val gw = c.groups.filter(col("n_toks") >= 3L)
+        .select(col("rep_id"), col("mult").cast("double").as("m"))
+      val clique = Option(gw
+        .agg(sum(col("m") * (col("m") - 1) * (col("m") - 2) / 6)).head.get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val cross = Option(rp
+        .join(gw.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
+        .join(gw.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b"))
+        .agg(sum(col("ma") * (col("ma") - 1) / 2 * col("mb") +
+          col("mb") * (col("mb") - 1) / 2 * col("ma"))).head.get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      val mass = (clique + cross).toLong
+      assert(mass >= 1, s"seed $seed: fixture has no blow-up mass (m=$m)")
+      // witness: the rep-graph wedge probe only fires on the closed
+      // branch (triangleTriples), so the ProbeCost registry IS the
+      // branch witness — a plan leaf can't be (both branches return
+      // checkpointed frames)
+      def reps(body: => DataFrame): (DataFrame, Long) = {
+        val before = ProbeCost.snapshot().getOrElse("rep_wedge_product", (0L, 0.0))._1
+        val df = body
+        (df, ProbeCost.snapshot().getOrElse("rep_wedge_product", (0L, 0.0))._1 - before)
+      }
+      val (enumd, enumRep) = reps(DedupOps.q83Core(c, mass))
+      val (closed, closedRep) = reps(DedupOps.q83Core(c, mass - 1))
+      assert(enumRep == 0, s"seed $seed: enumerated branch ran the rep-graph probe")
+      assert(closedRep == 1, s"seed $seed: closed branch skipped the rep-graph probe")
+      assert(rows(enumd) == rows(closed),
+        s"seed $seed: q83 counts differ across the dispatch bar (m=$m, mass=$mass)")
+    }
+  }
+
   test("triangle orientation dispatch: identical counts across the bar, branch witnessed by job shape (10 seeds)") {
     import spark.implicits._
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)

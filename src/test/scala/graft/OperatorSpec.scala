@@ -228,6 +228,44 @@ class OperatorSpec extends SparkTestBase {
       s"sizes: ${dispatched.size} / ${degForced.size} / ${idBaseline.size}")
   }
 
+  test("q83 blow-up closed form: worked K5 example, then corpus parity across the dispatch") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the scaladoc's worked example: groups {1,4}, {2,5}, {3} on a rep
+    // triangle blow up to K5 — rooted counts 6/3/1 (docs 4, 5 root none)
+    val c0 = DedupOps.Collapsed(
+      reps = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "norm"),
+      map = Seq((1L, 1L), (4L, 1L), (2L, 2L), (5L, 2L), (3L, 3L))
+        .toDF("doc_id", "rep_id"),
+      groups = Seq((1L, 2L, 5L), (2L, 2L, 5L), (3L, 1L, 5L))
+        .toDF("rep_id", "mult", "n_toks"))
+    val repTri = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k5 = m(DedupOps.trianglesBlowup(c0, repTri.localCheckpoint(true)))
+    assert(k5 == Map(1L -> 6L, 2L -> 3L, 3L -> 1L), s"got $k5")
+    // corpus parity: the CC star spec's corpus (mega group + near-dup
+    // group + singleton near-dups + an ineligible short group) through
+    // BOTH q83Core branches — the dispatch must be invisible
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val mega = spark.range(0, 80).select(col("id").as("doc_id"),
+      lit(s"$base mu").as("norm"))
+    val dup2 = spark.range(200, 212).select(col("id").as("doc_id"),
+      lit(s"$base nu").as("norm"))
+    val singles = Seq((500L, s"$base xi"), (501L, s"$base omicron"),
+      (600L, "pi rho sigma tau upsilon"), (700L, "chi psi")).toDF("doc_id", "norm")
+    val shorties = spark.range(800, 806).select(col("id").as("doc_id"),
+      lit("xy zz").as("norm"))
+    val c = DedupOps.collapseExact(
+      mega.unionByName(dup2).unionByName(singles).unionByName(shorties))
+    val closed = m(DedupOps.q83Core(c, 0L))
+    val enumd = m(DedupOps.q83Core(c, Long.MaxValue))
+    assert(closed == enumd && closed.nonEmpty,
+      s"sizes: ${closed.size} / ${enumd.size}")
+    // doc 0 is the mega clique's min member: roots at least C(79,2)
+    assert(closed(0L) >= 79L * 78 / 2, s"doc 0 roots ${closed.get(0L)}")
+  }
+
   test("minhash-LSH candidates cover the true near-dup pairs") {
     val truth = DedupOps.q35NgramJaccard(spark, sfDir)
       .select("doc_a", "doc_b").collect()

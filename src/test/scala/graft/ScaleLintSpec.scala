@@ -90,7 +90,8 @@ class ScaleLintSpec extends SparkTestBase {
       "q70_contamination" -> ("one HLL dup-mass probe dispatches raw-vs-collapsed; above the bar, " + collapse + " plus the expansion's dup-member and mega-group probes"),
       "q101_pagerank" -> "3 fixed PageRank rounds over a checkpointed edge frame + one scalar node count for the rank unit",
       "q169_kcore" -> "fixed-round k-core peel over a localCheckpoint'd shrinking edge list",
-      "q83_triangles" -> "adaptive orientation dispatch: edge list checkpointed once + one wedge-skew probe aggregate; counts materialized, pins released before return",
+      "q83_triangles" -> ("blow-up dispatch (r12): rep-pair list checkpointed once + one blow-up-mass probe (two bounded aggregates over collapsed groups/rep pairs) picks enumerated-vs-closed-form; " +
+        "the enumerated branch keeps the r10 orientation dispatch (edge list checkpointed once + one wedge-skew probe), the closed branch checkpoints its linear member/cross-rank/triple frames; all pins released before return"),
       "q142_head_tail_overlap" -> "boundary index checkpointed once (3 longs/doc, also halves the r10 double tokenize) + one worst-key fan probe aggregate — the r11 adaptive boundary salt dispatch",
       "q152_decay_attribution" -> "one single-pass per-user pair-product probe aggregate dispatches plain-vs-salted window join — the r11 bot-user fix",
       "q38_embedding_neardup" -> "one HLL dup-vector probe dispatches raw-vs-collapsed within-label pairs; above the bar the (label,q) collapse checkpoints once — the r11 duplicate-vector fix",
