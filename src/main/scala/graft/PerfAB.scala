@@ -44,6 +44,11 @@ object PerfAB {
     // hub id in the middle: id-ordering parks (n/2)² wedges on the
     // hub's single join key). sfDir is ignored by the hub pairs.
     "q83_adaptive" -> ((s, d) => operators.DedupOps.q83Triangles(s, d)),
+    // r12: the pre-blow-up-dispatch declared shape (no rep-pair
+    // checkpoint, no blow-up-mass probe) — prices the dispatch's 1×
+    // insurance premium on a normal corpus
+    "q83_enum_r11" -> ((s, d) =>
+      operators.DedupOps.triangles(operators.DedupOps.q36MinhashLsh(s, d))),
     "q83_deg_forced" -> ((s, d) => operators.DedupOps.trianglesAdaptive(
       operators.DedupOps.q36MinhashLsh(s, d), 1L)),
     "q83_id_oriented" -> ((s, d) =>
