@@ -32,6 +32,17 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesce floor, env-overridable for A/B (r12). Default stays
+      // Spark's 1m: a suite-wide 64kb floor was tried (AQE sizes
+      // post-shuffle partitions by BYTES, so CPU-dense stages land on
+      // 1–5 cores at bench scale) and REJECTED — q52's KMeans fit is
+      // partitioning-sensitive (recall 0.4 → 0.28, below its 0.3 spec
+      // bound: a behavior change, not a speedup), and the iterative
+      // graph queries got slower (more tasks per tiny round). The
+      // CPU-dense dedup stages are spread by a targeted conditional
+      // repartition at the collapse boundary instead (DedupOps).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "1m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.optimizer.excludedRules",

@@ -49,6 +49,17 @@ object PerfAB {
     // insurance premium on a normal corpus
     "q83_enum_r11" -> ((s, d) =>
       operators.DedupOps.triangles(operators.DedupOps.q36MinhashLsh(s, d))),
+    // r12 CC restructure A/B: the r11 declared q64 shape (star + rep
+    // edges inside the iterative loop) vs the rep-graph loop with
+    // post-loop star attachment (the declared form since r12). Both
+    // run the same fused-init CC, so the pair isolates the edge-set
+    // restructure itself.
+    "q64_cc_star_r11" -> ((s, d) => operators.DedupOps.connectedComponents(
+      operators.DedupOps.ccEdgesMinhash(operators.DedupOps.collapsedDocs(s, d)))),
+    "q64_cc_rep_r12" -> ((s, d) => operators.DedupOps.q64DedupClusters(s, d)),
+    // r12: price the collapse candidate-input CPU-width spread
+    "q35_no_spread" -> ((s, d) => operators.DedupOps.q35NoSpread(s, d)),
+    "q35_spread" -> ((s, d) => operators.DedupOps.q35NgramJaccard(s, d)),
     "q83_deg_forced" -> ((s, d) => operators.DedupOps.trianglesAdaptive(
       operators.DedupOps.q36MinhashLsh(s, d), 1L)),
     "q83_id_oriented" -> ((s, d) =>

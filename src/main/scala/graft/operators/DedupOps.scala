@@ -114,7 +114,7 @@ object DedupOps {
     * [[graft.PerfAB]] registers the md5 form against the declared
     * xxhash64-pair to keep the r10 switch re-measurable. */
   private[graft] def collapseExactFp(normed: DataFrame,
-      fp: Column): Collapsed = {
+      fp: Column, spread: Boolean = true): Collapsed = {
     val fped = normed.filter(col("norm").isNotNull)
       .select(col("doc_id"), col("norm"), fp.as("fp"))
     val groups = fped.groupBy(col("fp"))
@@ -125,8 +125,26 @@ object DedupOps {
         count(lit(1)).as("mult"))
       .withColumn("n_toks", size(split(col("norm"), " ")).cast("long"))
       .localCheckpoint(true)
+    // CPU-WIDTH SPREAD of the candidate-stage input (r12, guide §2):
+    // every consumer of `reps` runs the family's CPU-dense work on it
+    // (tokenize → shingle → minhash/simhash/winnow), but the
+    // checkpoint's layout is whatever AQE left the fingerprint
+    // aggregate — BYTES-sized, so at bench scale the deduped corpus
+    // lands on 1–5 partitions and the signature stages run on 1–5 of
+    // 32 cores (StageProfile: q64's heaviest stage = 565 ms × 1 task
+    // over 4992 reps). The spread is CONDITIONAL on the materialized
+    // checkpoint's width (partition-count metadata, no job): a cluster
+    // whose agg output is already at least half as wide as the
+    // parallelism skips it — on big inputs AQE's own sizing wins and
+    // the extra shuffle would be a gratuitous corpus move. Hash on
+    // doc_id: deterministic under retry (guide §2.5), and signatures /
+    // pair generation are order-independent (min/count aggregates over
+    // exact integers), so declared outputs are unchanged.
+    val par = normed.sparkSession.sparkContext.defaultParallelism
+    val reps0 = groups.select(col("rep_id").as("doc_id"), col("norm"))
     Collapsed(
-      reps = groups.select(col("rep_id").as("doc_id"), col("norm")),
+      reps = if (spread && groups.rdd.getNumPartitions * 2 < par)
+        reps0.repartition(par, col("doc_id")) else reps0,
       map = fped.select(col("doc_id"), col("fp"))
         .join(groups.select(col("fp"), col("rep_id")), Seq("fp"))
         .select(col("doc_id"), col("rep_id"))
@@ -134,7 +152,7 @@ object DedupOps {
       groups = groups.select(col("rep_id"), col("mult"), col("n_toks")))
   }
 
-  private def collapsedDocs(s: SparkSession, dir: String): Collapsed =
+  private[graft] def collapsedDocs(s: SparkSession, dir: String): Collapsed =
     collapseExact(docsNorm(s, dir))
 
   /** Capped tokens of the representatives — the same ingest-cap boundary
@@ -525,6 +543,12 @@ object DedupOps {
     jaccardCollapsed(identityCollapsed(s, dir))
   private[graft] def q35Md5(s: SparkSession, dir: String): DataFrame =
     jaccardCollapsed(md5Collapsed(s, dir))
+  /** r12 A/B baseline: the declared pipeline with the candidate-input
+    * CPU-width spread disabled — prices the conditional
+    * `reps.repartition(parallelism)` in [[collapseExactFp]]. */
+  private[graft] def q35NoSpread(s: SparkSession, dir: String): DataFrame =
+    jaccardCollapsed(collapseExactFp(docsNorm(s, dir), xxhashPairFp,
+      spread = false))
   private[graft] def q37Identity(s: SparkSession, dir: String): DataFrame = {
     val c = identityCollapsed(s, dir)
     expandRepPairs(repPairsSimhash(c), c, Seq(lit(0L).as("hamming")), lit(true))
@@ -1144,15 +1168,32 @@ object DedupOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     // materialize the edge list once — it is consumed every round, and
     // without truncation each round would re-run the upstream pair
-    // pipeline (e.g. the whole MinHash index) per join
+    // pipeline (e.g. the whole MinHash index) per join.
+    // PRE-PARTITIONED on the round-join key (r12, guide §2.4): every
+    // round joins `bidir` on `dst`, so checkpointing it hash(dst) means
+    // the loop's joins never exchange the EDGE side again — the label
+    // frame is the only thing that moves per round (locally the labels
+    // broadcast and the BHJ preserves this layout for the groupBy;
+    // at scale the SMJ/SHJ reuses it outright). One narrow shuffle at
+    // build time replaces an O(rounds) × |E| exchange stream.
     val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .localCheckpoint(true)
-    var labels = bidir.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // ROUND 1 FUSED INTO INITIALIZATION (r12): the old init
+    // (labels = distinct nodes, label = self) spent a full round —
+    // join + checkpoint + convergence probe, two driver job
+    // round-trips — computing exactly `min(self, neighbors)`, which is
+    // one exchange-free aggregate over the dst-partitioned checkpoint
+    // (the graph is symmetric, so grouping by dst enumerates every
+    // node's closed neighborhood). Same fixpoint, one round fewer:
+    // near-dup components are diameter ≤ ~2, so this is 1 of ~3 rounds.
+    var labels = bidir.groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("nbr"))
+      .select(col("node"), least(col("node"), col("nbr")).as("label"))
     var prevRound: DataFrame = null
     var converged = false
-    var i = 0
+    var i = 1
     while (!converged && i < maxIter) {
       val neighborMin = bidir
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
@@ -1177,10 +1218,12 @@ object DedupOps {
       labels = next.select("node", "label")
       i += 1
     }
-    // after ≥1 round `labels` is rooted at the final round's checkpoint,
-    // so the edge-list checkpoint is dead too (keep it only in the
-    // degenerate maxIter=0 case, where labels still reads `bidir`)
-    if (i > 0) org.apache.spark.sql.GraftShims.unpersistCheckpoint(bidir)
+    // after ≥1 checkpointed round `labels` is rooted at the final
+    // round's checkpoint, so the edge-list checkpoint is dead too (keep
+    // it in the degenerate maxIter ≤ 1 case, where the fused-init
+    // labels still read `bidir`)
+    if (prevRound != null)
+      org.apache.spark.sql.GraftShims.unpersistCheckpoint(bidir)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -1222,7 +1265,45 @@ object DedupOps {
     * (q83 triangles — triangle counts are NOT connectivity-invariant)
     * keep the expanded graph. */
   def q64DedupClusters(s: SparkSession, dir: String): DataFrame =
-    connectedComponents(ccEdgesMinhash(collapsedDocs(s, dir)))
+    clustersFromCollapsed(collapsedDocs(s, dir))
+
+  /** r12: the ITERATIVE loop now runs on the REP graph alone; the star
+    * edges never enter it. [[ccEdgesMinhash]]'s member→rep star edges
+    * are connectivity-inert pendants — every member's component is its
+    * rep's component, and the component minimum is always a rep id
+    * (rep_id = group min, members ≥ their rep) — so propagating labels
+    * through them inside the loop costs O(members) join rows per round
+    * (plus one extra round for the pendant hop) to compute what ONE
+    * post-loop join can attach. CC(repPairs) + star attachment:
+    *
+    *  - members of within-eligible dup groups take their rep's
+    *    component label, falling back to rep_id when the rep is in no
+    *    rep pair (the isolated-star component, labelled by its rep
+    *    = group min);
+    *  - reps appearing in rep pairs but not in any eligible group
+    *    (mult = 1 content) come straight from the rep CC.
+    *
+    * Node domain and labels are exactly [[ccEdgesMinhash]]'s — spec'd
+    * both against the expanded member-pair CC and against the star CC
+    * (OperatorSpec). The loop's per-round join shrinks from
+    * O(members + rep pairs) to O(rep pairs), and converges one round
+    * earlier (the member pendants added a hop of eccentricity). */
+  private[graft] def clustersFromCollapsed(c: Collapsed): DataFrame = {
+    val repLabels = connectedComponents(repPairsMinhash(c))
+    val eligible = c.groups.filter(col("n_toks") >= 3L && col("mult") >= 2L)
+      .select(col("rep_id"))
+    // all members of eligible groups, the rep's own row included
+    val members = c.map.join(eligible, Seq("rep_id"), "left_semi")
+    val starSide = members.join(
+        repLabels.select(col("doc_id").as("rep_id"),
+          col("cluster_id").as("rep_label")),
+        Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("rep_label"), col("rep_id")).as("cluster_id"))
+    val pairOnly = repLabels
+      .join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    starSide.unionByName(pairOnly)
+  }
 
   /** The connectivity-equivalent edge set of [[q64DedupClusters]]'
     * scaladoc: rep-level LSH pairs ∪ member→rep stars of

@@ -207,9 +207,17 @@ class OperatorSpec extends SparkTestBase {
     assert(starCC == expandedCC && starCC.nonEmpty,
       s"star/expanded CC diverge: ${(starCC -- expandedCC).take(3)} / " +
         s"${(expandedCC -- starCC).take(3)}")
+    // r12: the declared form moved the star edges OUT of the iterative
+    // loop (rep-graph CC + post-loop star attachment) — same rows as
+    // both full-graph forms, node domain and labels alike
+    val repCC = set(DedupOps.clustersFromCollapsed(c))
+    assert(repCC == expandedCC,
+      s"rep-level/expanded CC diverge: ${(repCC -- expandedCC).take(3)} / " +
+        s"${(expandedCC -- repCC).take(3)}")
     // the ineligible shorties group is in NEITHER node domain
     assert(!expandedCC.exists(_.startsWith("80")) &&
-      !starCC.exists(_.startsWith("80")), "ineligible group leaked into CC")
+      !starCC.exists(_.startsWith("80")) &&
+      !repCC.exists(_.startsWith("80")), "ineligible group leaked into CC")
   }
 
   test("triangle orientation branches agree on the real near-dup graph") {
