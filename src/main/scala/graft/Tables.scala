@@ -94,7 +94,16 @@ object Tables {
     val spark = df.sparkSession
     val target = spark.conf.getOption("spark.graft.widen.target").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
-    if (plannedWidth(df, target) * 2 >= target) df else df.repartition(key)
+    // EXPLICIT COUNT (r12): a bare `repartition(key)` is fair game for
+    // AQE partition coalescing, which sizes by COMPRESSED shuffle bytes
+    // — the widened corpus re-coalesced to 1–5 partitions and the
+    // CPU-dense pass this exists to spread ran on 1–5 cores anyway
+    // (StageProfile: q51's whole winnow pass, 1.9 s on ONE task of 32).
+    // `repartition(n, key)` is REPARTITION_BY_NUM — exempt from
+    // coalescing — so the width this function promises is the width the
+    // stage actually runs at.
+    if (plannedWidth(df, target) * 2 >= target) df
+    else df.repartition(target, key)
   }
 
   private def plannedWidth(df: DataFrame, target: Int): Int = {

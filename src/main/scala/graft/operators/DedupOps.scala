@@ -1178,7 +1178,11 @@ object DedupOps {
     // build time replaces an O(rounds) × |E| exchange stream.
     val bidir = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .repartition(col("dst"))
+      // explicit count: a bare repartition(col) is AQE-coalescible by
+      // compressed bytes, which would silently re-narrow the layout the
+      // loop relies on (the Tables.widen lesson, r12)
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("dst"))
       .localCheckpoint(true)
     // ROUND 1 FUSED INTO INITIALIZATION (r12): the old init
     // (labels = distinct nodes, label = self) spent a full round —

@@ -71,7 +71,21 @@ object GraphOps {
     * small fixed iteration count no per-round checkpoint is needed. */
   def pageRankInt(edges: DataFrame, iters: Int, rankUnit: Long = 0L): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val ed = edges.join(deg, Seq("src")).localCheckpoint(true)
+    // PRE-PARTITIONED on the per-iteration join key (r12, guide §2.4):
+    // when `deg` broadcasts, the edge⋈degree output inherits the SCAN's
+    // layout — at bench scale one partition held ~all 220k edge rows,
+    // so every iteration's join+aggregate ran effectively single-task
+    // (StageProfile: 4.0 s max-task on an 8-task stage). One explicit
+    // hash(src) shuffle at checkpoint build gives every iteration a
+    // full-width, join-aligned edge frame; the rank side comes out of
+    // each groupBy already hashed on the same key, so iterations add
+    // only their own aggregate exchange. Explicit count: bare
+    // repartition(col) is AQE-coalescible by compressed bytes
+    // (the Tables.widen lesson).
+    val ed = edges.join(deg, Seq("src"))
+      .repartition(edges.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
+      .localCheckpoint(true)
     val nodes = ed.select(col("src").as("node")).distinct()
     // the node count is needed either way: to SIZE the unit (auto path)
     // or to VALIDATE a pinned one — a pin that passes the multiple-of-100
@@ -221,6 +235,15 @@ object GraphOps {
       .distinct()
     val e0 = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      // hash(src) layout for the peel loop (r12, guide §2.4): each
+      // round's degree aggregate groups by src and each round's
+      // semi-joins key on src/dst with broadcast keep-sets, so a
+      // src-partitioned edge frame makes every round's aggregate
+      // exchange-free and the layout survives the (broadcast)
+      // semi-joins into the next round's checkpoint. Explicit count:
+      // bare repartition(col) is AQE-coalescible (Tables.widen lesson).
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("src"))
       .localCheckpoint(true)
     val out = kCorePeel(e0, k = 3, rounds = 3, eager = eager)
       .select(col("node"),
@@ -252,9 +275,15 @@ object GraphOps {
     for (_ <- 1 to rounds) {
       val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("node"))
+      // dst-semi first, src-semi last (r12): in the broadcast regime the
+      // order is irrelevant (both map-side), but once the keep-set
+      // outgrows the broadcast bar each semi-join is a shuffle on its
+      // key — ending on src leaves the surviving edge list hash(src),
+      // exactly the layout the next round's degree aggregate and
+      // src-semi reuse (guide §2.4)
       val next0 = edges
-        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+        .join(keep.withColumnRenamed("node", "src"), Seq("src"), "left_semi")
         .select(col("src"), col("dst"))
       val next = if (eager) next0.localCheckpoint(true) else next0
       if (prev != null) org.apache.spark.sql.GraftShims.unpersistCheckpoint(prev)

@@ -274,9 +274,24 @@ object SimilarityOps {
         (e.select(col("vec_id"), col("q"), col("n2"), lit(0).as("cell")),
           Seq((0, c0)))
       } else {
+        // FIT-INPUT LAYOUT PIN (r12): k-means|| initialization samples
+        // per partition, so the fitted centroids — and with them the
+        // certified recall bound — move whenever the input's partition
+        // layout moves (measured: an AQE-coalesce-floor change alone
+        // dropped the certified mean 0.4 → 0.28, below the 0.3 raise
+        // bound). Everything else in this file is exact integer/decimal
+        // arithmetic and layout-independent; the fit is the one
+        // exception, so IT gets the determinism pin: a fixed-count
+        // hash repartition, invariant across core counts, widen
+        // behavior, and AQE settings. The pin is on the FIT input
+        // only — transform/retrieval stay on the wide frame (per-row
+        // deterministic). Fixed 8 is an oracle-determinism contract of
+        // the declared query (the q101 rankUnit pattern); an at-scale
+        // IVF build would shard the fit input to the cluster instead.
         val model = new KMeans().setK(math.min(16L, nDistinct).toInt)
           .setSeed(42).setMaxIter(10)
-          .setFeaturesCol("features").fit(e)
+          .setFeaturesCol("features")
+          .fit(e.repartition(8, col("vec_id")))
         (model.transform(e)
           .select(col("vec_id"), col("q"), col("n2"), col("prediction").as("cell")),
           model.clusterCenters.zipWithIndex.map { case (c, i) =>
