@@ -71,6 +71,13 @@ object Tables {
           col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
+  /** NOT widened at the loader (r12, measured): an A/B over the text
+    * family showed widening here wins ~25–40% on SINGLE-PASS CPU-dense
+    * consumers (q234 ×0.59, q119/q123/q128/q129/q137/q165 ×0.7–0.8) but
+    * LOSES 15–40% on multi-consumer tokenizers (q103/q111/q122/q148) —
+    * a repartition is not materialized, so every consumer subtree
+    * re-pays the full-text shuffle write. Widen therefore stays a
+    * CALL-SITE decision at the single-pass boundaries. */
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 

@@ -641,7 +641,9 @@ object TextOps {
     * per-row array work — no second gram-stream pass. One exact double
     * division per doc. */
   def q119DupGramFrac(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // widened (r12): the tokenize+gram passes below ran single-core off
+    // the one-row-group scan (measured ×0.72 with the spread)
+    val docs = Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
     val grams = docs.select(col("doc_id"), explode(array_distinct(
@@ -802,7 +804,8 @@ object TextOps {
     * in the type table by construction, so the final join is inner. */
   def q129BigramFluency(s: SparkSession, dir: String): DataFrame = {
     val d38 = "decimal(38,0)"
-    val bg = Tables.documents(s, dir)
+    // widened (r12): single tokenize+bigram pass off the scan (×0.70)
+    val bg = Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"),
         filter(tokens(col("text")), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -871,7 +874,10 @@ object TextOps {
     * and q128 (overlap matrix). Grams travel as fused 64-bit hashes; the
     * dedup is a partial-combining aggregate, never a posting list. */
   def sourceGrams(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    // widened (r12): single CPU-dense tokenize+gram pass off the scan —
+    // measured ×0.76–0.79 on q123/q128 at bench scale, no-op on a wide
+    // cluster scan (Tables.widen is conditional)
+    Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("source"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("source"), explode(array_distinct(
@@ -1013,7 +1019,8 @@ object TextOps {
     * two-pass-over-the-token-stream shape as q129, at span rather than
     * bigram granularity. */
   def q137RepeatedSpans(s: SparkSession, dir: String): DataFrame = {
-    val wins = Tables.documents(s, dir)
+    // widened (r12): single window-hash pass off the scan (×0.75)
+    val wins = Tables.widen(Tables.documents(s, dir), col("doc_id"))
       .select(col("doc_id"), graft.functions.HashExprs.gramk_hash64(
         filter(tokens(col("text")), t => t =!= ""), 10).as("hs"))
       .filter(size(col("hs")) > 0)
@@ -1087,7 +1094,12 @@ object TextOps {
     * collision-free — guaranteed at test scale, expected ~always at
     * any scale under the 128-bit bound above. */
   def q234DupSpans(s: SparkSession, dir: String): DataFrame =
-    dupSpansCore(Tables.documents(s, dir), k = 10)
+    // widened (r12): the gramk_hash128 window pass is the query's whole
+    // CPU body and ran single-core off the scan (measured ×0.59). The
+    // widen stays at THIS caller — dupSpansCore also serves streaming
+    // frames, where plan inspection/repartition don't apply.
+    dupSpansCore(Tables.widen(Tables.documents(s, dir), col("doc_id")),
+      k = 10)
 
   /** See [[q234DupSpans]]: merged cut intervals over any
     * `(doc_id, text)` frame, span length `k`. */
