@@ -60,6 +60,14 @@ object PerfAB {
     // r12: price the collapse candidate-input CPU-width spread
     "q35_no_spread" -> ((s, d) => operators.DedupOps.q35NoSpread(s, d)),
     "q35_spread" -> ((s, d) => operators.DedupOps.q35NgramJaccard(s, d)),
+    "q37_no_spread" -> ((s, d) => operators.DedupOps.q37NoSpread(s, d)),
+    "q37_spread" -> ((s, d) => operators.DedupOps.q37Simhash(s, d)),
+    // r12: price the q52 fit-input determinism pin
+    "q52_fit_nopin" -> ((s, d) =>
+      operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = true,
+        pinFit = false)),
+    "q52_fit_pin" -> ((s, d) =>
+      operators.SimilarityOps.q52KnnIvfImpl(s, d, fullProbeMean = true)),
     "q83_deg_forced" -> ((s, d) => operators.DedupOps.trianglesAdaptive(
       operators.DedupOps.q36MinhashLsh(s, d), 1L)),
     "q83_id_oriented" -> ((s, d) =>

@@ -549,6 +549,12 @@ object DedupOps {
   private[graft] def q35NoSpread(s: SparkSession, dir: String): DataFrame =
     jaccardCollapsed(collapseExactFp(docsNorm(s, dir), xxhashPairFp,
       spread = false))
+  /** Same A/B for the corpus-dense q37 pipeline. */
+  private[graft] def q37NoSpread(s: SparkSession, dir: String): DataFrame = {
+    val c = collapseExactFp(docsNorm(s, dir), xxhashPairFp, spread = false)
+    expandRepPairs(repPairsSimhash(c), c,
+      Seq(lit(0L).as("hamming")), lit(true))
+  }
   private[graft] def q37Identity(s: SparkSession, dir: String): DataFrame = {
     val c = identityCollapsed(s, dir)
     expandRepPairs(repPairsSimhash(c), c, Seq(lit(0L).as("hamming")), lit(true))

@@ -232,7 +232,7 @@ object SimilarityOps {
     * A/B baseline for attributing the r8 fix's cost ([[graft.PerfAB]]);
     * never declared. */
   private[graft] def q52KnnIvfImpl(s: SparkSession, dir: String,
-      fullProbeMean: Boolean): DataFrame = {
+      fullProbeMean: Boolean, pinFit: Boolean = true): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = quantized(s, dir)
@@ -291,7 +291,7 @@ object SimilarityOps {
         val model = new KMeans().setK(math.min(16L, nDistinct).toInt)
           .setSeed(42).setMaxIter(10)
           .setFeaturesCol("features")
-          .fit(e.repartition(8, col("vec_id")))
+          .fit(if (pinFit) e.repartition(8, col("vec_id")) else e)
         (model.transform(e)
           .select(col("vec_id"), col("q"), col("n2"), col("prediction").as("cell")),
           model.clusterCenters.zipWithIndex.map { case (c, i) =>
