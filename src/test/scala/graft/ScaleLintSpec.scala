@@ -156,7 +156,16 @@ class ScaleLintSpec extends SparkTestBase {
       "recompute-over-materialize: the gram stream is corpus-sized, " +
       "the checkpoint is the deduped corpus (collapse contract, zero " +
       "parquet rescans — PlanShapeSpec)"
+    val repCcMembers = "the duplicated subtree is the eligible-members " +
+      "semi-join over two CHECKPOINTED leaves (collapse map ⋈ groups) — " +
+      "scan-free, O(dup-group members) narrow rows, consumed by both " +
+      "the star-attach and the pair-only anti branch (q118: plus the " +
+      "cluster-size aggregate); recompute-over-materialize keeps the CC " +
+      "family's driver job budget down (r12 — a checkpoint here would " +
+      "buy one cheap in-memory join for one more blocking round-trip)"
     Map(
+      "q89_leakfree_split" -> repCcMembers,
+      "q118_cluster_canonical" -> repCcMembers,
       "q141_assoc_rules" -> (rddPass + "#event-types-bounded (two broadcast singles roles)"),
       "q221_part_affinity" -> (rddPass + "#parts-bounded (two n_p join roles)"),
       "q206_source_wjaccard" -> (rddPass + "#sources-bounded (two broadcast totals roles)"),
@@ -201,7 +210,18 @@ class ScaleLintSpec extends SparkTestBase {
       "member expansion bucket-salts groups > WithinSaltThreshold and " +
       "pins width above FanoutPinThreshold dup members — zipf 3e4 = " +
       "4.5e8 pairs, max-task 18.7 s ≪ wall (SCALING.md r10)"
+    val repCcAttach = "the r12 star-attach join is members (N per " +
+      "rep_id) ⋈ repLabels — connected components emits EXACTLY ONE " +
+      "label per node (the loop's groupBy key), so fan-out per join " +
+      "key is 1 and output = |dup-group members|, the declared node " +
+      "domain; the 1-side uniqueness certificate is hidden behind the " +
+      "CC checkpoint's LogicalRDD leaf (FanoutAudit's documented " +
+      "checkpoint-leaf conservatism, the q103 case)"
     Map(
+      "q64_dedup_clusters" -> repCcAttach,
+      "q89_leakfree_split" -> repCcAttach,
+      "q118_cluster_canonical" -> repCcAttach,
+      "q146_cluster_sizes" -> repCcAttach,
       "q35_ngram_jaccard" -> collapsedDedup,
       "q36_minhash_lsh" -> collapsedDedup,
       "q37_simhash" -> collapsedDedup,
