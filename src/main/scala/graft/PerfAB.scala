@@ -146,6 +146,52 @@ object PerfAB {
       import org.apache.spark.sql.functions._
       s.range(0, 4000000L, 1, 8).agg(sum(col("id") % 7).as("s"))
     }),
+    // r13 (VERDICT tasks 1/2): widen on/off pairs for the above-band
+    // movers (q222 ×1.81 normalized, q34 ×1.57, q48 ×1.42 — all in the
+    // widened small-frame family whose 32-core scaling ratios were
+    // 0.41–0.63) and for the embedding-family input spread r12 shipped
+    // by construction but never proved at bench scale. Controls: q11 /
+    // q127 (untouched code) run by declared name in the same window.
+    "q222_widen" -> ((s, d) =>
+      operators.SimilarityOps.q222BucketPurityImpl(s, d, widen = true)),
+    "q222_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q222BucketPurityImpl(s, d, widen = false)),
+    "q34_widen" -> ((s, d) =>
+      operators.DedupOps.q34DedupExactImpl(s, d, widen = true)),
+    "q34_nowiden" -> ((s, d) =>
+      operators.DedupOps.q34DedupExactImpl(s, d, widen = false)),
+    "q48_widen" -> ((s, d) =>
+      operators.SimilarityOps.q48DimStatsImpl(s, d, widen = true)),
+    "q48_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q48DimStatsImpl(s, d, widen = false)),
+    "q39_widen" -> ((s, d) =>
+      operators.SimilarityOps.q39KnnBruteImpl(s, d, widen = true)),
+    "q39_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q39KnnBruteImpl(s, d, widen = false)),
+    "q40_widen" -> ((s, d) =>
+      operators.SimilarityOps.q40KnnLshImpl(s, d, widen = true)),
+    "q40_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q40KnnLshImpl(s, d, widen = false)),
+    "q112_widen" -> ((s, d) =>
+      operators.SimilarityOps.q112SemanticDecontamImpl(s, d, widen = true)),
+    "q112_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q112SemanticDecontamImpl(s, d, widen = false)),
+    "q38_widen" -> ((s, d) =>
+      operators.DedupOps.q38EmbeddingNearDupImpl(s, d, widen = true)),
+    "q38_nowiden" -> ((s, d) =>
+      operators.DedupOps.q38EmbeddingNearDupImpl(s, d, widen = false)),
+    "q49_widen" -> ((s, d) =>
+      operators.DedupOps.q49EmbeddingLshDedupImpl(s, d, widen = true)),
+    "q49_nowiden" -> ((s, d) =>
+      operators.DedupOps.q49EmbeddingLshDedupImpl(s, d, widen = false)),
+    "q93_widen" -> ((s, d) =>
+      operators.SimilarityOps.q93KnnInt8Impl(s, d, widen = true)),
+    "q93_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q93KnnInt8Impl(s, d, widen = false)),
+    "q132_widen" -> ((s, d) =>
+      operators.SimilarityOps.q132EmbedCovarianceImpl(s, d, widen = true)),
+    "q132_nowiden" -> ((s, d) =>
+      operators.SimilarityOps.q132EmbedCovarianceImpl(s, d, widen = false)),
     "q86_declared" -> ((s, d) => operators.StatsOps.q86Profile(s, d)),
     "q192_declared" -> ((s, d) => operators.EventOps.q192AudienceOverlap(s, d)),
     "q222_declared" -> ((s, d) => operators.SimilarityOps.q222BucketPurity(s, d)),

@@ -74,8 +74,13 @@ object DedupOps {
     * multiplicity weights and the within-group eligibility token count.
     * NULL-norm docs are excluded outright — they generate no tokens, no
     * shingles, and therefore no pairs in any consumer. */
+  /** `narrow` (r13): true when the collapse checkpoint materialized
+    * NARROW (the bench-scale regime where AQE's byte-sizing leaves
+    * CPU-dense downstream stages on 1–5 cores) — the one plan-time
+    * signal the verification spread keys off. At cluster width it is
+    * false and every conditional spread below no-ops. */
   private[graft] case class Collapsed(reps: DataFrame, map: DataFrame,
-      groups: DataFrame)
+      groups: DataFrame, narrow: Boolean = false)
 
   /** Collapse a `(doc_id, norm)` frame by exact normalized content. One
     * fingerprint-keyed aggregate (map-side combine — a hot boilerplate
@@ -142,14 +147,16 @@ object DedupOps {
     // exact integers), so declared outputs are unchanged.
     val par = normed.sparkSession.sparkContext.defaultParallelism
     val reps0 = groups.select(col("rep_id").as("doc_id"), col("norm"))
+    val isNarrow = groups.rdd.getNumPartitions * 2 < par
     Collapsed(
-      reps = if (spread && groups.rdd.getNumPartitions * 2 < par)
+      reps = if (spread && isNarrow)
         reps0.repartition(par, col("doc_id")) else reps0,
       map = fped.select(col("doc_id"), col("fp"))
         .join(groups.select(col("fp"), col("rep_id")), Seq("fp"))
         .select(col("doc_id"), col("rep_id"))
         .localCheckpoint(true),
-      groups = groups.select(col("rep_id"), col("mult"), col("n_toks")))
+      groups = groups.select(col("rep_id"), col("mult"), col("n_toks")),
+      narrow = isNarrow)
   }
 
   private[graft] def collapsedDocs(s: SparkSession, dir: String): Collapsed =
@@ -462,7 +469,13 @@ object DedupOps {
 
   /** Exact dedup: group by content fingerprint, keep the smallest id. */
   def q34DedupExact(s: SparkSession, dir: String): DataFrame =
-    docsNorm(s, dir)
+    q34DedupExactImpl(s, dir, widen = false)
+
+  private[graft] def q34DedupExactImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame =
+    (if (widen) docsNorm(s, dir)
+     else Tables.documents(s, dir)
+       .select(col("doc_id"), normText(col("text")).as("norm")))
       .groupBy(md5(col("norm")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
@@ -507,13 +520,29 @@ object DedupOps {
     * docs) and score J = n/n = 1.0 exactly in both engines. */
   private def jaccardCollapsed(c: Collapsed): DataFrame =
     expandRepPairs(
-      verifiedCore(docSetsCore(repToks(c.reps)), positional = true),
+      verifiedCore(docSetsCore(repToks(c.reps)), positional = true,
+        spreadTo = verifySpread(c)),
       c, Seq(lit(1.0).as("jaccard")), col("n_toks") >= 3L)
 
   /** Rep-level (uncollapsed-id) verified pairs — q214's weighted-count
     * input. */
   private[graft] def repPairsJaccard(c: Collapsed): DataFrame =
-    verifiedCore(docSetsCore(repToks(c.reps)), positional = true)
+    verifiedCore(docSetsCore(repToks(c.reps)), positional = true,
+      spreadTo = verifySpread(c))
+
+  /** Verification-stage spread target (r13, guide §2/§1.2): the
+    * candidate⋈set join's output stage evaluates `array_intersect` over
+    * the full shingle sets, but AQE sizes the post-join partitions by
+    * compressed BYTES — at bench scale the whole exact-verification
+    * pass lands on ~4 of 32 cores (StageProfile: q214's 4-task ~0.9 s
+    * stage, r12's #1 "Not yet"). Keyed off the SAME narrow-checkpoint
+    * signal as the collapse-input spread, so a cluster-scale run (wide
+    * checkpoint, byte-sized partitions already ≥ parallelism) skips the
+    * extra exchange entirely. */
+  private def verifySpread(c: Collapsed): Option[Int] =
+    if (c.narrow)
+      Some(c.reps.sparkSession.sparkContext.defaultParallelism)
+    else None
 
   // ------------------------------------------------------------------
   // PerfAB-only variants (r10, VERDICT task 4) — price the collapse's
@@ -531,7 +560,9 @@ object DedupOps {
       reps = nn,
       map = nn.select(col("doc_id"), col("doc_id").as("rep_id")),
       groups = nn.select(col("doc_id").as("rep_id"), lit(1L).as("mult"),
-        size(split(col("norm"), " ")).cast("long").as("n_toks")))
+        size(split(col("norm"), " ")).cast("long").as("n_toks")),
+      narrow = nn.rdd.getNumPartitions * 2 <
+        s.sparkContext.defaultParallelism)
   }
 
   /** The pre-r10 md5 internal collapse key — kept as the A/B baseline
@@ -683,12 +714,18 @@ object DedupOps {
     verifiedCore(q35DocSets(s, dir), positional)
 
   private[graft] def verifiedCore(docsets: DataFrame,
-      positional: Boolean): DataFrame = {
+      positional: Boolean, spreadTo: Option[Int] = None): DataFrame = {
     val cands = candidatesCore(docsets, positional)
     // exact verification: set-intersection size over the candidates only
     val sa = docsets.select(col("doc_id").as("doc_a"), col("set").as("set_a"))
     val sb = docsets.select(col("doc_id").as("doc_b"), col("set").as("set_b"))
-    cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    val attached = cands.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    // conditional CPU-width spread of the intersect stage (r13): an
+    // explicit-count hash exchange (REPARTITION_BY_NUM, AQE-exempt) on
+    // the pair key right before the per-pair set intersection — see
+    // [[verifySpread]]. Deterministic key, exact math downstream.
+    spreadTo.fold(attached)(n =>
+        attached.repartition(n, col("doc_a"), col("doc_b")))
       .withColumn("n_inter",
         size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
@@ -897,8 +934,13 @@ object DedupOps {
     * cluster-label blocks. All arithmetic up to the final sqrt/division is
     * exact integer math, so the cosine double is bit-identical to DuckDB
     * and the 0.4 threshold is safe. */
-  def q38EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+  def q38EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    q38EmbeddingNearDupImpl(s, dir, widen = false)
+
+  private[graft] def q38EmbeddingNearDupImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
+    val e = (if (widen) Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+             else Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), col("embedding").as("q"))
       .withColumn("n2", graft.functions.VectorExprs.quantized_norm2(col("q")))
       // zero-norm contract (SimilarityOps.quantized): no direction, no
@@ -1059,9 +1101,14 @@ object DedupOps {
         col("cos"))
   }
 
-  def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame = {
+  def q49EmbeddingLshDedup(s: SparkSession, dir: String): DataFrame =
+    q49EmbeddingLshDedupImpl(s, dir, widen = false)
+
+  private[graft] def q49EmbeddingLshDedupImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
     import graft.functions.VectorExprs.quantized_norm2
-    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+    val e = (if (widen) Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+             else Tables.embeddings(s, dir))
       .select(col("vec_id"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
       .filter(col("n2") > 0) // zero-norm contract (SimilarityOps.quantized)
@@ -1209,14 +1256,22 @@ object DedupOps {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("nbr_label"))
-      // one materialization per round: `next` carries BOTH the old and the
-      // new label so the convergence check is a filter over the checkpoint,
-      // not another join — and the checkpoint truncates lineage so round
-      // n+1 never re-runs round n's join (a naive
-      // count-then-checkpoint sequence evaluates the round THREE times)
+      // one materialization per round AND one driver job per round
+      // (r13): the convergence probe rides the checkpoint job itself —
+      // `observe` plants a CollectMetrics node whose changed-label count
+      // accumulates WHILE the eager localCheckpoint materializes the
+      // round (both run under the same action), so the old follow-up
+      // `filter(label =!= old).isEmpty` job — one ~60 ms driver
+      // round-trip per round on a degraded-latency box — disappears.
+      // The checkpoint still truncates lineage so round n+1 never
+      // re-runs round n's join (a naive count-then-checkpoint sequence
+      // evaluates the round THREE times).
+      val probe = org.apache.spark.sql.Observation(s"cc_round_$i")
       val next = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .observe(probe,
+          sum(when(col("label") =!= col("old"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint(true)
       // `next` is materialized, so round n-1's checkpoint is now dead —
       // release it, or executor storage grows O(rounds)
@@ -1224,7 +1279,12 @@ object DedupOps {
         org.apache.spark.sql.GraftShims.unpersistCheckpoint(prevRound)
       }
       prevRound = next
-      converged = next.filter(col("label") =!= col("old")).isEmpty
+      // sum() over an empty frame is null — an empty label set has
+      // nothing left to propagate, i.e. converged
+      converged = probe.get.get("changed") match {
+        case Some(n: Long) => n == 0L
+        case _ => true
+      }
       labels = next.select("node", "label")
       i += 1
     }
@@ -1645,16 +1705,21 @@ object DedupOps {
       val gw = c.groups.filter(col("n_toks") >= 3L)
         .select(col("rep_id"), col("mult").cast("double").as("m"))
       // double math end-to-end: C(10⁷,3) overflows a long and the probe
-      // only needs magnitude, not exactness
-      val clique = Option(gw
-        .agg(sum(col("m") * (col("m") - 1) * (col("m") - 2) / 6)).head.get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
-      val cross = Option(rp
-        .join(gw.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
-        .join(gw.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b"))
-        .agg(sum(col("ma") * (col("ma") - 1) / 2 * col("mb") +
-          col("mb") * (col("mb") - 1) / 2 * col("ma"))).head.get(0))
-        .map(_.asInstanceOf[Double]).getOrElse(0.0)
+      // only needs magnitude, not exactness.
+      // ONE driver job for both terms (r13, latency class): the clique
+      // and cross aggregates are independent one-row frames — crossJoin
+      // folds them into a single action instead of two ~60 ms-latency
+      // round-trips per q83 run.
+      val row = gw
+        .agg(sum(col("m") * (col("m") - 1) * (col("m") - 2) / 6).as("clique"))
+        .crossJoin(rp
+          .join(gw.select(col("rep_id").as("doc_a"), col("m").as("ma")), Seq("doc_a"))
+          .join(gw.select(col("rep_id").as("doc_b"), col("m").as("mb")), Seq("doc_b"))
+          .agg(sum(col("ma") * (col("ma") - 1) / 2 * col("mb") +
+            col("mb") * (col("mb") - 1) / 2 * col("ma")).as("cross")))
+        .head()
+      val clique = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val cross = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
       clique + cross
     }
     val out =

@@ -60,8 +60,25 @@ object SimilarityOps {
     * retrieve (q48 dim stats, q196 norm outliers — where a zero norm
     * is exactly what you're looking for) read the raw table and keep
     * them. */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+  /** `widen` default is FALSE since r13 (measured, [[graft.PerfAB]]
+    * `q*_widen` vs `q*_nowiden`, one matched window): the r12
+    * family-wide embeddings input spread was a sticky 32-task shuffle
+    * of the full vector payload whose downstream per-row work (norms,
+    * a handful of 64-dim dots against ≤ 5 broadcast queries) never
+    * amounts to the exchange it pays — removal measured ×0.34–0.82
+    * across q39/q40/q48/q93/q112/q132/q222 (and the family scaling
+    * ratios at 8-vs-32 cores were 0.41–0.63, i.e. the width actively
+    * hurt). At cluster scale `Tables.widen` was a no-op here anyway
+    * (wide scans skip it), so removal only changes the bench-scale
+    * plan. The retrieval-heavy stages run post-join at shuffle width,
+    * not at scan width. q52's KMeans fit keeps its own
+    * `repartition(8, vec_id)` determinism pin downstream; its recall
+    * bound is re-certified at sf0.001/0.01/0.1 × cpus {4,8,32} with
+    * the new upstream layout (OPTIMIZATION_r13.md). */
+  private[graft] def quantized(s: SparkSession, dir: String,
+      widen: Boolean = false): DataFrame =
+    (if (widen) Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+     else Tables.embeddings(s, dir))
       .select(col("vec_id"), col("label"), col("embedding").as("q"))
       .withColumn("n2", quantized_norm2(col("q")))
       .filter(col("n2") > 0)
@@ -72,8 +89,12 @@ object SimilarityOps {
 
   /** Exact top-10 cosine neighbors for query vectors vec_id < 5: broadcast
     * the queries, single scan over the corpus, per-query top-k window. */
-  def q39KnnBrute(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
+  def q39KnnBrute(s: SparkSession, dir: String): DataFrame =
+    q39KnnBruteImpl(s, dir, widen = false)
+
+  private[graft] def q39KnnBruteImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
+    val e = quantized(s, dir, widen)
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("q").as("qq"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("q_id"))
@@ -105,8 +126,12 @@ object SimilarityOps {
   /** LSH-bucketed ANN: 8-bit random-hyperplane signature buckets the
     * corpus; each query only scores its own bucket, top-3 by cosine.
     * (Recall vs q39 is validated in ScalaTest, not by the oracle.) */
-  def q40KnnLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
+  def q40KnnLsh(s: SparkSession, dir: String): DataFrame =
+    q40KnnLshImpl(s, dir, widen = false)
+
+  private[graft] def q40KnnLshImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
+    val e = quantized(s, dir, widen)
     // quantized_dot against a ±1.0 plane = 1000 × Σ coef·q_i, so the sign
     // test is identical to the oracle's integer form
     val bucket = (0 until 8).map { p =>
@@ -172,7 +197,12 @@ object SimilarityOps {
     * and min/max per embedding position (the "column profile" pass a
     * vector pipeline runs before choosing an index). */
   def q48DimStats(s: SparkSession, dir: String): DataFrame =
-    Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+    q48DimStatsImpl(s, dir, widen = false)
+
+  private[graft] def q48DimStatsImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame =
+    (if (widen) Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+     else Tables.embeddings(s, dir))
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .select(col("pos").cast("long").as("pos"),
         floor(col("x").cast("double") * 1000 + 0.5).cast("long").as("q"))
@@ -245,16 +275,6 @@ object SimilarityOps {
     // boundary (1 probe, 0 candidates). The fit is already an eager
     // driver-side action here, so the emptiness probe adds no new
     // laziness violation.
-    if (e.isEmpty) {
-      import org.apache.spark.sql.types._
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("q_id", LongType), StructField("neighbor_id", LongType),
-          StructField("cos", DoubleType), StructField("rn", LongType),
-          StructField("recall_at_10", DoubleType),
-          StructField("mean_recall_at_10", DoubleType),
-          StructField("recall_ok", BooleanType))))
-    }
     // k is capped at the DISTINCT vector count (r9, sketch fuzz — both
     // arms caught live on the battery's first runs): with fewer distinct
     // points than centroids, k-means|| init returns fewer centers than k
@@ -266,8 +286,21 @@ object SimilarityOps {
     // well-defined). The distinct count is one map-side-combinable
     // aggregate over 64-bit vector hashes (a collision only lowers k by
     // one — harmless); its cost is a single narrow pass next to the
-    // O(corpus × iters) fit itself.
-    val nDistinct = e.agg(countDistinct(xxhash64(col("q")))).head.getLong(0)
+    // O(corpus × iters) fit itself. ONE job serves both the emptiness
+    // probe and the k cap (r13, latency class): count(*) == 0 is
+    // exactly the old isEmpty, read from the same aggregate row.
+    val probeRow = e.agg(count(lit(1)), countDistinct(xxhash64(col("q")))).head
+    if (probeRow.getLong(0) == 0L) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("q_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType), StructField("rn", LongType),
+          StructField("recall_at_10", DoubleType),
+          StructField("mean_recall_at_10", DoubleType),
+          StructField("recall_ok", BooleanType))))
+    }
+    val nDistinct = probeRow.getLong(1)
     val (assigned, centroids) =
       if (nDistinct == 1L) {
         val c0 = e.select(col("q")).head.getSeq[Float](0).toArray
@@ -377,11 +410,16 @@ object SimilarityOps {
     * unchanged. The quantization is deterministic, so unlike most ANN
     * variants this one is fully ORACLE-CHECKED; fidelity vs the float
     * ranking (q39) is spec-asserted as recall@10. */
-  def q93KnnInt8(s: SparkSession, dir: String): DataFrame = {
+  def q93KnnInt8(s: SparkSession, dir: String): DataFrame =
+    q93KnnInt8Impl(s, dir, widen = false)
+
+  private[graft] def q93KnnInt8Impl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
     // fused codegen quantization (maxabs + ⌊x/scale·127+0.5⌋ in one
     // pass) — the interpreted aggregate+transform chain was q93's actual
     // bottleneck, not the pairwise dot
-    val e = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+    val e = (if (widen) Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+             else Tables.embeddings(s, dir))
       .select(col("vec_id"),
         graft.functions.VectorExprs.int8_codes(col("embedding")).as("q8"))
       .withColumn("n2", graft.functions.VectorExprs.long_dot(col("q8"), col("q8")))
@@ -622,8 +660,12 @@ object SimilarityOps {
     * rep aggregates to members. The q214 lesson applied to
     * decontamination: a per-entity aggregate consumer never needs the
     * pair expansion at all. Parity + branch witness straddle-spec'd. */
-  def q112SemanticDecontam(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir).select(col("vec_id"), col("q"), col("n2"))
+  def q112SemanticDecontam(s: SparkSession, dir: String): DataFrame =
+    q112SemanticDecontamImpl(s, dir, widen = false)
+
+  private[graft] def q112SemanticDecontamImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
+    val e = quantized(s, dir, widen).select(col("vec_id"), col("q"), col("n2"))
     val isEval =
       pmod(graft.functions.TextFns.hash60(
         concat(lit("eval:"), col("vec_id").cast("string"))), lit(100)) < 5
@@ -761,11 +803,16 @@ object SimilarityOps {
     * doc). The anti-pattern this avoids is collecting vectors to the
     * driver or a gramian via a single-task reduce: the matrix is a plain
     * distributed hash aggregate. */
-  def q132EmbedCovariance(s: SparkSession, dir: String): DataFrame = {
+  def q132EmbedCovariance(s: SparkSession, dir: String): DataFrame =
+    q132EmbedCovarianceImpl(s, dir, widen = false)
+
+  private[graft] def q132EmbedCovarianceImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
     val d38 = "decimal(38,0)"
     val m = 64
     val nPairs = m * (m + 1) / 2
-    val agg = Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+    val agg = (if (widen) Tables.widen(Tables.embeddings(s, dir), col("vec_id"))
+               else Tables.embeddings(s, dir))
       .select(posexplode(
         graft.functions.VectorExprs.cov_pair_products(col("embedding")))
         .as(Seq("pos", "v")))
@@ -1451,8 +1498,12 @@ object SimilarityOps {
     * Scale: one pass computes each vector's bucket (8 codegen dots);
     * per-(bucket, label) counts are ≤ 256·k cells; the majority window
     * partitions BY BUCKET over that bounded cell table. */
-  def q222BucketPurity(s: SparkSession, dir: String): DataFrame = {
-    val e = quantized(s, dir)
+  def q222BucketPurity(s: SparkSession, dir: String): DataFrame =
+    q222BucketPurityImpl(s, dir, widen = false)
+
+  private[graft] def q222BucketPurityImpl(s: SparkSession, dir: String,
+      widen: Boolean): DataFrame = {
+    val e = quantized(s, dir, widen)
     val key = (0 until 8).map { p =>
       val plane = array(planes(p).toIndexedSeq.map(c => lit(c.toFloat)): _*)
       when(quantized_dot(col("q"), plane) > 0, 1L << p).otherwise(0L)
