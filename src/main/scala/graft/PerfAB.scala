@@ -152,6 +152,12 @@ object PerfAB {
     // 0.41–0.63) and for the embedding-family input spread r12 shipped
     // by construction but never proved at bench scale. Controls: q11 /
     // q127 (untouched code) run by declared name in the same window.
+    // r13: price the verification-stage spread (mid-plan
+    // REPARTITION_BY_NUM before array_intersect) in isolation
+    "q35_verify_nospread" -> ((s, d) =>
+      operators.DedupOps.q35NoVerifySpread(s, d)),
+    "q35_verify_spread" -> ((s, d) =>
+      operators.DedupOps.q35NgramJaccard(s, d)),
     "q222_widen" -> ((s, d) =>
       operators.SimilarityOps.q222BucketPurityImpl(s, d, widen = true)),
     "q222_nowiden" -> ((s, d) =>

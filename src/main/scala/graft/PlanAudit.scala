@@ -27,7 +27,12 @@ object PlanAudit {
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val queries = SparkEntry.queries
+    // declared queries first; fall back to the PerfAB variant registry so
+    // a before/after plan pair (e.g. q222_widen vs the declared q222) can
+    // be dumped from ONE code state (r13)
+    def queries(name: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      SparkEntry.queries.getOrElse(name, PerfAB.variants.getOrElse(name,
+        sys.error(s"unknown query/variant: $name")))
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     names.foreach { name =>

@@ -580,6 +580,17 @@ object DedupOps {
   private[graft] def q35NoSpread(s: SparkSession, dir: String): DataFrame =
     jaccardCollapsed(collapseExactFp(docsNorm(s, dir), xxhashPairFp,
       spread = false))
+  /** r13 A/B baseline: the declared q35 with the VERIFICATION-stage
+    * spread disabled — prices the conditional REPARTITION_BY_NUM before
+    * the exact set-intersection ([[verifySpread]]) in isolation. */
+  private[graft] def q35NoVerifySpread(s: SparkSession, dir: String): DataFrame = {
+    val c = collapsedDocs(s, dir)
+    expandRepPairs(
+      verifiedCore(docSetsCore(repToks(c.reps)), positional = true,
+        spreadTo = None),
+      c, Seq(lit(1.0).as("jaccard")), col("n_toks") >= 3L)
+  }
+
   /** Same A/B for the corpus-dense q37 pipeline. */
   private[graft] def q37NoSpread(s: SparkSession, dir: String): DataFrame = {
     val c = collapseExactFp(docsNorm(s, dir), xxhashPairFp, spread = false)
