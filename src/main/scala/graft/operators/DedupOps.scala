@@ -520,15 +520,15 @@ object DedupOps {
     * docs) and score J = n/n = 1.0 exactly in both engines. */
   private def jaccardCollapsed(c: Collapsed): DataFrame =
     expandRepPairs(
-      verifiedCore(docSetsCore(repToks(c.reps)), positional = true,
-        spreadTo = verifySpread(c)),
+      verifiedCore(docSetsCore(repToks(c.reps), spreadTo = verifySpread(c)),
+        positional = true, spreadTo = verifySpread(c)),
       c, Seq(lit(1.0).as("jaccard")), col("n_toks") >= 3L)
 
   /** Rep-level (uncollapsed-id) verified pairs — q214's weighted-count
     * input. */
   private[graft] def repPairsJaccard(c: Collapsed): DataFrame =
-    verifiedCore(docSetsCore(repToks(c.reps)), positional = true,
-      spreadTo = verifySpread(c))
+    verifiedCore(docSetsCore(repToks(c.reps), spreadTo = verifySpread(c)),
+      positional = true, spreadTo = verifySpread(c))
 
   /** Verification-stage spread target (r13, guide §2/§1.2): the
     * candidate⋈set join's output stage evaluates `array_intersect` over
@@ -623,8 +623,17 @@ object DedupOps {
   private def q35DocSets(s: SparkSession, dir: String): DataFrame =
     docSetsCore(docToks(s, dir))
 
-  /** [[q35DocSets]] over a prebuilt `(doc_id, toks)` frame. */
-  private[graft] def docSetsCore(toksDf: DataFrame): DataFrame = {
+  /** [[q35DocSets]] over a prebuilt `(doc_id, toks)` frame. `spreadTo`
+    * (r13): sticky width for the shingle-df WINDOW stage — its
+    * hashpartitioning(shh) exchange is AQE-coalescible by compressed
+    * bytes, and at bench scale the whole df count ran 3 tasks × ~740 ms
+    * (StageProfile q214). A `repartition(n, shh)` satisfies the
+    * window's required distribution, so this REPLACES the implicit
+    * exchange rather than adding one; keyed off the same
+    * narrow-checkpoint signal as [[verifySpread]], no-op at cluster
+    * width. */
+  private[graft] def docSetsCore(toksDf: DataFrame,
+      spreadTo: Option[Int] = None): DataFrame = {
     // Shingles are hashed to longs before anything shuffles: the value is
     // only ever a join/group key, longs shuffle ~3× cheaper than strings,
     // and a 64-bit collision across ~10^5 distinct shingles is ~2^-30 —
@@ -657,7 +666,8 @@ object DedupOps {
     // enter prefixes, so the at-scale switch is df-by-join on the
     // checkpointed sh stream — paired with the checkpoint flip above,
     // not worth two extra shuffles while the lineage stays lazy.
-    sh.withColumn("df", count(lit(1)).over(wsh))
+    spreadTo.fold(sh)(n => sh.repartition(n, col("shh")))
+      .withColumn("df", count(lit(1)).over(wsh))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("shh")))).as("entries"))
       .select(col("doc_id"),
