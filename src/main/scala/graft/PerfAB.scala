@@ -152,6 +152,30 @@ object PerfAB {
     // 0.41–0.63) and for the embedding-family input spread r12 shipped
     // by construction but never proved at bench scale. Controls: q11 /
     // q127 (untouched code) run by declared name in the same window.
+    // r13 (VERDICT task 6): the MATERIALIZED shared tokenizer for the
+    // multi-consumer text queries — the r12 loader-widen loss inverted
+    // by checkpointing the tokenized frame once (conditional on a
+    // narrow scan; lazy at cluster width)
+    "q103_toks_lazy" -> ((s, d) =>
+      operators.TextOps.q103PmiBigramsImpl(s, d, materialize = false)),
+    "q103_toks_chk" -> ((s, d) =>
+      operators.TextOps.q103PmiBigramsImpl(s, d, materialize = true)),
+    "q104_toks_lazy" -> ((s, d) =>
+      operators.TextOps.q104Bm25Impl(s, d, materialize = false)),
+    "q104_toks_chk" -> ((s, d) =>
+      operators.TextOps.q104Bm25Impl(s, d, materialize = true)),
+    "q111_toks_lazy" -> ((s, d) =>
+      operators.SimilarityOps.q111RrfHybridImpl(s, d, materialize = false)),
+    "q111_toks_chk" -> ((s, d) =>
+      operators.SimilarityOps.q111RrfHybridImpl(s, d, materialize = true)),
+    "q122_toks_lazy" -> ((s, d) =>
+      operators.TextOps.q122KneserNeyImpl(s, d, materialize = false)),
+    "q122_toks_chk" -> ((s, d) =>
+      operators.TextOps.q122KneserNeyImpl(s, d, materialize = true)),
+    "q148_toks_lazy" -> ((s, d) =>
+      operators.TextOps.q148SkipGramImpl(s, d, materialize = false)),
+    "q148_toks_chk" -> ((s, d) =>
+      operators.TextOps.q148SkipGramImpl(s, d, materialize = true)),
     // r13: price the verification-stage spread (mid-plan
     // REPARTITION_BY_NUM before array_intersect) in isolation
     "q35_verify_nospread" -> ((s, d) =>

@@ -115,6 +115,17 @@ object Tables {
     else df.repartition(target, key)
   }
 
+  /** True when `df`'s planned width is under half the parallelism
+    * target — the shared bench-scale signal the conditional spreads and
+    * materializations key off (plan metadata only, no job). At cluster
+    * width this is false and every conditional keyed on it no-ops. */
+  def narrowScan(df: DataFrame): Boolean = {
+    val spark = df.sparkSession
+    val target = spark.conf.getOption("spark.graft.widen.target").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    plannedWidth(df, target) * 2 < target
+  }
+
   private def plannedWidth(df: DataFrame, target: Int): Int = {
     import org.apache.spark.sql.execution.{FileSourceScanExec, RangeExec}
     val spark = df.sparkSession

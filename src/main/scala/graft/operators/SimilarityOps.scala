@@ -536,12 +536,14 @@ object SimilarityOps {
     * matter the corpus size. The ranks-within-k windows run on k-row
     * frames (single task by construction — bounded by the retrieval k,
     * not the corpus). */
-  def q111RrfHybrid(s: SparkSession, dir: String): DataFrame = {
+  def q111RrfHybrid(s: SparkSession, dir: String): DataFrame =
+    q111RrfHybridImpl(s, dir, materialize = true)
+
+  private[graft] def q111RrfHybridImpl(s: SparkSession, dir: String,
+      materialize: Boolean): DataFrame = {
     val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
     val lex = TextOps.bm25(
-      Tables.documents(s, dir).select(col("doc_id"),
-        filter(graft.functions.TextFns.tokens(col("text")), t => t =!= "")
-          .as("toks")),
+      TextOps.sharedToks(s, dir, materialize),
       Seq("query", "merge", "fast"), k = 20)
       .select(col("doc_id"), row_number().over(wLex).cast("long").as("r_lex"))
     val e = quantized(s, dir)
