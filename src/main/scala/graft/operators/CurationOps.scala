@@ -517,23 +517,30 @@ object CurationOps {
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
       countDistinct(md5(normText(col("text")))).as("n_distinct_fp"))
-    def metric(name: String, v: org.apache.spark.sql.Column,
-        src: DataFrame): DataFrame =
-      src.select(lit(name).as("metric"), v.cast("double").as("value"))
-    metric("n_docs", col("n_docs"), meta)
-      .unionAll(metric("n_langs", col("n_langs"), meta))
-      .unionAll(metric("n_sources", col("n_sources"), meta))
+    // one explode per source aggregate (r13, tail plan-depth pass): the
+    // old per-metric unionAll re-planned `meta` four times and
+    // `tokStats` twice — six extra corpus scans for a 8-row result.
+    // Each aggregate now runs once and its metrics come out via explode
+    // of (metric, value) structs; values are the same expressions.
+    def metricRows(src: DataFrame,
+        ms: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+      src.select(explode(array(ms.map { case (n, v) =>
+        struct(lit(n).as("metric"), v.cast("double").as("value"))
+      }: _*)).as("m"))
+        .select(col("m.metric").as("metric"), col("m.value").as("value"))
+    metricRows(meta, Seq(
+      "n_docs" -> col("n_docs"), "n_langs" -> col("n_langs"),
+      "n_sources" -> col("n_sources"),
       // empty-corpus guard: ANSI raises on 0.0/0.0, and an empty feed's
       // datasheet should report a NULL dup fraction, not kill the job
-      .unionAll(metric("exact_dup_frac",
-        when(col("n_docs") > 0L,
-          lit(1.0) - col("n_distinct_fp").cast("double") /
-            col("n_docs").cast("double")), meta))
-      .unionAll(metric("n_tokens", col("n_tokens"), tokStats))
-      .unionAll(metric("vocab", col("vocab"), tokStats))
-      .unionAll(metric("gt_missing_mass", col("gt_missing_mass"),
-        graft.operators.TextOps.goodTuringCore(docs)))
-      .unionAll(metric("lang_ess_frac", col("ess_frac"), essCore(docs)))
+      "exact_dup_frac" -> when(col("n_docs") > 0L,
+        lit(1.0) - col("n_distinct_fp").cast("double") /
+          col("n_docs").cast("double"))))
+      .unionAll(metricRows(tokStats, Seq(
+        "n_tokens" -> col("n_tokens"), "vocab" -> col("vocab"))))
+      .unionAll(metricRows(graft.operators.TextOps.goodTuringCore(docs),
+        Seq("gt_missing_mass" -> col("gt_missing_mass"))))
+      .unionAll(metricRows(essCore(docs), Seq("lang_ess_frac" -> col("ess_frac"))))
   }
 
   /** lazy: CurationOps and TextOps reference each other's SQL vals;
