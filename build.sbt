@@ -41,3 +41,22 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // image has 128 GiB, so default higher (override via SPARK_DRIVER_MEM)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// r13: one forked JVM PER SUITE, four at a time — a single `sbt test`
+// invocation ran all 18 suites sequentially in one local[4] JVM (~2 h)
+// and has never fit the driver's verification budget (r11/r12 VERDICT
+// item). Suites are independent (own SparkSessions, tmp dirs are
+// per-test createTempDirectory or suite-unique /tmp/graft_fuzz paths,
+// nothing asserts on wall time), and the box is 32 cores / 128 GiB, so
+// 4 concurrent local[4] suites x 10g heap fit with headroom. Depth is
+// unchanged — same specs, same seeds (SPARK_GRAFT_FUZZ_SEEDS still
+// scales the fuzz battery up for builder-round deep runs).
+Test / testGrouping := (Test / definedTests).value.map { t =>
+  Tests.Group(t.name, Seq(t), Tests.SubProcess(ForkOptions()
+    .withRunJVMOptions(((Test / javaOptions).value :+ "-Xmx10g").toVector)))
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 4),
+  Tags.limitAll(16))
+// per-test durations in the suite log (the SUITE_r13 artifact needs
+// per-suite wall attribution; scalatest's default reporter omits it)
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")

@@ -176,6 +176,13 @@ object PerfAB {
       operators.TextOps.q148SkipGramImpl(s, d, materialize = false)),
     "q148_toks_chk" -> ((s, d) =>
       operators.TextOps.q148SkipGramImpl(s, d, materialize = true)),
+    // r13: price the one-pass trade-edge builder (explode) against the
+    // r12 two-branch union that re-evaluated the pair subtree per
+    // direction
+    "q101_edges_union_r12" -> ((s, d) =>
+      operators.GraphOps.q101UnionEdgesR12(s, d)),
+    "q101_edges_explode" -> ((s, d) =>
+      SparkEntry.queries("q101_pagerank")(s, d)),
     // r13: price the verification-stage spread (mid-plan
     // REPARTITION_BY_NUM before array_intersect) in isolation
     "q35_verify_nospread" -> ((s, d) =>

@@ -135,8 +135,30 @@ object GraphOps {
     * at-scale caller passes `rankUnit = 0` for the graph-sized unit
     * (ScaleRegression runs that form at 10× data, where the pin
     * correctly refuses). */
-  private[graft] def q101PageRankWithUnit(s: SparkSession, dir: String,
-      rankUnit: Long): DataFrame = {
+  /** Distinct customer–supplier trade pairs, BOTH directions, in one
+    * pass (r13, §2.4): the old two-branch union re-ran the
+    * orders⋈lineitem + distinct subtree once per direction — the two
+    * branches project different column orders, so ReuseExchange could
+    * not dedupe them (StageProfile q101: two ~600 k-row map stages,
+    * ~0.6 s each, on 3 tasks). The reversed direction is now an explode
+    * of a 2-struct array over ONE evaluation of the pair set: identical
+    * row multiset, one subtree, one exchange. */
+  private def tradeEdges(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** r13 A/B baseline: the r12 two-branch union edge builder (each
+    * direction re-evaluates the pair subtree) feeding the declared
+    * PageRank — prices [[tradeEdges]]'s explode rewrite in isolation. */
+  private[graft] def q101UnionEdgesR12(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("o_orderkey") === col("l_orderkey"))
@@ -144,6 +166,16 @@ object GraphOps {
       .distinct()
     val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
       .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    pageRankInt(edges, iters = 3, rankUnit = RankUnit)
+      .select(col("node"),
+        when(col("node") % 2 === 0, "customer").otherwise("supplier")
+          .as("node_type"),
+        col("r").as("rank_i"))
+  }
+
+  private[graft] def q101PageRankWithUnit(s: SparkSession, dir: String,
+      rankUnit: Long): DataFrame = {
+    val edges = tradeEdges(s, dir)
     pageRankInt(edges, iters = 3, rankUnit = rankUnit)
       .select(col("node"),
         when(col("node") % 2 === 0, "customer").otherwise("supplier")
@@ -158,13 +190,7 @@ object GraphOps {
     * it — the self-correcting flip SCALING.md records). Identical
     * shape to [[pageRankInt]]'s loop body; never declared as a query. */
   private[graft] def q101RoundPlan(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val edges = tradeEdges(s, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     // checkpoint like the real loop: the probe must face the same
     // exactly-known build-side size the declared query's planner sees
@@ -228,13 +254,7 @@ object GraphOps {
     * once checkpointed). */
   private[graft] def kCoreLazy(s: SparkSession, dir: String,
       eager: Boolean = false): (DataFrame, DataFrame) = {
-    val pairs = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    val e0 = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val e0 = tradeEdges(s, dir)
       // hash(src) layout for the peel loop (r12, guide §2.4): each
       // round's degree aggregate groups by src and each round's
       // semi-joins key on src/dst with broadcast keep-sets, so a
@@ -242,8 +262,7 @@ object GraphOps {
       // exchange-free and the layout survives the (broadcast)
       // semi-joins into the next round's checkpoint. Explicit count:
       // bare repartition(col) is AQE-coalescible (Tables.widen lesson).
-      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
-        col("src"))
+      .repartition(s.sparkContext.defaultParallelism, col("src"))
       .localCheckpoint(true)
     val out = kCorePeel(e0, k = 3, rounds = 3, eager = eager)
       .select(col("node"),
