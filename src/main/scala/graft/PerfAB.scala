@@ -176,6 +176,11 @@ object PerfAB {
       operators.TextOps.q148SkipGramImpl(s, d, materialize = false)),
     "q148_toks_chk" -> ((s, d) =>
       operators.TextOps.q148SkipGramImpl(s, d, materialize = true)),
+    // r13: price the q226 candidate-generator spread
+    "q226_cand_nospread" -> ((s, d) =>
+      operators.Relational.q226NegativeSamplesImpl(s, d, spreadCand = false)),
+    "q226_cand_spread" -> ((s, d) =>
+      operators.Relational.q226NegativeSamplesImpl(s, d, spreadCand = true)),
     // r13: price the one-pass trade-edge builder (explode) against the
     // r12 two-branch union that re-evaluated the pair subtree per
     // direction
