@@ -33,8 +33,17 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 class OracleFuzzSpec extends SparkTestBase {
 
+  // DEFAULT 1 SEED since r13 (VERDICT task 5): the driver runs a plain
+  // `sbt test` under a wall-clock budget that the 3-seed default blew
+  // twice (r11/r12 tests_ok=false, budget-kill signature) — at 3 seeds
+  // the two pathological-corpora batteries alone are ~67 min of DuckDB
+  // all-pairs. One seed keeps every battery EXERCISED on every run
+  // (~22 min suite-critical-path); builder rounds that touch dedup/text
+  // internals must export SPARK_GRAFT_FUZZ_SEEDS=3 (standard depth,
+  // run green on this round's final code — SUITE_r13.txt) or 10 (the
+  // r7 deep battery).
   private val nSeeds =
-    sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEEDS", "3").toInt
+    sys.env.getOrElse("SPARK_GRAFT_FUZZ_SEEDS", "1").toInt
 
   /** Queries under fuzz: the dedup/text core whose parity leans on
     * hashing + normalization (not joins against the TPC-H tables). */

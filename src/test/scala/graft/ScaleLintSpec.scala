@@ -80,7 +80,8 @@ class ScaleLintSpec extends SparkTestBase {
       "once (rep corpus + member map, O(corpus) each) for its many " +
       "consumers — plan-locked to zero parquet rescans (PlanShapeSpec)"
     val cc = "connected-components label propagation: fixed-round loop, " +
-      "per-round localCheckpoint + isEmpty convergence probe over the " +
+      "per-round localCheckpoint (convergence probe rides it as an " +
+      "observe() metric since r13 — no separate probe job) over the " +
       "shrinking frontier"
     Map(
       "q35_ngram_jaccard" -> collapse, "q36_minhash_lsh" -> collapse,
@@ -100,7 +101,7 @@ class ScaleLintSpec extends SparkTestBase {
       "q161_power_iteration" -> "fixed power-iteration rounds over the collected 64x64 covariance (2^12 entries, dimension-bounded)",
       "q166_mmr_rerank" -> "greedy MMR selection over a collected probe-bounded candidate set (<= probes x 20 rows)",
       "q177_greedy_cover" -> "greedy set cover: k rounds, each collecting only the 1-row argmax, over a checkpointed source-gram frame",
-      "q52_knn_ivf" -> "KMeans fit (inherently eager) + retrievable-corpus isEmpty + countDistinct k-cap probe — each a bounded aggregate",
+      "q52_knn_ivf" -> "KMeans fit (inherently eager) + ONE count/countDistinct probe (emptiness guard and k cap folded into a single bounded aggregate, r13)",
       "q71_bloom_join" -> "bloom build side: one count + one bloom-aggregate head (the driver holds the filter bytes by design)",
       "q91_quality_gate" -> "GlobalRank two-pass: per-partition histogram collect (#partitions rows)",
       "q135_global_ntile" -> "GlobalRank two-pass + one column-pruned scalar count for the bucket width",
@@ -118,7 +119,17 @@ class ScaleLintSpec extends SparkTestBase {
       "q141_assoc_rules" -> "user-type distinct frame checkpointed once for its four consumers (class-#10 fix)",
       "q221_part_affinity" -> "order-part distinct frame checkpointed once for its four consumers (class-#10 fix)",
       "q202_rfm_segments" -> "per-customer RFM frame checkpointed once for its four consumers + one O(1) count off the materialized RDD for the quintile denominators + GlobalRank two-pass per bounds metric (class-#10 fix)",
-      "q103_pmi_bigrams" -> "unigram-count frame checkpointed once (vocab-bounded) for its three consumers (class-#10 fix)",
+      "q103_pmi_bigrams" -> "unigram-count frame checkpointed once (vocab-bounded) for its three consumers (class-#10 fix) + the r13 shared-tokenizer checkpoint (below)",
+      // r13 (VERDICT task 6): the shared tokenized-documents frame is
+      // checkpointed ONCE, conditionally on a narrow scan (lazy at
+      // cluster width — Tables.narrowScan) — each of these queries
+      // consumes it from >= 2 independent plan branches and re-ran
+      // scan + regexp tokenize per branch (q122's plan held 8 parquet
+      // scans); measured x0.61-0.90 in a matched window
+      "q104_bm25" -> "shared tokenized frame checkpointed once (narrow-scan-conditional) for the BM25 stats + tf branches (r13)",
+      "q111_rrf_hybrid" -> "shared tokenized frame checkpointed once (narrow-scan-conditional) for the lexical branch's stats + tf consumers (r13)",
+      "q122_kneser_ney" -> "shared tokenized frame checkpointed once (narrow-scan-conditional) for the bigram/continuation consumers (r13)",
+      "q148_skipgram" -> "shared tokenized frame checkpointed once (narrow-scan-conditional) for the pair + n_pairs consumers (r13)",
       "q128_source_overlap" -> "source-gram frame checkpointed once for self-join + broadcast totals (class-#10 fix)",
       "q206_source_wjaccard" -> "tf frame checkpointed once (vocab x sources) for self-join + broadcast totals (class-#10 fix)",
       "q216_source_jsd" -> "two-source tf frame checkpointed once (vocab-bounded) for divergence + totals (class-#10 fix)",
@@ -279,6 +290,12 @@ class ScaleLintSpec extends SparkTestBase {
       "q226_negative_samples" -> ("candidate cross = customers × the " +
         "top-100 popularity cut (TakeOrdered, broadcast): fixed ×100 " +
         "multiplier, never customers × parts"),
+      "q229_datasheet" -> ("the r13 metric explode is over a " +
+        "COMPILE-TIME literal array of ≤ 4 (metric, value) structs per " +
+        "1-row aggregate output — fan-out multiplier is a code " +
+        "constant, and each exploded source is a single-row summary " +
+        "frame (the join underneath is essCore's bounded " +
+        "lang-aggregate)"),
       "q221_part_affinity" -> ("order-size-bounded: baskets are ORDERS " +
         "(a handful of lines by construction), pair fan-out per basket " +
         "is C(n,2); a hot PART is join-input volume, not key fan-out"),
